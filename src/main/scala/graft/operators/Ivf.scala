@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Vec
+
+/** IVF (inverted-file) ANN index — the reference's core product
+  * (`/root/reference/src/ivf_index.rs`), re-architected Spark-first.
+  *
+  * Layout mapping (SURVEY.md §1.4): the reference's custom binary shard
+  * files + O(1) centroid-offset index become a parquet dataset partitioned
+  * by `shard_id` and sorted within partitions by `centroid_id`; its
+  * bincode routing table (`index.bin`) becomes a small `centroids` parquet
+  * read + broadcast at query time. Probe pruning — the IVF idea itself —
+  * becomes `WHERE shard_id IN (...) AND centroid_id IN (...)`, which Spark
+  * executes as directory-level partition pruning plus parquet row-group
+  * min/max skipping: only the probed clusters' bytes are read, exactly as
+  * the reference's io_uring selective block reads, but scaling across
+  * executors. At 100 TB the pruned scan reads nProbe/k of the data.
+  *
+  * Semantics preserved (SURVEY.md §2.11): squared-L2 ascending; k/n_probe
+  * clamped to max (`src/api.rs:189-190`); k=0 or n_probe=0 is an error
+  * (`src/ivf_index.rs:197-202`); fewer than k candidates → all returned,
+  * no padding; `include_vectors` projection; seed fixed to 42 for builds
+  * (`src/api.rs:143`); super-centroid seed = seed*31+7, ⌈√k⌉ shards
+  * (`src/ivf_index.rs:104-109`). Ties broken by external_id (the
+  * reference's tie order is unstable-sort-undefined; pinning is safer).
+  */
+object Ivf {
+
+  final case class Config(
+      defaultK: Int = 10,
+      defaultNProbe: Int = 20,
+      maxK: Int = 10000,
+      maxNProbe: Int = 10000) // src/api.rs:33-43
+
+  /** Driver-held routing table: centroid vectors + centroid→shard map.
+    * Size is k×dim floats (k ≈ 4√n — 4,000 at n=1M), always broadcastable.
+    */
+  final case class Index(
+      vectorsPath: String,
+      centroids: Array[Array[Float]],     // dense centroid_id = array index
+      centroidToShard: Array[Int],
+      config: Config = Config()) {
+    def k: Int = centroids.length
+    def numShards: Int = centroidToShard.distinct.length
+  }
+
+  /** Build the index from an embeddings DataFrame.
+    *
+    * @param df     input table
+    * @param idCol  unique row id (external_id in reference terms)
+    * @param embCol ArrayType(FloatType) embedding column
+    */
+  def build(df: DataFrame, idCol: String, embCol: String, indexDir: String,
+      seed: Long = 42L): Index = {
+    val spark = df.sparkSession
+    val n = df.count()
+    require(n > 0, "cannot build an index from an empty table") // src/api.rs empty-build error
+    val k = KMeans.numClusters(n)
+    val iters = KMeans.maxIterations(n)
+    val model = KMeans.fit(df, embCol, k, iters, seed)
+
+    // full assignment (map-side, broadcast centroids, no shuffle)
+    val assigned = KMeans.withAssignment(df, embCol, model, seed, "raw_centroid_id")
+
+    // drop empty clusters, re-densify ids in ascending raw-id order (P2,
+    // src/ivf_index.rs:122-146)
+    val counts = assigned.groupBy("raw_centroid_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val nonEmpty = (0 until model.k).filter(c => counts.getOrElse(c, 0L) > 0L)
+    val remap = nonEmpty.zipWithIndex.toMap // raw -> dense
+    val centroids = nonEmpty.map(model.centroids(_)).toArray
+
+    // super-k-means over surviving centroids → shards
+    // (num_shards = ⌈√k⌉, 100 iters, seed*31+7 — src/ivf_index.rs:104-109)
+    val numShards = math.max(1, math.ceil(math.sqrt(centroids.length.toDouble)).toInt)
+    val superModel = KMeans.trainDriver(centroids, numShards, 100, seed * 31 + 7)
+    val centroidToShard = centroids.map(c => KMeans.nearest(c, superModel.centroids)._1)
+
+    // persist vectors partitioned by shard, clustered by centroid, so
+    // probe filters prune directories and row-groups
+    val remapB = spark.sparkContext.broadcast(remap)
+    val shardB = spark.sparkContext.broadcast(centroidToShard)
+    val denseUdf = udf((raw: Int) => remapB.value(raw))
+    val shardUdf = udf((dense: Int) => shardB.value(dense))
+    assigned
+      .withColumn("centroid_id", denseUdf(col("raw_centroid_id")))
+      .withColumn("shard_id", shardUdf(col("centroid_id")))
+      .drop("raw_centroid_id")
+      .repartition(col("shard_id"))
+      .sortWithinPartitions(col("centroid_id"), col(idCol))
+      .write.mode("overwrite")
+      .partitionBy("shard_id")
+      .parquet(s"$indexDir/vectors")
+
+    // routing-table sidecar (replaces bincode index.bin — S5/S6)
+    import spark.implicits._
+    centroids.indices
+      .map(i => (i, centroidToShard(i), centroids(i).toSeq))
+      .toDF("centroid_id", "shard_id", "centroid")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+
+    Index(s"$indexDir/vectors", centroids, centroidToShard)
+  }
+
+  /** Load the routing table back (S6). */
+  def load(spark: SparkSession, indexDir: String, config: Config = Config()): Index = {
+    val rows = spark.read.parquet(s"$indexDir/centroids")
+      .select("centroid_id", "shard_id", "centroid")
+      .collect()
+      .sortBy(_.getInt(0))
+    Index(
+      s"$indexDir/vectors",
+      rows.map(_.getSeq[Float](2).toArray),
+      rows.map(_.getInt(1)),
+      config)
+  }
+
+  /** Top-k search. Returns `(external_id, distance[, embedding])` ascending
+    * by (distance, external_id).
+    */
+  def search(spark: SparkSession, index: Index, query: Array[Float], k0: Int,
+      nProbe0: Int, idCol: String = "vec_id", embCol: String = "embedding",
+      includeVectors: Boolean = false): DataFrame = {
+    val k = math.min(k0, index.config.maxK)           // src/api.rs:189
+    val nProbe = math.min(nProbe0, index.config.maxNProbe)
+    require(k > 0, "k must be > 0")                   // src/ivf_index.rs:197-202
+    require(nProbe > 0, "n_probe must be > 0")
+    require(query.length == index.centroids(0).length,
+      s"query dimension ${query.length} != index dimension ${index.centroids(0).length}")
+
+    // probe selection on the driver over the routing table (J5/T1):
+    // distances to all k centroids, ascending, take nProbe
+    val probes = index.centroids.indices
+      .map(i => (i, KMeans.sqDist(query, index.centroids(i))))
+      .sortBy(p => (p._2, p._1))
+      .take(nProbe)
+      .map(_._1)
+    val shards = probes.map(index.centroidToShard).distinct // P5
+
+    // pruned scan: directory pruning on shard_id + row-group skipping on
+    // centroid_id (replaces S8 selective reads), then distance + top-k via
+    // TakeOrderedAndProject (J6/T2)
+    val qLit = lit(query)
+    val base = spark.read.parquet(index.vectorsPath)
+      .where(col("shard_id").isin(shards: _*) && col("centroid_id").isin(probes: _*))
+      .withColumn("distance", Vec.squaredL2(col(embCol), qLit))
+      .orderBy(col("distance"), col(idCol))
+      .limit(k)
+    val out = base.select(col(idCol).as("external_id"), col("distance"),
+      col(embCol).as("vector"))
+    if (includeVectors) out else out.drop("vector") // P3
+  }
+}

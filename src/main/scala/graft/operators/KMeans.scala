@@ -1,0 +1,415 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mini-batch k-means with k-means++ init — the reference engine's trainer
+  * (`/root/reference/src/kmeans.rs`), re-architected for Spark.
+  *
+  * Algorithm semantics preserved (public knowledge: Lloyd 1982; Arthur &
+  * Vassilvitskii, k-means++, SODA 2007; Sculley, web-scale k-means, WWW
+  * 2010), with the reference's exact heuristics:
+  *   - cluster count `√n | 2⌈√n⌉ | 4⌈√n⌉` by n (`src/utils.rs:9-16`)
+  *   - iteration budget 300/100/50/20 by n (`src/utils.rs:18-26`)
+  *   - mini-batch size clamp(⌊√n⌋, 10, 256) (`src/kmeans.rs:83`)
+  *   - k-means++ init over a ≤50k sample (`src/kmeans.rs:154-164`)
+  *   - per-cluster learning rate eta = 1/(count+1) (`src/kmeans.rs:729-787`)
+  *   - empty-cluster reseed from random points (`src/kmeans.rs:313-331`)
+  *   - RMS centroid-delta early stop < 1e-4 (`src/kmeans.rs:22,133-141`)
+  *   - hierarchical 2-level assignment when k > 100: meta_k =
+  *     clamp(√k, 2, k/2), probe top-3 meta-centroids (`src/kmeans.rs:474-581`)
+  *
+  * Spark re-architecture (the deliberate divergence, documented): the
+  * reference draws each 256-row mini-batch from the FULL dataset. On a
+  * 100 TB table that is one full scan per iteration — 50+ scans to read
+  * 12 KB of useful data. Instead we take ONE seeded distributed sample
+  * (cap `poolCap` = 50k rows, the same cap the reference applies to its
+  * k-means++ init) and run the entire mini-batch loop driver-side over
+  * that pool. Training cost becomes independent of table size; only the
+  * single sampling scan and the final assignment pass touch all data.
+  * Statistically this is uniform sub-sampling — mini-batch k-means is
+  * itself a stochastic approximation, and the reference's own quality
+  * gates (inertia ratios, recall floors) are what we re-assert in tests.
+  */
+object KMeans {
+
+  /** nlist heuristic — exact parity with `src/utils.rs:9-16`. */
+  def numClusters(n: Long): Int = {
+    val sq = math.sqrt(n.toDouble)
+    if (n < 10000L) math.max(1, sq.toInt)
+    else if (n < 100000L) 2 * math.ceil(sq).toInt
+    else 4 * math.ceil(sq).toInt
+  }
+
+  /** Iteration budget — exact parity with `src/utils.rs:18-26`. */
+  def maxIterations(n: Long): Int =
+    if (n < 10000L) 300 else if (n < 100000L) 100 else if (n < 1000000L) 50 else 20
+
+  /** Mini-batch size — exact parity with `src/kmeans.rs:83`. */
+  def batchSize(n: Long): Int =
+    math.min(256, math.max(10, math.sqrt(n.toDouble).toInt))
+
+  val ConvergenceThreshold = 1e-4 // src/kmeans.rs:22
+  val InitSampleCap = 50000       // src/kmeans.rs:158-160
+  val HierarchicalThreshold = 100 // src/kmeans.rs:454
+
+  final case class Model(centroids: Array[Array[Float]]) {
+    def k: Int = centroids.length
+    def dim: Int = if (centroids.isEmpty) 0 else centroids(0).length
+  }
+
+  // ---------------------------------------------------------------- kernels
+
+  /** Squared L2 in double over float arrays — matches graft.functions.Vec. */
+  def sqDist(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) {
+      val d = a(i).toDouble - b(i).toDouble
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  /** Argmin over centroids: (bestIdx, bestDist). */
+  def nearest(p: Array[Float], cs: Array[Array[Float]]): (Int, Double) = {
+    var bi = 0
+    var bd = Double.MaxValue
+    var i = 0
+    while (i < cs.length) {
+      val d = sqDist(p, cs(i))
+      if (d < bd) { bd = d; bi = i }
+      i += 1
+    }
+    (bi, bd)
+  }
+
+  /** Two-level assignment for large k (`src/kmeans.rs:474-581`): cluster
+    * the centroids into meta_k groups once, then per point search only the
+    * members of the top-`metaProbe` meta-centroids — O(√k) per point.
+    */
+  final class HierarchicalAssigner(
+      centroids: Array[Array[Float]], seed: Long, metaProbe: Int = 3)
+      extends Serializable {
+    val k: Int = centroids.length
+    // meta_k = clamp(√k, 2, k/2) — src/kmeans.rs:483
+    private val metaK = math.max(2, math.min(k / 2, math.sqrt(k.toDouble).toInt))
+    // hierarchy seed = seed*17+42 — src/kmeans.rs:494
+    private val meta: Model =
+      trainDriver(centroids, metaK, iters = 25, seed = seed * 17 + 42)
+    private val members: Array[Array[Int]] = {
+      val m = Array.fill(meta.k)(List.empty[Int])
+      var i = 0
+      while (i < k) {
+        val (mi, _) = nearest(centroids(i), meta.centroids)
+        m(mi) = i :: m(mi)
+        i += 1
+      }
+      m.map(_.reverse.toArray)
+    }
+
+    def assign(p: Array[Float]): (Int, Double) = {
+      // top-metaProbe meta-centroids by distance
+      val md = Array.tabulate(meta.k)(i => (i, sqDist(p, meta.centroids(i))))
+      java.util.Arrays.sort(md, Ordering.by[(Int, Double), Double](_._2))
+      var bi = -1
+      var bd = Double.MaxValue
+      var mi = 0
+      while (mi < math.min(metaProbe, md.length)) {
+        val ms = members(md(mi)._1)
+        var j = 0
+        while (j < ms.length) {
+          val d = sqDist(p, centroids(ms(j)))
+          if (d < bd) { bd = d; bi = ms(j) }
+          j += 1
+        }
+        mi += 1
+      }
+      if (bi < 0) nearest(p, centroids) else (bi, bd)
+    }
+  }
+
+  /** Pick the assignment function per the reference's dispatch
+    * (`src/kmeans.rs:445-459`): brute force for k ≤ 100, else hierarchical.
+    */
+  def assigner(model: Model, seed: Long): Array[Float] => (Int, Double) =
+    if (model.k > HierarchicalThreshold) {
+      val h = new HierarchicalAssigner(model.centroids, seed)
+      h.assign _
+    } else {
+      val cs = model.centroids
+      (p: Array[Float]) => nearest(p, cs)
+    }
+
+  // ------------------------------------------------------------- training
+
+  /** k-means++ init over the pool (`src/kmeans.rs:154-310`). */
+  private def kppInit(pool: Array[Array[Float]], k: Int, rng: Random): Array[Array[Float]] = {
+    val n = pool.length
+    val out = new Array[Array[Float]](k)
+    out(0) = pool(rng.nextInt(n)).clone()
+    val minD = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < k) {
+      val newest = out(c - 1)
+      var i = 0
+      var total = 0.0
+      while (i < n) {
+        val d = sqDist(pool(i), newest)
+        if (d < minD(i)) minD(i) = d
+        total += minD(i)
+        i += 1
+      }
+      val pick =
+        if (total <= 0.0) rng.nextInt(n)
+        else {
+          val target = rng.nextDouble() * total
+          var acc = 0.0
+          var j = 0
+          var found = -1
+          while (j < n && found < 0) {
+            acc += minD(j)
+            if (acc >= target) found = j
+            j += 1
+          }
+          if (found < 0) n - 1 else found
+        }
+      out(c) = pool(pick).clone()
+      c += 1
+    }
+    out
+  }
+
+  /** Default trainer over an in-memory pool: k-means++ init + exact
+    * parallel Lloyd with starved-cluster splitting. Used for the main
+    * trainer (over the distributed sample) and the tiny super-centroid /
+    * meta-centroid clusterings.
+    *
+    * Deliberate divergence from the reference's mini-batch loop: on a
+    * driver-held pool (≤50k rows) exact Lloyd costs the same per pass as
+    * one mini-batch epoch, converges to visibly better optima, and avoids
+    * mini-batch's outlier-pinning (measured on the sf0.01 embeddings:
+    * mini-batch+Lloyd-refine stalls at inertia ≈447 with 8 singleton
+    * clusters; kpp+Lloyd reaches ≈432 with sizes 15-29). Balanced cells
+    * are what make IVF probe pruning effective at scale. The reference's
+    * mini-batch semantics live on in [[trainMiniBatch]] and its quality
+    * gate (mini-vs-full inertia < 1.5×, kmeans_tests.rs:541-579).
+    */
+  def trainDriver(pool: Array[Array[Float]], k0: Int, iters: Int, seed: Long): Model = {
+    require(pool.nonEmpty, "k-means: empty input")
+    val k = math.min(k0, pool.length)
+    val rng = new Random(seed)
+    val centroids = kppInit(pool, k, rng)
+    refineLloyd(pool, centroids, iters, rng)
+    Model(centroids)
+  }
+
+  /** Reference-faithful mini-batch k-means (`src/kmeans.rs:64-150`):
+    * seeded batches, per-cluster learning rate, empty-cluster reseed, RMS
+    * delta early stop.
+    */
+  def trainMiniBatch(pool: Array[Array[Float]], k0: Int, iters: Int, seed: Long): Model = {
+    require(pool.nonEmpty, "k-means: empty input")
+    val n = pool.length
+    val k = math.min(k0, n)
+    val rng = new Random(seed)
+    val centroids = kppInit(pool, k, rng)
+    val counts = new Array[Long](k)
+    val bs = batchSize(n.toLong)
+    val dim = pool(0).length
+    var iter = 0
+    var converged = false
+    while (iter < iters && !converged) {
+      val prev = centroids.map(_.clone())
+      // seeded batch sample from the pool (T4)
+      val batch = Array.fill(bs)(pool(rng.nextInt(n)))
+      // assign batch (brute force — batch is tiny)
+      val labels = batch.map(p => nearest(p, centroids)._1)
+      // per-cluster learning-rate update (src/kmeans.rs:729-787)
+      var b = 0
+      while (b < batch.length) {
+        val l = labels(b)
+        counts(l) += 1
+        val eta = 1.0 / (counts(l) + 1.0)
+        val cvec = centroids(l)
+        val pvec = batch(b)
+        var j = 0
+        while (j < dim) {
+          cvec(j) = ((1.0 - eta) * cvec(j) + eta * pvec(j)).toFloat
+          j += 1
+        }
+        b += 1
+      }
+      // empty-cluster reseed (src/kmeans.rs:313-331): clusters never hit
+      // by any batch so far get re-centered on a random pool point
+      var c = 0
+      while (c < k) {
+        if (counts(c) == 0L) centroids(c) = pool(rng.nextInt(n)).clone()
+        c += 1
+      }
+      // RMS delta early stop (src/kmeans.rs:334-351)
+      var sum = 0.0
+      c = 0
+      while (c < k) {
+        var j = 0
+        while (j < dim) {
+          val d = centroids(c)(j).toDouble - prev(c)(j).toDouble
+          sum += d * d
+          j += 1
+        }
+        c += 1
+      }
+      if (math.sqrt(sum / (k.toLong * dim)) < ConvergenceThreshold) converged = true
+      iter += 1
+    }
+    Model(centroids)
+  }
+
+  /** Full-batch Lloyd refinement over the pool (in place). Mini-batch with
+    * the reference's per-cluster learning rate barely moves centroids off
+    * their k-means++ init at small n, leaving badly unbalanced Voronoi
+    * cells — poison for IVF probe pruning at scale (a cluster holding half
+    * the data means probing it scans half the table). A few exact Lloyd
+    * iterations over the ≤50k driver pool cost milliseconds and produce
+    * balanced clusters; the reference's own quality gates (inertia ratio,
+    * recall floors) only improve. Parallelized across cores for the large-k
+    * case (k≈4√n, pool 50k → ~10^10 flops single-threaded otherwise).
+    */
+  private def refineLloyd(pool: Array[Array[Float]],
+      centroids: Array[Array[Float]], iters: Int, rng: Random): Unit = {
+    val n = pool.length
+    val k = centroids.length
+    if (n == 0 || k == 0) return
+    val dim = pool(0).length
+    val labels = new Array[Int](n)
+    var it = 0
+    var done = false
+    while (it < iters && !done) {
+      val prev = centroids.map(_.clone())
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        labels(i) = nearest(pool(i), centroids)._1
+      }
+      val sums = Array.ofDim[Double](k, dim)
+      val cnts = new Array[Long](k)
+      var i = 0
+      while (i < n) {
+        val l = labels(i)
+        cnts(l) += 1
+        val p = pool(i)
+        var j = 0
+        while (j < dim) { sums(l)(j) += p(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnts(c) > 0) {
+          var j = 0
+          while (j < dim) {
+            centroids(c)(j) = (sums(c)(j) / cnts(c)).toFloat
+            j += 1
+          }
+        }
+        c += 1
+      }
+      // Starved-cluster reseed-by-split (the classic IVF-trainer policy —
+      // e.g. Faiss Clustering::post-iteration split): a centroid whose cell
+      // holds fewer than ~n/(8k) points is a trap (often a centroid pinned
+      // on an outlier). Re-seed it onto a random member of the currently
+      // largest cluster, which splits that cluster on the next iteration.
+      // Balanced cells are what make IVF probe pruning effective — at
+      // 100 TB a cluster holding half the table means probing it scans
+      // half the table.
+      var reseeded = false
+      if (it < iters - 2) {
+        val minSize = math.max(1L, n.toLong / (8L * k))
+        var largest = 0
+        c = 0
+        while (c < k) { if (cnts(c) > cnts(largest)) largest = c; c += 1 }
+        c = 0
+        while (c < k) {
+          if (cnts(c) < minSize && c != largest && cnts(largest) > 2 * minSize) {
+            val members = (0 until n).filter(labels(_) == largest)
+            centroids(c) = pool(members(rng.nextInt(members.length))).clone()
+            reseeded = true
+          }
+          c += 1
+        }
+      }
+      var sum = 0.0
+      c = 0
+      while (c < k) {
+        var j = 0
+        while (j < dim) {
+          val d = centroids(c)(j).toDouble - prev(c)(j).toDouble
+          sum += d * d
+          j += 1
+        }
+        c += 1
+      }
+      if (!reseeded && math.sqrt(sum / (k.toLong * dim)) < ConvergenceThreshold)
+        done = true
+      it += 1
+    }
+  }
+
+  /** Fit on a DataFrame: one seeded distributed sample → driver mini-batch. */
+  def fit(df: DataFrame, embCol: String, k: Int, iters: Int, seed: Long,
+      poolCap: Int = InitSampleCap): Model = {
+    val n = df.count()
+    require(n > 0, "k-means: empty input")
+    val fraction = math.min(1.0, poolCap.toDouble * 1.2 / n.toDouble)
+    val sampled =
+      if (fraction >= 1.0) df.select(col(embCol))
+      else df.select(col(embCol)).sample(withReplacement = false, fraction, seed)
+    val pool = sampled.limit(poolCap).collect()
+      .map(_.getSeq[Float](0).toArray)
+    trainDriver(pool, k, iters, seed)
+  }
+
+  /** Distributed full assignment (J2/J3): broadcast centroids, map-side
+    * argmin, no shuffle. Adds `labelCol` (int) to `df`.
+    */
+  def withAssignment(df: DataFrame, embCol: String, model: Model, seed: Long,
+      labelCol: String = "centroid_id"): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(model.centroids)
+    val k = model.k
+    val assignUdf = udf { (emb: Seq[Float]) =>
+      val p = emb.toArray
+      val cs = bc.value
+      // rebuild the dispatch lazily per executor; HierarchicalAssigner is
+      // deterministic given (centroids, seed)
+      if (k > HierarchicalThreshold) Assigners.get(cs, seed).assign(p)._1
+      else nearest(p, cs)._1
+    }
+    df.withColumn(labelCol, assignUdf(col(embCol)))
+  }
+
+  /** Inertia (WCSS) of an assignment — test/quality metric (A6). */
+  def inertia(pool: Array[Array[Float]], model: Model): Double = {
+    val f = assigner(model, 0L)
+    pool.iterator.map(p => f(p)._2).sum
+  }
+}
+
+/** Per-executor cache of hierarchical assigners keyed by centroid identity,
+  * so the meta-clustering runs once per executor, not once per row.
+  */
+private[operators] object Assigners {
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (Int, Long), KMeans.HierarchicalAssigner]()
+
+  def get(cs: Array[Array[Float]], seed: Long): KMeans.HierarchicalAssigner = {
+    val key = (System.identityHashCode(cs), seed)
+    var a = cache.get(key)
+    if (a == null) {
+      a = new KMeans.HierarchicalAssigner(cs, seed)
+      cache.put(key, a)
+    }
+    a
+  }
+}

@@ -1,6 +1,76 @@
 package graft.queries
 
-/** IVF index build/search operators — filled in incrementally. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.Ivf
+
+/** IVF index build + search wired into the driver gate.
+  *
+  * `ivf_search_probe_all` probes every centroid, which makes IVF search
+  * EXACT — so it hash-checks against the brute-force DuckDB oracle. The
+  * default-probe variant and build statistics are deterministic (seed 42)
+  * but not SQL-expressible → rows-only checks.
+  */
 object IndexQueries {
-  def defs: Map[String, QueryDef] = Map()
+
+  /** One build per (sfDir) per JVM; Verify/Bench run many queries over the
+    * same index.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Ivf.Index]()
+
+  def index(spark: SparkSession, dir: String): Ivf.Index =
+    cache.computeIfAbsent(dir, { d =>
+      val emb = Tables.embeddings(spark, d)
+      val indexDir = s"/tmp/graft_index/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      Ivf.build(emb, "vec_id", "embedding", indexDir)
+    })
+
+  private def queryVec(spark: SparkSession, dir: String, qid: Long): Array[Float] =
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") === qid)
+      .select("embedding")
+      .head().getSeq[Float](0).toArray
+
+  /** Search with n_probe = maxNProbe → probes everything → exact. */
+  def searchProbeAll(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    Ivf.search(spark, idx, queryVec(spark, dir, 0L), k0 = 10, nProbe0 = 10000)
+  }
+
+  private val searchProbeAllSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id AS external_id,
+      |  list_reduce(list_transform(list_zip(e.embedding, q.qe),
+      |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+      |    (a, b) -> a + b) AS distance
+      |FROM embeddings e CROSS JOIN q
+      |ORDER BY distance, e.vec_id LIMIT 10""".stripMargin
+
+  /** Reference-default search: k=10, n_probe=20 (src/api.rs:33-43).
+    * Approximate → rows-only driver check; recall gates live in ScalaTest.
+    */
+  def searchDefault(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    Ivf.search(spark, idx, queryVec(spark, dir, 1L), k0 = 10, nProbe0 = 20)
+  }
+
+  /** Index statistics: per-shard centroid + vector counts (completeness
+    * surface — mirrors tests/ivf_index_tests.rs:549-596).
+    */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    spark.read.parquet(idx.vectorsPath)
+      .groupBy("shard_id")
+      .agg(
+        countDistinct(col("centroid_id")).as("n_centroids"),
+        count(lit(1)).as("n_vectors"))
+      .orderBy("shard_id")
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    "ivf_search_probe_all" -> QueryDef(searchProbeAll, Some(searchProbeAllSql)),
+    "ivf_search_default" -> QueryDef(searchDefault, None),
+    "ivf_stats" -> QueryDef(stats, None)
+  )
 }

@@ -1,0 +1,163 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, KMeans}
+import graft.functions.Vec
+
+/** Invariants mirrored from `/root/reference/tests/ivf_index_tests.rs` and
+  * `tests/integration_tests.rs`, driven over the sf0.001 embeddings table.
+  */
+class IvfSpec extends SparkSpec {
+
+  lazy val indexDir: String =
+    Files.createTempDirectory("graft_ivf_spec").toString
+  lazy val index: Ivf.Index = {
+    val emb = Tables.embeddings(spark, sf0001)
+    Ivf.build(emb, "vec_id", "embedding", indexDir)
+  }
+  lazy val embAll: Array[(Long, Array[Float])] =
+    Tables.embeddings(spark, sf0001).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+
+  def bruteKnn(q: Array[Float], k: Int): Seq[Long] =
+    embAll.map { case (id, v) => (id, KMeans.sqDist(q, v)) }
+      .sortBy(p => (p._2, p._1)).take(k).map(_._1).toSeq
+
+  test("build creates shards + routing table; completeness and no duplicates") {
+    // mirrors ivf_index_tests.rs:549-653: every vector lands in exactly one
+    // shard; ids unique across shards
+    val vecs = spark.read.parquet(index.vectorsPath)
+    assert(vecs.count() == 500L)
+    assert(vecs.select("vec_id").distinct().count() == 500L)
+    val shardCount = vecs.select("shard_id").distinct().count()
+    assert(shardCount.toInt == index.numShards)
+    assert(index.numShards == math.ceil(math.sqrt(index.k.toDouble)).toInt ||
+      index.numShards <= math.ceil(math.sqrt(index.k.toDouble)).toInt)
+  }
+
+  test("save/load roundtrip preserves the routing table") {
+    val loaded = Ivf.load(spark, indexDir)
+    assert(loaded.k == index.k)
+    assert(loaded.centroidToShard.toSeq == index.centroidToShard.toSeq)
+    assert(loaded.centroids.map(_.toSeq).toSeq == index.centroids.map(_.toSeq).toSeq)
+  }
+
+  test("self-retrieval: indexed vector returns itself first, distance ~ 0") {
+    // mirrors ivf_index_tests.rs:122-159 / integration_tests.rs:62-76
+    val q = embAll.find(_._1 == 42L).get._2
+    val rows = Ivf.search(spark, index, q, 10, 20, includeVectors = true).collect()
+    assert(rows.head.getLong(0) == 42L)
+    assert(rows.head.getDouble(1) < 0.1)
+    assert(rows.head.getSeq[Float](2).toArray.toSeq == q.toSeq)
+  }
+
+  test("results sorted ascending, <= k of them, distances >= 0") {
+    val q = embAll(7)._2
+    val rows = Ivf.search(spark, index, q, 10, 5).collect()
+    assert(rows.length <= 10)
+    val ds = rows.map(_.getDouble(1)).toSeq
+    assert(ds == ds.sorted)
+    assert(ds.forall(_ >= 0.0))
+  }
+
+  test("k > candidates returns all candidates, no padding") {
+    // mirrors ivf_index_tests.rs:276-306
+    val q = embAll(3)._2
+    val rows = Ivf.search(spark, index, q, 10000, 10000).collect()
+    assert(rows.length == 500)
+  }
+
+  test("n_probe > num centroids probes everything and works") {
+    val q = embAll(11)._2
+    val rows = Ivf.search(spark, index, q, 10, 10000).collect()
+    assert(rows.map(_.getLong(0)).toSeq == bruteKnn(q, 10))
+  }
+
+  test("k=0 / n_probe=0 rejected") {
+    // mirrors ivf_index_tests.rs:394-457
+    val q = embAll(0)._2
+    intercept[IllegalArgumentException](Ivf.search(spark, index, q, 0, 20))
+    intercept[IllegalArgumentException](Ivf.search(spark, index, q, 10, 0))
+  }
+
+  test("dimension mismatch rejected") {
+    intercept[IllegalArgumentException](
+      Ivf.search(spark, index, Array.fill(3)(0f), 10, 20))
+  }
+
+  test("k and n_probe clamped to max") {
+    val q = embAll(5)._2
+    // would throw if not clamped before require(k>0) path; result bounded
+    val rows = Ivf.search(spark, index, q, 2000000, 2000000).collect()
+    assert(rows.length <= 10000)
+  }
+
+  test("repeated query returns identical results") {
+    // mirrors integration_tests.rs:130-188
+    val q = embAll(23)._2
+    val a = Ivf.search(spark, index, q, 10, 15).collect().map(_.toSeq).toSeq
+    val b = Ivf.search(spark, index, q, 10, 15).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
+  test("recall@10 >= 0.6 at n_probe=20, and recall monotone in n_probe") {
+    // mirrors ivf_index_tests.rs:689-728 + integration_tests.rs:383-388.
+    // label column gives true Gaussian cluster structure (FIXTURES.md §A).
+    def recallAt(nProbe: Int): Double = {
+      val qs = embAll.take(10)
+      val scores = qs.map { case (_, q) =>
+        val got = Ivf.search(spark, index, q, 10, nProbe)
+          .collect().map(_.getLong(0)).toSet
+        val truth = bruteKnn(q, 10).toSet
+        (got & truth).size.toDouble / truth.size
+      }
+      scores.sum / scores.length
+    }
+    val r20 = recallAt(20)
+    val r5 = recallAt(5)
+    assert(r20 >= 0.6, s"recall@10 nProbe=20 = $r20")
+    assert(recallAt(15) >= r5 - 1e-9, s"monotonicity: r15 < r5")
+  }
+
+  test("cluster purity on well-separated clusters") {
+    // mirrors ivf_index_tests.rs:500-542: 5×40 separated Gaussians dim 16
+    // sep 30 → >50% of top-20 results share the query's true cluster
+    import spark.implicits._
+    val rng = new scala.util.Random(29L)
+    val rows = for {
+      c <- 0 until 5; i <- 0 until 40
+    } yield {
+      val v = Array.tabulate(16)(j =>
+        (c * 30.0 + 0.1 * j + (rng.nextDouble() - 0.5)).toFloat)
+      (c.toLong * 40 + i, v.toSeq, c)
+    }
+    val df = rows.toDF("vec_id", "embedding", "label")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"), $"label")
+    val dir = Files.createTempDirectory("graft_purity").toString
+    val idx = Ivf.build(df, "vec_id", "embedding", dir)
+    val q = rows.find(_._3 == 0).get._2.toArray
+    val got = Ivf.search(spark, idx, q, 20, 10).collect().map(_.getLong(0))
+    val labels = rows.map(r => r._1 -> r._3).toMap
+    val same = got.count(labels(_) == 0)
+    assert(got.nonEmpty && same.toDouble / got.length > 0.5,
+      s"purity=$same/${got.length}")
+  }
+
+  test("probe pruning actually prunes the scan") {
+    // the physical plan must contain partition filters on shard_id — the
+    // scale story depends on it
+    val q = embAll(2)._2
+    val k = index.k
+    val probes = index.centroids.indices
+      .map(i => (i, KMeans.sqDist(q, index.centroids(i))))
+      .sortBy(p => (p._2, p._1)).take(5).map(_._1)
+    val shards = probes.map(index.centroidToShard).distinct
+    val plan = spark.read.parquet(index.vectorsPath)
+      .where(col("shard_id").isin(shards: _*) && col("centroid_id").isin(probes: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard_id"),
+      s"plan missing partition pruning:\n$plan")
+  }
+}

@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared session: one per suite (lazy), local[8], small shuffle count. */
+trait SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  val sf0001 = "/root/testdata/sf0.001"
+  val sf001 = "/root/testdata/sf0.01"
+}
