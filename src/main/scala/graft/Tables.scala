@@ -24,7 +24,22 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  /** events.parquet carries TIMESTAMP(NANOS), which Spark only reads with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (set in every session we
+    * build). Normalize the resulting long back to a microsecond timestamp
+    * so downstream operators keep timestamp semantics. Microsecond
+    * truncation matches what engines reading the file natively see.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val df = load(spark, dir, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => df
+    }
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

@@ -1,8 +1,276 @@
 package graft.queries
 
-/** Deduplication operators (exact, MinHash-LSH, SimHash, n-gram Jaccard,
-  * embedding near-dup) — filled in incrementally.
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Vec
+import graft.queries.TextQueries.tokens
+
+/** Deduplication operators over `documents.parquet` / `embeddings.parquet`:
+  * exact (fingerprint group-by), MinHash+LSH banding, SimHash, n-gram
+  * Jaccard, and embedding near-dup via IVF bucketing.
+  *
+  * All hash math is md5-based so the DuckDB oracle can reproduce it
+  * bit-for-bit (`conv(substr(md5 ...))` ↔ `('0x' || substr(md5 ...))::BIGINT`).
+  * 15 hex chars = 60 bits keeps every value positive in a signed 64-bit
+  * long in both engines.
+  *
+  * Scale shape: exact dedup is one hash-partitioned groupBy (the md5 key
+  * distributes uniformly — no skew). MinHash/LSH is the classic
+  * shingle→sign→band pipeline: map-side signature computation, one
+  * shuffle on (band_idx, band_val), candidate verification only within
+  * buckets — pair cost is bucket-local, never O(n²) over the corpus.
   */
 object DedupQueries {
-  def defs: Map[String, QueryDef] = Map()
+
+  /** First 60 bits of md5 as a non-negative BIGINT. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct 3-token shingles of the text column. */
+  def shingles(text: Column): Column = {
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= 3,
+        transform(sequence(lit(1), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i),
+            element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array(array_join(toks, " "))))
+  }
+
+  private def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Exact-dedup corpus stats: docs, unique fingerprints, removable rows. */
+  def exactStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_unique"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_duplicates"))
+
+  private val exactStatsSql =
+    """SELECT count(*) AS n_docs,
+      |  count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_unique,
+      |  count(*) - count(DISTINCT md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_duplicates
+      |FROM documents""".stripMargin
+
+  /** Exact-dedup pair detail: every duplicate doc mapped to its canonical
+    * (minimum) doc_id. Empty when the corpus has no exact dups (sf0.01);
+    * non-empty at sf0.1.
+    */
+  def exactPairs(spark: SparkSession, dir: String): DataFrame = {
+    val fp = Tables.documents(spark, dir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val canon = fp.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
+      .where(col("n_copies") > 1)
+    fp.join(canon, "fp")
+      .where(col("doc_id") =!= col("canonical_id"))
+      .select(col("canonical_id"), col("doc_id").as("dup_id"))
+      .orderBy(col("canonical_id"), col("dup_id"))
+  }
+
+  private val exactPairsSql =
+    """WITH fp AS (
+      |  SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS f
+      |  FROM documents),
+      |canon AS (
+      |  SELECT f, min(doc_id) AS canonical_id, count(*) AS n
+      |  FROM fp GROUP BY f HAVING count(*) > 1)
+      |SELECT canonical_id, doc_id AS dup_id
+      |FROM fp JOIN canon USING (f)
+      |WHERE doc_id <> canonical_id
+      |ORDER BY canonical_id, dup_id""".stripMargin
+
+  /** n-gram Jaccard near-dup: top-20 most similar doc pairs (3-token
+    * shingles) within a bounded id range — the brute-force oracle for the
+    * LSH variant below.
+    */
+  def ngramJaccardTopPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .where(col("doc_id") < 60)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        round(
+          size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+            size(array_union(col("a_sh"), col("b_sh"))), 4).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  private val ngramJaccardTopPairsSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(toks) >= 3
+      |    THEN list_transform(range(1, len(toks) - 1),
+      |         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+      |    ELSE [list_aggregate(toks, 'string_agg', ' ')] END) AS sh
+      |  FROM (SELECT doc_id,
+      |          list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |        FROM documents WHERE doc_id < 60))
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+      |FROM t a JOIN t b ON a.doc_id < b.doc_id
+      |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
+
+  /** MinHash signature columns: sig_i = min over shingles of
+    * md5_60bit(i || ':' || shingle), i = 0..7.
+    */
+  private def withMinhashSig(df: DataFrame, nHashes: Int): DataFrame =
+    (0 until nHashes).foldLeft(df) { (d, i) =>
+      d.withColumn(s"sig_$i",
+        array_min(transform(col("sh"), s => md5Long(concat(lit(s"$i:"), s)))))
+    }
+
+  /** MinHash + LSH banding near-dup pipeline, full corpus. 8 hashes in 4
+    * bands of 2 → candidate pairs = same band value; candidates verified
+    * with exact shingle Jaccard. Returns corpus-level stats (pair detail
+    * is covered by the ScalaTest recall gate vs the brute-force oracle).
+    */
+  def minhashLshStats(spark: SparkSession, dir: String): DataFrame = {
+    val nHashes = 8
+    val docs = withMinhashSig(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), shingles(col("text")).as("sh")), nHashes)
+    val banded = docs.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until nHashes / 2).map(b =>
+        concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val l = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val r = banded.select(col("band_idx"), col("band_val"),
+      col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val cand = l.join(r, Seq("band_idx", "band_val"))
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+    val verified = cand.withColumn("jaccard",
+      size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+        size(array_union(col("a_sh"), col("b_sh"))))
+    verified.agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      sum(when(col("jaccard") >= 0.7, 1).otherwise(0)).as("n_near_dups"))
+      .crossJoin(Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"), col("n_candidate_pairs"), col("n_near_dups"))
+  }
+
+  /** SimHash (60-bit) per document: per-bit majority vote over token
+    * hashes, computed with nested higher-order functions — fully
+    * codegen'd, no UDF. Written as a SQL expression because the Scala DSL
+    * only accepts literal shift amounts.
+    */
+  def simhashCol(textCol: String): Column = expr(
+    s"""aggregate(
+       |  zip_with(
+       |    aggregate(
+       |      filter(split($textCol, '\\\\s+'), t -> length(t) > 0),
+       |      array_repeat(CAST(0 AS BIGINT), 60),
+       |      (acc, tok) -> zip_with(
+       |        acc,
+       |        transform(sequence(0, 59), j ->
+       |          CASE WHEN (shiftright(CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT), j) & CAST(1 AS BIGINT)) = 1
+       |               THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
+       |        (a, b) -> a + b)),
+       |    sequence(0, 59),
+       |    (c, j) -> CASE WHEN c > 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END),
+       |  CAST(0 AS BIGINT), (a, b) -> a | b)""".stripMargin)
+
+  def simhashDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), simhashCol("text").as("simhash"))
+      .orderBy(col("doc_id"))
+
+  private val simhashDocsSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id < 100),
+      |bits AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_transform(toks, tok ->
+      |        list_transform(range(0, 60), j ->
+      |          CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) >> j) & 1 = 1
+      |               THEN 1 ELSE -1 END)),
+      |      (a, b) -> list_transform(range(1, 61), i -> a[i] + b[i])) AS bc
+      |  FROM t)
+      |SELECT doc_id,
+      |  list_reduce(list_transform(range(1, 61),
+      |    i -> CASE WHEN bc[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END),
+      |    (a, b) -> a | b) AS simhash
+      |FROM bits ORDER BY doc_id""".stripMargin
+
+  /** SimHash near-dup pairs: 20 closest pairs by Hamming distance. */
+  def simhashNearPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .where(col("doc_id") < 60)
+      .select(col("doc_id"), simhashCol("text").as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        expr("bit_count(a_sh ^ b_sh)").as("hamming"))
+      .orderBy(col("hamming"), col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  private val simhashNearPairsSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id < 60),
+      |bits AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_transform(toks, tok ->
+      |        list_transform(range(0, 60), j ->
+      |          CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) >> j) & 1 = 1
+      |               THEN 1 ELSE -1 END)),
+      |      (a, b) -> list_transform(range(1, 61), i -> a[i] + b[i])) AS bc
+      |  FROM t),
+      |sh AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(range(1, 61),
+      |      i -> CASE WHEN bc[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END),
+      |      (a, b) -> a | b) AS s
+      |  FROM bits)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  bit_count(xor(a.s, b.s)) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |ORDER BY hamming, a_id, b_id LIMIT 20""".stripMargin
+
+  /** Embedding near-dup via IVF bucketing: candidate pairs share a
+    * centroid (bucket-local pair generation — the scale path vs O(n²)),
+    * verified by cosine ≥ 0.95. Deterministic (seed-42 index) but not
+    * SQL-expressible → rows-only check + ScalaTest gate.
+    */
+  def embeddingNeardupStats(spark: SparkSession, dir: String): DataFrame = {
+    val idx = IndexQueries.index(spark, dir)
+    val vecs = spark.read.parquet(idx.vectorsPath)
+      .select(col("centroid_id"), col("vec_id"), col("embedding"))
+    val a = vecs.select(col("centroid_id"), col("vec_id").as("a_id"),
+      col("embedding").as("a_emb"))
+    val b = vecs.select(col("centroid_id"), col("vec_id").as("b_id"),
+      col("embedding").as("b_emb"))
+    a.join(b, "centroid_id")
+      .where(col("a_id") < col("b_id"))
+      .withColumn("cos_sim", Vec.cosine(col("a_emb"), col("b_emb")))
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("cos_sim") >= 0.95, 1).otherwise(0)).as("n_near_dups"))
+  }
+
+  def defs: Map[String, QueryDef] = Map(
+    "dedup_exact_stats" -> QueryDef(exactStats, Some(exactStatsSql)),
+    "dedup_exact_pairs" -> QueryDef(exactPairs, Some(exactPairsSql)),
+    "ngram_jaccard_top_pairs" -> QueryDef(ngramJaccardTopPairs, Some(ngramJaccardTopPairsSql)),
+    "minhash_lsh_stats" -> QueryDef(minhashLshStats, None),
+    "simhash_docs" -> QueryDef(simhashDocs, Some(simhashDocsSql)),
+    "simhash_near_pairs" -> QueryDef(simhashNearPairs, Some(simhashNearPairsSql)),
+    "embedding_neardup_stats" -> QueryDef(embeddingNeardupStats, None)
+  )
 }

@@ -1,6 +1,140 @@
 package graft.queries
 
-/** JSON + time-window operators over events.parquet — filled in incrementally. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** JSON-extraction, time-window, and sessionization operators over
+  * `events.parquet`. Batch forms here (oracle-checkable); the streaming
+  * equivalents live in graft.streaming.
+  *
+  * Time arithmetic contract with the oracle: everything goes through
+  * epoch milliseconds (`unix_millis` ↔ `epoch_ms`) — both engines
+  * truncate the same microsecond parquet value identically, and bucket
+  * boundaries are explicit integer arithmetic rather than engine-specific
+  * bucket origins.
+  */
 object EventQueries {
-  def defs: Map[String, QueryDef] = Map()
+
+  /** Hourly tumbling aggregate (batch form of the streaming windowed agg). */
+  def hourlyCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("hour_start",
+        timestamp_seconds(floor(unix_millis(col("ts")) / 3600000L) * 3600L))
+      .groupBy(col("hour_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  private val hourlyCountsSql =
+    """SELECT CAST(to_timestamp((epoch_ms(ts) // 3600000) * 3600) AS TIMESTAMP) AS hour_start,
+      |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** JSON property extraction (props = {"k": N}) + per-type stats.
+    * regexp_extract keeps the oracle engine-agnostic (no JSON extension
+    * dependency); swap to get_json_object for nested payloads.
+    */
+  def jsonExtractStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("k")), 4).as("avg_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val jsonExtractStatsSql =
+    """SELECT event_type, count(*) AS n_events,
+      |  round(avg(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)), 4) AS avg_k,
+      |  min(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS min_k,
+      |  max(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS max_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Sessionization: 30-minute inactivity gap starts a new session;
+    * count sessions + span per user. Lag window over (user, time) —
+    * the canonical stateful-stream operator in its batch form.
+    */
+  def userSessions(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .withColumn("prev_ms", lag(unix_millis(col("ts")), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ms").isNull ||
+          unix_millis(col("ts")) - col("prev_ms") > 1800000L, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .where(col("user_id") < 200)
+      .orderBy(col("user_id"))
+  }
+
+  private val userSessionsSql =
+    """WITH l AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      |  FROM events)
+      |SELECT user_id,
+      |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM l WHERE user_id < 200
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Pivot: per-user counts of each event type as conditional aggregates
+    * (shuffle-once; a `pivot()` would plan the same).
+    */
+  def eventTypePivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .where(col("user_id") < 100)
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("event_type") === "click", 1).otherwise(0)).as("n_click"),
+        sum(when(col("event_type") === "view", 1).otherwise(0)).as("n_view"),
+        sum(when(col("event_type") === "purchase", 1).otherwise(0)).as("n_purchase"),
+        sum(when(col("event_type") === "signup", 1).otherwise(0)).as("n_signup"),
+        sum(when(col("event_type") === "error", 1).otherwise(0)).as("n_error"))
+      .orderBy(col("user_id"))
+
+  private val eventTypePivotSql =
+    """SELECT user_id,
+      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+      |FROM events WHERE user_id < 100
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** Sliding-window moving average of `value` per event_type over the
+    * preceding 6 hours (range frame on epoch seconds).
+    */
+  def movingAverage(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("sec"))
+      .rangeBetween(-21600L, 0L)
+    Tables.events(spark, dir)
+      .where(col("event_id") < 500)
+      .withColumn("sec", (unix_millis(col("ts")) / lit(1000.0)))
+      .withColumn("moving_avg", round(avg(col("value")).over(w), 4))
+      .select(col("event_id"), col("event_type"), col("moving_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  private val movingAverageSql =
+    """SELECT event_id, event_type,
+      |  round(avg(value) OVER (
+      |    PARTITION BY event_type ORDER BY epoch_ms(ts) / 1000.0
+      |    RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+      |FROM events WHERE event_id < 500
+      |ORDER BY event_id""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+    "events_hourly" -> QueryDef(hourlyCounts, Some(hourlyCountsSql)),
+    "events_json_stats" -> QueryDef(jsonExtractStats, Some(jsonExtractStatsSql)),
+    "user_sessions" -> QueryDef(userSessions, Some(userSessionsSql)),
+    "event_type_pivot" -> QueryDef(eventTypePivot, Some(eventTypePivotSql)),
+    "events_moving_avg" -> QueryDef(movingAverage, Some(movingAverageSql))
+  )
 }

@@ -1,6 +1,302 @@
 package graft.queries
 
-/** TPC-H-style relational operators — filled in incrementally. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** TPC-H-style relational operators over the driver's star schema —
+  * breadth for the bench/oracle suite (SURVEY.md §7.6).
+  *
+  * Determinism rules (oracle hash-compare):
+  *   - double aggregates wrapped in round(_, 4): summation order varies
+  *     with partitioning, rounding collapses the ~1e-10 noise
+  *   - every orderBy carries a unique tie-break key
+  *   - rollup NULLs replaced by sentinel strings (NULL sort order differs
+  *     between engines)
+  *
+  * Scale notes per query in the Scaladoc of each builder: joins declare
+  * broadcast on dimension tables; aggregates rely on Catalyst's partial
+  * aggregation; no query collects unbounded rows to the driver.
+  */
 object RelationalQueries {
-  def defs: Map[String, QueryDef] = Map()
+
+  /** TPC-H Q1 shape: full-scan aggregate with map-side partial agg.
+    * At 100 TB this is the canonical "one shuffle of k groups" plan.
+    */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") <= to_timestamp(lit("2001-09-01")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val pricingSummarySql =
+    """SELECT l_returnflag, l_linestatus,
+      |  round(sum(l_quantity), 4) AS sum_qty,
+      |  round(sum(l_extendedprice), 4) AS sum_base_price,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+      |  round(avg(l_quantity), 4) AS avg_qty,
+      |  round(avg(l_extendedprice), 4) AS avg_price,
+      |  count(*) AS count_order
+      |FROM lineitem WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3 shape: dim-filtered fact join + top-k revenue.
+    * customer is broadcast (150 rows/SF unit); orders↔lineitem is the one
+    * genuine shuffle join on l_orderkey; top-10 via TakeOrderedAndProject.
+    */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).where(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(spark, dir)
+      .where(col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+    val li = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") > to_timestamp(lit("1998-01-01")))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("o_orderdate"), col("revenue"))
+  }
+
+  private val shippingPrioritySql =
+    """SELECT l_orderkey, o_orderdate,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape: 5-way join, all dims broadcast, one fact shuffle. */
+  def regionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val supp = Tables.supplier(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir).where(col("r_name") === "ASIA")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supp),
+        col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  private val regionRevenueSql =
+    """SELECT n_name,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Top spenders: fact aggregate then broadcast dim join for names. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 4).as("total_spend"),
+        count(lit(1)).as("n_orders"))
+    spend.join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .orderBy(col("total_spend").desc, col("o_custkey"))
+      .limit(10)
+      .select(col("o_custkey"), col("c_name"), col("total_spend"), col("n_orders"))
+  }
+
+  private val topCustomersSql =
+    """SELECT o_custkey, c_name,
+      |  round(sum(o_totalprice), 4) AS total_spend, count(*) AS n_orders
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY o_custkey, c_name
+      |ORDER BY total_spend DESC, o_custkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q4 shape: EXISTS as a left-semi join (no row duplication). */
+  def orderPriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val late = Tables.lineitem(spark, dir)
+      .where(col("l_shipdate") >= to_timestamp(lit("1999-01-01")))
+      .select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val orderPriorityCountSql =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders WHERE EXISTS (
+      |  SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_shipdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Anti join: customers with no large order (>300k), counted per nation. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .where(col("o_totalprice") > 300000).select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"))
+      .orderBy(col("c_nationkey"))
+
+  private val customersWithoutOrdersSql =
+    """SELECT c_nationkey, count(*) AS n_customers
+      |FROM customer WHERE NOT EXISTS (
+      |  SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |  AND o_totalprice > 300000)
+      |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+
+  /** Window ranking: top-3 orders per customer by price. */
+  def topOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= 3 && col("o_custkey") < 50)
+      .select(col("o_custkey"), col("rank"), col("o_orderkey"), col("o_totalprice"))
+  }
+
+  private val topOrdersPerCustomerSql =
+    """SELECT o_custkey, rank, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      |  FROM orders) t
+      |WHERE rank <= 3 AND o_custkey < 50""".stripMargin
+
+  /** Running window aggregate: cumulative shipped quantity per supplier.
+    * The frame order is a unique total order, so the sequential double
+    * summation is identical in both engines — no rounding needed on the
+    * running value itself (rounded anyway for safety).
+    */
+  def supplierRunningVolume(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .where(col("l_suppkey") < 3)
+      .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 4))
+      .select(col("l_suppkey"), col("l_shipdate"), col("l_orderkey"),
+        col("l_linenumber"), col("running_qty"))
+  }
+
+  private val supplierRunningVolumeSql =
+    """SELECT l_suppkey, l_shipdate, l_orderkey, l_linenumber,
+      |  round(sum(l_quantity) OVER (
+      |    PARTITION BY l_suppkey
+      |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_qty
+      |FROM lineitem WHERE l_suppkey < 3""".stripMargin
+
+  /** Rollup hierarchy totals with sentinel labels instead of NULLs. */
+  def partTypeRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .rollup(col("p_brand"), col("p_type"))
+      .agg(count(lit(1)).as("n_parts"),
+        round(avg(col("p_retailprice")), 4).as("avg_price"))
+      .select(
+        coalesce(col("p_brand"), lit("(all)")).as("brand"),
+        coalesce(col("p_type"), lit("(all)")).as("ptype"),
+        col("n_parts"), col("avg_price"))
+      .orderBy(col("brand"), col("ptype"))
+
+  private val partTypeRollupSql =
+    """SELECT coalesce(p_brand, '(all)') AS brand,
+      |  coalesce(p_type, '(all)') AS ptype,
+      |  count(*) AS n_parts, round(avg(p_retailprice), 4) AS avg_price
+      |FROM part GROUP BY ROLLUP (p_brand, p_type)
+      |ORDER BY brand, ptype""".stripMargin
+
+  /** Set operations: big spenders vs BUILDING-segment membership. */
+  def setOpsCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.orders(spark, dir)
+      .where(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("custkey")).distinct()
+    val building = Tables.customer(spark, dir)
+      .where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("custkey"))
+    big.intersect(building)
+      .withColumn("tag", lit("big_building"))
+      .union(big.except(building).withColumn("tag", lit("big_other")))
+      .orderBy(col("tag"), col("custkey"))
+  }
+
+  private val setOpsCustomersSql =
+    """WITH big AS (SELECT DISTINCT o_custkey AS custkey FROM orders
+      |             WHERE o_totalprice > 300000),
+      |bld AS (SELECT c_custkey AS custkey FROM customer
+      |        WHERE c_mktsegment = 'BUILDING')
+      |SELECT custkey, 'big_building' AS tag FROM (
+      |  SELECT custkey FROM big INTERSECT SELECT custkey FROM bld) a
+      |UNION ALL
+      |SELECT custkey, 'big_other' AS tag FROM (
+      |  SELECT custkey FROM big EXCEPT SELECT custkey FROM bld) b
+      |ORDER BY tag, custkey""".stripMargin
+
+  /** Distinct + approximate-distinct aggregates per group. HLL differs
+    * between engines, so the oracle covers the exact one; approx is a
+    * separate rows-only query.
+    */
+  def distinctPartsPerFlag(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  private val distinctPartsPerFlagSql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+      |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** approx_count_distinct (HLL++) — engine-specific sketch, rows-only
+    * check; benchmarked because at 100 TB exact distinct on a high-card
+    * key is a full shuffle while HLL is map-side mergeable.
+    */
+  def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  def defs: Map[String, QueryDef] = Map(
+    "q1_pricing_summary" -> QueryDef(pricingSummary, Some(pricingSummarySql)),
+    "q3_shipping_priority" -> QueryDef(shippingPriority, Some(shippingPrioritySql)),
+    "q5_region_revenue" -> QueryDef(regionRevenue, Some(regionRevenueSql)),
+    "top_customers" -> QueryDef(topCustomers, Some(topCustomersSql)),
+    "order_priority_count" -> QueryDef(orderPriorityCount, Some(orderPriorityCountSql)),
+    "customers_without_orders" -> QueryDef(customersWithoutOrders, Some(customersWithoutOrdersSql)),
+    "top_orders_per_customer" -> QueryDef(topOrdersPerCustomer, Some(topOrdersPerCustomerSql)),
+    "supplier_running_volume" -> QueryDef(supplierRunningVolume, Some(supplierRunningVolumeSql)),
+    "part_type_rollup" -> QueryDef(partTypeRollup, Some(partTypeRollupSql)),
+    "set_ops_customers" -> QueryDef(setOpsCustomers, Some(setOpsCustomersSql)),
+    "distinct_parts_per_flag" -> QueryDef(distinctPartsPerFlag, Some(distinctPartsPerFlagSql)),
+    "approx_distinct_parts" -> QueryDef(approxDistinctParts, None)
+  )
 }

@@ -1,6 +1,193 @@
 package graft.queries
 
-/** Text-analysis operators over documents.parquet — filled in incrementally. */
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators over `documents.parquet` — the LLM-data-pipeline
+  * surface (token counting, quality scoring, language-ID heuristic,
+  * fingerprinting). All are per-row map-side expressions + one bounded
+  * aggregation; they scale linearly and keep whole-stage codegen.
+  *
+  * Tokenization contract shared with the DuckDB oracle: split on runs of
+  * whitespace, drop empty strings.
+  */
 object TextQueries {
-  def defs: Map[String, QueryDef] = Map()
+
+  /** Tokens of the text column as array<string>. */
+  def tokens(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    filter(split(c, "\\s+"), t => length(t) > 0)
+
+  /** Per-document stats: token count, distinct tokens, avg token length. */
+  def docStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        col("doc_id"),
+        col("lang"),
+        size(col("toks")).as("n_tokens"),
+        size(array_distinct(col("toks"))).as("n_distinct_tokens"),
+        round(
+          aggregate(col("toks"), lit(0.0), (a, t) => a + length(t)) /
+            greatest(size(col("toks")), lit(1)), 4).as("avg_token_len"),
+        col("n_chars"))
+      .where(col("doc_id") < 100)
+      .orderBy(col("doc_id"))
+
+  private val docStatsSql =
+    """SELECT doc_id, lang,
+      |  len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n_tokens,
+      |  len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))) AS n_distinct_tokens,
+      |  round(list_reduce(list_transform(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''),
+      |        t -> CAST(length(t) AS DOUBLE)), (a, b) -> a + b)
+      |    / greatest(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')), 1), 4) AS avg_token_len,
+      |  n_chars
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  /** Corpus rollup by language and source. */
+  def langSourceStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("lang"), col("source"))
+
+  private val langSourceStatsSql =
+    """SELECT lang, source, count(*) AS n_docs,
+      |  round(avg(n_chars), 4) AS avg_chars,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin
+
+  /** Global token frequency: explode + count + top-k. The one genuine
+    * shuffle in this module (groupBy token); at scale the partial map-side
+    * aggregation collapses each partition to its distinct tokens first.
+    */
+  def tokenFrequency(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(20)
+
+  private val tokenFrequencySql =
+    """SELECT token, count(*) AS freq
+      |FROM (SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |                                t -> t <> '')) AS token
+      |      FROM documents) t
+      |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
+
+  /** Quality scoring: stopword ratio, short-token ratio, length flags —
+    * the classic pretraining-corpus filters, as pure column expressions.
+    */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("n_tokens", size(col("toks")))
+      .withColumn("n_stop",
+        size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*))))
+      .withColumn("n_short", size(filter(col("toks"), t => length(t) <= 2)))
+      .select(
+        col("doc_id"),
+        col("n_tokens"),
+        round(col("n_stop") / greatest(col("n_tokens"), lit(1)), 4).as("stopword_ratio"),
+        round(col("n_short") / greatest(col("n_tokens"), lit(1)), 4).as("short_ratio"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("n_tokens") > 500, "too_long")
+          .otherwise("ok").as("length_flag"))
+      .where(col("doc_id") < 200)
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualityScoreSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id < 200)
+      |SELECT doc_id, len(toks) AS n_tokens,
+      |  round(CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+      |        / greatest(len(toks), 1), 4) AS stopword_ratio,
+      |  round(CAST(len(list_filter(toks, x -> length(x) <= 2)) AS DOUBLE)
+      |        / greatest(len(toks), 1), 4) AS short_ratio,
+      |  CASE WHEN len(toks) < 20 THEN 'too_short'
+      |       WHEN len(toks) > 500 THEN 'too_long'
+      |       ELSE 'ok' END AS length_flag
+      |FROM t ORDER BY doc_id""".stripMargin
+
+  /** Language-ID heuristic: stopword-marker scores per language family +
+    * CJK codepoint detection, deterministic argmax with fixed precedence.
+    * (On the synthetic corpus every language shares the same vocabulary,
+    * so this mostly predicts 'en' — the operator contract is determinism,
+    * not accuracy, and real marker lists drop in unchanged.)
+    */
+  def languageId(spark: SparkSession, dir: String): DataFrame = {
+    def score(markers: Seq[String]) = {
+      val toks = tokens(col("text"))
+      size(filter(toks, t => t.isin(markers.map(lit(_)): _*)))
+    }
+    Tables.documents(spark, dir)
+      .withColumn("en_score", score(Seq("the", "a", "of", "and")))
+      .withColumn("de_score", score(Seq("der", "die", "das", "und")))
+      .withColumn("es_score", score(Seq("el", "la", "los", "y")))
+      .withColumn("fr_score", score(Seq("le", "la", "les", "et")))
+      .withColumn("has_cjk", col("text").rlike("[\\x{4e00}-\\x{9fff}]"))
+      .select(
+        col("doc_id"), col("lang").as("true_lang"),
+        when(col("has_cjk"), "zh")
+          .when(col("de_score") > col("en_score"), "de")
+          .when(col("es_score") > col("en_score"), "es")
+          .when(col("fr_score") > col("en_score"), "fr")
+          .otherwise("en").as("predicted_lang"))
+      .where(col("doc_id") < 100)
+      .orderBy(col("doc_id"))
+  }
+
+  private val languageIdSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+      |    regexp_matches(text, '[\x{4e00}-\x{9fff}]') AS has_cjk
+      |  FROM documents WHERE doc_id < 100),
+      |s AS (
+      |  SELECT doc_id, lang, has_cjk,
+      |    len(list_filter(toks, x -> x IN ('the','a','of','and'))) AS en_score,
+      |    len(list_filter(toks, x -> x IN ('der','die','das','und'))) AS de_score,
+      |    len(list_filter(toks, x -> x IN ('el','la','los','y'))) AS es_score,
+      |    len(list_filter(toks, x -> x IN ('le','la','les','et'))) AS fr_score
+      |  FROM t)
+      |SELECT doc_id, lang AS true_lang,
+      |  CASE WHEN has_cjk THEN 'zh'
+      |       WHEN de_score > en_score THEN 'de'
+      |       WHEN es_score > en_score THEN 'es'
+      |       WHEN fr_score > en_score THEN 'fr'
+      |       ELSE 'en' END AS predicted_lang
+      |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Document fingerprint: md5 of whitespace-normalized lowercase text —
+    * the exact-dedup key (identical hex in both engines).
+    */
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fingerprint"))
+      .where(col("doc_id") < 100)
+      .orderBy(col("doc_id"))
+
+  private val fingerprintsSql =
+    """SELECT doc_id,
+      |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+    "doc_stats" -> QueryDef(docStats, Some(docStatsSql)),
+    "lang_source_stats" -> QueryDef(langSourceStats, Some(langSourceStatsSql)),
+    "token_frequency" -> QueryDef(tokenFrequency, Some(tokenFrequencySql)),
+    "quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql)),
+    "language_id" -> QueryDef(languageId, Some(languageIdSql)),
+    "doc_fingerprints" -> QueryDef(fingerprints, Some(fingerprintsSql))
+  )
 }
