@@ -153,4 +153,54 @@ object Ivf {
       col(embCol).as("vector"))
     if (includeVectors) out else out.drop("vector") // P3
   }
+
+  /** Batch ANN: top-k for a whole query set in ONE pruned scan.
+    *
+    * The reference executes batched queries sequentially per query
+    * (`bindings/python/src/lib.rs:74` for-loop); Spark amortizes instead:
+    * per-query probes are computed on the driver against the broadcast
+    * routing table, the union of probed (query, centroid) pairs becomes a
+    * broadcast join against the vectors dataset (directory-pruned to the
+    * union of shards), and per-query top-k is a window rank. One scan of
+    * the big table serves every query — at 100 TB this is the difference
+    * between nq scans and one.
+    *
+    * @param queries (query_id: Long, embedding: Array[Float]) pairs;
+    *                must be driver-sized (it is broadcast)
+    */
+  def searchBatch(spark: SparkSession, index: Index,
+      queries: Array[(Long, Array[Float])], k0: Int, nProbe0: Int,
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    import spark.implicits._
+    val k = math.min(k0, index.config.maxK)
+    val nProbe = math.min(nProbe0, index.config.maxNProbe)
+    require(k > 0, "k must be > 0")
+    require(nProbe > 0, "n_probe must be > 0")
+
+    val probePairs = queries.flatMap { case (qid, q) =>
+      index.centroids.indices
+        .map(i => (i, KMeans.sqDist(q, index.centroids(i))))
+        .sortBy(p => (p._2, p._1))
+        .take(nProbe)
+        .map { case (c, _) => (qid, c) }
+    }
+    val shards = probePairs.map(p => index.centroidToShard(p._2)).distinct.toSeq
+    val probeDf = probePairs.toSeq.toDF("query_id", "centroid_id")
+    val queryDf = queries.toSeq.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "qe")
+      .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("distance"), col(idCol))
+    spark.read.parquet(index.vectorsPath)
+      .where(col("shard_id").isin(shards: _*))
+      .join(broadcast(probeDf), Seq("centroid_id"))
+      .join(broadcast(queryDf), Seq("query_id"))
+      .withColumn("distance", graft.functions.Vec.squaredL2(col(embCol), col("qe")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col(idCol).as("external_id"), col("distance"))
+  }
 }

@@ -68,9 +68,49 @@ object IndexQueries {
       .orderBy("shard_id")
   }
 
+  /** Batch ANN over the first 8 embeddings as queries, one pruned scan.
+    * With full probing it is exact → oracle = brute-force batch kNN.
+    */
+  def searchBatchProbeAll(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val qs = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 8).select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    Ivf.searchBatch(spark, idx, qs, k0 = 10, nProbe0 = 10000)
+  }
+
+  private val searchBatchProbeAllSql =
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+      |d AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_reduce(list_transform(list_zip(e.embedding, q.qe),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+      |      (a, b) -> a + b) AS distance
+      |  FROM embeddings e CROSS JOIN q),
+      |r AS (SELECT query_id, vec_id, distance,
+      |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+      |      FROM d)
+      |SELECT query_id, rank, vec_id AS external_id, distance
+      |FROM r WHERE rank <= 10""".stripMargin
+
+  /** Batch ANN at reference-default probe budget — rows-only; the recall
+    * gate vs exact batch kNN lives in ScalaTest.
+    */
+  def searchBatchDefault(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val qs = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 8).select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    Ivf.searchBatch(spark, idx, qs, k0 = 10, nProbe0 = 20)
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "ivf_search_probe_all" -> QueryDef(searchProbeAll, Some(searchProbeAllSql)),
     "ivf_search_default" -> QueryDef(searchDefault, None),
+    "ivf_search_batch_all" -> QueryDef(searchBatchProbeAll, Some(searchBatchProbeAllSql)),
+    "ivf_search_batch_default" -> QueryDef(searchBatchDefault, None),
     "ivf_stats" -> QueryDef(stats, None)
   )
 }

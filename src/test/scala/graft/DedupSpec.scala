@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ivf
+import graft.queries.{DedupQueries, IndexQueries, TextQueries}
+import graft.functions.Vec
+
+/** Quality gates for the dedup + similarity operators: LSH candidate
+  * recall vs brute force, SimHash behavior on duplicates, batch ANN
+  * recall vs exact kNN.
+  */
+class DedupSpec extends SparkSpec {
+
+  test("minhash LSH finds every true near-dup pair (recall vs brute force)") {
+    // brute-force truth: all pairs with shingle-Jaccard >= 0.7
+    val docs = Tables.documents(spark, sf001)
+      .select(col("doc_id"), DedupQueries.shingles(col("text")).as("sh"))
+    val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
+    val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
+    val truth = a.crossJoin(b).where(col("a_id") < col("b_id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+      .where(col("jaccard") >= 0.7)
+      .count()
+    val stats = DedupQueries.minhashLshStats(spark, sf001).collect()(0)
+    val nearDups = stats.getLong(stats.fieldIndex("n_near_dups"))
+    assert(nearDups == truth, s"LSH verified=$nearDups truth=$truth")
+    assert(truth > 0, "corpus should contain near-dups for this gate to bite")
+  }
+
+  test("simhash of identical texts is identical; hamming 0") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here"))
+      .toDF("doc_id", "text")
+    val hashes = df.select(col("doc_id"),
+      DedupQueries.simhashCol("text").as("h")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) == hashes(2L))
+    assert(hashes(1L) != hashes(3L))
+  }
+
+  test("exact dedup counts: unique + duplicates == docs") {
+    val r = DedupQueries.exactStats(spark, sf001).collect()(0)
+    assert(r.getLong(0) == r.getLong(1) + r.getLong(2))
+  }
+
+  test("batch ANN with default probes: recall@10 >= 0.6 vs exact batch kNN") {
+    val idx = IndexQueries.index(spark, sf001)
+    val qs = Tables.embeddings(spark, sf001)
+      .where(col("vec_id") < 8).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val approx = Ivf.searchBatch(spark, idx, qs, 10, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val exact = Ivf.searchBatch(spark, idx, qs, 10, 10000).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = qs.map { case (qid, _) =>
+      (approx.getOrElse(qid, Set.empty) & exact(qid)).size.toDouble / exact(qid).size
+    }
+    val avg = recalls.sum / recalls.length
+    assert(avg >= 0.6, s"batch ANN avg recall=$avg")
+  }
+
+  test("embedding near-dup candidate generation is bucket-local and sane") {
+    val r = DedupQueries.embeddingNeardupStats(spark, sf001).collect()(0)
+    val nPairs = r.getLong(0)
+    // bucket-local pair count must be far below the all-pairs count
+    val n = Tables.embeddings(spark, sf001).count()
+    assert(nPairs > 0 && nPairs < n * (n - 1) / 4,
+      s"candidate pairs $nPairs vs all-pairs ${n * (n - 1) / 2}")
+  }
+
+  test("tokenizer contract: whitespace split, no empties") {
+    import spark.implicits._
+    val toks = Seq(("  a  b\t c \n", 1)).toDF("text", "x")
+      .select(TextQueries.tokens(col("text")).as("t")).collect()(0).getSeq[String](0)
+    assert(toks == Seq("a", "b", "c"))
+  }
+}
