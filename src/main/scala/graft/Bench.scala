@@ -12,11 +12,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+    val results = graft.queries.Catalog.all
+      .filter { case (_, d) => d.bench }
+      .map { case (name, d) =>
+        val t0 = System.nanoTime()
+        try { d.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        name -> (System.nanoTime() - t0) / 1e9
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

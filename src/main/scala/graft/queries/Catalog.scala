@@ -21,7 +21,8 @@ object Catalog {
       TextQueries.defs ++
       EventQueries.defs ++
       DedupQueries.defs ++
-      IndexQueries.defs
+      IndexQueries.defs ++
+      StreamQueries.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map { case (k, d) => k -> d.build }

@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.sources.Multimodal
+import graft.streaming.EventsStreaming
+
+/** Streaming + multimodal operators in the driver gate. The streaming
+  * queries are oracle-checked against the SAME DuckDB SQL as their batch
+  * twins — batch/stream parity is the correctness contract. Excluded from
+  * the bench headline (bench = false): memory-sink materialization is a
+  * test harness, not a production path worth timing.
+  */
+object StreamQueries {
+
+  private val hourlySql =
+    """SELECT CAST(to_timestamp((epoch_ms(ts) // 3600000) * 3600) AS TIMESTAMP) AS hour_start,
+      |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val sessionsSql =
+    """WITH l AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      |  FROM events)
+      |SELECT user_id,
+      |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM l WHERE user_id < 200
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+    "stream_hourly" -> QueryDef(
+      EventsStreaming.hourlyQuery, Some(hourlySql), bench = false),
+    "stream_sessions" -> QueryDef(
+      EventsStreaming.sessionQuery, Some(sessionsSql), bench = false),
+    "multimodal_stats" -> QueryDef(
+      Multimodal.stats, None),
+    "multimodal_feature_pairs" -> QueryDef(
+      Multimodal.featureTopPairs, None)
+  )
+}

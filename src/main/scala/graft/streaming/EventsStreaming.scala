@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators over the events table: watermarked
+  * tumbling-window aggregation and stateful sessionization. The reference
+  * has no streaming surface (SURVEY.md §2.9); these are the north-star
+  * stream equivalents of the batch EventQueries, and the batch/stream
+  * parity test pins their semantics to the oracle-checked batch forms.
+  *
+  * At scale the same code runs against a file/Kafka source with
+  * `trigger(ProcessingTime)`: state is partitioned by group key across
+  * executors, watermark bounds state size, and the memory sink below is
+  * only the test harness.
+  */
+object EventsStreaming {
+
+  /** Streaming read of the events parquet (schema must be supplied for
+    * file-source streams; ts arrives as nanos-long and is normalized
+    * exactly like Tables.events).
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file-source streams take a directory; glob-filter to the one table
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Watermarked hourly tumbling counts per event type. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class Ev(user_id: Long, ms: Long)
+  final case class SessionState(lastMs: Long, nSessions: Long, nEvents: Long)
+  final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
+
+  /** Stateful sessionization: 30-minute inactivity gap starts a new
+    * session — mapGroupsWithState keyed by user, the streaming form of
+    * the batch `user_sessions` window query. Events within a group are
+    * sorted by time inside the state update (micro-batches may interleave
+    * arrival order).
+    */
+  def sessionize(events: DataFrame): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), unix_millis(col("ts")).as("ms")).as[Ev]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[SessionState, UserSessions](
+        GroupStateTimeout.NoTimeout()) {
+        case (uid, evs, state: GroupState[SessionState]) =>
+          val sorted = evs.map(_.ms).toArray.sorted
+          var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
+          sorted.foreach { ms =>
+            val newSession = s.lastMs == Long.MinValue || ms - s.lastMs > 1800000L
+            s = SessionState(ms, s.nSessions + (if (newSession) 1 else 0),
+              s.nEvents + 1)
+          }
+          state.update(s)
+          UserSessions(uid, s.nSessions, s.nEvents)
+      }.toDF()
+  }
+
+  /** Run a streaming DataFrame to completion against the static input and
+    * return the final result from a memory sink (test/verify harness;
+    * production would use a real sink + trigger).
+    */
+  def runToCompletion(spark: SparkSession, streamed: DataFrame,
+      name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val q = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
+  /** Catalog query: streaming hourly counts, materialized. */
+  def hourlyQuery(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, hourlyCounts(readEvents(spark, dir)),
+      s"stream_hourly_${math.abs(dir.hashCode)}")
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** Catalog query: streaming sessionization, materialized. */
+  def sessionQuery(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, sessionize(readEvents(spark, dir)),
+      s"stream_sessions_${math.abs(dir.hashCode)}",
+      OutputMode.Update())
+      .where(col("user_id") < 200)
+      .orderBy(col("user_id"))
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.EventQueries
+import graft.sources.Multimodal
+import graft.streaming.EventsStreaming
+
+/** Batch/stream parity + multimodal plumbing gates. */
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly counts equal the batch windowed aggregate") {
+    val stream = EventsStreaming.hourlyQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = EventQueries.hourlyCounts(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
+  test("streaming sessionization equals the batch lag-window form") {
+    val stream = EventsStreaming.sessionQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = EventQueries.userSessions(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
+  test("multimodal assets carry binary payloads with typed metadata") {
+    val df = Multimodal.assets(spark, sf0001)
+    val schema = df.schema
+    assert(schema("content").dataType.typeName == "binary")
+    assert(schema("meta").dataType.typeName == "struct")
+    val r = df.where(col("asset_id") === 1L).collect()(0)
+    assert(r.getAs[Array[Byte]]("content").nonEmpty)
+  }
+
+  test("decode is deterministic and batch-shaped") {
+    val a = Multimodal.decode(Multimodal.assets(spark, sf0001))
+      .orderBy("asset_id").collect().map(_.toSeq).toSeq
+    val b = Multimodal.decode(Multimodal.assets(spark, sf0001))
+      .orderBy("asset_id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("features are fixed-dim and feed the vector pipeline") {
+    val f = Multimodal.features(Multimodal.assets(spark, sf0001))
+    val dims = f.select(size(col("features")).as("d")).distinct().collect()
+    assert(dims.map(_.getInt(0)).toSeq == Seq(Multimodal.FeatureDim))
+    // index-compatible: cosine pairs query runs on them
+    assert(Multimodal.featureTopPairs(spark, sf0001).count() == 10)
+  }
+
+  test("frame sampling arithmetic") {
+    val fs = Multimodal.frameSample(
+      Multimodal.assets(spark, sf0001), frameBytes = 16, stride = 4)
+      .where(col("asset_id") === 0L).collect()(0)
+    val nFrames = fs.getInt(fs.fieldIndex("n_frames"))
+    val nSampled = fs.getInt(fs.fieldIndex("n_sampled"))
+    assert(nSampled == (nFrames + 3) / 4 || (nFrames == 0 && nSampled == 1))
+  }
+}
