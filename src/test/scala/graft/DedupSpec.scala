@@ -13,8 +13,7 @@ class DedupSpec extends SparkSpec {
 
   test("minhash LSH finds every true near-dup pair (recall vs brute force)") {
     // brute-force truth: all pairs with shingle-Jaccard >= 0.7
-    val docs = Tables.documents(spark, sf001)
-      .select(col("doc_id"), DedupQueries.shingles(col("text")).as("sh"))
+    val docs = DedupQueries.shingledDocs(Tables.documents(spark, sf001))
     val a = docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh"))
     val b = docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh"))
     val truth = a.crossJoin(b).where(col("a_id") < col("b_id"))
