@@ -23,15 +23,35 @@ object Vec {
   /** Cast array<float> -> array<double> (exact, element-wise). */
   def asDouble(c: Column): Column = c.cast("array<double>")
 
-  /** Squared L2 distance: sum_i (a_i - b_i)^2, computed in double. */
+  /** Squared L2 distance: sum_i (a_i - b_i)^2, computed in double.
+    * Backed by the codegen'd [[SquaredL2]] native expression; result is
+    * bitwise identical to [[squaredL2Hof]] (asserted in VecSpec).
+    */
   def squaredL2(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      SquaredL2(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** Reference form of squared L2 as pure higher-order functions —
+    * SQL-expressible, kept as the parity baseline for the native
+    * expression.
+    */
+  def squaredL2Hof(a: Column, b: Column): Column =
     aggregate(
       zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0),
       (acc, v) => acc + v)
 
-  /** Dot product in double. */
+  /** Dot product in double (native codegen'd expression). */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      DotProduct(
+        org.apache.spark.sql.GraftSqlBridge.expression(a),
+        org.apache.spark.sql.GraftSqlBridge.expression(b)))
+
+  /** HOF form of dot (parity baseline). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0), (acc, v) => acc + v)
 
