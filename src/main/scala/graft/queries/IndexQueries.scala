@@ -106,7 +106,22 @@ object IndexQueries {
     Ivf.searchBatch(spark, idx, qs, k0 = 10, nProbe0 = 20)
   }
 
+  /** Recall sweep (reference bench protocol): deterministic recall
+    * columns per n_probe; timings live in graft.RecallBench.
+    */
+  def recallSweep(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val qs = graft.operators.RecallEval.perturbedQueries(
+      Tables.embeddings(spark, dir)
+        .where(col("vec_id") < 50).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+      scale = 0.5f)
+    graft.operators.RecallEval.sweepDf(spark, idx, qs, k = 100,
+      nProbes = Seq(1, 4, 16, 64), ranks = Seq(1, 10, 100))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "recall_sweep" -> QueryDef(recallSweep, None),
     "ivf_search_probe_all" -> QueryDef(searchProbeAll, Some(searchProbeAllSql)),
     "ivf_search_default" -> QueryDef(searchDefault, None),
     "ivf_search_batch_all" -> QueryDef(searchBatchProbeAll, Some(searchBatchProbeAllSql)),

@@ -145,6 +145,17 @@ class IvfSpec extends SparkSpec {
       s"purity=$same/${got.length}")
   }
 
+  test("recall sweep: monotone in n_probe, exact at full probe") {
+    // mirrors the reference bench protocol + integration_tests.rs:383-388
+    val qs = graft.operators.RecallEval.perturbedQueries(embAll.take(20), 0.5f)
+    val settings = graft.operators.RecallEval.sweep(
+      spark, index, qs, k = 10, nProbes = Seq(1, 4, 16, 10000), ranks = Seq(1, 10))
+    val r = settings.map(_.recalls(10))
+    assert(r == r.sorted, s"recall not monotone: $r")
+    assert(r.last == 1.0, s"full probe must be exact: $r")
+    assert(settings(2).recalls(10) >= 0.6, s"recall@10 nProbe=16 = ${r(2)}")
+  }
+
   test("probe pruning actually prunes the scan") {
     // the physical plan must contain partition filters on shard_id — the
     // scale story depends on it
