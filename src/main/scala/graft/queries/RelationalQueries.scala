@@ -285,7 +285,106 @@ object RelationalQueries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** TPC-H Q17 shape: correlated "below half the per-part average"
+    * predicate, decorrelated as a window average over l_partkey — one
+    * shuffle instead of a per-row subquery.
+    */
+  def smallQuantityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_partkey"))
+    val li = Tables.lineitem(spark, dir)
+      .withColumn("avg_qty", avg(col("l_quantity")).over(w))
+    li.join(broadcast(Tables.part(spark, dir).where(col("p_brand") === "Brand#11")),
+        col("l_partkey") === col("p_partkey"))
+      .where(col("l_quantity") < col("avg_qty") * 0.5)
+      .agg(round(sum(col("l_extendedprice")) / 7.0, 4).as("avg_yearly"))
+  }
+
+  private val smallQuantityRevenueSql =
+    """SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#11'
+      |  AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+      |                    WHERE l2.l_partkey = lineitem.l_partkey)""".stripMargin
+
+  /** TPC-H Q14 shape: conditional-aggregate share (PROMO revenue %). */
+  def promoRevenueShare(spark: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .agg(round(
+        sum(when(col("p_type") === "PROMO", rev).otherwise(0)) * 100.0 /
+          sum(rev), 4).as("promo_revenue_pct"))
+  }
+
+  private val promoRevenueShareSql =
+    """SELECT round(
+      |  sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount)
+      |           ELSE 0 END) * 100.0
+      |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+      |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
+
+  /** Statistical aggregates per group: stddev, correlation, covariance. */
+  def statsByFlag(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 4).as("covar_disc_tax"))
+      .orderBy(col("l_returnflag"))
+
+  private val statsByFlagSql =
+    """SELECT l_returnflag,
+      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+      |  round(covar_samp(l_discount, l_tax), 4) AS covar_disc_tax
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Exact interpolated percentiles per group (Spark `percentile` ↔
+    * DuckDB `quantile_cont`, same linear-interpolation definition).
+    */
+  def priceQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"))
+      .orderBy(col("o_orderpriority"))
+
+  private val priceQuantilesSql =
+    """SELECT o_orderpriority,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Full cube over status × priority with sentinel labels. */
+  def ordersCube(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 4).as("total_price"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("n_orders"), col("total_price"))
+      .orderBy(col("status"), col("priority"))
+
+  private val ordersCubeSql =
+    """SELECT coalesce(o_orderstatus, '(all)') AS status,
+      |  coalesce(o_orderpriority, '(all)') AS priority,
+      |  count(*) AS n_orders, round(sum(o_totalprice), 4) AS total_price
+      |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY status, priority""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "small_quantity_revenue" -> QueryDef(smallQuantityRevenue, Some(smallQuantityRevenueSql)),
+    "promo_revenue_share" -> QueryDef(promoRevenueShare, Some(promoRevenueShareSql)),
+    "stats_by_flag" -> QueryDef(statsByFlag, Some(statsByFlagSql)),
+    "price_quantiles" -> QueryDef(priceQuantiles, Some(priceQuantilesSql)),
+    "orders_cube" -> QueryDef(ordersCube, Some(ordersCubeSql)),
     "q1_pricing_summary" -> QueryDef(pricingSummary, Some(pricingSummarySql)),
     "q3_shipping_priority" -> QueryDef(shippingPriority, Some(shippingPrioritySql)),
     "q5_region_revenue" -> QueryDef(regionRevenue, Some(regionRevenueSql)),
