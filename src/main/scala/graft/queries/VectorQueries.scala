@@ -101,7 +101,27 @@ object VectorQueries {
        |  CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dp / (na * nb) END AS cos_sim
        |FROM p ORDER BY cos_sim DESC, a_id, b_id LIMIT $k""".stripMargin
 
+  /** Distributed centroid update (A1): element-wise mean embedding per
+    * true label, in exploded form so the DuckDB oracle checks it. The
+    * array-native form of the same operator is the VecMean Aggregator
+    * (compared against this in VecSpec).
+    */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("val").cast("double")), 4).as("mean_val"))
+      .orderBy(col("label"), col("pos"))
+
+  private val labelCentroidsSql =
+    """SELECT label, pos - 1 AS pos, round(avg(CAST(val AS DOUBLE)), 4) AS mean_val
+      |FROM (SELECT label, unnest(embedding) AS val,
+      |             generate_subscripts(embedding, 1) AS pos
+      |      FROM embeddings)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)),
     "knn_exact" -> QueryDef(
       (s, d) => knnExact(s, d, qid = 0L, k = 10),
       Some(knnExactSql(0L, 10))),

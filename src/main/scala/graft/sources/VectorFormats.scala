@@ -131,6 +131,99 @@ object VectorFormats {
     } finally out.close()
   }
 
+  // --------------------------------------------------------------- npy
+
+  /** Distributed `.npy` read of a float32 C-order (n, d) array — the
+    * third bench input format (`bench_all_ivf.py:146-171`). Parses the
+    * v1/v2 header on the driver, then splits rows into ranges exactly
+    * like fvecs.
+    */
+  def readNpy(spark: SparkSession, path: String,
+      parallelism: Int = 32): DataFrame = {
+    val (dataOff, n, dim) = npyHeader(path)
+    val rowBytes = 4L * dim
+    import spark.implicits._
+    val ranges = splitRanges(n, parallelism)
+    spark.sparkContext.parallelize(ranges, ranges.length)
+      .flatMap { case (start, end) =>
+        val raf = new RandomAccessFile(path, "r")
+        try {
+          val buf = new Array[Byte](((end - start) * rowBytes).toInt)
+          raf.seek(dataOff + start * rowBytes)
+          raf.readFully(buf)
+          val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
+          (start until end).map { i =>
+            val v = new Array[Float](dim)
+            var j = 0
+            while (j < dim) { v(j) = bb.getFloat; j += 1 }
+            (i, v.toSeq)
+          }
+        } finally raf.close()
+      }
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+  }
+
+  /** Driver-side `.npy` v1 write of a float32 (n, d) array. */
+  def writeNpy(rows: Iterator[Array[Float]], n: Long, dim: Int,
+      path: String): Unit = {
+    val dict = s"{'descr': '<f4', 'fortran_order': False, 'shape': ($n, $dim), }"
+    val headerLen = {
+      val base = 10 + dict.length + 1 // magic(6)+ver(2)+len(2)+dict+\n
+      val pad = (64 - base % 64) % 64
+      dict.length + 1 + pad
+    }
+    val out = new DataOutputStream(new java.io.BufferedOutputStream(
+      new FileOutputStream(path)))
+    try {
+      out.write(Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y', 1, 0))
+      out.write(headerLen & 0xff)
+      out.write((headerLen >> 8) & 0xff)
+      val padded = dict + " " * (headerLen - dict.length - 1) + "\n"
+      out.write(padded.getBytes("ASCII"))
+      rows.foreach { v =>
+        require(v.length == dim)
+        val bb = ByteBuffer.allocate(4 * dim).order(ByteOrder.LITTLE_ENDIAN)
+        v.foreach(bb.putFloat)
+        out.write(bb.array())
+      }
+    } finally out.close()
+  }
+
+  /** (data offset, rows, cols) from an npy v1/v2 header. */
+  private def npyHeader(path: String): (Long, Long, Int) = {
+    val raf = new RandomAccessFile(path, "r")
+    try {
+      val magic = new Array[Byte](8)
+      raf.readFully(magic)
+      require(magic.take(6).sameElements(
+        Array[Byte](0x93.toByte, 'N', 'U', 'M', 'P', 'Y')), s"$path is not npy")
+      val major = magic(6)
+      val headerLen: Long =
+        if (major == 1) {
+          val b = new Array[Byte](2); raf.readFully(b)
+          ((b(0) & 0xff) | ((b(1) & 0xff) << 8)).toLong
+        } else {
+          val b = new Array[Byte](4); raf.readFully(b)
+          ((b(0) & 0xffL) | ((b(1) & 0xffL) << 8) |
+            ((b(2) & 0xffL) << 16) | ((b(3) & 0xffL) << 24))
+        }
+      val hdr = new Array[Byte](headerLen.toInt)
+      raf.readFully(hdr)
+      val s = new String(hdr, "ASCII")
+      require(s.contains("'<f4'") || s.contains("\"<f4\""),
+        s"only float32 npy supported, header: $s")
+      require(s.contains("False"), "fortran_order npy not supported")
+      val shape = "\\((\\s*\\d+\\s*,\\s*\\d+\\s*,?)\\)".r
+        .findFirstMatchIn(s)
+        .getOrElse(throw new IllegalArgumentException(s"no 2-d shape in: $s"))
+        .group(1).split(",").map(_.trim).filter(_.nonEmpty)
+      val dataOff = (if (major == 1) 10L else 12L) + headerLen
+      (dataOff, shape(0).toLong, shape(1).toInt)
+    } finally raf.close()
+  }
+
   // ----------------------------------------------------------- helpers
 
   /** (width, record count) of an fvecs/ivecs-shaped file. */

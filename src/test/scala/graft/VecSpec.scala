@@ -52,6 +52,41 @@ class VecSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("VecMean aggregator matches the exploded-form centroid update") {
+    import spark.implicits._
+    val byAgg = Tables.embeddings(spark, sf0001)
+      .groupBy(col("label"))
+      .agg(udaf(graft.functions.VecMean).apply(col("embedding")).as("mean_emb"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).toMap
+    val exploded = Tables.embeddings(spark, sf0001)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("val").cast("double")).as("m"))
+      .collect()
+      .groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2))
+      }
+    byAgg.foreach { case (label, mean) =>
+      mean.zip(exploded(label)).foreach { case (a, e) =>
+        assert(math.abs(a - e) < 1e-5, s"label=$label $a vs $e")
+      }
+    }
+    assert(byAgg.nonEmpty)
+  }
+
+  test("SQL function registration: squared_l2 and dot_product callable from SQL") {
+    GraftExtensions.register(spark)
+    Tables.embeddings(spark, sf0001).createOrReplaceTempView("emb_sql")
+    val r = spark.sql(
+      """SELECT squared_l2(embedding, embedding) AS z,
+        |       dot_product(embedding, embedding) AS n
+        |FROM emb_sql WHERE vec_id = 3""".stripMargin).collect()(0)
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) > 0.0)
+  }
+
   test("micro-benchmark: native vs HOF (informational)") {
     // 2000 × 2000 self cross join at sf0.1 = 4M distance computations of
     // dim 64 per run — enough work to dominate job overhead

@@ -50,6 +50,19 @@ class VectorFormatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](VectorFormats.readFvecs(spark, path))
   }
 
+  test("npy roundtrip + numpy-written file compatibility") {
+    val dir = Files.createTempDirectory("graft_npy")
+    val p1 = dir.resolve("ours.npy").toString
+    val vecs = (0 until 123).map(i => Array.tabulate(7)(j => i + j * 0.25f))
+    VectorFormats.writeNpy(vecs.iterator, 123, 7, p1)
+    val back = VectorFormats.readNpy(spark, p1, parallelism = 4)
+      .orderBy("vec_id").collect()
+    assert(back.length == 123)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getSeq[Float](1).toArray.toSeq == vecs(i).toSeq)
+    }
+  }
+
   test("generated vectors feed the index build end to end") {
     val df = VectorFormats.generate(spark, 300, 8, 7L)
     val dir = Files.createTempDirectory("graft_gen_idx").toString
