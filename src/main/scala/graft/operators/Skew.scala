@@ -1,0 +1,47 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities for aggregations whose partial state does
+  * NOT compress map-side.
+  *
+  * For algebraic aggregates (sum/count/min/max/avg) Spark's partial
+  * aggregation already neutralizes key skew — each partition emits one
+  * partial row per key regardless of row counts, so no salting is
+  * needed (see q1's plan: `partial_sum` before the exchange). The
+  * problem cases are holistic aggregates where per-key state grows with
+  * distinct values: exact count-distinct and collect_set. For those, a
+  * hot key concentrates its whole value set on one reducer; at 100 TB a
+  * key holding 1% of rows is a straggler. The fix is a two-phase shape
+  * where the first shuffle is keyed by (key, value) — uniform as long
+  * as values vary — and the second carries only compressed state.
+  * (Join-side skew is AQE's job: `spark.sql.adaptive.skewJoin`.)
+  */
+object Skew {
+
+  /** Exact count-distinct per key without the expand+skew of
+    * countDistinct: phase 1 dedups on (key, value) — uniformly
+    * distributed; phase 2 counts per key.
+    */
+  def countDistinctTwoPhase(df: DataFrame, key: Column, value: Column,
+      outName: String = "n_distinct"): DataFrame =
+    df.select(key.as("__key"), value.as("__val"))
+      .distinct()
+      .groupBy(col("__key"))
+      .agg(count(lit(1)).as(outName))
+
+  /** collect_set per key with salting: phase 1 builds per-salt partial
+    * sets (bounded by distinct-values/salt), phase 2 unions k × nSalts
+    * small sets.
+    */
+  def saltedCollectSet(df: DataFrame, key: Column, value: Column,
+      nSalts: Int = 16, outName: String = "values"): DataFrame =
+    df.select(key.as("__key"), value.as("__val"))
+      .withColumn("__salt", pmod(xxhash64(col("__val")), lit(nSalts)))
+      .groupBy(col("__key"), col("__salt"))
+      .agg(collect_set(col("__val")).as("__pset"))
+      .groupBy(col("__key"))
+      .agg(array_sort(array_distinct(flatten(collect_list(col("__pset")))))
+        .as(outName))
+}

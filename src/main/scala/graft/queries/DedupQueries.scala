@@ -69,8 +69,11 @@ object DedupQueries {
     * non-empty at sf0.1.
     */
   def exactPairs(spark: SparkSession, dir: String): DataFrame = {
+    // persist: fp feeds both the canonical-group aggregate and the
+    // detail join — without it the md5 pass runs twice
     val fp = Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .persist()
     val canon = fp.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
       .where(col("n_copies") > 1)

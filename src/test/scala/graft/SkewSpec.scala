@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Skew
+
+/** Salted/two-phase aggregation equals the direct form. */
+class SkewSpec extends SparkSpec {
+
+  test("two-phase count-distinct equals countDistinct") {
+    val li = Tables.lineitem(spark, sf0001)
+    val direct = li.groupBy(col("l_returnflag").as("__key"))
+      .agg(countDistinct(col("l_partkey")).as("n_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val twoPhase = Skew.countDistinctTwoPhase(
+      li, col("l_returnflag"), col("l_partkey"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoPhase == direct)
+  }
+
+  test("salted collect_set equals direct collect_set") {
+    val li = Tables.lineitem(spark, sf0001).where(col("l_suppkey") < 4)
+    val direct = li.groupBy(col("l_suppkey").as("__key"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("values"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val salted = Skew.saltedCollectSet(
+      li, col("l_suppkey"), col("l_partkey"), nSalts = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(salted == direct)
+  }
+}
