@@ -33,8 +33,10 @@ object RecallBench {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
       scale = 0.5f)
 
+    val minMs = sys.env.getOrElse("SPARK_GRAFT_MIN_TEST_MS", "3000").toDouble
     val settings = RecallEval.sweep(spark, idx, queries, k = 100,
-      nProbes = Seq(1, 2, 4, 8, 16, 32, 64), ranks = Seq(1, 10, 100))
+      nProbes = Seq(1, 2, 4, 8, 16, 32, 64), ranks = Seq(1, 10, 100),
+      minDurationMs = minMs)
     val js = settings.map { s =>
       f"""{"n_probe":${s.nProbe},"recall_1":${s.recalls(1)}%.4f,"recall_10":${s.recalls(10)}%.4f,"recall_100":${s.recalls(100)}%.4f,"ms_per_query":${s.msPerQuery}%.2f,"qps":${1000.0 / s.msPerQuery}%.1f}"""
     }.mkString("[", ",", "]")

@@ -33,17 +33,25 @@ object RecallEval {
   /** Run the sweep. Returns one Setting per n_probe. */
   def sweep(spark: SparkSession, index: Ivf.Index,
       queries: Array[(Long, Array[Float])], k: Int,
-      nProbes: Seq[Int], ranks: Seq[Int]): Seq[Setting] = {
+      nProbes: Seq[Int], ranks: Seq[Int],
+      minDurationMs: Double = 0.0): Seq[Setting] = {
     // ground truth: exact top-1 per query via probe-all search
     val gt: Map[Long, Long] =
       Ivf.searchBatch(spark, index, queries, 1, index.config.maxNProbe)
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
 
     nProbes.map { np =>
-      val t0 = System.nanoTime()
-      val results = Ivf.searchBatch(spark, index, queries, k, np)
-        .collect()
-      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      // reference protocol: repeat the full batch until >= minDurationMs
+      // elapsed, average ms/query over runs (bench_all_ivf.py eval_setting)
+      var runs = 0
+      var elapsedMs = 0.0
+      var results: Array[org.apache.spark.sql.Row] = null
+      while (runs == 0 || elapsedMs < minDurationMs) {
+        val t0 = System.nanoTime()
+        results = Ivf.searchBatch(spark, index, queries, k, np).collect()
+        elapsedMs += (System.nanoTime() - t0) / 1e6
+        runs += 1
+      }
       // per query: ranked neighbor ids ascending
       val byQuery = results.groupBy(_.getLong(0)).map { case (qid, rows) =>
         qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2))
@@ -54,7 +62,8 @@ object RecallEval {
         }
         rank -> hit.toDouble / queries.length
       }.toMap
-      Setting(np, recalls, elapsedMs / queries.length, queries.length)
+      Setting(np, recalls, elapsedMs / (runs.toLong * queries.length),
+        queries.length)
     }
   }
 

@@ -180,6 +180,73 @@ object DedupQueries {
       .select(col("n_docs"), col("n_candidate_pairs"), col("n_near_dups"))
   }
 
+  /** MinHash+LSH near-dup PAIRS with md5-based signatures — the
+    * oracle-checked variant: both engines derive identical signatures
+    * from md5("i:" || shingle), so candidate sets and verified pairs
+    * match exactly. The xxhash64 variant above is the fast path for the
+    * bench; this one proves the pipeline against DuckDB end to end.
+    */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val nHashes = 8
+    val docs = (0 until nHashes).foldLeft(
+      shingledDocs(Tables.documents(spark, dir))) { (d, i) =>
+      d.withColumn(s"sig_$i",
+        array_min(transform(col("sh"), s => md5Long(concat(lit(s"$i:"), s)))))
+    }.persist()
+    val banded = docs.select(col("doc_id"),
+      posexplode(array((0 until nHashes / 2).map(b =>
+        concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val cand = banded.as("l")
+      .join(banded.as("r"), Seq("band_idx", "band_val"))
+      .where(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+    broadcast(cand)
+      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
+      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
+          size(array_union(col("a_sh"), col("b_sh"))))
+      .where(col("jaccard") >= 0.7)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val minhashLshPairsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, s,
+      |    list_transform(range(0, 8), h ->
+      |      list_aggregate(list_transform(s, x ->
+      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, s, b AS band_idx,
+      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
+      |  FROM sig, unnest(range(0, 4)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      |  FROM banded l JOIN banded r
+      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+      |   AND l.doc_id < r.doc_id),
+      |ver AS (
+      |  SELECT c.a_id, c.b_id,
+      |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |      / len(list_distinct(sa.s || sb.s)) AS j
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+      |              JOIN sh sb ON sb.doc_id = c.b_id)
+      |SELECT a_id, b_id, round(j, 4) AS jaccard FROM ver
+      |WHERE j >= 0.7 ORDER BY a_id, b_id""".stripMargin
+
   /** SimHash (60-bit) per document: per-bit majority vote over token
     * hashes, computed with nested higher-order functions — fully
     * codegen'd, no UDF. Written as a SQL expression because the Scala DSL
@@ -291,6 +358,7 @@ object DedupQueries {
     "dedup_exact_pairs" -> QueryDef(exactPairs, Some(exactPairsSql)),
     "ngram_jaccard_top_pairs" -> QueryDef(ngramJaccardTopPairs, Some(ngramJaccardTopPairsSql)),
     "minhash_lsh_stats" -> QueryDef(minhashLshStats, None),
+    "minhash_lsh_pairs" -> QueryDef(minhashLshPairs, Some(minhashLshPairsSql)),
     "simhash_docs" -> QueryDef(simhashDocs, Some(simhashDocsSql)),
     "simhash_near_pairs" -> QueryDef(simhashNearPairs, Some(simhashNearPairsSql)),
     "embedding_neardup_stats" -> QueryDef(embeddingNeardupStats, None)

@@ -72,6 +72,20 @@ object EventsStreaming {
       }.toDF()
   }
 
+  /** Streaming exact dedup: first event per (user_id, event_type, hour)
+    * — watermarked so state for past hours is dropped. The streaming
+    * form of `dropDuplicates` keyed dedup; parity with the batch
+    * equivalent is asserted in StreamingSpec.
+    */
+  def dedupFirstPerHour(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .withColumn("hour_start",
+        timestamp_seconds(floor(unix_millis(col("ts")) / 3600000L) * 3600L))
+      .dropDuplicates("user_id", "event_type", "hour_start")
+      .select(col("user_id"), col("event_type"), col("hour_start"),
+        col("event_id"))
+
   /** Run a streaming DataFrame to completion against the static input and
     * return the final result from a memory sink (test/verify harness;
     * production would use a real sink + trigger).

@@ -24,6 +24,23 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming dedup keeps one event per (user, type, hour)") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val out = EventsStreaming.runToCompletion(spark,
+      EventsStreaming.dedupFirstPerHour(EventsStreaming.readEvents(spark, sf0001)),
+      "stream_dedup_test", OutputMode.Append())
+    val groups = out.groupBy("user_id", "event_type", "hour_start").count()
+      .where(col("count") > 1).count()
+    assert(groups == 0, "duplicates survived streaming dedup")
+    // cardinality parity with the batch distinct
+    val batch = EventQueries.hourlyCounts(spark, sf0001) // reuse hour logic
+    val batchDistinct = Tables.events(spark, sf0001)
+      .withColumn("hour_start",
+        timestamp_seconds(floor(unix_millis(col("ts")) / 3600000L) * 3600L))
+      .select("user_id", "event_type", "hour_start").distinct().count()
+    assert(out.count() == batchDistinct)
+  }
+
   test("multimodal assets carry binary payloads with typed metadata") {
     val df = Multimodal.assets(spark, sf0001)
     val schema = df.schema
