@@ -130,7 +130,26 @@ object EventQueries {
       |FROM events WHERE event_id < 500
       |ORDER BY event_id""".stripMargin
 
+  /** JSON-path extraction via native JSON functions (get_json_object ↔
+    * json_extract_string) — the general form of the regexp-based
+    * jsonExtractStats for nested payloads.
+    */
+  def jsonPathStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("k")), 4).as("avg_k"),
+        count(col("k")).as("n_with_k"))
+      .orderBy(col("event_type"))
+
+  private val jsonPathStatsSql =
+    """SELECT event_type,
+      |  round(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS avg_k,
+      |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "events_json_path" -> QueryDef(jsonPathStats, Some(jsonPathStatsSql)),
     "events_hourly" -> QueryDef(hourlyCounts, Some(hourlyCountsSql)),
     "events_json_stats" -> QueryDef(jsonExtractStats, Some(jsonExtractStatsSql)),
     "user_sessions" -> QueryDef(userSessions, Some(userSessionsSql)),

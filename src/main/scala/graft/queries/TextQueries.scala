@@ -182,7 +182,82 @@ object TextQueries {
       |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fingerprint
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  /** BPE-ish token counting: the GPT-2-style pre-tokenizer regex
+    * (contractions | space-prefixed letter runs | number runs |
+    * punctuation runs) — identical leftmost-first semantics in Java
+    * regex and DuckDB's RE2 for this pattern.
+    */
+  def tokenCountBpe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"),
+          lit("'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"), lit(0)))
+          .as("n_bpe_tokens"),
+        size(tokens(col("text"))).as("n_ws_tokens"))
+      .orderBy(col("doc_id"))
+
+  private val tokenCountBpeSql =
+    """SELECT doc_id, lang,
+      |  len(regexp_extract_all(text,
+      |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS n_bpe_tokens,
+      |  len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n_ws_tokens
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Winnowing fingerprints (MOSS-style): polynomial rolling hash of
+    * 8-char k-grams, minimum per 4-hash window, distinct minima = the
+    * document's fingerprint set. Every stage is a separate projection
+    * (staged intermediates — inlining HOFs re-evaluates them per element
+    * access).
+    */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    val w = 4
+    val p = 1000000007L
+    Tables.documents(spark, dir)
+      .where(col("doc_id") < 40)
+      .withColumn("grams",
+        transform(sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+          i => col("text").substr(i, lit(k))))
+      .withColumn("hashes",
+        transform(col("grams"), g =>
+          aggregate(transform(sequence(lit(1), length(g)),
+            i => ascii(g.substr(i, lit(1))).cast("long")),
+            lit(0L), (acc, c) => pmod(acc * 31 + c, lit(p)))))
+      .withColumn("mins",
+        array_distinct(transform(
+          sequence(lit(1), greatest(size(col("hashes")) - (w - 1), lit(1))),
+          j => array_min(slice(col("hashes"), j, lit(w))))))
+      .select(col("doc_id"), explode(col("mins")).as("fingerprint"))
+      .orderBy(col("doc_id"), col("fingerprint"))
+  }
+
+  private val winnowFingerprintsSql =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+      |      i -> substr(text, i, 8)) AS grams
+      |  FROM documents WHERE doc_id < 40),
+      |h AS (
+      |  SELECT doc_id,
+      |    list_transform(grams, gr ->
+      |      list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(range(1, length(gr) + 1),
+      |            i -> CAST(ascii(substr(gr, i, 1)) AS BIGINT))),
+      |        (acc, c) -> (acc * 31 + c) % 1000000007)) AS hashes
+      |  FROM g),
+      |m AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(
+      |      range(1, greatest(len(hashes) - 3, 1) + 1),
+      |      j -> list_aggregate(list_slice(hashes, j, j + 3), 'min'))) AS mins
+      |  FROM h)
+      |SELECT doc_id, unnest(mins) AS fingerprint FROM m
+      |ORDER BY doc_id, fingerprint""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "token_count_bpe" -> QueryDef(tokenCountBpe, Some(tokenCountBpeSql)),
+    "doc_winnow_fingerprints" -> QueryDef(winnowFingerprints, Some(winnowFingerprintsSql)),
     "doc_stats" -> QueryDef(docStats, Some(docStatsSql)),
     "lang_source_stats" -> QueryDef(langSourceStats, Some(langSourceStatsSql)),
     "token_frequency" -> QueryDef(tokenFrequency, Some(tokenFrequencySql)),
