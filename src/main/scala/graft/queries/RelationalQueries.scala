@@ -285,6 +285,17 @@ object RelationalQueries {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
       .orderBy(col("l_returnflag"))
 
+  /** approx_percentile (t-digest-style sketch) — engine-specific,
+    * rows-only; the mergeable-sketch path for quantiles at scale
+    * (exact `percentile` is the oracle-checked variant above).
+    */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)")
+        .as("approx_p50_p95"))
+      .orderBy(col("o_orderpriority"))
+
   /** TPC-H Q17 shape: correlated "below half the per-part average"
     * predicate, decorrelated as a window average over l_partkey — one
     * shuffle instead of a per-row subquery.
@@ -396,6 +407,7 @@ object RelationalQueries {
     "part_type_rollup" -> QueryDef(partTypeRollup, Some(partTypeRollupSql)),
     "set_ops_customers" -> QueryDef(setOpsCustomers, Some(setOpsCustomersSql)),
     "distinct_parts_per_flag" -> QueryDef(distinctPartsPerFlag, Some(distinctPartsPerFlagSql)),
-    "approx_distinct_parts" -> QueryDef(approxDistinctParts, None)
+    "approx_distinct_parts" -> QueryDef(approxDistinctParts, None),
+    "approx_quantiles" -> QueryDef(approxQuantiles, None)
   )
 }

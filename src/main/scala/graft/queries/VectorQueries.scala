@@ -120,7 +120,38 @@ object VectorQueries {
       |      FROM embeddings)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** L2 normalization: unit-norm embeddings (cosine becomes dot after
+    * this). Norm via the native DotProduct expression; element division
+    * in double. Output exploded for oracle comparison.
+    */
+  def normalizedSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 20)
+      .withColumn("norm", sqrt(Vec.norm2Sq(col("embedding"))))
+      .select(col("vec_id"),
+        posexplode(
+          when(col("norm") > 0,
+            transform(col("embedding"), x => x.cast("double") / col("norm")))
+            .otherwise(transform(col("embedding"), x => lit(0.0))))
+          .as(Seq("pos", "val")))
+      .select(col("vec_id"), col("pos"), round(col("val"), 6).as("val"))
+      .orderBy(col("vec_id"), col("pos"))
+
+  private val normalizedSampleSql =
+    """WITH n AS (
+      |  SELECT vec_id, embedding,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nrm
+      |  FROM embeddings WHERE vec_id < 20)
+      |SELECT vec_id, pos - 1 AS pos,
+      |  round(CASE WHEN nrm > 0 THEN CAST(val AS DOUBLE) / nrm ELSE 0.0 END, 6) AS val
+      |FROM (SELECT vec_id, nrm, unnest(embedding) AS val,
+      |             generate_subscripts(embedding, 1) AS pos
+      |      FROM n)
+      |ORDER BY vec_id, pos""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "vec_normalize" -> QueryDef(normalizedSample, Some(normalizedSampleSql)),
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)),
     "knn_exact" -> QueryDef(
       (s, d) => knnExact(s, d, qid = 0L, k = 10),

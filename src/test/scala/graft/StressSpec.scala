@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ivf, KMeans, RecallEval}
+import graft.sources.VectorFormats
+
+/** Scale-path stress: 50k vectors → k = 2⌈√n⌉ = 448 clusters forces the
+  * hierarchical (k > 100) assignment path through a full distributed
+  * build, and the index must stay complete, balanced, and accurate.
+  */
+class StressSpec extends SparkSpec {
+
+  lazy val n = 50000L
+  lazy val dim = 32
+  lazy val df = VectorFormats.generate(spark, n, dim, 42L).cache()
+  lazy val dir: String = Files.createTempDirectory("graft_stress").toString
+  lazy val index: Ivf.Index = Ivf.build(df, "vec_id", "embedding", dir)
+
+  test("hierarchical-path build: k > 100, complete, no duplicates") {
+    assert(index.k > KMeans.HierarchicalThreshold, s"k=${index.k}")
+    val vecs = spark.read.parquet(index.vectorsPath)
+    assert(vecs.count() == n)
+    assert(vecs.select("vec_id").distinct().count() == n)
+  }
+
+  test("cluster balance at scale: largest cluster bounded") {
+    val sizes = spark.read.parquet(index.vectorsPath)
+      .groupBy("centroid_id").count().collect().map(_.getLong(1))
+    assert(sizes.max < n / 10, s"largest=${sizes.max} of $n")
+    // average cluster size ~ n/k; no cluster more than ~20x average
+    assert(sizes.max < 20L * (n / index.k), s"max=${sizes.max} avg=${n / index.k}")
+  }
+
+  test("probe-all search is exact at 50k") {
+    val q = df.where(col("vec_id") === 123).select("embedding")
+      .head().getSeq[Float](0).toArray
+    val got = Ivf.search(spark, index, q, 5, 10000).collect()
+    assert(got.head.getLong(0) == 123L && got.head.getDouble(1) == 0.0)
+  }
+
+  test("recall at scale: n_probe=32 of 448 clusters >= 0.5 on uniform data") {
+    // uniform random data is the HARD case for IVF (no cluster structure);
+    // the reference's floors are on separated Gaussians, so this is a
+    // conservative engine gate, not a reference-parity gate
+    val qs = RecallEval.perturbedQueries(
+      df.where(col("vec_id") < 20).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+      scale = 0.1f)
+    val settings = RecallEval.sweep(spark, index, qs, k = 10,
+      nProbes = Seq(8, 32), ranks = Seq(10))
+    val r32 = settings(1).recalls(10)
+    assert(r32 >= 0.5, s"recall@10 nProbe=32 = $r32")
+    assert(settings(1).recalls(10) >= settings(0).recalls(10) - 1e-9)
+  }
+}
