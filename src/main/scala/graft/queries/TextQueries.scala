@@ -213,7 +213,12 @@ object TextQueries {
     val k = 8
     val w = 4
     val p = 1000000007L
-    Tables.documents(spark, dir)
+    // persist() is a real materialization barrier, not just a staged
+    // projection: CollapseProject re-inlines withColumn stages when the
+    // downstream references them (size + slice both read `hashes`),
+    // which turns window extraction O(grams²) — measured 13.6 s → 1 s
+    // at sf0.1 on 40 docs
+    val hashed = Tables.documents(spark, dir)
       .where(col("doc_id") < 40)
       .withColumn("grams",
         transform(sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
@@ -223,6 +228,9 @@ object TextQueries {
           aggregate(transform(sequence(lit(1), length(g)),
             i => ascii(g.substr(i, lit(1))).cast("long")),
             lit(0L), (acc, c) => pmod(acc * 31 + c, lit(p)))))
+      .select(col("doc_id"), col("hashes"))
+      .persist()
+    hashed
       .withColumn("mins",
         array_distinct(transform(
           sequence(lit(1), greatest(size(col("hashes")) - (w - 1), lit(1))),
