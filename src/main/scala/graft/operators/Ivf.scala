@@ -59,7 +59,7 @@ object Ivf {
     require(n > 0, "cannot build an index from an empty table") // src/api.rs empty-build error
     val k = KMeans.numClusters(n)
     val iters = KMeans.maxIterations(n)
-    val model = KMeans.fit(df, embCol, k, iters, seed)
+    val model = KMeans.fit(df, embCol, k, iters, seed, orderCol = Some(idCol))
 
     // full assignment (map-side, broadcast centroids, no shuffle)
     val assigned = KMeans.withAssignment(df, embCol, model, seed, "raw_centroid_id")

@@ -356,17 +356,29 @@ object KMeans {
     }
   }
 
-  /** Fit on a DataFrame: one seeded distributed sample → driver mini-batch. */
+  /** Fit on a DataFrame: one seeded distributed sample → driver trainer.
+    *
+    * @param orderCol when set, the pool is collected in this column's
+    *                 order — collect() order otherwise depends on the
+    *                 physical partitioning (file splits, cpu count), and
+    *                 the trainer's RNG indexes into the pool, so an
+    *                 unordered pool makes centroids vary across
+    *                 environments even with a fixed seed.
+    */
   def fit(df: DataFrame, embCol: String, k: Int, iters: Int, seed: Long,
-      poolCap: Int = InitSampleCap): Model = {
+      poolCap: Int = InitSampleCap, orderCol: Option[String] = None): Model = {
     val n = df.count()
     require(n > 0, "k-means: empty input")
     val fraction = math.min(1.0, poolCap.toDouble * 1.2 / n.toDouble)
+    val base =
+      orderCol.map(c => df.select(col(c), col(embCol)))
+        .getOrElse(df.select(col(embCol)))
     val sampled =
-      if (fraction >= 1.0) df.select(col(embCol))
-      else df.select(col(embCol)).sample(withReplacement = false, fraction, seed)
-    val pool = sampled.limit(poolCap).collect()
-      .map(_.getSeq[Float](0).toArray)
+      if (fraction >= 1.0) base
+      else base.sample(withReplacement = false, fraction, seed)
+    val ordered = orderCol.map(c => sampled.orderBy(col(c))).getOrElse(sampled)
+    val pool = ordered.limit(poolCap).collect()
+      .map(r => r.getSeq[Float](r.length - 1).toArray)
     trainDriver(pool, k, iters, seed)
   }
 
