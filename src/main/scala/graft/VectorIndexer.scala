@@ -74,6 +74,30 @@ final class VectorIndexer private (
     Ivf.searchBatch(spark, withConfig(index), queries, kk, np)
   }
 
+  /** Faiss-style batch result: (D, I) row-major matrices of shape
+    * (nq, k), padded with Float.PositiveInfinity / -1 when a query has
+    * fewer than k results — exact parity with the reference's Python
+    * layer (`bindings/python/src/lib.rs:179-202`; the Rust API returns
+    * unpadded, the (D, I) shape pads).
+    */
+  def searchMatrix(queries: Array[Array[Float]], k: Int = -1,
+      nProbe: Int = -1): (Array[Array[Double]], Array[Array[Long]]) = {
+    val kk = if (k < 0) config.defaultK else k
+    val ids = queries.indices.map(_.toLong).toArray
+    val rows = searchBatch(ids.zip(queries), kk, nProbe).collect()
+    val byQuery = rows.groupBy(_.getLong(0))
+    val d = Array.fill(queries.length, math.min(kk, config.maxK))(Double.PositiveInfinity)
+    val i = Array.fill(queries.length, math.min(kk, config.maxK))(-1L)
+    ids.foreach { qid =>
+      byQuery.getOrElse(qid, Array.empty).foreach { r =>
+        val rank = r.getInt(1) - 1
+        d(qid.toInt)(rank) = r.getDouble(3)
+        i(qid.toInt)(rank) = r.getLong(2)
+      }
+    }
+    (d, i)
+  }
+
   private def withConfig(i: Ivf.Index): Ivf.Index =
     i.copy(config = Ivf.Config(config.defaultK, config.defaultNProbe,
       config.maxK, config.maxNProbe))

@@ -71,6 +71,16 @@ class ApiSpec extends SparkSpec {
     intercept[IllegalArgumentException](vi.search(Array(1f, 2f))) // query dim
   }
 
+  test("searchMatrix pads with inf/-1 like the reference bindings") {
+    val vi = VectorIndexer.create(spark, freshCfg()).buildFromRecords(ramp(5, 4))
+    val (d, i) = vi.searchMatrix(Array(ramp(5, 4)(0)._2), k = 10, nProbe = 10000)
+    assert(d.length == 1 && d(0).length == 10)
+    assert(i(0).take(5).forall(_ >= 0))       // 5 real results
+    assert(i(0).drop(5).forall(_ == -1L))     // padded ids
+    assert(d(0).drop(5).forall(_.isPosInfinity)) // padded distances
+    assert(i(0)(0) == 0L && d(0)(0) == 0.0)
+  }
+
   test("suggest_nlist parity") {
     assert(VectorIndexer.suggestNlist(5000) == math.sqrt(5000).toInt)
     assert(VectorIndexer.suggestNlist(1000000) == 4000)

@@ -129,6 +129,22 @@ class KMeansSpec extends SparkSpec {
     assert(agree.toDouble / data.length >= 0.98, s"agree=$agree/${data.length}")
   }
 
+  test("trainer quality within 1.3x of Spark MLlib k-means (external oracle)") {
+    import org.apache.spark.ml.linalg.Vectors
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"embedding").collect().map(_.getSeq[Float](0).toArray)
+    val k = 10
+    val mine = KMeans.inertia(emb, KMeans.trainDriver(emb, k, 100, 42L))
+    val mlDf = emb.toSeq.map(v => Tuple1(Vectors.dense(v.map(_.toDouble))))
+      .toDF("features")
+    val ml = new org.apache.spark.ml.clustering.KMeans()
+      .setK(k).setSeed(42L).setMaxIter(50).fit(mlDf)
+    val mlCentroids = ml.clusterCenters.map(_.toArray.map(_.toFloat))
+    val mlInertia = KMeans.inertia(emb, KMeans.Model(mlCentroids))
+    assert(mine <= 1.3 * mlInertia, s"mine=$mine mllib=$mlInertia")
+  }
+
   test("distributed assignment matches driver assignment") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sf0001).cache()
