@@ -145,6 +145,29 @@ class IvfSpec extends SparkSpec {
       s"purity=$same/${got.length}")
   }
 
+  test("missing shard degrades gracefully to partial results") {
+    // mirrors integration_tests.rs:487-533: a deleted shard is silently
+    // skipped; remaining shards still answer. Partition discovery simply
+    // doesn't see the missing directory.
+    import java.nio.file.{Files => JFiles}
+    import scala.jdk.CollectionConverters._
+    val dir = JFiles.createTempDirectory("graft_missing").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = Ivf.build(emb, "vec_id", "embedding", dir)
+    val q = embAll(31)._2
+    val full = Ivf.search(spark, idx, q, 10000, 10000).count()
+    assert(full == 500)
+    // delete one shard directory
+    val shardDirs = JFiles.list(java.nio.file.Paths.get(s"$dir/vectors"))
+      .iterator().asScala.filter(_.getFileName.toString.startsWith("shard_id=")).toSeq
+    val victim = shardDirs.head
+    victim.toFile.listFiles().foreach(_.delete())
+    JFiles.delete(victim)
+    spark.catalog.clearCache() // drop any cached file listings
+    val partial = Ivf.search(spark, idx, q, 10000, 10000).count()
+    assert(partial < 500 && partial > 0, s"partial=$partial")
+  }
+
   test("recall sweep: monotone in n_probe, exact at full probe") {
     // mirrors the reference bench protocol + integration_tests.rs:383-388
     val qs = graft.operators.RecallEval.perturbedQueries(embAll.take(20), 0.5f)
