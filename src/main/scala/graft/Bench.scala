@@ -12,16 +12,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // a failed query reports -1 (not its elapsed-until-crash time) so a
+    // regression can never masquerade as a speedup in the headline JSON
     val results = graft.queries.Catalog.all
       .filter { case (_, d) => d.bench }
       .map { case (name, d) =>
         val t0 = System.nanoTime()
-        try { d.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        name -> (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { d.build(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -40,8 +40,14 @@ object GraftExtensions {
     */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "squared_l2", args => SquaredL2(args.head, args(1)), "scala_udf")
+      "squared_l2", args => {
+        require(args.length == 2, "squared_l2 takes 2 arguments")
+        SquaredL2(args.head, args(1))
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "dot_product", args => DotProduct(args.head, args(1)), "scala_udf")
+      "dot_product", args => {
+        require(args.length == 2, "dot_product takes 2 arguments")
+        DotProduct(args.head, args(1))
+      }, "scala_udf")
   }
 }

@@ -104,9 +104,13 @@ final class VectorIndexer private (
 
   private def validateDim(df: DataFrame, embCol: String): Unit = {
     import org.apache.spark.sql.functions._
-    val bad = df.where(size(col(embCol)) =!= config.dimension).limit(1).count()
+    // isNull must be explicit: size(null) != dim evaluates to null, so a
+    // null-embedding row would slip past the predicate and NPE later in
+    // the assignment UDF instead of failing here with a clear error
+    val bad = df.where(col(embCol).isNull ||
+      size(col(embCol)) =!= config.dimension).limit(1).count()
     if (bad > 0) throw new IllegalArgumentException(
-      s"input contains embeddings with dimension != ${config.dimension}")
+      s"input contains null embeddings or dimension != ${config.dimension}")
   }
 }
 

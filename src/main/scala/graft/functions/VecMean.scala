@@ -23,6 +23,8 @@ object VecMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Float]]
   override def reduce(b: (Array[Double], Long), a: Seq[Float]): (Array[Double], Long) = {
     if (a == null) return b
     val sums = if (b._1.isEmpty) new Array[Double](a.length) else b._1
+    require(a.length == sums.length,
+      s"VecMean: ragged input — array of length ${a.length}, expected ${sums.length}")
     var i = 0
     while (i < a.length) { sums(i) += a(i); i += 1 }
     (sums, b._2 + 1)
@@ -31,6 +33,8 @@ object VecMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Float]]
   override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
     if (x._1.isEmpty) return y
     if (y._1.isEmpty) return x
+    require(x._1.length == y._1.length,
+      s"VecMean: ragged input — merging lengths ${x._1.length} and ${y._1.length}")
     val sums = x._1
     var i = 0
     while (i < sums.length) { sums(i) += y._1(i); i += 1 }

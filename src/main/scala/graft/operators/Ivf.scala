@@ -61,8 +61,12 @@ object Ivf {
     val iters = KMeans.maxIterations(n)
     val model = KMeans.fit(df, embCol, k, iters, seed, orderCol = Some(idCol))
 
-    // full assignment (map-side, broadcast centroids, no shuffle)
+    // full assignment (map-side, broadcast centroids, no shuffle).
+    // persisted: both the counts collect and the partitioned write below
+    // consume it — without the barrier the (hierarchical) assignment UDF
+    // runs over the full table twice.
     val assigned = KMeans.withAssignment(df, embCol, model, seed, "raw_centroid_id")
+      .persist()
 
     // drop empty clusters, re-densify ids in ascending raw-id order (P2,
     // src/ivf_index.rs:122-146)
@@ -93,6 +97,7 @@ object Ivf {
       .write.mode("overwrite")
       .partitionBy("shard_id")
       .parquet(s"$indexDir/vectors")
+    assigned.unpersist()
 
     // routing-table sidecar (replaces bincode index.bin — S5/S6)
     import spark.implicits._

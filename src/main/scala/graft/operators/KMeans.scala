@@ -358,28 +358,54 @@ object KMeans {
 
   /** Fit on a DataFrame: one seeded distributed sample → driver trainer.
     *
-    * @param orderCol when set, the pool is collected in this column's
-    *                 order — collect() order otherwise depends on the
-    *                 physical partitioning (file splits, cpu count), and
-    *                 the trainer's RNG indexes into the pool, so an
-    *                 unordered pool makes centroids vary across
-    *                 environments even with a fixed seed.
+    * @param orderCol when set, the pool is the poolCap rows with the
+    *                 smallest `xxhash64(orderCol, seed)` — a seeded
+    *                 pseudo-random subset that is (a) deterministic
+    *                 across partitionings (collect() order otherwise
+    *                 depends on file splits / cpu count, and the
+    *                 trainer's RNG indexes into the pool) and (b)
+    *                 unbiased in `orderCol` (ordering by the raw id
+    *                 would systematically exclude high-id rows, which
+    *                 matters when ids correlate with content, e.g.
+    *                 time-ordered embeddings). Planned as a per-partition
+    *                 top-K heap + driver merge — one pass, no shuffle.
     */
   def fit(df: DataFrame, embCol: String, k: Int, iters: Int, seed: Long,
       poolCap: Int = InitSampleCap, orderCol: Option[String] = None): Model = {
     val n = df.count()
     require(n > 0, "k-means: empty input")
-    val fraction = math.min(1.0, poolCap.toDouble * 1.2 / n.toDouble)
-    val base =
-      orderCol.map(c => df.select(col(c), col(embCol)))
-        .getOrElse(df.select(col(embCol)))
-    val sampled =
-      if (fraction >= 1.0) base
-      else base.sample(withReplacement = false, fraction, seed)
-    val ordered = orderCol.map(c => sampled.orderBy(col(c))).getOrElse(sampled)
-    val pool = ordered.limit(poolCap).collect()
-      .map(r => r.getSeq[Float](r.length - 1).toArray)
+    val pool = orderCol match {
+      case Some(c) =>
+        df.select(col(c), col(embCol))
+          .orderBy(xxhash64(col(c), lit(seed)), col(c))
+          .limit(poolCap)
+          .collect()
+          .map(r => r.getSeq[Float](1).toArray)
+      case None =>
+        val fraction = math.min(1.0, poolCap.toDouble * 1.2 / n.toDouble)
+        val sampled =
+          if (fraction >= 1.0) df.select(col(embCol))
+          else df.select(col(embCol)).sample(withReplacement = false, fraction, seed)
+        sampled.limit(poolCap).collect().map(_.getSeq[Float](0).toArray)
+    }
     trainDriver(pool, k, iters, seed)
+  }
+
+  /** Holder broadcast to executors: deserialized once per executor, so
+    * the transient lazy assigner (meta-clustering included) is built
+    * exactly once per executor per broadcast — no global cache, no
+    * identity-hash keys, garbage-collected with the broadcast.
+    */
+  final class AssignerHolder(val centroids: Array[Array[Float]], val seed: Long)
+      extends Serializable {
+    @transient lazy val assign: Array[Float] => (Int, Double) = {
+      if (centroids.length > HierarchicalThreshold) {
+        val h = new HierarchicalAssigner(centroids, seed)
+        h.assign _
+      } else {
+        (p: Array[Float]) => nearest(p, centroids)
+      }
+    }
   }
 
   /** Distributed full assignment (J2/J3): broadcast centroids, map-side
@@ -388,15 +414,9 @@ object KMeans {
   def withAssignment(df: DataFrame, embCol: String, model: Model, seed: Long,
       labelCol: String = "centroid_id"): DataFrame = {
     val spark = df.sparkSession
-    val bc = spark.sparkContext.broadcast(model.centroids)
-    val k = model.k
+    val bc = spark.sparkContext.broadcast(new AssignerHolder(model.centroids, seed))
     val assignUdf = udf { (emb: Seq[Float]) =>
-      val p = emb.toArray
-      val cs = bc.value
-      // rebuild the dispatch lazily per executor; HierarchicalAssigner is
-      // deterministic given (centroids, seed)
-      if (k > HierarchicalThreshold) Assigners.get(cs, seed).assign(p)._1
-      else nearest(p, cs)._1
+      bc.value.assign(emb.toArray)._1
     }
     df.withColumn(labelCol, assignUdf(col(embCol)))
   }
@@ -408,20 +428,3 @@ object KMeans {
   }
 }
 
-/** Per-executor cache of hierarchical assigners keyed by centroid identity,
-  * so the meta-clustering runs once per executor, not once per row.
-  */
-private[operators] object Assigners {
-  private val cache = new java.util.concurrent.ConcurrentHashMap[
-    (Int, Long), KMeans.HierarchicalAssigner]()
-
-  def get(cs: Array[Array[Float]], seed: Long): KMeans.HierarchicalAssigner = {
-    val key = (System.identityHashCode(cs), seed)
-    var a = cache.get(key)
-    if (a == null) {
-      a = new KMeans.HierarchicalAssigner(cs, seed)
-      cache.put(key, a)
-    }
-    a
-  }
-}

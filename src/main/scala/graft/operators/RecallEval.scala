@@ -73,6 +73,8 @@ object RecallEval {
   def sweepDf(spark: SparkSession, index: Ivf.Index,
       queries: Array[(Long, Array[Float])], k: Int,
       nProbes: Seq[Int], ranks: Seq[Int]): DataFrame = {
+    require(ranks.toSet.subsetOf(Set(1, 10, 100)),
+      s"sweepDf reports recall_at_{1,10,100} columns only; got ranks=$ranks")
     import spark.implicits._
     val rows = sweep(spark, index, queries, k, nProbes, ranks).map { s =>
       (s.nProbe,

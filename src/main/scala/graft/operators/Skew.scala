@@ -27,6 +27,7 @@ object Skew {
   def countDistinctTwoPhase(df: DataFrame, key: Column, value: Column,
       outName: String = "n_distinct"): DataFrame =
     df.select(key.as("__key"), value.as("__val"))
+      .where(col("__val").isNotNull) // countDistinct ignores NULLs; match it
       .distinct()
       .groupBy(col("__key"))
       .agg(count(lit(1)).as(outName))

@@ -47,15 +47,12 @@ object VectorFormats {
     val (dim, nRecords) = fvecsShape(path, 4)
     val recBytes = 4L + 4L * dim
     import spark.implicits._
-    val ranges = splitRanges(nRecords, parallelism)
+    val ranges = splitRanges(nRecords, parallelism, recBytes)
     spark.sparkContext.parallelize(ranges, ranges.length)
       .flatMap { case (start, end) =>
         val raf = new RandomAccessFile(path, "r")
         try {
-          val buf = new Array[Byte]((end - start) * recBytes match {
-            case sz if sz > Int.MaxValue => throw new IllegalStateException("range too large")
-            case sz => sz.toInt
-          })
+          val buf = new Array[Byte](((end - start) * recBytes).toInt)
           raf.seek(start * recBytes)
           raf.readFully(buf)
           val bb = ByteBuffer.wrap(buf).order(ByteOrder.LITTLE_ENDIAN)
@@ -96,7 +93,7 @@ object VectorFormats {
     val (k, nRecords) = fvecsShape(path, 4)
     val recBytes = 4L + 4L * k
     import spark.implicits._
-    val ranges = splitRanges(nRecords, parallelism)
+    val ranges = splitRanges(nRecords, parallelism, recBytes)
     spark.sparkContext.parallelize(ranges, ranges.length)
       .flatMap { case (start, end) =>
         val raf = new RandomAccessFile(path, "r")
@@ -143,7 +140,7 @@ object VectorFormats {
     val (dataOff, n, dim) = npyHeader(path)
     val rowBytes = 4L * dim
     import spark.implicits._
-    val ranges = splitRanges(n, parallelism)
+    val ranges = splitRanges(n, parallelism, rowBytes)
     spark.sparkContext.parallelize(ranges, ranges.length)
       .flatMap { case (start, end) =>
         val raf = new RandomAccessFile(path, "r")
@@ -242,8 +239,13 @@ object VectorFormats {
     } finally raf.close()
   }
 
-  private def splitRanges(n: Long, parts: Int): Seq[(Long, Long)] = {
-    val per = math.max(1L, (n + parts - 1) / parts)
+  /** Record ranges: at least `parts` ranges, and never more than
+    * ~256 MiB per range — each range is buffered in one byte array, so
+    * an unbounded range on a large file would overflow Int sizing.
+    */
+  private def splitRanges(n: Long, parts: Int, recBytes: Long): Seq[(Long, Long)] = {
+    val maxRecsPerRange = math.max(1L, (256L << 20) / recBytes)
+    val per = math.min(maxRecsPerRange, math.max(1L, (n + parts - 1) / parts))
     (0L until n by per).map(s => (s, math.min(n, s + per)))
   }
 }
