@@ -148,7 +148,38 @@ object EventQueries {
       |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Day-over-day retention: of the users active on day d, the fraction
+    * also active on day d+1 — distinct (user, day) projection self-joined
+    * on adjacent buckets. Both shuffles carry distinct pairs, not raw
+    * events.
+    */
+  def dailyRetention(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"),
+        (unix_millis(col("ts")) / 86400000L).cast("long").as("day"))
+      .distinct()
+    val next = daily.select(col("user_id"), (col("day") - 1).as("day"))
+      .withColumn("retained", lit(1))
+    daily.join(next, Seq("user_id", "day"), "left")
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_active"),
+        round(sum(coalesce(col("retained"), lit(0))) /
+          count(lit(1)).cast("double"), 4).as("retention_rate"))
+      .orderBy(col("day"))
+  }
+
+  private val dailyRetentionSql =
+    """WITH daily AS (
+      |  SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM events)
+      |SELECT d.day, count(*) AS n_active,
+      |  round(sum(CASE WHEN n.user_id IS NULL THEN 0 ELSE 1 END)
+      |        / CAST(count(*) AS DOUBLE), 4) AS retention_rate
+      |FROM daily d LEFT JOIN daily n
+      |  ON n.user_id = d.user_id AND n.day = d.day + 1
+      |GROUP BY d.day ORDER BY d.day""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "daily_retention" -> QueryDef(dailyRetention, Some(dailyRetentionSql)),
     "events_json_path" -> QueryDef(jsonPathStats, Some(jsonPathStatsSql)),
     "events_hourly" -> QueryDef(hourlyCounts, Some(hourlyCountsSql)),
     "events_json_stats" -> QueryDef(jsonExtractStats, Some(jsonExtractStatsSql)),
