@@ -1,0 +1,58 @@
+package graft
+
+import java.nio.file.Files
+
+/** Reference edge cases: high dimensions (kmeans_tests dim=1536,
+  * shards_tests dim=512), huge external ids (u64::MAX-1000 analog), and
+  * float precision roundtrip (shards_tests:459-503).
+  */
+class EdgeSpec extends SparkSpec {
+
+  test("dim=1536 training and search") {
+    val rng = new scala.util.Random(5L)
+    val recs = (0 until 60).map(i =>
+      (i.toLong, Array.fill(1536)((rng.nextDouble() * 2 - 1).toFloat), 0L))
+    val cfg = VectorIndexer.Config(dimension = 1536,
+      indexDir = Files.createTempDirectory("graft_dim1536").toString)
+    val vi = VectorIndexer.create(spark, cfg).buildFromRecords(recs)
+    val rows = vi.search(recs(17)._2, k = 5, nProbe = 10000).collect()
+    assert(rows.head.getLong(0) == 17L && rows.head.getDouble(1) == 0.0)
+  }
+
+  test("huge external ids preserved (Long.MaxValue - 1000)") {
+    val base = Long.MaxValue - 1000
+    val recs = (0 until 50).map(i =>
+      (base + i, Array.tabulate(8)(j => (i * 8 + j) * 0.1f), 0L))
+    val cfg = VectorIndexer.Config(dimension = 8,
+      indexDir = Files.createTempDirectory("graft_hugeid").toString)
+    val vi = VectorIndexer.create(spark, cfg).buildFromRecords(recs)
+    val rows = vi.search(recs(30)._2, k = 3, nProbe = 10000).collect()
+    assert(rows.head.getLong(0) == base + 30)
+  }
+
+  test("float precision values roundtrip exactly through the index") {
+    val precise = Array(0.123456789f, -0.987654321f, 1234.5678f, 1e-7f)
+    val recs = (0 until 30).map { i =>
+      val v = if (i == 7) precise
+        else Array.tabulate(4)(j => (i + j).toFloat)
+      (i.toLong, v, 0L)
+    }
+    val cfg = VectorIndexer.Config(dimension = 4,
+      indexDir = Files.createTempDirectory("graft_precise").toString)
+    val vi = VectorIndexer.create(spark, cfg).buildFromRecords(recs)
+    val row = vi.search(precise, k = 1, nProbe = 10000,
+      includeVectors = true).collect()(0)
+    assert(row.getLong(0) == 7L)
+    assert(row.getSeq[Float](2).toArray.toSeq == precise.toSeq) // bit-exact
+  }
+
+  test("single-vector index") {
+    // mirrors ivf_index_tests.rs:368-392
+    val cfg = VectorIndexer.Config(dimension = 4,
+      indexDir = Files.createTempDirectory("graft_single").toString)
+    val vi = VectorIndexer.create(spark, cfg)
+      .buildFromRecords(Seq((99L, Array(1f, 2f, 3f, 4f), 0L)))
+    val rows = vi.search(Array(1f, 2f, 3f, 4f)).collect()
+    assert(rows.length == 1 && rows.head.getLong(0) == 99L)
+  }
+}
