@@ -1,0 +1,60 @@
+package graft.operators
+
+import scala.util.Random
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Vec
+
+/** LSH-bucketed approximate nearest neighbors for cosine similarity —
+  * the second scale path beside IVF (random hyperplane LSH, Charikar
+  * 2002): sign(dot(v, r_i)) over `nBits` seeded hyperplanes forms a
+  * bucket signature; near-identical directions collide with high
+  * probability. Candidates are bucket-local; per-query cost is the
+  * bucket population, not the corpus.
+  *
+  * The hyperplanes are generated driver-side from a fixed seed and
+  * inlined as literal arrays, so signatures are deterministic across
+  * partitionings and sessions. Multi-probe: a query also probes the
+  * `nProbeBits` buckets at Hamming distance 1 on its lowest-index bits,
+  * trading a small scan increase for recall.
+  */
+object LshAnn {
+
+  def hyperplanes(dim: Int, nBits: Int, seed: Long): Array[Array[Float]] = {
+    val rng = new Random(seed)
+    Array.fill(nBits)(Array.fill(dim)((rng.nextGaussian()).toFloat))
+  }
+
+  /** Signature column: bit i set iff dot(emb, plane_i) >= 0. */
+  def signature(emb: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(Vec.dot(emb, typedlit(p.toSeq)) >= 0.0,
+        shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Bucketed table: (id, embedding, bucket). */
+  def bucketed(df: DataFrame, idCol: String, embCol: String,
+      planes: Array[Array[Float]]): DataFrame =
+    df.select(col(idCol), col(embCol),
+      signature(col(embCol), planes).as("bucket"))
+
+  /** Top-k by cosine for one query via bucket-local candidates. */
+  def search(spark: SparkSession, table: DataFrame, idCol: String,
+      embCol: String, planes: Array[Array[Float]],
+      query: Array[Float], k: Int, nProbeBits: Int = 2): DataFrame = {
+    // query signature + multi-probe neighbors, computed driver-side
+    val qSig = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (d >= 0.0) 1L << i else 0L
+    }.reduce(_ | _)
+    val probes = qSig +: (0 until math.min(nProbeBits, planes.length))
+      .map(i => qSig ^ (1L << i))
+    table
+      .where(col("bucket").isin(probes: _*))
+      .withColumn("cos_sim", Vec.cosine(col(embCol), typedlit(query.toSeq)))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("cos_sim"))
+  }
+}

@@ -120,7 +120,22 @@ object IndexQueries {
       nProbes = Seq(1, 4, 16, 64), ranks = Seq(1, 10, 100))
   }
 
+  /** LSH-bucketed cosine ANN: 4-bit random-hyperplane signature,
+    * 4-bit multi-probe (5 of 16 buckets scanned); deterministic (seed
+    * 42). Approximate → rows-only driver check; the recall gate vs
+    * brute force lives in DedupSpec. Bit width scales with corpus size
+    * (target bucket population ≈ corpus / 2^bits).
+    */
+  def lshAnnTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, dir)
+    val planes = graft.operators.LshAnn.hyperplanes(64, 4, 42L)
+    val table = graft.operators.LshAnn.bucketed(emb, "vec_id", "embedding", planes)
+    graft.operators.LshAnn.search(spark, table, "vec_id", "embedding",
+      planes, queryVec(spark, dir, 0L), k = 10, nProbeBits = 4)
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "ann_lsh_topk" -> QueryDef(lshAnnTopK, None),
     "recall_sweep" -> QueryDef(recallSweep, None),
     "ivf_search_probe_all" -> QueryDef(searchProbeAll, Some(searchProbeAllSql)),
     "ivf_search_default" -> QueryDef(searchDefault, None),

@@ -63,6 +63,39 @@ class DedupSpec extends SparkSpec {
     assert(avg >= 0.6, s"batch ANN avg recall=$avg")
   }
 
+  test("LSH-bucketed cosine ANN: recall vs brute force, deterministic") {
+    import graft.operators.LshAnn
+    val emb = Tables.embeddings(spark, sf001)
+    val planes = LshAnn.hyperplanes(64, 4, 42L)
+    val table = LshAnn.bucketed(emb, "vec_id", "embedding", planes).cache()
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      if (na == 0 || nb == 0) 0.0 else d / (na * nb)
+    }
+    val recalls = all.take(10).map { case (qid, q) =>
+      val truth = all.map { case (id, v) => (id, cosine(q, v)) }
+        .sortBy(p => (-p._2, p._1)).take(10).map(_._1).toSet
+      val got = LshAnn.search(spark, table, "vec_id", "embedding",
+        planes, q, 10, nProbeBits = 4).collect().map(_.getLong(0)).toSet
+      (got & truth).size.toDouble / truth.size
+    }
+    val avg = recalls.sum / recalls.length
+    // 4-bit signatures probe 5 of 16 buckets (~31% of the corpus); a
+    // loose floor — exactness is IVF probe-all's job
+    assert(avg >= 0.3, s"LSH ANN avg recall=$avg")
+    // determinism across invocations
+    val q0 = all(0)._2
+    val a = LshAnn.search(spark, table, "vec_id", "embedding", planes, q0, 10)
+      .collect().map(_.toSeq).toSeq
+    val b = LshAnn.search(spark, table, "vec_id", "embedding", planes, q0, 10)
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("embedding near-dup candidate generation is bucket-local and sane") {
     val r = DedupQueries.embeddingNeardupStats(spark, sf001).collect()(0)
     val nPairs = r.getLong(0)
