@@ -24,6 +24,7 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
           }
+        spark.catalog.clearCache() // builders' persist()s don't accumulate
         name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -43,6 +43,9 @@ object LshAnn {
   def search(spark: SparkSession, table: DataFrame, idCol: String,
       embCol: String, planes: Array[Array[Float]],
       query: Array[Float], k: Int, nProbeBits: Int = 2): DataFrame = {
+    require(planes.nonEmpty && query.length == planes(0).length,
+      s"query dimension ${query.length} != hyperplane dimension " +
+        s"${planes.headOption.map(_.length).getOrElse(0)}")
     // query signature + multi-probe neighbors, computed driver-side
     val qSig = planes.zipWithIndex.map { case (p, i) =>
       val d = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum

@@ -25,12 +25,20 @@ object Skew {
     * distributed; phase 2 counts per key.
     */
   def countDistinctTwoPhase(df: DataFrame, key: Column, value: Column,
-      outName: String = "n_distinct"): DataFrame =
-    df.select(key.as("__key"), value.as("__val"))
-      .where(col("__val").isNotNull) // countDistinct ignores NULLs; match it
+      outName: String = "n_distinct"): DataFrame = {
+    // countDistinct ignores NULL values but still emits the group; keep
+    // both behaviors: count over non-null pairs, then re-attach keys
+    // whose values were all NULL with count 0
+    val pairs = df.select(key.as("__key"), value.as("__val"))
+    val counted = pairs
+      .where(col("__val").isNotNull)
       .distinct()
       .groupBy(col("__key"))
       .agg(count(lit(1)).as(outName))
+    pairs.select(col("__key")).distinct()
+      .join(counted, Seq("__key"), "left")
+      .select(col("__key"), coalesce(col(outName), lit(0L)).as(outName))
+  }
 
   /** collect_set per key with salting: phase 1 builds per-salt partial
     * sets (bounded by distinct-values/salt), phase 2 unions k × nSalts

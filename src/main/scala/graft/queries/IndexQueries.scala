@@ -128,7 +128,8 @@ object IndexQueries {
     */
   def lshAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
-    val planes = graft.operators.LshAnn.hyperplanes(64, 4, 42L)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val planes = graft.operators.LshAnn.hyperplanes(dim, 4, 42L)
     val table = graft.operators.LshAnn.bucketed(emb, "vec_id", "embedding", planes)
     graft.operators.LshAnn.search(spark, table, "vec_id", "embedding",
       planes, queryVec(spark, dir, 0L), k = 10, nProbeBits = 4)

@@ -138,8 +138,13 @@ object VectorFormats {
   def readNpy(spark: SparkSession, path: String,
       parallelism: Int = 32): DataFrame = {
     val (dataOff, n, dim) = npyHeader(path)
-    val rowBytes = 4L * dim
+    require(dim > 0, s"npy array has 0 columns: $path")
     import spark.implicits._
+    if (n == 0) {
+      return Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+        .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    }
+    val rowBytes = 4L * dim
     val ranges = splitRanges(n, parallelism, rowBytes)
     spark.sparkContext.parallelize(ranges, ranges.length)
       .flatMap { case (start, end) =>

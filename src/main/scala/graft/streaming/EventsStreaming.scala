@@ -73,15 +73,20 @@ object EventsStreaming {
   }
 
   /** Streaming exact dedup: first event per (user_id, event_type, hour)
-    * — watermarked so state for past hours is dropped. The streaming
-    * form of `dropDuplicates` keyed dedup; parity with the batch
-    * equivalent is asserted in StreamingSpec.
+    * — watermarked so state for past hours is dropped. The watermark is
+    * declared ON the derived hour_start column AFTER it is added:
+    * streaming dropDuplicates only builds a state-eviction predicate
+    * when one of its key columns carries the event-time watermark
+    * metadata, and a watermark on raw `ts` does not propagate through
+    * the bucket expression — state would grow forever on a continuous
+    * stream. Parity with the batch equivalent is asserted in
+    * StreamingSpec.
     */
   def dedupFirstPerHour(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", "2 hours")
       .withColumn("hour_start",
         timestamp_seconds(floor(unix_millis(col("ts")) / 3600000L) * 3600L))
+      .withWatermark("hour_start", "2 hours")
       .dropDuplicates("user_id", "event_type", "hour_start")
       .select(col("user_id"), col("event_type"), col("hour_start"),
         col("event_id"))

@@ -17,6 +17,19 @@ class SkewSpec extends SparkSpec {
     assert(twoPhase == direct)
   }
 
+  test("two-phase count-distinct keeps all-NULL keys with count 0") {
+    import spark.implicits._
+    val df = Seq(("a", None: Option[Int]), ("a", None), ("b", Some(1)))
+      .toDF("k", "v")
+    val direct = df.groupBy(col("k").as("__key"))
+      .agg(countDistinct(col("v")).as("n_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val twoPhase = Skew.countDistinctTwoPhase(df, col("k"), col("v"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(twoPhase == direct)
+    assert(twoPhase("a") == 0L)
+  }
+
   test("salted collect_set equals direct collect_set") {
     val li = Tables.lineitem(spark, sf0001).where(col("l_suppkey") < 4)
     val direct = li.groupBy(col("l_suppkey").as("__key"))

@@ -33,7 +33,6 @@ class StreamingSpec extends SparkSpec {
       .where(col("count") > 1).count()
     assert(groups == 0, "duplicates survived streaming dedup")
     // cardinality parity with the batch distinct
-    val batch = EventQueries.hourlyCounts(spark, sf0001) // reuse hour logic
     val batchDistinct = Tables.events(spark, sf0001)
       .withColumn("hour_start",
         timestamp_seconds(floor(unix_millis(col("ts")) / 3600000L) * 3600L))
