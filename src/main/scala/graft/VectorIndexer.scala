@@ -40,7 +40,9 @@ final class VectorIndexer private (
   }
 
   /** Build from driver-held records — the reference's ingestion shape
-    * (`build_from_records`): (external_id, embedding, timestamp).
+    * (`build_from_records`): (external_id, embedding, timestamp). A
+    * 0/absent timestamp defaults to ingest wall-clock seconds
+    * (`src/vector_store.rs:36-40`).
     */
   def buildFromRecords(records: Seq[(Long, Array[Float], Long)]): this.type = {
     require(records.nonEmpty, "cannot build an index from zero records")
@@ -49,12 +51,39 @@ final class VectorIndexer private (
         s"record ${r._1} has dimension ${r._2.length}, expected ${config.dimension}")
     }
     import spark.implicits._
-    val df = records.map { case (id, v, ts) => (id, v.toSeq, ts) }
+    val now = ingestTimestamp()
+    val df = records.map { case (id, v, ts) =>
+        (id, v.toSeq, if (ts != 0L) ts else now)
+      }
       .toDF("vec_id", "embedding", "ts")
       .select($"vec_id",
         $"embedding".cast("array<float>").as("embedding"), $"ts")
     build(df)
   }
+
+  /** Build from a vector file on disk — the reference's second build
+    * entry point (`build_from_vector_file`, `src/api.rs:149-186`). The
+    * reference reads its own bincode batch format; the public equivalents
+    * our distributed readers support are `.fvecs` and float32 `.npy`.
+    * Record position becomes the external id (the reference's generator
+    * assigns `id = i`, `src/utils.rs:63`); these formats carry no
+    * timestamp → ingest wall-clock default (`src/vector_store.rs:36-40`).
+    */
+  def buildFromFile(path: String): this.type = {
+    import org.apache.spark.sql.functions._
+    val lower = path.toLowerCase
+    val df = if (lower.endsWith(".fvecs")) {
+      graft.sources.VectorFormats.readFvecs(spark, path)
+    } else if (lower.endsWith(".npy")) {
+      graft.sources.VectorFormats.readNpy(spark, path)
+    } else throw new IllegalArgumentException(
+      s"unsupported vector file format (want .fvecs or .npy): $path")
+    if (df.isEmpty) throw new IllegalArgumentException(
+      s"no vectors in vector_file $path") // src/api.rs:158-163
+    build(df.withColumn("ts", lit(ingestTimestamp())))
+  }
+
+  private def ingestTimestamp(): Long = System.currentTimeMillis() / 1000L
 
   /** Top-k search with config defaults (k=10, n_probe=20). */
   def search(query: Array[Float],
@@ -86,8 +115,11 @@ final class VectorIndexer private (
     val ids = queries.indices.map(_.toLong).toArray
     val rows = searchBatch(ids.zip(queries), kk, nProbe).collect()
     val byQuery = rows.groupBy(_.getLong(0))
-    val d = Array.fill(queries.length, math.min(kk, config.maxK))(Double.PositiveInfinity)
-    val i = Array.fill(queries.length, math.min(kk, config.maxK))(-1L)
+    // matrices are always shaped (nq, requested k) — the maxK clamp only
+    // bounds how many slots get FILLED, matching the Python binding's
+    // fixed-shape contract (`bindings/python/src/lib.rs:179-202`)
+    val d = Array.fill(queries.length, kk)(Double.PositiveInfinity)
+    val i = Array.fill(queries.length, kk)(-1L)
     ids.foreach { qid =>
       byQuery.getOrElse(qid, Array.empty).foreach { r =>
         val rank = r.getInt(1) - 1

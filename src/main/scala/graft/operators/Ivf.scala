@@ -88,11 +88,20 @@ object Ivf {
     val shardB = spark.sparkContext.broadcast(centroidToShard)
     val denseUdf = udf((raw: Int) => remapB.value(raw))
     val shardUdf = udf((dense: Int) => shardB.value(dense))
+    // Write parallelism must NOT be capped at numShards (= ⌈√k⌉): with a
+    // plain repartition(shard_id) every shard is a single write task — at
+    // 100 TB that is ~n/√k rows per task, a straggler and an OOM-shaped
+    // sort. Salt the repartition so each shard spreads over ~salts tasks;
+    // partitionBy(shard_id) keeps the directory layout identical and
+    // sortWithinPartitions keeps centroid_id row-group clustering per file.
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val salts = math.max(1, math.ceil(shuffleParts.toDouble / numShards).toInt)
     assigned
       .withColumn("centroid_id", denseUdf(col("raw_centroid_id")))
       .withColumn("shard_id", shardUdf(col("centroid_id")))
       .drop("raw_centroid_id")
-      .repartition(col("shard_id"))
+      .repartition(shuffleParts, col("shard_id"),
+        pmod(xxhash64(col(idCol)), lit(salts)))
       .sortWithinPartitions(col("centroid_id"), col(idCol))
       .write.mode("overwrite")
       .partitionBy("shard_id")
@@ -152,7 +161,9 @@ object Ivf {
     val base = spark.read.parquet(index.vectorsPath)
       .where(col("shard_id").isin(shards: _*) && col("centroid_id").isin(probes: _*))
       .withColumn("distance", Vec.squaredL2(col(embCol), qLit))
-      .orderBy(col("distance"), col(idCol))
+      // nulls last: a ragged/null-element embedding yields NULL distance,
+      // which default nulls-first ordering would rank above real neighbors
+      .orderBy(col("distance").asc_nulls_last, col(idCol))
       .limit(k)
     val out = base.select(col(idCol).as("external_id"), col("distance"),
       col(embCol).as("vector"))
@@ -197,7 +208,7 @@ object Ivf {
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
-      .orderBy(col("distance"), col(idCol))
+      .orderBy(col("distance").asc_nulls_last, col(idCol))
     spark.read.parquet(index.vectorsPath)
       .where(col("shard_id").isin(shards: _*))
       .join(broadcast(probeDf), Seq("centroid_id"))

@@ -26,6 +26,20 @@ object LshAnn {
     Array.fill(nBits)(Array.fill(dim)((rng.nextGaussian()).toFloat))
   }
 
+  /** Signature width for a corpus of `n` vectors: expected bucket
+    * population ≈ `targetBucket`, i.e. nBits = ⌈log2(n / targetBucket)⌉,
+    * clamped to [4, 24]. A FIXED bit width does not index at scale: with
+    * b bits, a Hamming-1 multi-probe scans (b+1)/2^b of the corpus — a
+    * constant fraction regardless of n. Growing b with n makes that
+    * fraction shrink (4 bits → 31% at any size; 13 bits at n=1M →
+    * 14/8192 ≈ 0.17%).
+    */
+  def suggestBits(n: Long, targetBucket: Long = 128L): Int = {
+    val raw = math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
   /** Signature column: bit i set iff dot(emb, plane_i) >= 0. */
   def signature(emb: Column, planes: Array[Array[Float]]): Column =
     planes.zipWithIndex.map { case (p, i) =>

@@ -35,9 +35,13 @@ object Skew {
       .distinct()
       .groupBy(col("__key"))
       .agg(count(lit(1)).as(outName))
-    pairs.select(col("__key")).distinct()
-      .join(counted, Seq("__key"), "left")
-      .select(col("__key"), coalesce(col(outName), lit(0L)).as(outName))
+    // null-safe equality: groupBy groups NULL keys together, but a plain
+    // join would never match NULL = NULL, reporting 0 for a NULL key whose
+    // values are non-null
+    pairs.select(col("__key")).distinct().as("l")
+      .join(counted.as("r"), col("l.__key") <=> col("r.__key"), "left")
+      .select(col("l.__key").as("__key"),
+        coalesce(col(outName), lit(0L)).as(outName))
   }
 
   /** collect_set per key with salting: phase 1 builds per-salt partial

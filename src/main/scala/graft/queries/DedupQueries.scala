@@ -50,13 +50,20 @@ object DedupQueries {
   private def fingerprint(c: Column): Column =
     md5(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Exact-dedup corpus stats: docs, unique fingerprints, removable rows. */
+  /** Exact-dedup corpus stats: docs, unique fingerprints, removable rows.
+    * Two-phase: groupBy(fp).count then one global agg — count +
+    * countDistinct in a single agg plans an Expand (×2 rows of md5
+    * fingerprints through the shuffle); this shape shuffles each
+    * fingerprint once and the second agg sees only one row per
+    * distinct fp.
+    */
   def exactStats(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(fingerprint(col("text")).as("fp"))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col("fp")).as("n_unique"),
-        (count(lit(1)) - countDistinct(col("fp"))).as("n_duplicates"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("__copies"))
+      .agg(sum(col("__copies")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_unique"),
+        (sum(col("__copies")) - count(lit(1))).cast("long").as("n_duplicates"))
 
   private val exactStatsSql =
     """SELECT count(*) AS n_docs,

@@ -77,7 +77,7 @@ object EventQueries {
       |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
       |  FROM events)
       |SELECT user_id,
-      |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
       |  count(*) AS n_events
       |FROM l WHERE user_id < 200
       |GROUP BY user_id ORDER BY user_id""".stripMargin
@@ -99,11 +99,11 @@ object EventQueries {
 
   private val eventTypePivotSql =
     """SELECT user_id,
-      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
-      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
       |FROM events WHERE user_id < 100
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 

@@ -120,19 +120,22 @@ object IndexQueries {
       nProbes = Seq(1, 4, 16, 64), ranks = Seq(1, 10, 100))
   }
 
-  /** LSH-bucketed cosine ANN: 4-bit random-hyperplane signature,
-    * 4-bit multi-probe (5 of 16 buckets scanned); deterministic (seed
-    * 42). Approximate → rows-only driver check; the recall gate vs
-    * brute force lives in DedupSpec. Bit width scales with corpus size
-    * (target bucket population ≈ corpus / 2^bits).
+  /** LSH-bucketed cosine ANN: random-hyperplane signature whose bit
+    * width GROWS with corpus size (nBits = ⌈log2(n/128)⌉, so expected
+    * bucket population stays ≈128 and the multi-probed fraction
+    * (nBits+1)/2^nBits shrinks as n grows); full Hamming-1 multi-probe;
+    * deterministic (seed 42). Approximate → rows-only driver check; the
+    * recall gate vs brute force and the bucket-population check live in
+    * DedupSpec.
     */
   def lshAnnTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(spark, dir)
     val dim = emb.select(size(col("embedding"))).head().getInt(0)
-    val planes = graft.operators.LshAnn.hyperplanes(dim, 4, 42L)
+    val nBits = graft.operators.LshAnn.suggestBits(emb.count())
+    val planes = graft.operators.LshAnn.hyperplanes(dim, nBits, 42L)
     val table = graft.operators.LshAnn.bucketed(emb, "vec_id", "embedding", planes)
     graft.operators.LshAnn.search(spark, table, "vec_id", "embedding",
-      planes, queryVec(spark, dir, 0L), k = 10, nProbeBits = 4)
+      planes, queryVec(spark, dir, 0L), k = 10, nProbeBits = nBits)
   }
 
   def defs: Map[String, QueryDef] = Map(

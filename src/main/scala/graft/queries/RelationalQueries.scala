@@ -292,8 +292,9 @@ object RelationalQueries {
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority"))
-      .agg(expr("approx_percentile(o_totalprice, array(0.5, 0.95), 1000)")
-        .as("approx_p50_p95"))
+      .agg(
+        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"),
+        expr("approx_percentile(o_totalprice, 0.95, 1000)").as("approx_p95"))
       .orderBy(col("o_orderpriority"))
 
   /** TPC-H Q17 shape: correlated "below half the per-part average"
@@ -335,21 +336,26 @@ object RelationalQueries {
       |  / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
       |FROM lineitem JOIN part ON l_partkey = p_partkey""".stripMargin
 
-  /** Statistical aggregates per group: stddev, correlation, covariance. */
+  /** Statistical aggregates per group: stddev, correlation, covariance.
+    * The `+ 0.0` normalizes IEEE negative zero: DuckDB's round yields -0.0
+    * when a tiny negative covariance rounds to zero, while Spark's round
+    * (BigDecimal HALF_UP) yields +0.0 — value-equal but not bit-equal, which
+    * breaks a hashing comparator.
+    */
   def statsByFlag(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
-        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
-        round(covar_samp(col("l_discount"), col("l_tax")), 4).as("covar_disc_tax"))
+        (round(stddev_samp(col("l_quantity")), 4) + 0.0).as("sd_qty"),
+        (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + 0.0).as("corr_qty_price"),
+        (round(covar_samp(col("l_discount"), col("l_tax")), 4) + 0.0).as("covar_disc_tax"))
       .orderBy(col("l_returnflag"))
 
   private val statsByFlagSql =
     """SELECT l_returnflag,
-      |  round(stddev_samp(l_quantity), 4) AS sd_qty,
-      |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
-      |  round(covar_samp(l_discount, l_tax), 4) AS covar_disc_tax
+      |  round(stddev_samp(l_quantity), 4) + 0.0 AS sd_qty,
+      |  round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qty_price,
+      |  round(covar_samp(l_discount, l_tax), 4) + 0.0 AS covar_disc_tax
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Exact interpolated percentiles per group (Spark `percentile` ↔

@@ -22,7 +22,7 @@ object StreamQueries {
       |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
       |  FROM events)
       |SELECT user_id,
-      |  sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS n_sessions,
+      |  CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
       |  count(*) AS n_events
       |FROM l WHERE user_id < 200
       |GROUP BY user_id ORDER BY user_id""".stripMargin

@@ -113,11 +113,21 @@ object EventsStreaming {
       s"stream_hourly_${math.abs(dir.hashCode)}")
       .orderBy(col("hour_start"), col("event_type"))
 
-  /** Catalog query: streaming sessionization, materialized. */
+  /** Catalog query: streaming sessionization, materialized. An
+    * Update-mode memory sink keeps EVERY per-batch update, so if the file
+    * source ever splits input into >1 micro-batch a user appears once per
+    * batch; reduce to the final state per user. State counters are
+    * cumulative (monotone non-decreasing), so the lexicographic max of
+    * (n_events, n_sessions) is the last update.
+    */
   def sessionQuery(spark: SparkSession, dir: String): DataFrame =
     runToCompletion(spark, sessionize(readEvents(spark, dir)),
       s"stream_sessions_${math.abs(dir.hashCode)}",
       OutputMode.Update())
       .where(col("user_id") < 200)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("n_sessions"))).as("__last"))
+      .select(col("user_id"), col("__last.n_sessions").as("n_sessions"),
+        col("__last.n_events").as("n_events"))
       .orderBy(col("user_id"))
 }

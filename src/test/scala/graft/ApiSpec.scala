@@ -81,6 +81,61 @@ class ApiSpec extends SparkSpec {
     assert(i(0)(0) == 0L && d(0)(0) == 0.0)
   }
 
+  test("buildFromFile: fvecs roundtrip, self-retrieval rank 1") {
+    // mirrors build_from_vector_file (api.rs:149-186) + api_tests.rs:39-92
+    val dim = 8
+    val vecs = (0 until 120).map(i =>
+      Array.tabulate(dim)(j => (math.sin(i * dim + j) * 10.0).toFloat))
+    val path = Files.createTempDirectory("graft_bff").resolve("vs.fvecs").toString
+    graft.sources.VectorFormats.writeFvecs(vecs.iterator, path)
+    val vi = VectorIndexer.create(spark, freshCfg(dim)).buildFromFile(path)
+    val rows = vi.search(vecs(37), k = 5, nProbe = 10000).collect()
+    assert(rows.head.getLong(0) == 37L)
+    assert(rows.head.getDouble(1) < 1e-6)
+  }
+
+  test("buildFromFile: npy works; bad extension and empty file rejected") {
+    val dim = 4
+    val dir = Files.createTempDirectory("graft_bff2")
+    val vecs = (0 until 60).map(i => Array.tabulate(dim)(j => i + j * 0.5f))
+    val npy = dir.resolve("vs.npy").toString
+    graft.sources.VectorFormats.writeNpy(vecs.iterator, 60, dim, npy)
+    val vi = VectorIndexer.create(spark, freshCfg(dim)).buildFromFile(npy)
+    assert(vi.search(vecs(11), k = 1, nProbe = 10000)
+      .collect().head.getLong(0) == 11L)
+    intercept[IllegalArgumentException](VectorIndexer.create(spark, freshCfg(dim))
+      .buildFromFile(dir.resolve("vs.txt").toString))
+    val empty = dir.resolve("empty.npy").toString
+    graft.sources.VectorFormats.writeNpy(Iterator.empty, 0, dim, empty)
+    intercept[IllegalArgumentException](
+      VectorIndexer.create(spark, freshCfg(dim)).buildFromFile(empty))
+  }
+
+  test("ts=0 records default to ingest wall-clock (vector_store.rs:36-40)") {
+    val cfg = freshCfg()
+    val before = System.currentTimeMillis() / 1000L
+    VectorIndexer.create(spark, cfg).buildFromRecords(Seq(
+      (1L, Array(1f, 2f, 3f, 4f), 0L),
+      (2L, Array(2f, 3f, 4f, 5f), 777L)))
+    val ts = spark.read.parquet(s"${cfg.indexDir}/vectors")
+      .select("vec_id", "ts").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ts(1L) >= before, s"ts=0 not defaulted: ${ts(1L)}")
+    assert(ts(2L) == 777L) // non-zero stored verbatim
+  }
+
+  test("searchMatrix shape uses the requested k even beyond maxK") {
+    // the reference Python binding always returns (nq, k); the maxK clamp
+    // only bounds how many slots are FILLED
+    val cfg = freshCfg().copy(maxK = 3)
+    val vi = VectorIndexer.create(spark, cfg).buildFromRecords(ramp(30, 4))
+    val (d, i) = vi.searchMatrix(Array(ramp(30, 4)(0)._2), k = 7, nProbe = 10000)
+    assert(d(0).length == 7 && i(0).length == 7)
+    assert(i(0).take(3).forall(_ >= 0))          // filled up to maxK
+    assert(i(0).drop(3).forall(_ == -1L))        // rest padded
+    assert(d(0).drop(3).forall(_.isPosInfinity))
+  }
+
   test("suggest_nlist parity") {
     assert(VectorIndexer.suggestNlist(5000) == math.sqrt(5000).toInt)
     assert(VectorIndexer.suggestNlist(1000000) == 4000)

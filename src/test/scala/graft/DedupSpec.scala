@@ -96,6 +96,38 @@ class DedupSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("LSH bit width scales with corpus size; buckets stay ~target-sized") {
+    import graft.operators.LshAnn
+    // nBits = ceil(log2(n/128)), clamped to [4, 24]: the probed fraction
+    // (nBits+1)/2^nBits must SHRINK as n grows — a fixed width is not an
+    // index at scale
+    assert(LshAnn.suggestBits(1000) == 4)
+    assert(LshAnn.suggestBits(100000) == 10)
+    assert(LshAnn.suggestBits(1000000) == 13)
+    assert(LshAnn.suggestBits(1000000000L) == 23)
+    assert(LshAnn.suggestBits(1L << 62) == 24) // clamp
+    def probedFraction(n: Long): Double = {
+      val b = LshAnn.suggestBits(n)
+      (b + 1).toDouble / (1L << b)
+    }
+    assert(probedFraction(1000000) < probedFraction(10000))
+    assert(probedFraction(1000000) < 0.01, "1M vectors must probe <1%")
+
+    // bucket population ≈ n / 2^bits on direction-uniform vectors
+    val n = 4096L
+    val dim = 16
+    val bits = LshAnn.suggestBits(n) // 5 → expected 128/bucket
+    val emb = graft.sources.VectorFormats.generate(spark, n, dim, seed = 7L)
+    val planes = LshAnn.hyperplanes(dim, bits, 42L)
+    val pops = LshAnn.bucketed(emb, "vec_id", "embedding", planes)
+      .groupBy("bucket").count().collect().map(_.getLong(1))
+    val expected = n.toDouble / (1L << bits)
+    assert(pops.length >= (1 << bits) / 2,
+      s"only ${pops.length} of ${1 << bits} buckets occupied")
+    assert(pops.max <= 6 * expected,
+      s"max bucket ${pops.max} vs expected ~$expected")
+  }
+
   test("embedding near-dup candidate generation is bucket-local and sane") {
     val r = DedupQueries.embeddingNeardupStats(spark, sf001).collect()(0)
     val nPairs = r.getLong(0)

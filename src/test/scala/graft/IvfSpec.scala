@@ -168,6 +168,50 @@ class IvfSpec extends SparkSpec {
     assert(partial < 500 && partial > 0, s"partial=$partial")
   }
 
+  test("write parallelism is not capped at shard count") {
+    // Ivf.build salts the repartition: with shuffle partitions >> numShards
+    // each shard is written by several tasks (>1 file per shard directory),
+    // so at 100 TB no single task sorts+writes a whole n/√k-row shard
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    try {
+      val dir = JFiles.createTempDirectory("graft_salted").toString
+      val idx = Ivf.build(Tables.embeddings(spark, sf0001), "vec_id", "embedding", dir)
+      val files = JFiles.walk(Paths.get(s"$dir/vectors")).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(files > idx.numShards, s"files=$files shards=${idx.numShards}")
+      // directory layout and completeness unchanged by the salting
+      val vecs = spark.read.parquet(s"$dir/vectors")
+      assert(vecs.count() == 500L)
+      assert(vecs.select("vec_id").distinct().count() == 500L)
+      assert(vecs.select("shard_id").distinct().count().toInt == idx.numShards)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("corrupt shard file raises a clean error, not a silent wrong answer") {
+    // mirrors tests/shards_tests.rs:587-630: a corrupted shard header is an
+    // ERROR in the reference (a missing shard, by contrast, is silently
+    // skipped — covered above). Spark's parquet footer validation gives the
+    // same semantics: the scan fails rather than returning partial data.
+    import java.nio.file.{Files => JFiles, Paths}
+    import scala.jdk.CollectionConverters._
+    val dir = JFiles.createTempDirectory("graft_corrupt").toString
+    val idx = Ivf.build(Tables.embeddings(spark, sf0001), "vec_id", "embedding", dir)
+    val victim = JFiles.walk(Paths.get(s"$dir/vectors")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val raf = new java.io.RandomAccessFile(victim.toFile, "rw")
+    try {
+      raf.seek(math.max(0L, raf.length() - 8))
+      raf.write(Array.fill[Byte](8)(0xFF.toByte)) // clobber the footer
+    } finally raf.close()
+    val q = embAll(1)._2
+    intercept[Throwable] {
+      Ivf.search(spark, idx, q, 10000, 10000).count()
+    }
+  }
+
   test("recall sweep: monotone in n_probe, exact at full probe") {
     // mirrors the reference bench protocol + integration_tests.rs:383-388
     val qs = graft.operators.RecallEval.perturbedQueries(embAll.take(20), 0.5f)

@@ -30,6 +30,22 @@ class SkewSpec extends SparkSpec {
     assert(twoPhase("a") == 0L)
   }
 
+  test("two-phase count-distinct counts NULL keys' non-null values") {
+    // groupBy groups NULL keys together, but a null-unsafe re-attach join
+    // would never match NULL = NULL and report 0 — must use <=>
+    import spark.implicits._
+    val df = Seq((Some("a"), Some(1)), (None: Option[String], Some(1)),
+      (None, Some(2)), (None, None: Option[Int]))
+      .toDF("k", "v")
+    val direct = df.groupBy(col("k").as("__key"))
+      .agg(countDistinct(col("v")).as("n_distinct"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val twoPhase = Skew.countDistinctTwoPhase(df, col("k"), col("v"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(twoPhase == direct)
+    assert(twoPhase(None) == 2L)
+  }
+
   test("salted collect_set equals direct collect_set") {
     val li = Tables.lineitem(spark, sf0001).where(col("l_suppkey") < 4)
     val direct = li.groupBy(col("l_suppkey").as("__key"))

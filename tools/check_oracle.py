@@ -11,7 +11,7 @@ the Spark parquet dump — columns sorted by name, rows sorted by all
 columns, exact value equality (floats compared exactly; report max
 abs diff when close).
 """
-import json, math, subprocess, sys
+import json, math, struct, subprocess, sys
 from pathlib import Path
 
 import duckdb
@@ -21,8 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
 
 
 def norm(v):
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
+    # Floats compare BITWISE (the driver hashes typed values, so -0.0 vs
+    # 0.0 or a 1-ulp difference is a real failure even though == passes).
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return struct.pack("<d", v).hex()
     return v
 
 
