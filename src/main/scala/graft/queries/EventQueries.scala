@@ -178,7 +178,43 @@ object EventQueries {
       |  ON n.user_id = d.user_id AND n.day = d.day + 1
       |GROUP BY d.day ORDER BY d.day""".stripMargin
 
+  /** As-of join: each purchase matched to the user's most recent
+    * prior-or-simultaneous click (graft.operators.AsofJoin — union +
+    * carry-forward window, one shuffle on user_id). Clicks are
+    * pre-deduplicated to one per (user, ms) per the operator contract.
+    */
+  def asofPurchaseClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_millis(col("ts")).as("ms"), col("event_type"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ms"))
+    val clicks = ev.where(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ms"))
+      .agg(max(col("event_id")).as("click_id"))
+    graft.operators.AsofJoin.asof(purchases, clicks, "user_id", "ms")
+      .select(col("purchase_id"), col("user_id"),
+        col("ms").as("purchase_ms"), col("click_id"),
+        col("ms_right").as("click_ms"),
+        (col("ms") - col("ms_right")).as("lag_ms"))
+      .orderBy(col("purchase_id"))
+  }
+
+  private val asofPurchaseClickSql =
+    """WITH p AS (
+      |  SELECT event_id AS purchase_id, user_id, epoch_ms(ts) AS purchase_ms
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, epoch_ms(ts) AS click_ms, max(event_id) AS click_id
+      |  FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT p.purchase_id, p.user_id, p.purchase_ms, c.click_id, c.click_ms,
+      |  p.purchase_ms - c.click_ms AS lag_ms
+      |FROM p ASOF JOIN c
+      |  ON p.user_id = c.user_id AND p.purchase_ms >= c.click_ms
+      |ORDER BY p.purchase_id""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "events_asof_click" -> QueryDef(asofPurchaseClick, Some(asofPurchaseClickSql)),
     "daily_retention" -> QueryDef(dailyRetention, Some(dailyRetentionSql)),
     "events_json_path" -> QueryDef(jsonPathStats, Some(jsonPathStatsSql)),
     "events_hourly" -> QueryDef(hourlyCounts, Some(hourlyCountsSql)),

@@ -263,7 +263,93 @@ object TextQueries {
       |SELECT doc_id, unnest(mins) AS fingerprint FROM m
       |ORDER BY doc_id, fingerprint""".stripMargin
 
+  /** TF-IDF top-5 terms per document (doc_id < 100 slice): tf from one
+    * (doc, term) groupBy; df re-aggregated from the tf table (already
+    * unique per (doc, term) → a plain count — no second pass over raw
+    * tokens); N computed once driver-side. Persist barrier because tf
+    * feeds both the df aggregate and the scoring join. Ranked per doc by
+    * (rounded score desc, term asc) — rounding BEFORE ranking keeps the
+    * cross-engine order stable at float boundaries.
+    */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).where(col("doc_id") < 100)
+    val nDocs = docs.count()
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 5)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  private val tfidfTopTermsSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS term
+      |  FROM documents WHERE doc_id < 100),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 100),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+      |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 4) AS score
+      |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n),
+      |r AS (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      |      FROM scored)
+      |SELECT doc_id, rank, term, tf, df, score
+      |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin
+
+  /** Deterministic 25% content-hash sample (graft.operators.Sampling):
+    * the selected set is a pure function of text content — identical in
+    * any engine computing standard md5, any partitioning, any run.
+    */
+  def hashSampleDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.hashSample(
+      Tables.documents(spark, dir), col("text"), 0.25)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy(col("doc_id"))
+
+  private val hashSampleDocsSql =
+    """SELECT doc_id, lang, source FROM documents
+      |WHERE substr(md5(text), 1, 8) < '40000000'
+      |ORDER BY doc_id""".stripMargin
+
+  /** Stratified deterministic sample: per-language rates (en 25%,
+    * zh 75%, others 50%) via one CASE threshold — a single map-side
+    * filter, no per-stratum passes.
+    */
+  def stratifiedSampleCounts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratifiedHashSample(
+      Tables.documents(spark, dir), col("text"), col("lang"),
+      Map("en" -> 0.25, "zh" -> 0.75), defaultFraction = 0.5)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy(col("lang"))
+
+  private val stratifiedSampleCountsSql =
+    """SELECT lang, count(*) AS n_sampled FROM documents
+      |WHERE substr(md5(text), 1, 8) <
+      |  CASE lang WHEN 'en' THEN '40000000'
+      |            WHEN 'zh' THEN 'c0000000'
+      |            ELSE '80000000' END
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "tfidf_top_terms" -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql)),
+    "docs_hash_sample" -> QueryDef(hashSampleDocs, Some(hashSampleDocsSql)),
+    "docs_stratified_sample" -> QueryDef(stratifiedSampleCounts, Some(stratifiedSampleCountsSql)),
     "token_count_bpe" -> QueryDef(tokenCountBpe, Some(tokenCountBpeSql)),
     "doc_winnow_fingerprints" -> QueryDef(winnowFingerprints, Some(winnowFingerprintsSql)),
     "doc_stats" -> QueryDef(docStats, Some(docStatsSql)),
