@@ -27,11 +27,22 @@ object StreamQueries {
       |FROM l WHERE user_id < 200
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  private val intervalJoinSql =
+    """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+      |  epoch_ms(p.ts) AS purchase_ms, epoch_ms(c.ts) AS click_ms
+      |FROM events p JOIN events c
+      |  ON p.user_id = c.user_id
+      | AND p.event_type = 'purchase' AND c.event_type = 'click'
+      | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
+      |ORDER BY purchase_id, click_id""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "stream_hourly" -> QueryDef(
       EventsStreaming.hourlyQuery, Some(hourlySql), bench = false),
     "stream_sessions" -> QueryDef(
       EventsStreaming.sessionQuery, Some(sessionsSql), bench = false),
+    "stream_interval_join" -> QueryDef(
+      EventsStreaming.intervalJoinQuery, Some(intervalJoinSql), bench = false),
     "multimodal_stats" -> QueryDef(
       Multimodal.stats, None),
     "multimodal_feature_pairs" -> QueryDef(

@@ -150,7 +150,66 @@ object VectorQueries {
       |      FROM n)
       |ORDER BY vec_id, pos""".stripMargin
 
+  /** Int8 quantization fidelity (operators.Quantize): per-vector scale,
+    * exact integer L1 of the quantized codes (bitwise-stable checksum),
+    * and max reconstruction error — all in-array folds, no cross-row
+    * float aggregation, so the oracle compares bitwise.
+    */
+  def quantizeStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantize
+    Quantize.withInt8(
+        Tables.embeddings(spark, dir).where(col("vec_id") < 50), "embedding")
+      .withColumn("deq", Quantize.dequantize(col("q_emb"), col("q_scale")))
+      .select(col("vec_id"),
+        round(col("q_scale"), 6).as("scale6"),
+        aggregate(col("q_emb"), lit(0L),
+          (a, v) => a + abs(v.cast("long"))).as("q_l1"),
+        round(aggregate(zip_with(col("embedding"), col("deq"),
+            (x, d) => abs(x.cast("double") - d.cast("double"))),
+          lit(0.0), (a, e) => greatest(a, e)), 6).as("max_err"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val quantizeStatsSql =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(greatest(list_reduce(list_transform(embedding, x -> abs(x)),
+      |           (a, b) -> greatest(a, b)),
+      |         CAST(1.401298464324817e-45 AS FLOAT)) AS DOUBLE) / 127.0 AS scale
+      |  FROM embeddings WHERE vec_id < 50),
+      |q AS (
+      |  SELECT vec_id, embedding, scale,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) / scale) AS TINYINT)) AS qv
+      |  FROM s)
+      |SELECT vec_id, round(scale, 6) AS scale6,
+      |  list_reduce(list_transform(qv, v -> abs(CAST(v AS BIGINT))),
+      |    (a, b) -> a + b) AS q_l1,
+      |  round(list_reduce(list_transform(list_zip(embedding, qv),
+      |    p -> abs(CAST(p[1] AS DOUBLE)
+      |             - CAST(CAST(CAST(p[2] AS DOUBLE) * scale AS FLOAT) AS DOUBLE))),
+      |    (a, b) -> greatest(a, b)), 6) AS max_err
+      |FROM q ORDER BY vec_id""".stripMargin
+
+  /** Top-10 ANN over int8-dequantized embeddings (the 4×-compressed
+    * scan path) — rows-only; the overlap-vs-exact gate lives in
+    * QuantizeSpec.
+    */
+  def quantizedTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Quantize
+    val emb = Quantize.withInt8(Tables.embeddings(spark, dir), "embedding")
+      .withColumn("deq", Quantize.dequantize(col("q_emb"), col("q_scale")))
+    val q = emb.where(col("vec_id") === 0L).select(col("deq").as("qe"))
+    emb.crossJoin(broadcast(q))
+      .withColumn("distance", Vec.squaredL2(col("deq"), col("qe")))
+      .orderBy(col("distance"), col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("distance"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "embedding_quantize_stats" -> QueryDef(quantizeStats, Some(quantizeStatsSql)),
+    "ann_quantized_topk" -> QueryDef(quantizedTopK, None),
     "vec_normalize" -> QueryDef(normalizedSample, Some(normalizedSampleSql)),
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)),
     "knn_exact" -> QueryDef(

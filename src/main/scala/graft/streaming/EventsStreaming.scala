@@ -91,6 +91,40 @@ object EventsStreaming {
       .select(col("user_id"), col("event_type"), col("hour_start"),
         col("event_id"))
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's clicks in the preceding 30 minutes. Both sides carry a 1-hour
+    * watermark and the join condition is a bounded event-time range, so
+    * Spark can evict join state (clicks older than watermark − 30 min can
+    * never match a future purchase) — state is bounded on an unbounded
+    * stream, the requirement for stream-stream joins at scale. Inner
+    * interval joins in Append mode emit exactly the batch-join result.
+    */
+  def intervalJoin(purchaseSrc: DataFrame, clickSrc: DataFrame): DataFrame = {
+    val purchases = purchaseSrc.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = clickSrc.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"),
+        col("p_user").as("user_id"),
+        unix_millis(col("p_ts")).as("purchase_ms"),
+        unix_millis(col("c_ts")).as("click_ms"))
+  }
+
+  /** Catalog query: streaming interval join, materialized. */
+  def intervalJoinQuery(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark,
+      intervalJoin(readEvents(spark, dir), readEvents(spark, dir)),
+      s"stream_interval_${math.abs(dir.hashCode)}", OutputMode.Append())
+      .orderBy(col("purchase_id"), col("click_id"))
+
   /** Run a streaming DataFrame to completion against the static input and
     * return the final result from a memory sink (test/verify harness;
     * production would use a real sink + trigger).

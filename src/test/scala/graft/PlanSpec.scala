@@ -39,4 +39,17 @@ class PlanSpec extends SparkSpec {
     assert(plan("order_priority_count").contains("LeftSemi"))
     assert(plan("customers_without_orders").contains("LeftAnti"))
   }
+
+  test("as-of join: one data shuffle (window key), no join explosion") {
+    val p = plan("events_asof_click")
+    // union + carry-forward window: hash exchange on the key for the
+    // window (+ at most the final presentation sort's range exchange) —
+    // no BroadcastNestedLoopJoin / CartesianProduct from a naive range
+    // join, and no SortMergeJoin: the "join" is the window itself
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"as-of join exploded:\n${p.take(2000)}")
+    assert(p.contains("Window"), "carry-forward window missing")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 3, s"too many shuffles ($exchanges):\n${p.take(3000)}")
+  }
 }

@@ -24,6 +24,28 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val stream = EventsStreaming.intervalJoinQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val ev = Tables.events(spark, sf0001)
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("c_user"), col("ts").as("c_ts"))
+    val batch = p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("purchase_id"), col("click_id"), col("user_id"),
+        unix_millis(col("p_ts")).as("purchase_ms"),
+        unix_millis(col("c_ts")).as("click_ms"))
+      .orderBy(col("purchase_id"), col("click_id"))
+      .collect().map(_.toSeq).toSeq
+    assert(stream.nonEmpty && stream == batch)
+  }
+
   test("streaming dedup keeps one event per (user, type, hour)") {
     import org.apache.spark.sql.streaming.OutputMode
     val out = EventsStreaming.runToCompletion(spark,
