@@ -21,6 +21,7 @@ object Catalog {
       TextQueries.defs ++
       EventQueries.defs ++
       DedupQueries.defs ++
+      QualityQueries.defs ++
       IndexQueries.defs ++
       StreamQueries.defs
 

@@ -193,7 +193,10 @@ object DedupQueries {
     * match exactly. The xxhash64 variant above is the fast path for the
     * bench; this one proves the pipeline against DuckDB end to end.
     */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+  /** The verified near-dup pair set behind `minhash_lsh_pairs` and
+    * `dedup_clusters`: (a_id, b_id, jaccard ≥ 0.7), unsorted.
+    */
+  def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val nHashes = 8
     val docs = (0 until nHashes).foldLeft(
       shingledDocs(Tables.documents(spark, dir))) { (d, i) =>
@@ -216,9 +219,77 @@ object DedupQueries {
         size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
           size(array_union(col("a_sh"), col("b_sh"))))
       .where(col("jaccard") >= 0.7)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashVerifiedPairs(spark, dir)
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy(col("a_id"), col("b_id"))
+
+  /** Near-dup CLUSTERS: the verified MinHash pair graph collapsed into
+    * connected components (graft.operators.ConnectedComponents) — the
+    * "keep one per cluster" step a dedup pipeline actually executes.
+    * cluster_id = the component's minimum doc_id; that member is the
+    * canonical survivor. Oracle = the same LSH pipeline + a recursive
+    * CTE computing min-reachable-id in DuckDB.
+    */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val comp = graft.operators.ConnectedComponents.run(
+      minhashVerifiedPairs(spark, dir), "a_id", "b_id")
+    val sizes = comp.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    comp.join(sizes, "cluster_id")
+      .select(col("id").as("doc_id"), col("cluster_id"),
+        (col("id") === col("cluster_id")).as("is_canonical"),
+        col("cluster_size"))
+      .orderBy(col("doc_id"))
   }
+
+  private val dedupClustersSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, s,
+      |    list_transform(range(0, 8), h ->
+      |      list_aggregate(list_transform(s, x ->
+      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, s, b AS band_idx,
+      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
+      |  FROM sig, unnest(range(0, 4)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      |  FROM banded l JOIN banded r
+      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+      |   AND l.doc_id < r.doc_id),
+      |ver AS (
+      |  SELECT c.a_id, c.b_id
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+      |              JOIN sh sb ON sb.doc_id = c.b_id
+      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |        / len(list_distinct(sa.s || sb.s)) >= 0.7),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM ver
+      |  UNION ALL SELECT b_id, a_id FROM ver),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+      |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT c.id AS doc_id, c.cluster_id,
+      |  c.id = c.cluster_id AS is_canonical, cs.cluster_size
+      |FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
+      |                  FROM comp GROUP BY cluster_id) cs USING (cluster_id)
+      |ORDER BY doc_id""".stripMargin
 
   private val minhashLshPairsSql =
     """WITH toks AS (
@@ -366,6 +437,7 @@ object DedupQueries {
     "ngram_jaccard_top_pairs" -> QueryDef(ngramJaccardTopPairs, Some(ngramJaccardTopPairsSql)),
     "minhash_lsh_stats" -> QueryDef(minhashLshStats, None),
     "minhash_lsh_pairs" -> QueryDef(minhashLshPairs, Some(minhashLshPairsSql)),
+    "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "simhash_docs" -> QueryDef(simhashDocs, Some(simhashDocsSql)),
     "simhash_near_pairs" -> QueryDef(simhashNearPairs, Some(simhashNearPairsSql)),
     "embedding_neardup_stats" -> QueryDef(embeddingNeardupStats, None)

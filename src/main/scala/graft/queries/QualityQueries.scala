@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.TextQueries.tokens
+
+/** Training-data quality filters over `documents.parquet`:
+  * Gopher-style repetition ratios and benchmark-decontamination n-gram
+  * overlap. Both are the shapes a 100 TB pre-training pipeline runs
+  * corpus-wide before training.
+  */
+object QualityQueries {
+
+  /** Distinct word n-grams of an already-materialized tokens column
+    * (staged, same reason as DedupQueries.shinglesFromTokens: inlining
+    * the tokenizer makes Catalyst re-split per element access).
+    * Documents shorter than n yield an empty array.
+    */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
+  /** Per-document repetition stats (Gopher-style quality filters,
+    * token-weighted): repeated-word fraction, most-frequent-bigram
+    * fraction, and duplicated-trigram fraction. Shape: two
+    * explode → two-level aggregations (partial map-side combine does the
+    * heavy lifting; the (doc_id, gram) key is unique per doc so there is
+    * no skew), joined back per doc — all joins co-partitioned on doc_id
+    * after the second-level groupBy, so the plan has exactly one real
+    * shuffle per n-gram size.
+    */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .where(col("doc_id") < 100)
+      .withColumn("toks", tokens(col("text")))
+    val words = docs.select(col("doc_id"),
+      round(lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+        greatest(size(col("toks")), lit(1)), 4).as("rep_word_frac"))
+    def gramStats(n: Int, top: String, dup: String): DataFrame =
+      docs.select(col("doc_id"), explode(wordNgrams(col("toks"), n)).as("g"))
+        .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(
+          round(max(col("c")).cast("double") / sum(col("c")), 4).as(top),
+          round(sum(when(col("c") >= 2, col("c")).otherwise(0))
+            .cast("double") / sum(col("c")), 4).as(dup))
+    words
+      .join(gramStats(2, "top_bigram_frac", "dup_bigram_frac"), "doc_id")
+      .join(gramStats(3, "top_trigram_frac", "dup_trigram_frac"), "doc_id")
+      .select(col("doc_id"), col("rep_word_frac"), col("top_bigram_frac"),
+        col("dup_bigram_frac"), col("dup_trigram_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionStatsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents WHERE doc_id < 100),
+      |words AS (
+      |  SELECT doc_id, round(1.0 - CAST(len(list_distinct(t)) AS DOUBLE)
+      |    / greatest(len(t), 1), 4) AS rep_word_frac
+      |  FROM toks),
+      |bi AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t)),
+      |    i -> t[i] || ' ' || t[i+1])) AS g
+      |  FROM toks WHERE len(t) >= 2),
+      |bic AS (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY 1, 2),
+      |bistat AS (
+      |  SELECT doc_id,
+      |    round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_bigram_frac,
+      |    round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+      |      / sum(c), 4) AS dup_bigram_frac
+      |  FROM bic GROUP BY doc_id),
+      |tri AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, len(t) - 1),
+      |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS g
+      |  FROM toks WHERE len(t) >= 3),
+      |tric AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2),
+      |tristat AS (
+      |  SELECT doc_id,
+      |    round(CAST(max(c) AS DOUBLE) / sum(c), 4) AS top_trigram_frac,
+      |    round(CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+      |      / sum(c), 4) AS dup_trigram_frac
+      |  FROM tric GROUP BY doc_id)
+      |SELECT doc_id, rep_word_frac, top_bigram_frac, dup_bigram_frac,
+      |  dup_trigram_frac
+      |FROM words JOIN bistat USING (doc_id) JOIN tristat USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: flag training documents sharing any
+    * distinct word 5-gram with the held-out "test" sources (src18/src19
+    * stand in for an eval benchmark). The test-side gram set is tiny
+    * relative to the corpus by construction (benchmarks are small), so
+    * it is broadcast — the train side is scanned exactly once, map-side,
+    * with no O(corpus) shuffle. This is the PaLM/GPT-3-style n-gram
+    * overlap decontamination shape.
+    */
+  def decontamOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val testSources = Seq("src18", "src19")
+    // persist: the gram table feeds the test-side distinct, the per-doc
+    // totals, and the hit join — one tokenize+shingle pass, not three
+    val grams = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(wordNgrams(col("toks"), 5))).as("g"))
+      .persist()
+    val testG = grams.where(col("source").isin(testSources: _*))
+      .select(col("g")).distinct()
+    val train = grams.where(!col("source").isin(testSources: _*))
+    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    val hits = train.join(broadcast(testG), "g")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
+    totals.join(hits, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_grams"), 4)
+          .as("contaminated_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val decontamOverlapSql =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, source, unnest(list_distinct(CASE WHEN len(t) >= 5
+      |    THEN list_transform(range(1, len(t) - 3),
+      |         i -> list_aggregate(t[i:i+4], 'string_agg', ' '))
+      |    ELSE [] END)) AS g
+      |  FROM toks),
+      |test_g AS (SELECT DISTINCT g FROM grams WHERE source IN ('src18', 'src19')),
+      |train AS (SELECT * FROM grams WHERE source NOT IN ('src18', 'src19')),
+      |totals AS (SELECT doc_id, count(*) AS n_grams FROM train GROUP BY doc_id),
+      |hits AS (
+      |  SELECT doc_id, count(*) AS n_contaminated
+      |  FROM train JOIN test_g USING (g) GROUP BY doc_id)
+      |SELECT doc_id, n_grams, n_contaminated,
+      |  round(CAST(n_contaminated AS DOUBLE) / n_grams, 4) AS contaminated_frac
+      |FROM totals JOIN hits USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+    "doc_repetition_stats" -> QueryDef(repetitionStats, Some(repetitionStatsSql)),
+    "decontam_overlap" -> QueryDef(decontamOverlap, Some(decontamOverlapSql))
+  )
+}

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ConnectedComponents
+
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.run(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("single edge forms one two-node cluster") {
+    assert(cc(Seq((5L, 3L))) == Map(5L -> 3L, 3L -> 3L))
+  }
+
+  test("a chain collapses to the minimum id (worst-case diameter)") {
+    // 9-8-7-...-1: label 1 must propagate the full diameter
+    val chain = (1L until 9L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got.keySet == (1L to 9L).toSet)
+    assert(got.values.forall(_ == 1L))
+  }
+
+  test("disjoint components keep separate min labels") {
+    val got = cc(Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 20L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("edge direction does not matter") {
+    assert(cc(Seq((7L, 2L), (2L, 9L))) == cc(Seq((2L, 7L), (9L, 2L))))
+  }
+
+  test("dedup_clusters: canonical member is the cluster min, sizes consistent") {
+    val out = graft.queries.DedupQueries.dedupClusters(spark, sf001).collect()
+    assert(out.nonEmpty)
+    val byCluster = out.groupBy(_.getLong(1))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getLong(0)).min == cid)
+      assert(members.count(_.getBoolean(2)) == 1)
+      assert(members.forall(_.getLong(3) == members.length))
+      assert(members.length >= 2) // every clustered doc has a near-dup
+    }
+    // clusters must cover exactly the docs that appear in a verified pair
+    val pairDocs = graft.queries.DedupQueries.minhashVerifiedPairs(spark, sf001)
+      .select(explode(array(col("a_id"), col("b_id"))))
+      .distinct().as[Long].collect().toSet
+    assert(out.map(_.getLong(0)).toSet == pairDocs)
+  }
+}
