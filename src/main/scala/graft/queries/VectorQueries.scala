@@ -207,9 +207,41 @@ object VectorQueries {
       .select(col("vec_id"), col("distance"))
   }
 
+  /** Top-10 ANN by PQ asymmetric distance (operators.Pq): codebooks
+    * trained on the deterministic vec_id-hash pool, table encoded to
+    * m=8 byte codes (32× vs float32), scan = LUT-fold per row inside
+    * whole-stage codegen. Deterministic but not SQL-expressible →
+    * rows-only; the recall-vs-exact gate lives in PqSpec.
+    */
+  private val pqModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Pq.Model]
+
+  /** Codebooks trained once per (JVM, sfDir) — training is the build
+    * step (like `ivf_build`, timed separately in Bench); the query
+    * measures encode + ADC scan.
+    */
+  def pqModel(spark: SparkSession, dir: String): graft.operators.Pq.Model =
+    pqModels.getOrElseUpdate(dir, {
+      val emb = Tables.embeddings(spark, dir)
+      val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
+      graft.operators.Pq.train(emb, "embedding", dim, m = 8, ksub = 256,
+        orderCol = Some("vec_id"))
+    })
+
+  def pqTopK(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val model = pqModel(spark, dir)
+    Pq.search(Pq.encode(emb, "embedding", model), "vec_id", "pq_code",
+      model, q, 10)
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "embedding_quantize_stats" -> QueryDef(quantizeStats, Some(quantizeStatsSql)),
     "ann_quantized_topk" -> QueryDef(quantizedTopK, None),
+    "ann_pq_topk" -> QueryDef(pqTopK, None),
     "vec_normalize" -> QueryDef(normalizedSample, Some(normalizedSampleSql)),
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)),
     "knn_exact" -> QueryDef(
