@@ -142,8 +142,52 @@ object QualityQueries {
       |FROM totals JOIN hits USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** GPT-style sequence packing: per source, documents are concatenated
+    * in doc_id order and cut into fixed `budget`-token training
+    * sequences; each doc reports the sequence it starts in, its token
+    * offset there, and how many sequences it spans. An exclusive
+    * prefix-sum window per source — no shuffle beyond the one window
+    * exchange, and sources pack independently so the parallelism unit
+    * at 100 TB is the (source, shard) partition, not a global sort.
+    */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 256L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        floor(col("tokens_before") / budget).as("seq_index"),
+        pmod(col("tokens_before"), lit(budget)).as("seq_offset"),
+        (floor((col("tokens_before") + col("n_tokens") - 1) / budget) -
+          floor(col("tokens_before") / budget) + 1).as("n_seqs_spanned"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
+  private val packSequencesSql =
+    """WITH t AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |p AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+      |  FROM t)
+      |SELECT source, doc_id, n_tokens,
+      |  tokens_before // 256 AS seq_index,
+      |  tokens_before % 256 AS seq_offset,
+      |  (tokens_before + n_tokens - 1) // 256 - tokens_before // 256 + 1
+      |    AS n_seqs_spanned
+      |FROM p ORDER BY source, doc_id""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "doc_repetition_stats" -> QueryDef(repetitionStats, Some(repetitionStatsSql)),
-    "decontam_overlap" -> QueryDef(decontamOverlap, Some(decontamOverlapSql))
+    "decontam_overlap" -> QueryDef(decontamOverlap, Some(decontamOverlapSql)),
+    "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql))
   )
 }

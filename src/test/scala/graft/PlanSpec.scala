@@ -40,6 +40,39 @@ class PlanSpec extends SparkSpec {
     assert(plan("customers_without_orders").contains("LeftAnti"))
   }
 
+  test("decontam: test-gram set broadcast, train side never shuffled for the join") {
+    val p = plan("decontam_overlap")
+    assert(p.contains("BroadcastHashJoin"), "test-gram join not broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"train corpus shuffled for the gram join:\n${p.take(2000)}")
+  }
+
+  test("pack_sequences: one window exchange per source partition, no extra shuffle") {
+    val p = plan("pack_sequences")
+    assert(p.contains("Window"), "prefix-sum window missing")
+    // hashpartitioning(source) for the window + the presentation sort's
+    // range exchange — nothing else
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"too many shuffles ($exchanges):\n${p.take(3000)}")
+  }
+
+  test("PQ ADC scan: codegen HOF fold, no UDF on the query path") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val model = graft.queries.VectorQueries.pqModel(spark, sf0001)
+    val q = emb.where(org.apache.spark.sql.functions.col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val encoded = graft.operators.Pq.encode(emb, "embedding", model)
+      .select("vec_id", "pq_code")
+    val p = graft.operators.Pq
+      .search(encoded, "vec_id", "pq_code", model, q, 10)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), "top-k not heap-based")
+    // the scan subtree after encoding must not invoke the encode UDF —
+    // ADC is zip_with/aggregate over the stored codes only
+    assert(p.contains("zip_with") || p.contains("aggregate"),
+      s"ADC fold missing:\n${p.take(2000)}")
+  }
+
   test("as-of join: one data shuffle (window key), no join explosion") {
     val p = plan("events_asof_click")
     // union + carry-forward window: hash exchange on the key for the
