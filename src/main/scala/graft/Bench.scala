@@ -21,7 +21,8 @@ object Bench {
         System.err.println(s"[bench] ivf_build FAILED: ${e.getMessage}")
         -1.0
       }
-    // PQ codebook training is likewise a one-per-JVM build step
+    // PQ codebook training + coded-dataset write are likewise
+    // one-per-JVM build steps
     val pqT0 = System.nanoTime()
     val pqTrainTime =
       try { graft.queries.VectorQueries.pqModel(spark, sfDir); (System.nanoTime() - pqT0) / 1e9 }
@@ -29,9 +30,17 @@ object Bench {
         System.err.println(s"[bench] pq_train FAILED: ${e.getMessage}")
         -1.0
       }
+    val pqEncT0 = System.nanoTime()
+    val pqEncodeTime =
+      try { graft.queries.IndexQueries.pqCodesPath(spark, sfDir); (System.nanoTime() - pqEncT0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ivfpq_encode FAILED: ${e.getMessage}")
+        -1.0
+      }
     // a failed query reports -1 (not its elapsed-until-crash time) so a
     // regression can never masquerade as a speedup in the headline JSON
-    val results = Map("ivf_build" -> buildTime, "pq_train" -> pqTrainTime) ++
+    val results = Map("ivf_build" -> buildTime, "pq_train" -> pqTrainTime,
+      "ivfpq_encode" -> pqEncodeTime) ++
       graft.queries.Catalog.all
       .filter { case (_, d) => d.bench }
       .map { case (name, d) =>

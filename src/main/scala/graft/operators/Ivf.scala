@@ -132,6 +132,21 @@ object Ivf {
       config)
   }
 
+  /** Probe selection against the driver-held routing table: the nProbe
+    * nearest centroids (distance, then id, ascending) and their distinct
+    * shard set (J5/T1/P5). Shared by float search and the PQ-coded
+    * variant (IvfPq).
+    */
+  def probeSelection(index: Index, query: Array[Float],
+      nProbe: Int): (Seq[Int], Seq[Int]) = {
+    val probes = index.centroids.indices
+      .map(i => (i, KMeans.sqDist(query, index.centroids(i))))
+      .sortBy(p => (p._2, p._1))
+      .take(nProbe)
+      .map(_._1)
+    (probes, probes.map(index.centroidToShard).distinct)
+  }
+
   /** Top-k search. Returns `(external_id, distance[, embedding])` ascending
     * by (distance, external_id).
     */
@@ -145,14 +160,8 @@ object Ivf {
     require(query.length == index.centroids(0).length,
       s"query dimension ${query.length} != index dimension ${index.centroids(0).length}")
 
-    // probe selection on the driver over the routing table (J5/T1):
-    // distances to all k centroids, ascending, take nProbe
-    val probes = index.centroids.indices
-      .map(i => (i, KMeans.sqDist(query, index.centroids(i))))
-      .sortBy(p => (p._2, p._1))
-      .take(nProbe)
-      .map(_._1)
-    val shards = probes.map(index.centroidToShard).distinct // P5
+    // probe selection on the driver over the routing table (J5/T1)
+    val (probes, shards) = probeSelection(index, query, nProbe)
 
     // pruned scan: directory pruning on shard_id + row-group skipping on
     // centroid_id (replaces S8 selective reads), then distance + top-k via

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** IVF-PQ: the faiss `IndexIVFPQ` architecture on Spark — IVF partition
+  * pruning over a PQ-coded dataset. The coded sibling of the IVF vectors
+  * dataset keeps the same `shard_id` directory layout and `centroid_id`
+  * row-group clustering, but stores m code bytes instead of d floats per
+  * row, so a probe-pruned ADC scan reads `nProbe/k` of `m/(4d)` of the
+  * raw bytes — at 100 TB of float32 embeddings with the default shapes
+  * that is a few hundred GB actually scanned, per thousand queries,
+  * fully parallel.
+  *
+  * Search composes the two operators as-is: `Ivf.probeSelection` on the
+  * driver routing table → directory/row-group pruned scan → `Pq.adc`
+  * LUT-fold (pure codegen) → `TakeOrderedAndProject`.
+  */
+object IvfPq {
+
+  /** Write the PQ-coded sibling dataset of an IVF index. One-time build
+    * step; same salted-write parallelism contract as `Ivf.build`.
+    */
+  def buildCodes(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
+      outPath: String, idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val numShards = ivf.numShards
+    val salts = math.max(1, math.ceil(shuffleParts.toDouble / numShards).toInt)
+    Pq.encode(spark.read.parquet(ivf.vectorsPath), embCol, model)
+      .select(col("shard_id"), col("centroid_id"), col(idCol), col("pq_code"))
+      .repartition(shuffleParts, col("shard_id"),
+        pmod(xxhash64(col(idCol)), lit(salts)))
+      .sortWithinPartitions(col("centroid_id"), col(idCol))
+      .write.mode("overwrite")
+      .partitionBy("shard_id")
+      .parquet(outPath)
+  }
+
+  /** Top-k by ADC over the probe-pruned coded dataset. */
+  def search(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
+      codesPath: String, query: Array[Float], k0: Int, nProbe0: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    val k = math.min(k0, ivf.config.maxK)
+    val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
+    require(k > 0, "k must be > 0")
+    require(nProbe > 0, "n_probe must be > 0")
+    val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
+    spark.read.parquet(codesPath)
+      .where(col("shard_id").isin(shards: _*) &&
+        col("centroid_id").isin(probes: _*))
+      .withColumn("distance", Pq.adc(col("pq_code"), Pq.lutFor(query, model)))
+      .orderBy(col("distance").asc_nulls_last, col(idCol))
+      .limit(k)
+      .select(col(idCol).as("external_id"), col("distance"))
+  }
+}

@@ -138,7 +138,35 @@ object IndexQueries {
       planes, queryVec(spark, dir, 0L), k = 10, nProbeBits = nBits)
   }
 
+  /** PQ-coded sibling of the IVF dataset, built once per (JVM, sfDir). */
+  private val pqCodesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def pqCodesPath(spark: SparkSession, dir: String): String =
+    pqCodesCache.computeIfAbsent(dir, { d =>
+      val idx = index(spark, d)
+      val model = VectorQueries.pqModel(spark, d)
+      val path =
+        s"/tmp/graft_index/${d.replaceAll("[^A-Za-z0-9.]", "_")}/pq_codes"
+      graft.operators.IvfPq.buildCodes(spark, idx, model, path)
+      path
+    })
+
+  /** IVF-PQ ANN (faiss IndexIVFPQ shape): probe-pruned directory scan
+    * over the byte-coded dataset + codegen ADC fold. Deterministic
+    * (seed-42 index + codebooks) but approximate → rows-only; the
+    * recall gate lives in IvfPqSpec.
+    */
+  def ivfPqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val model = VectorQueries.pqModel(spark, dir)
+    graft.operators.IvfPq.search(spark, idx, model,
+      pqCodesPath(spark, dir), queryVec(spark, dir, 0L),
+      k0 = 10, nProbe0 = 20)
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "ann_ivfpq_topk" -> QueryDef(ivfPqTopK, None),
     "ann_lsh_topk" -> QueryDef(lshAnnTopK, None),
     "recall_sweep" -> QueryDef(recallSweep, None),
     "ivf_search_probe_all" -> QueryDef(searchProbeAll, Some(searchProbeAllSql)),

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.IvfPq
+import graft.queries.{IndexQueries, VectorQueries}
+
+class IvfPqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val idx = IndexQueries.index(spark, sf0001)
+  private lazy val model = VectorQueries.pqModel(spark, sf0001)
+  private lazy val codes = IndexQueries.pqCodesPath(spark, sf0001)
+
+  private def query(qid: Long): Array[Float] =
+    Tables.embeddings(spark, sf0001).where(col("vec_id") === qid)
+      .select("embedding").head().getSeq[Float](0).toArray
+
+  test("coded dataset is complete and keeps the IVF layout") {
+    val df = spark.read.parquet(codes)
+    assert(df.count() == Tables.embeddings(spark, sf0001).count())
+    assert(df.columns.toSet ==
+      Set("shard_id", "centroid_id", "vec_id", "pq_code"))
+    // every (shard, centroid) cell of the float dataset exists here too
+    val cells = spark.read.parquet(idx.vectorsPath)
+      .select("shard_id", "centroid_id").distinct().count()
+    assert(df.select("shard_id", "centroid_id").distinct().count() == cells)
+  }
+
+  test("probe-all IVF-PQ equals flat PQ ADC (pruning adds no error)") {
+    val q = query(0L)
+    val ivfpq = IvfPq.search(spark, idx, model, codes, q, 10, 10000)
+      .select("external_id").as[Long].collect().toSeq
+    val flat = graft.operators.Pq.search(
+      graft.operators.Pq.encode(Tables.embeddings(spark, sf0001),
+        "embedding", model), "vec_id", "pq_code", model, q, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(ivfpq == flat)
+  }
+
+  test("default-probe IVF-PQ recalls most of the exact top-10") {
+    val exact = VectorQueries.knnExact(spark, sf0001, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = IvfPq.search(spark, idx, model, codes, query(0L), 10, 20)
+      .select("external_id").as[Long].collect().toSet
+    val recall = (got & exact).size / 10.0
+    assert(recall >= 0.5, s"IVF-PQ recall@10 = $recall")
+  }
+
+  test("pruned search scans fewer partitions than probe-all") {
+    val q = query(3L)
+    val few = IvfPq.search(spark, idx, model, codes, q, 10, 2)
+    val all = IvfPq.search(spark, idx, model, codes, q, 10, 10000)
+    few.collect(); all.collect()
+    val fewFiles = few.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    val allFiles = all.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.metrics.get("numFiles").map(_.value)).sum
+    assert(fewFiles < allFiles,
+      s"pruning ineffective: $fewFiles vs $allFiles files")
+  }
+}
