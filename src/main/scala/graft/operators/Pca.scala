@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PCA for embedding columns — the dimensionality-reduction step a
+  * pipeline runs before indexing/clustering when d is large.
+  *
+  * Distributed shape: one pass over the table accumulating the
+  * per-partition sufficient statistics (n, Σx, ΣxxT) via
+  * `treeAggregate` — d + d² doubles per partition, merged in a tree so
+  * the driver never sees more than a handful of d×d blocks at once
+  * (d=64 → 33 KB per partial; fine up to d of a few thousand). The
+  * eigendecomposition of the d×d covariance runs on the driver (cyclic
+  * Jacobi — symmetric, guaranteed convergence); projection back over
+  * the table is a one-pass map-side transform, same cost shape as
+  * Pq.encode. Nothing in the pipeline shuffles row data.
+  */
+object Pca {
+
+  /** mean (d), components (q rows of d — orthonormal eigenvectors,
+    * eigenvalue-descending), eigenvalues (q), total variance (trace).
+    */
+  final case class Model(mean: Array[Double],
+      components: Array[Array[Double]],
+      eigenvalues: Array[Double],
+      totalVariance: Double) {
+    def d: Int = mean.length
+    def q: Int = components.length
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix. Returns
+    * (eigenvalues, eigenvectors as rows), unsorted.
+    */
+  def jacobiEigSym(a0: Array[Array[Double]], maxSweeps: Int = 64,
+      tol: Double = 1e-12): (Array[Double], Array[Array[Double]]) = {
+    val n = a0.length
+    val a = a0.map(_.clone())
+    // v starts as identity; columns accumulate the rotations
+    val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offNorm(a)
+    while (sweep < maxSweeps && off > tol) {
+      var p = 0
+      while (p < n - 1) {
+        var q = p + 1
+        while (q < n) {
+          if (math.abs(a(p)(q)) > tol / (n * n)) {
+            // rotation angle zeroing a(p)(q); theta == 0 → 45° rotation
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < n) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offNorm(a)
+      sweep += 1
+    }
+    val eig = Array.tabulate(n)(i => a(i)(i))
+    val vecRows = Array.tabulate(n)(j => Array.tabulate(n)(i => v(i)(j)))
+    (eig, vecRows)
+  }
+
+  private def offNorm(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < a.length) {
+        if (i != j) s += a(i)(j) * a(i)(j)
+        j += 1
+      }
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Fit top-q components over an ArrayType(FloatType) column. */
+  def fit(df: DataFrame, embCol: String, q: Int): Model = {
+    val d = df.select(size(col(embCol))).head().getInt(0)
+    require(q >= 1 && q <= d, s"q=$q out of [1, $d]")
+    val rdd = df.select(col(embCol)).rdd
+      .map(_.getSeq[Float](0).toArray)
+    // sufficient statistics: (count, sum[d], gram[d*d] row-major)
+    val zero = (0L, new Array[Double](d), new Array[Double](d * d))
+    val (n, s, g) = rdd.treeAggregate(zero)(
+      seqOp = { case ((cnt, sum, gram), x) =>
+        var i = 0
+        while (i < d) {
+          val xi = x(i).toDouble
+          sum(i) += xi
+          var j = 0
+          val base = i * d
+          while (j < d) { gram(base + j) += xi * x(j); j += 1 }
+          i += 1
+        }
+        (cnt + 1, sum, gram)
+      },
+      combOp = { case ((c1, s1, g1), (c2, s2, g2)) =>
+        var i = 0
+        while (i < d) { s1(i) += s2(i); i += 1 }
+        i = 0
+        while (i < d * d) { g1(i) += g2(i); i += 1 }
+        (c1 + c2, s1, g1)
+      })
+    require(n > 1, "PCA: need at least 2 rows")
+    val mean = s.map(_ / n)
+    val cov = Array.tabulate(d, d)((i, j) =>
+      g(i * d + j) / n - mean(i) * mean(j))
+    val (eig, vecs) = jacobiEigSym(cov)
+    val order = eig.indices.sortBy(i => (-eig(i), i))
+    val top = order.take(q)
+    Model(mean,
+      top.map(vecs(_)).toArray,
+      top.map(eig(_)).toArray,
+      eig.sum)
+  }
+
+  /** Project to the q-dim component space: out = V·(x − μ). One-time
+    * map-side pass (broadcast model), like Pq.encode.
+    */
+  def transform(df: DataFrame, embCol: String, model: Model,
+      outCol: String = "pca_emb"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val proj = udf { (emb: Seq[Float]) =>
+      val m = bc.value
+      val x = emb.toArray
+      Seq.tabulate(m.q) { r =>
+        val comp = m.components(r)
+        var acc = 0.0
+        var i = 0
+        while (i < m.d) { acc += comp(i) * (x(i) - m.mean(i)); i += 1 }
+        acc.toFloat
+      }
+    }
+    df.withColumn(outCol, proj(col(embCol)))
+  }
+
+  /** Reconstruct from the component space (test/quality metric). */
+  def reconstruct(y: Array[Float], model: Model): Array[Double] = {
+    val out = model.mean.clone()
+    var r = 0
+    while (r < model.q) {
+      val comp = model.components(r)
+      var i = 0
+      while (i < model.d) { out(i) += y(r) * comp(i); i += 1 }
+      r += 1
+    }
+    out
+  }
+}

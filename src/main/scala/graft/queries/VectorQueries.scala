@@ -238,10 +238,29 @@ object VectorQueries {
       model, q, 10)
   }
 
+  /** Top-16 PCA spectrum of the embedding table (operators.Pca):
+    * eigenvalue, explained-variance fraction, cumulative fraction per
+    * component. One tree-aggregated pass for the sufficient statistics;
+    * driver-side Jacobi on the d×d covariance. Deterministic but not
+    * SQL-expressible → rows-only; exactness gates live in PcaSpec.
+    */
+  def pcaStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val model = graft.operators.Pca.fit(
+      Tables.embeddings(spark, dir), "embedding", 16)
+    val fr = model.eigenvalues.map(_ / model.totalVariance)
+    model.eigenvalues.indices.map { i =>
+      (i, BigDecimal(model.eigenvalues(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(fr(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        BigDecimal(fr.take(i + 1).sum).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toDF("component", "eigenvalue", "explained_frac", "cum_frac")
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "embedding_quantize_stats" -> QueryDef(quantizeStats, Some(quantizeStatsSql)),
     "ann_quantized_topk" -> QueryDef(quantizedTopK, None),
     "ann_pq_topk" -> QueryDef(pqTopK, None),
+    "embedding_pca_stats" -> QueryDef(pcaStats, None),
     "vec_normalize" -> QueryDef(normalizedSample, Some(normalizedSampleSql)),
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)),
     "knn_exact" -> QueryDef(
