@@ -83,6 +83,28 @@ final class VectorIndexer private (
     build(df.withColumn("ts", lit(ingestTimestamp())))
   }
 
+  /** Engine extension (no reference equivalent — the reference rebuilds):
+    * add vectors to the built index without retraining. Assignment uses
+    * the existing routing table; see `Ivf.append` for the scale contract.
+    */
+  def addRecords(records: Seq[(Long, Array[Float], Long)]): this.type = {
+    require(records.nonEmpty, "cannot add zero records")
+    records.find(_._2.length != config.dimension).foreach { r =>
+      throw new IllegalArgumentException(
+        s"record ${r._1} has dimension ${r._2.length}, expected ${config.dimension}")
+    }
+    import spark.implicits._
+    val now = ingestTimestamp()
+    val df = records.map { case (id, v, ts) =>
+        (id, v.toSeq, if (ts != 0L) ts else now)
+      }
+      .toDF("vec_id", "embedding", "ts")
+      .select($"vec_id",
+        $"embedding".cast("array<float>").as("embedding"), $"ts")
+    Ivf.append(index, df, "vec_id", "embedding")
+    this
+  }
+
   private def ingestTimestamp(): Long = System.currentTimeMillis() / 1000L
 
   /** Top-k search with config defaults (k=10, n_probe=20). */

@@ -119,6 +119,50 @@ object Ivf {
     Index(s"$indexDir/vectors", centroids, centroidToShard)
   }
 
+  /** Incrementally add vectors to an EXISTING index without retraining:
+    * assign each new row to its nearest existing centroid (map-side,
+    * broadcast routing table — the same assignment kernel as build),
+    * then append into the same `partitionBy(shard_id)` layout with the
+    * same salted write parallelism. Routing table and clustering are
+    * unchanged, so search code — probe selection, pruning, top-k — works
+    * on the union transparently. This is the daily-increment path at
+    * 100 TB: one map-side pass over the new data, zero touch of the
+    * existing files (parquet append adds files per partition directory;
+    * compaction can re-sort row groups offline if needed).
+    *
+    * Centroids drift as data grows — the quality contract is the same
+    * as faiss's add-after-train: recall stays good while increments
+    * resemble the training distribution; retrain when they don't.
+    */
+  def append(index: Index, df: DataFrame, idCol: String,
+      embCol: String): Unit = {
+    val spark = df.sparkSession
+    val dim = index.centroids(0).length
+    val model = KMeans.Model(index.centroids)
+    val shardB = spark.sparkContext.broadcast(index.centroidToShard)
+    val shardUdf = udf((dense: Int) => shardB.value(dense))
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val salts = math.max(1,
+      math.ceil(shuffleParts.toDouble / index.numShards).toInt)
+    // dimension mismatch is an ERROR (reference P1 semantics), enforced
+    // map-side in the same pass — not a silent filter, not a pre-count.
+    // All other input columns pass through so appended files keep the
+    // schema of the built files (caller contract: same input schema).
+    val checked = df.withColumn(embCol,
+      when(col(embCol).isNull || size(col(embCol)) =!= dim,
+        raise_error(concat(lit(s"append: embedding dimension != $dim for id="),
+          col(idCol).cast("string"))))
+        .otherwise(col(embCol)))
+    KMeans.withAssignment(checked, embCol, model, 42L, "centroid_id")
+      .withColumn("shard_id", shardUdf(col("centroid_id")))
+      .repartition(shuffleParts, col("shard_id"),
+        pmod(xxhash64(col(idCol)), lit(salts)))
+      .sortWithinPartitions(col("centroid_id"), col(idCol))
+      .write.mode("append")
+      .partitionBy("shard_id")
+      .parquet(index.vectorsPath)
+  }
+
   /** Load the routing table back (S6). */
   def load(spark: SparkSession, indexDir: String, config: Config = Config()): Index = {
     val rows = spark.read.parquet(s"$indexDir/centroids")

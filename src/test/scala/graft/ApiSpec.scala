@@ -136,6 +136,23 @@ class ApiSpec extends SparkSpec {
     assert(d(0).drop(3).forall(_.isPosInfinity))
   }
 
+  test("addRecords: incremental vectors searchable without rebuild") {
+    val vi = VectorIndexer.create(spark, freshCfg()).buildFromRecords(ramp(150, 4))
+    val extra = ramp(200, 4).drop(150)
+    vi.addRecords(extra)
+    // an appended vector retrieves itself first
+    val q = extra(20)._2 // id 170
+    val rows = vi.search(q).collect()
+    assert(rows.head.getLong(0) == 170L)
+    assert(rows.head.getDouble(1) < 1e-6)
+    // full corpus now searchable: probe-all count over all ids
+    assert(vi.search(q, k = 1000000, nProbe = 1000000).collect().length == 200)
+    // dimension errors still raise
+    intercept[Exception] {
+      vi.addRecords(Seq((999L, Array(1.0f), 0L)))
+    }
+  }
+
   test("suggest_nlist parity") {
     assert(VectorIndexer.suggestNlist(5000) == math.sqrt(5000).toInt)
     assert(VectorIndexer.suggestNlist(1000000) == 4000)

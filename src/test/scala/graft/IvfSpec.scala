@@ -223,6 +223,37 @@ class IvfSpec extends SparkSpec {
     assert(settings(2).recalls(10) >= 0.6, s"recall@10 nProbe=16 = ${r(2)}")
   }
 
+  test("append: incremental vectors are searchable, complete, duplicate-free") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_append").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = Ivf.build(emb.where(col("vec_id") < 300), "vec_id", "embedding", dir)
+    Ivf.append(idx, emb.where(col("vec_id") >= 300), "vec_id", "embedding")
+    val vecs = spark.read.parquet(idx.vectorsPath)
+    assert(vecs.count() == 500L)
+    assert(vecs.select("vec_id").distinct().count() == 500L)
+    // appended rows carry valid centroid/shard assignments
+    val badShard = vecs.where(!col("shard_id").isin(idx.centroidToShard.distinct.toSeq: _*))
+    assert(badShard.isEmpty)
+    // probe-all search over the union == brute force over all 500
+    val q = embAll(0)._2
+    val got = Ivf.search(spark, idx, q, 10, 10000)
+      .select("external_id").collect().map(_.getLong(0)).toSeq
+    assert(got == bruteKnn(q, 10))
+  }
+
+  test("append rejects dimension-mismatched rows with an error") {
+    import java.nio.file.{Files => JFiles}
+    import spark.implicits._
+    val dir = JFiles.createTempDirectory("graft_append_dim").toString
+    val idx = Ivf.build(Tables.embeddings(spark, sf0001).where(col("vec_id") < 100),
+      "vec_id", "embedding", dir)
+    val bad = Seq((9999L, Seq(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    intercept[Throwable] {
+      Ivf.append(idx, bad, "vec_id", "embedding")
+    }
+  }
+
   test("probe pruning actually prunes the scan") {
     // the physical plan must contain partition filters on shard_id — the
     // scale story depends on it
