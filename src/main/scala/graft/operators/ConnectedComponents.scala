@@ -24,17 +24,60 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Components over an undirected edge list. Returns
-    * `(id: long, cluster_id: long)` — `cluster_id` is the component's
-    * minimum vertex id (only vertices that appear in an edge are
-    * returned; isolated vertices are their own trivial clusters and
-    * callers can add them back with a union if needed).
+  /** Components over an undirected edge list — size-adaptive dispatch.
+    * A verified near-dup pair graph is a small fraction of the corpus;
+    * below `localEdgeCap` edges (default 4M ≈ 64 MB of longs) driver
+    * union-find finishes in milliseconds where distributed label
+    * propagation pays seconds of per-round job overhead. Above the cap
+    * — the genuine 100 TB case — it dispatches to the distributed
+    * propagation in `run`. Both return `(id: long, cluster_id: long)`.
+    */
+  def resolve(edges: DataFrame, aCol: String, bCol: String,
+      localEdgeCap: Long = 1L << 22): DataFrame = {
+    val e = edges
+      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .persist()
+    val out = if (e.count() <= localEdgeCap) runLocal(e) else run(e, "src", "dst")
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** Driver union-find (path halving + union by min). */
+  private def runLocal(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val pairs = edges.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x))
+        x = parent(x)
+      }
+      x
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        val (lo, hi) = if (ra < rb) (ra, rb) else (rb, ra)
+        parent(hi) = lo
+      }
+    }
+    parent.keys.toSeq.map(v => (v, find(v))).toDF("id", "cluster_id")
+  }
+
+  /** Distributed min-label propagation (the >localEdgeCap path). The
+    * input is persisted before symmetrizing so an expensive upstream
+    * pipeline is not evaluated once per union branch.
     */
   def run(edges: DataFrame, aCol: String, bCol: String,
       maxIter: Int = 30): DataFrame = {
-    val sym = edges
+    val e = edges.persist()
+    val sym = e
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(edges
+      .union(e
         .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .persist()
     var labels = sym.select(col("src").as("id")).distinct()
@@ -58,6 +101,7 @@ object ConnectedComponents {
       iter += 1
     }
     sym.unpersist()
+    e.unpersist(blocking = false)
     labels
   }
 }

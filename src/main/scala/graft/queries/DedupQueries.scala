@@ -235,7 +235,7 @@ object DedupQueries {
     * CTE computing min-reachable-id in DuckDB.
     */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val comp = graft.operators.ConnectedComponents.run(
+    val comp = graft.operators.ConnectedComponents.resolve(
       minhashVerifiedPairs(spark, dir), "a_id", "b_id")
     val sizes = comp.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))

@@ -98,8 +98,8 @@ object QualityQueries {
     * with no O(corpus) shuffle. This is the PaLM/GPT-3-style n-gram
     * overlap decontamination shape.
     */
-  def decontamOverlap(spark: SparkSession, dir: String): DataFrame = {
-    val testSources = Seq("src18", "src19")
+  def decontamOverlap(spark: SparkSession, dir: String,
+      testSources: Seq[String] = Seq("src18", "src19")): DataFrame = {
     // persist: the gram table feeds the test-side distinct, the per-doc
     // totals, and the hit join — one tokenize+shingle pass, not three
     val grams = Tables.documents(spark, dir)
@@ -187,7 +187,7 @@ object QualityQueries {
 
   def defs: Map[String, QueryDef] = Map(
     "doc_repetition_stats" -> QueryDef(repetitionStats, Some(repetitionStatsSql)),
-    "decontam_overlap" -> QueryDef(decontamOverlap, Some(decontamOverlapSql)),
+    "decontam_overlap" -> QueryDef(decontamOverlap(_, _), Some(decontamOverlapSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql))
   )
 }

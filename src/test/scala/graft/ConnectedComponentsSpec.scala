@@ -32,6 +32,21 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(Seq((7L, 2L), (2L, 9L))) == cc(Seq((2L, 7L), (9L, 2L))))
   }
 
+  test("local union-find path agrees with distributed propagation") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (20L, 21L), (5L, 1L), (12L, 10L))
+    val df = edges.toDF("a", "b")
+    val local = ConnectedComponents.resolve(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents.run(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+    // and resolve forced over the distributed path agrees too
+    val forced = ConnectedComponents.resolve(df, "a", "b", localEdgeCap = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(forced == dist)
+  }
+
   test("dedup_clusters: canonical member is the cluster min, sizes consistent") {
     val out = graft.queries.DedupQueries.dedupClusters(spark, sf001).collect()
     assert(out.nonEmpty)
