@@ -165,7 +165,50 @@ object IndexQueries {
       k0 = 10, nProbe0 = 20)
   }
 
+  /** ANN quality dashboard: recall@10 of every approximate path against
+    * the exact answer for the same query — the compression/pruning
+    * tradeoff surface in one table. L2 methods score against exact
+    * squared-L2 top-10; the LSH path is cosine-metric and scores
+    * against exact cosine top-10. Deterministic (seed-42 everything),
+    * driver-composed → rows-only; excluded from the headline bench
+    * (its components are benched individually).
+    */
+  def annQualitySummary(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val q = queryVec(spark, dir, 0L)
+    val exactL2 = VectorQueries.knnExact(spark, dir, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val emb = Tables.embeddings(spark, dir)
+    val exactCos = emb
+      .withColumn("cos_sim",
+        graft.functions.Vec.cosine(col("embedding"), typedlit(q.toSeq)))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10).select("vec_id").as[Long].collect().toSet
+    def recall(ids: Seq[Long], ref: Set[Long]): Double =
+      math.round(((ids.toSet & ref).size / 10.0) * 10000.0) / 10000.0
+    val idx = index(spark, dir)
+    val model = VectorQueries.pqModel(spark, dir)
+    val rows = Seq(
+      ("ivf_nprobe20", "l2", recall(
+        graft.operators.Ivf.search(spark, idx, q, 10, 20)
+          .select("external_id").as[Long].collect().toSeq, exactL2)),
+      ("int8_dequant", "l2", recall(
+        VectorQueries.quantizedTopK(spark, dir)
+          .select("vec_id").as[Long].collect().toSeq, exactL2)),
+      ("pq_flat", "l2", recall(
+        VectorQueries.pqTopK(spark, dir)
+          .select("vec_id").as[Long].collect().toSeq, exactL2)),
+      ("ivfpq_nprobe20", "l2", recall(
+        ivfPqTopK(spark, dir)
+          .select("external_id").as[Long].collect().toSeq, exactL2)),
+      ("lsh_multiprobe", "cosine", recall(
+        lshAnnTopK(spark, dir)
+          .select("vec_id").as[Long].collect().toSeq, exactCos)))
+    rows.toDF("method", "metric", "recall_at_10")
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "ann_quality_summary" -> QueryDef(annQualitySummary, None, bench = false),
     "ann_ivfpq_topk" -> QueryDef(ivfPqTopK, None),
     "ann_lsh_topk" -> QueryDef(lshAnnTopK, None),
     "recall_sweep" -> QueryDef(recallSweep, None),
