@@ -118,6 +118,74 @@ object TextQueries {
       |       ELSE 'ok' END AS length_flag
       |FROM t ORDER BY doc_id""".stripMargin
 
+  /** Unigram log-probability quality score — the distributed shape of
+    * the CCNet/KenLM "perplexity filter": train unigram frequencies over
+    * the corpus (one token groupBy), score each document by its mean
+    * token log-probability. The per-doc sum folds over the SORTED
+    * log-prob list so float addition order — and therefore the rounded
+    * score — is identical across engines and partitionings. The
+    * frequency table is vocabulary-sized (bounded, Zipf-truncatable at
+    * scale) → broadcast; the corpus side is scanned once map-side.
+    */
+  def logprobScore(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .persist()
+    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c"))).head().getLong(0)
+    toks.where(col("doc_id") < 100)
+      .join(broadcast(freq), "token")
+      .withColumn("lp", log(col("c").cast("double") / total.toDouble))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(
+          aggregate(sort_array(collect_list(col("lp"))), lit(0.0),
+            (a, x) => a + x) / count(lit(1)), 4).as("avg_logprob"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val logprobScoreSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS token
+      |  FROM documents),
+      |freq AS (SELECT token, count(*) AS c FROM toks GROUP BY token),
+      |total AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM freq),
+      |lp AS (
+      |  SELECT toks.doc_id, ln(CAST(freq.c AS DOUBLE) / total.t) AS lp
+      |  FROM toks JOIN freq USING (token) CROSS JOIN total
+      |  WHERE toks.doc_id < 100)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(list_reduce(list_sort(list(lp)), (a, b) -> a + b) / count(*), 4)
+      |    AS avg_logprob
+      |FROM lp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Feature hashing (hashing-vectorizer) in sparse form: token →
+    * bucket = md5-hash mod 64, per-doc term frequencies per bucket.
+    * The text→fixed-dim-vector bridge into the ANN/dedup operators; a
+    * map-side expression + one (doc_id, bucket) groupBy with map-side
+    * combine. md5-based so the oracle reproduces the bucketing exactly.
+    */
+  def hashedTf(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .where(col("doc_id") < 50)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .withColumn("bucket",
+        pmod(graft.queries.DedupQueries.md5Long(col("token")), lit(64)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+      .orderBy(col("doc_id"), col("bucket"))
+
+  private val hashedTfSql =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS token
+      |  FROM documents WHERE doc_id < 50)
+      |SELECT doc_id,
+      |  CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % 64 AS bucket,
+      |  count(*) AS tf
+      |FROM toks GROUP BY 1, 2 ORDER BY doc_id, bucket""".stripMargin
+
   /** Language-ID heuristic: stopword-marker scores per language family +
     * CJK codepoint detection, deterministic argmax with fixed precedence.
     * (On the synthetic corpus every language shares the same vocabulary,
@@ -347,6 +415,8 @@ object TextQueries {
       |GROUP BY lang ORDER BY lang""".stripMargin
 
   def defs: Map[String, QueryDef] = Map(
+    "doc_logprob_score" -> QueryDef(logprobScore, Some(logprobScoreSql)),
+    "hashed_tf" -> QueryDef(hashedTf, Some(hashedTfSql)),
     "tfidf_top_terms" -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql)),
     "docs_hash_sample" -> QueryDef(hashSampleDocs, Some(hashSampleDocsSql)),
     "docs_stratified_sample" -> QueryDef(stratifiedSampleCounts, Some(stratifiedSampleCountsSql)),
