@@ -68,40 +68,75 @@ object ConnectedComponents {
     parent.keys.toSeq.map(v => (v, find(v))).toDF("id", "cluster_id")
   }
 
-  /** Distributed min-label propagation (the >localEdgeCap path). The
-    * input is persisted before symmetrizing so an expensive upstream
-    * pipeline is not evaluated once per union branch.
+  /** Distributed components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014) — the >localEdgeCap path. Converges in O(log²) rounds
+    * for ANY graph shape (a min-label-propagation round count is the
+    * graph diameter, which a 100 TB adversarial chain can make
+    * arbitrary). Each round is two [groupBy-min + co-partitioned join]
+    * passes over the edge list and a `localCheckpoint` to truncate the
+    * iterative lineage; `min` is partial-aggregatable so hub nodes
+    * don't skew the aggregation, and AQE splits the join side of a hub
+    * if needed.
+    *
+    * Edges are kept in canonical (hi, lo) orientation; at the fixpoint
+    * the edge set is a union of stars centered at each component's
+    * minimum id, which is exactly the label table.
     */
   def run(edges: DataFrame, aCol: String, bCol: String,
-      maxIter: Int = 30): DataFrame = {
-    val e = edges.persist()
-    val sym = e
-      .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
-      .union(e
-        .select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .persist()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .withColumn("cluster_id", col("id"))
+      maxIter: Int = 25): DataFrame = {
+    // order-insensitive set checksum (rows are distinct): XOR of row
+    // hashes — no overflow under ANSI arithmetic, unlike sum
+    def checksum(df: DataFrame): Long =
+      df.agg(expr("bit_xor(xxhash64(hi, lo))")).head() match {
+        case r if r.isNullAt(0) => 0L
+        case r => r.getLong(0)
+      }
+    var cur = edges
+      .select(
+        greatest(col(aCol).cast("long"), col(bCol).cast("long")).as("hi"),
+        least(col(aCol).cast("long"), col(bCol).cast("long")).as("lo"))
+      .where(col("hi") =!= col("lo"))
+      .distinct()
       .localCheckpoint()
-    var converged = false
+    var curCount = cur.count()
+    var curSum = checksum(cur)
+    var converged = curCount == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      val next = sym
-        .join(labels, sym("dst") === labels("id"))
-        .select(sym("src").as("id"), col("cluster_id"))
-        .union(labels)
-        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+      // large-star: every node v strictly greater than a neighbor u
+      // attaches to m(u) = min(Γ(u) ∪ {u})
+      val sym = cur.select(col("hi").as("u"), col("lo").as("v"))
+        .union(cur.select(col("lo").as("u"), col("hi").as("v")))
+      val lmins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(lmins, "u")
+        .where(col("v") > col("u"))
+        .select(col("v").as("hi"), col("m").as("lo")) // v > u ≥ m
+        .where(col("hi") =!= col("lo"))
+        .distinct()
+      // small-star: all smaller neighbors of hi (plus hi itself)
+      // attach to m(hi) = min of hi's smaller neighborhood
+      val smins = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
+      val next = ls.join(smins, "hi")
+        .where(col("lo") =!= col("m"))
+        .select(col("lo").as("a"), col("m").as("b"))
+        .select(greatest(col("a"), col("b")).as("hi"),
+          least(col("a"), col("b")).as("lo"))
+        .union(smins.select(col("hi"), col("m").as("lo")))
+        .where(col("hi") =!= col("lo"))
+        .distinct()
         .localCheckpoint()
-      // labels only ever decrease, so "no row changed" is the fixpoint;
-      // both sides are hash-partitioned on id — the check is shuffle-free
-      converged = next.as("n").join(labels.as("o"), "id")
-        .where(col("n.cluster_id") =!= col("o.cluster_id"))
-        .isEmpty
-      labels = next
+      val nCount = next.count()
+      val nSum = checksum(next)
+      converged = nCount == curCount && nSum == curSum
+      cur = next; curCount = nCount; curSum = nSum
       iter += 1
     }
-    sym.unpersist()
-    e.unpersist(blocking = false)
-    labels
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge in $maxIter star rounds")
+    cur.select(col("hi").as("id"), col("lo").as("cluster_id"))
+      .union(cur.select(col("lo").as("id"), col("lo").as("cluster_id")))
+      .distinct()
   }
 }

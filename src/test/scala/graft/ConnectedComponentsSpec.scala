@@ -32,6 +32,23 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(cc(Seq((7L, 2L), (2L, 9L))) == cc(Seq((2L, 7L), (9L, 2L))))
   }
 
+  test("distributed path errors on non-convergence instead of mislabeling") {
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      ConnectedComponents.run(chain, "a", "b", maxIter = 1)
+    }
+  }
+
+  test("star rounds collapse a deep chain fast (O(log^2), not O(diameter))") {
+    // a 200-deep chain would need ~200 min-propagation rounds; the
+    // large-star/small-star formulation must finish well under 15
+    val chain = (1L until 200L).map(i => (i, i + 1)).toDF("a", "b")
+    val got = ConnectedComponents.run(chain, "a", "b", maxIter = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == (1L to 200L).toSet)
+    assert(got.values.forall(_ == 1L))
+  }
+
   test("local union-find path agrees with distributed propagation") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (20L, 21L), (5L, 1L), (12L, 10L))
