@@ -185,9 +185,52 @@ object QualityQueries {
       |    AS n_seqs_spanned
       |FROM p ORDER BY source, doc_id""".stripMargin
 
+  /** Per-source curation rollup — the "which sources do we keep" table:
+    * doc count, token volume, exact-dup rate, stopword ratio, mean doc
+    * length. All per-doc signals are map-side column expressions; the
+    * single shuffle is the bounded-cardinality groupBy(source) with
+    * map-side partial aggregation. At 100 TB this is one pass.
+    */
+  def sourceCurationStats(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("source"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"),
+        size(col("toks")).cast("long").as("n_toks"),
+        size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*)))
+          .cast("long").as("n_stop"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        (count(lit(1)) - countDistinct(col("fp"))).as("n_dups"),
+        sum(col("n_toks")).as("total_tokens"),
+        round(avg(col("n_toks")), 4).as("avg_tokens"),
+        round(sum(col("n_stop")).cast("double") / sum(col("n_toks")), 4)
+          .as("stopword_ratio"))
+      .orderBy(col("source"))
+  }
+
+  private val sourceCurationStatsSql =
+    """WITH t AS (
+      |  SELECT source,
+      |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents)
+      |SELECT source,
+      |  count(*) AS n_docs,
+      |  count(*) - count(DISTINCT fp) AS n_dups,
+      |  CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+      |  round(avg(len(toks)), 4) AS avg_tokens,
+      |  round(CAST(sum(len(list_filter(toks,
+      |      x -> x IN ('the','a','of','and','to')))) AS DOUBLE)
+      |    / sum(len(toks)), 4) AS stopword_ratio
+      |FROM t GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "doc_repetition_stats" -> QueryDef(repetitionStats, Some(repetitionStatsSql)),
     "decontam_overlap" -> QueryDef(decontamOverlap(_, _), Some(decontamOverlapSql)),
-    "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql))
+    "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),
+    "source_curation_stats" -> QueryDef(sourceCurationStats, Some(sourceCurationStatsSql))
   )
 }
