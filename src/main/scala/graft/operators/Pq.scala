@@ -70,14 +70,20 @@ object Pq {
       codeCol: String = "pq_code"): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model.codebooks)
     // Seq[Byte], not Array[Byte] — Array[Byte] maps to BinaryType and
-    // the ADC zip_with needs array<tinyint>
+    // the ADC zip_with needs array<tinyint>. A null/ragged embedding
+    // encodes to null, which ADC propagates and search sorts nulls-last
+    // (the same degraded-row contract as Ivf.search).
+    val dim = model.dim
     val enc = udf { (emb: Seq[Float]) =>
-      val v = emb.toArray
-      val books = bc.value
-      val dsub = books.head.head.length
-      Seq.tabulate(books.length) { j =>
-        val sub = v.slice(j * dsub, (j + 1) * dsub)
-        (KMeans.nearest(sub, books(j))._1 - 128).toByte
+      if (emb == null || emb.length != dim) null
+      else {
+        val v = emb.toArray
+        val books = bc.value
+        val dsub = books.head.head.length
+        Seq.tabulate(books.length) { j =>
+          val sub = v.slice(j * dsub, (j + 1) * dsub)
+          (KMeans.nearest(sub, books(j))._1 - 128).toByte
+        }
       }
     }
     df.withColumn(codeCol, enc(col(embCol)))

@@ -66,6 +66,27 @@ class PqSpec extends SparkSpec {
       s"PQ reconstruction too lossy: mse=$mseSum vs norm=$normSum")
   }
 
+  test("null/ragged embeddings encode to null and rank last in search") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType))))
+    val good = emb.select(col("vec_id"), col("embedding")).limit(5).collect()
+    val bad = Seq(Row(9000L, null), Row(9001L, Seq(1.0f, 2.0f)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(good.toSeq.map(r =>
+        Row(r.getLong(0), r.getSeq[Float](1))) ++ bad), schema)
+    val q = emb.where(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val out = Pq.search(Pq.encode(df, "embedding", model), "vec_id",
+      "pq_code", model, q, 10).collect()
+    assert(out.length == 7)
+    // the two degraded rows sort after every real distance
+    assert(out.takeRight(2).map(_.getLong(0)).toSet == Set(9000L, 9001L))
+    assert(out.takeRight(2).forall(_.isNullAt(1)))
+  }
+
   test("PQ-ADC top-10 recalls most of the exact top-10") {
     // measured 0.8 at m=8/ksub=256 (DebugPq); gate at 0.6
     val query = emb.where(col("vec_id") === 0L)
