@@ -46,6 +46,43 @@ class StreamingSpec extends SparkSpec {
     assert(stream.nonEmpty && stream == batch)
   }
 
+  test("streaming ingest: foreachBatch appends into the IVF index") {
+    // streamed vectors become searchable without a rebuild — the
+    // streaming-ingest path of the incremental index (Ivf.append)
+    import java.nio.file.{Files => JFiles}
+    import graft.operators.{Ivf, KMeans}
+    import org.apache.spark.sql.streaming.OutputMode
+    val dir = JFiles.createTempDirectory("graft_stream_ivf").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = Ivf.build(emb.where(col("vec_id") < 300), "vec_id", "embedding", dir)
+    val schema = spark.read.parquet(s"$sf0001/embeddings.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "embeddings.parquet")
+      .parquet(sf0001)
+      .where(col("vec_id") >= 300)
+    val q = stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ivf.append(idx, batch, "vec_id", "embedding")
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$dir/ckpt")
+      .start()
+    q.awaitTermination(120000)
+    val vecs = spark.read.parquet(idx.vectorsPath)
+    assert(vecs.count() == 500L)
+    assert(vecs.select("vec_id").distinct().count() == 500L)
+    // probe-all search over the union == brute force over all 500
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qv = all.find(_._1 == 0L).get._2
+    val brute = all.map { case (id, v) => (id, KMeans.sqDist(qv, v)) }
+      .sortBy(p => (p._2, p._1)).take(10).map(_._1).toSeq
+    val got = Ivf.search(spark, idx, qv, 10, 10000)
+      .select("external_id").collect().map(_.getLong(0)).toSeq
+    assert(got == brute)
+  }
+
   test("streaming dedup keeps one event per (user, type, hour)") {
     import org.apache.spark.sql.streaming.OutputMode
     val out = EventsStreaming.runToCompletion(spark,
