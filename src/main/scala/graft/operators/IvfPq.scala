@@ -37,6 +37,50 @@ object IvfPq {
       .parquet(outPath)
   }
 
+  /** Batch ANN over the coded dataset: ONE pruned scan serves the whole
+    * query set (same amortization as `Ivf.searchBatch` — at 100 TB,
+    * one-scan-per-query-set vs one-scan-per-query). Per-query ADC
+    * lookup tables are computed driver-side and carried as an
+    * `array<array<double>>` column on the broadcast query table, so the
+    * scan-side distance stays the same codegen zip_with/aggregate fold.
+    */
+  def searchBatch(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
+      codesPath: String, queries: Array[(Long, Array[Float])], k0: Int,
+      nProbe0: Int, idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val k = math.min(k0, ivf.config.maxK)
+    val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
+    require(k > 0, "k must be > 0")
+    require(nProbe > 0, "n_probe must be > 0")
+    val probePairs = queries.flatMap { case (qid, q) =>
+      Ivf.probeSelection(ivf, q, nProbe)._1.map(c => (qid, c))
+    }
+    val shards = probePairs.map(p => ivf.centroidToShard(p._2)).distinct.toSeq
+    val probeDf = probePairs.toSeq.toDF("query_id", "centroid_id")
+    val dsub = model.dsub
+    val lutDf = queries.toSeq.map { case (qid, q) =>
+      require(q.length == model.dim,
+        s"query dim ${q.length} != model dim ${model.dim}")
+      val lut = model.codebooks.zipWithIndex.map { case (book, j) =>
+        val sub = q.slice(j * dsub, (j + 1) * dsub)
+        book.map(c => KMeans.sqDist(sub, c)).toSeq
+      }.toSeq
+      (qid, lut)
+    }.toDF("query_id", "lut")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("distance").asc_nulls_last, col(idCol))
+    spark.read.parquet(codesPath)
+      .where(col("shard_id").isin(shards: _*))
+      .join(broadcast(probeDf), Seq("centroid_id"))
+      .join(broadcast(lutDf), Seq("query_id"))
+      .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col(idCol).as("external_id"), col("distance"))
+  }
+
   /** Top-k by ADC over the probe-pruned coded dataset. */
   def search(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
       codesPath: String, query: Array[Float], k0: Int, nProbe0: Int,

@@ -207,9 +207,25 @@ object IndexQueries {
     rows.toDF("method", "metric", "recall_at_10")
   }
 
+  /** Batch IVF-PQ over the first 8 embeddings — one pruned coded scan
+    * for the whole query set. Rows-only; per-query equivalence with the
+    * single-query path is asserted in IvfPqSpec.
+    */
+  def ivfPqBatch(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val model = VectorQueries.pqModel(spark, dir)
+    val qs = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 8).select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    graft.operators.IvfPq.searchBatch(spark, idx, model,
+      pqCodesPath(spark, dir), qs, k0 = 10, nProbe0 = 20)
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "ann_quality_summary" -> QueryDef(annQualitySummary, None, bench = false),
     "ann_ivfpq_topk" -> QueryDef(ivfPqTopK, None),
+    "ann_ivfpq_batch" -> QueryDef(ivfPqBatch, None),
     "ann_lsh_topk" -> QueryDef(lshAnnTopK, None),
     "recall_sweep" -> QueryDef(recallSweep, None),
     "ivf_search_probe_all" -> QueryDef(searchProbeAll, Some(searchProbeAllSql)),

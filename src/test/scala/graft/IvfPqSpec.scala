@@ -46,6 +46,23 @@ class IvfPqSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF-PQ recall@10 = $recall")
   }
 
+  test("batch IVF-PQ equals the single-query path per query") {
+    val qs = Tables.embeddings(spark, sf0001)
+      .where(col("vec_id") < 5).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val batch = IvfPq.searchBatch(spark, idx, model, codes, qs, 10, 20)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      }
+    qs.foreach { case (qid, q) =>
+      val single = IvfPq.search(spark, idx, model, codes, q, 10, 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"query $qid diverges")
+    }
+  }
+
   test("pruned search scans fewer partitions than probe-all") {
     val q = query(3L)
     val few = IvfPq.search(spark, idx, model, codes, q, 10, 2)
