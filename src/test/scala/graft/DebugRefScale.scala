@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import graft.operators.{Ivf, RecallEval}
+import graft.sources.VectorFormats
+
+/** Reference-default workload (BASELINE.md: N=100k, D=128, k=100,
+  * nprobe sweep, seed 42) on generated vectors — exercises the
+  * hierarchical assignment path (k = 2⌈√100k⌉ = 634 > 100) at the
+  * scale the reference's own bench defaults to. Prints one JSON line.
+  */
+object DebugRefScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(100000L)
+    val dim = if (args.length > 1) args(1).toInt else 128
+    val nq = if (args.length > 2) args(2).toInt else 200
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val dataDir = s"/tmp/graft_ref_scale_${n}_$dim"
+    val vecPath = s"$dataDir/embeddings.parquet"
+    if (!new java.io.File(vecPath).exists()) {
+      VectorFormats.generate(spark, n, dim, 42L)
+        .write.mode("overwrite").parquet(vecPath)
+    }
+    val emb = spark.read.parquet(vecPath)
+
+    val t0 = System.nanoTime()
+    val idx = Ivf.build(emb, "vec_id", "embedding", s"$dataDir/index")
+    val buildS = (System.nanoTime() - t0) / 1e9
+
+    val queries = RecallEval.perturbedQueries(
+      emb.where(col("vec_id") < nq).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+      scale = 0.5f)
+    val settings = RecallEval.sweep(spark, idx, queries, k = 100,
+      nProbes = Seq(1, 2, 4, 8, 16, 32, 64), ranks = Seq(1, 10, 100),
+      minDurationMs = 3000.0)
+    val js = settings.map { s =>
+      f"""{"n_probe":${s.nProbe},"recall_1":${s.recalls(1)}%.4f,"recall_10":${s.recalls(10)}%.4f,"recall_100":${s.recalls(100)}%.4f,"ms_per_query":${s.msPerQuery}%.2f,"qps":${1000.0 / s.msPerQuery}%.1f}"""
+    }.mkString("[", ",", "]")
+    println(s"""{"metric":"ref_scale","n":$n,"dim":$dim,"k_clusters":${idx.k},"num_shards":${idx.numShards},"build_s":$buildS,"nq":${queries.length},"settings":$js}""")
+    spark.stop()
+  }
+}
