@@ -3,24 +3,19 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Distributed connected components by min-label propagation — the step a
-  * dedup pipeline runs after near-dup pair generation (MinHash/SimHash)
-  * to turn pairwise matches into "keep one document per cluster" sets.
+/** Connected components — the step a dedup pipeline runs after near-dup
+  * pair generation (MinHash/SimHash) to turn pairwise matches into
+  * "keep one document per cluster" sets.
   *
-  * Each round every vertex takes the minimum label over itself and its
-  * neighbors; convergence needs `diameter` rounds. Near-dup clusters are
-  * small and dense (a group of copies of one document), so the diameter —
-  * and the round count — is tiny in practice; for adversarial
-  * long-chain graphs at 100 TB the alternating large-star/small-star
-  * algorithm (Kiveris et al., "Connected Components in MapReduce and
-  * Beyond") converges in O(log²) rounds with the same per-round shape
-  * (join + groupBy-min), so the plumbing here carries over.
-  *
-  * Per round: one join (edges × labels, both hash-partitioned on the
-  * join key) + one groupBy-min, then `localCheckpoint` to truncate the
-  * lineage — iterative plans otherwise grow exponentially in the
-  * optimizer. On a real cluster use `checkpoint` with a reliable
-  * checkpoint dir instead (survives executor loss).
+  * Two paths behind one `resolve` entry point: driver union-find for
+  * small pair graphs (the realistic post-verification case — running
+  * distributed rounds on a few hundred edges is pure job overhead) and
+  * the alternating large-star/small-star algorithm (Kiveris et al.,
+  * SoCC 2014) for graphs too big to collect, which converges in
+  * O(log²) rounds regardless of graph shape. `localCheckpoint`
+  * truncates the iterative lineage — iterative plans otherwise grow
+  * exponentially in the optimizer; on a real cluster use `checkpoint`
+  * with a reliable checkpoint dir instead (survives executor loss).
   */
 object ConnectedComponents {
 
@@ -65,7 +60,11 @@ object ConnectedComponents {
         parent(hi) = lo
       }
     }
-    parent.keys.toSeq.map(v => (v, find(v))).toDF("id", "cluster_id")
+    // snapshot the key set before resolving: find() path-halves (mutates
+    // values) and iterating a live mutable-map view while mutating is
+    // implementation-defined
+    val nodes = parent.keys.toArray
+    nodes.toSeq.map(v => (v, find(v))).toDF("id", "cluster_id")
   }
 
   /** Distributed components via alternating large-star/small-star
