@@ -50,7 +50,16 @@ object Pq {
           .limit(KMeans.InitSampleCap)
           .collect().map(_.getSeq[Float](1).toArray)
       case None =>
-        df.select(col(embCol)).limit(KMeans.InitSampleCap)
+        // seeded sample before the cap — a bare limit() would take the
+        // first partitions only, a biased pool (same policy as KMeans.fit)
+        val n = df.count()
+        val fraction =
+          math.min(1.0, KMeans.InitSampleCap.toDouble * 1.2 / math.max(1L, n))
+        val sampled =
+          if (fraction >= 1.0) df.select(col(embCol))
+          else df.select(col(embCol))
+            .sample(withReplacement = false, fraction, seed)
+        sampled.limit(KMeans.InitSampleCap)
           .collect().map(_.getSeq[Float](0).toArray)
     }
     require(pool.nonEmpty, "PQ train: empty input")
