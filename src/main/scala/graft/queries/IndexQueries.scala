@@ -201,6 +201,9 @@ object IndexQueries {
       ("ivfpq_nprobe20", "l2", recall(
         ivfPqTopK(spark, dir)
           .select("external_id").as[Long].collect().toSeq, exactL2)),
+      ("pca16_rerank", "l2", recall(
+        VectorQueries.pcaTopK(spark, dir)
+          .select("vec_id").as[Long].collect().toSeq, exactL2)),
       ("lsh_multiprobe", "cosine", recall(
         lshAnnTopK(spark, dir)
           .select("vec_id").as[Long].collect().toSeq, exactCos)))

@@ -246,8 +246,7 @@ object VectorQueries {
     */
   def pcaStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val model = graft.operators.Pca.fit(
-      Tables.embeddings(spark, dir), "embedding", 16)
+    val model = pcaModel(spark, dir)
     val fr = model.eigenvalues.map(_ / model.totalVariance)
     model.eigenvalues.indices.map { i =>
       (i, BigDecimal(model.eigenvalues(i)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
@@ -256,10 +255,47 @@ object VectorQueries {
     }.toDF("component", "eigenvalue", "explained_frac", "cum_frac")
   }
 
+  private val pcaModels =
+    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Pca.Model]
+
+  /** PCA(16) model trained once per (JVM, sfDir) — one treeAggregate
+    * pass; reused by the stats query and the two-stage ANN.
+    */
+  def pcaModel(spark: SparkSession, dir: String): graft.operators.Pca.Model =
+    pcaModels.getOrElseUpdate(dir,
+      graft.operators.Pca.fit(Tables.embeddings(spark, dir), "embedding", 16))
+
+  /** Two-stage ANN: candidate top-50 in the PCA(16) space (4× fewer
+    * bytes per distance), exact re-rank of the candidates in the
+    * original space — the classic reduce-then-refine pattern. At 100 TB
+    * the candidate scan reads the narrow projected column; the refine
+    * touches only 50 rows per query. Deterministic → rows-only; the
+    * recall gate lives in PcaSpec.
+    */
+  def pcaTopK(spark: SparkSession, dir: String): DataFrame = {
+    val model = pcaModel(spark, dir)
+    val reduced = graft.operators.Pca.transform(
+      Tables.embeddings(spark, dir), "embedding", model)
+    val qRow = reduced.where(col("vec_id") === 0L)
+      .select(col("pca_emb"), col("embedding")).head()
+    val cands = reduced
+      .withColumn("rd", Vec.squaredL2(col("pca_emb"),
+        lit(qRow.getSeq[Float](0).toArray)))
+      .orderBy(col("rd").asc_nulls_last, col("vec_id"))
+      .limit(50)
+    cands
+      .withColumn("distance", Vec.squaredL2(col("embedding"),
+        lit(qRow.getSeq[Float](1).toArray)))
+      .orderBy(col("distance").asc_nulls_last, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), col("distance"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "embedding_quantize_stats" -> QueryDef(quantizeStats, Some(quantizeStatsSql)),
     "ann_quantized_topk" -> QueryDef(quantizedTopK, None),
     "ann_pq_topk" -> QueryDef(pqTopK, None),
+    "ann_pca_topk" -> QueryDef(pcaTopK, None),
     "embedding_pca_stats" -> QueryDef(pcaStats, None),
     "vec_normalize" -> QueryDef(normalizedSample, Some(normalizedSampleSql)),
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)),
