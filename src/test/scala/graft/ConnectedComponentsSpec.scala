@@ -64,6 +64,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(forced == dist)
   }
 
+  test("star algorithm matches union-find on a 5k-edge random graph") {
+    // seeded pseudo-random graph: mixed cluster sizes, chains, isolated
+    // pairs — the shapes hand-cases miss
+    val rng = new scala.util.Random(42)
+    val edges = Seq.fill(5000)((rng.nextInt(2000).toLong, rng.nextInt(2000).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("a", "b")
+    val local = ConnectedComponents.resolve(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = ConnectedComponents.run(df, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == dist)
+  }
+
   test("dedup_clusters: canonical member is the cluster min, sizes consistent") {
     val out = graft.queries.DedupQueries.dedupClusters(spark, sf001).collect()
     assert(out.nonEmpty)
