@@ -213,7 +213,88 @@ object EventQueries {
       |  ON p.user_id = c.user_id AND p.purchase_ms >= c.click_ms
       |ORDER BY p.purchase_id""".stripMargin
 
+  /** Moving z-score anomaly flags: per event_type, how far each value
+    * sits from its trailing-6-hour mean in trailing-stddev units. Both
+    * moments are rounded to 4 decimals BEFORE the z computation so the
+    * division sees bit-identical inputs in both engines (the same
+    * stabilization movingAverage relies on). Flag at |z| > 2.5.
+    */
+  def movingAnomalies(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("sec"))
+      .rangeBetween(-21600L, 0L)
+    Tables.events(spark, dir)
+      .where(col("event_id") < 2000)
+      .withColumn("sec", (unix_millis(col("ts")) / lit(1000.0)))
+      .withColumn("mu", round(avg(col("value")).over(w), 4))
+      .withColumn("sd",
+        round(coalesce(stddev_samp(col("value")).over(w), lit(0.0)), 4))
+      .withColumn("z",
+        round((col("value") - col("mu")) / greatest(col("sd"), lit(0.0001)), 2))
+      .where(abs(col("z")) > 2.5)
+      .select(col("event_id"), col("event_type"), col("mu"), col("sd"), col("z"))
+      .orderBy(col("event_id"))
+  }
+
+  private val movingAnomaliesSql =
+    """WITH s AS (
+      |  SELECT event_id, event_type, value,
+      |    round(avg(value) OVER (
+      |      PARTITION BY event_type ORDER BY epoch_ms(ts) / 1000.0
+      |      RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW), 4) AS mu,
+      |    round(COALESCE(stddev_samp(value) OVER (
+      |      PARTITION BY event_type ORDER BY epoch_ms(ts) / 1000.0
+      |      RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW), 0.0), 4) AS sd
+      |  FROM events WHERE event_id < 2000)
+      |SELECT event_id, event_type, mu, sd,
+      |  round((value - mu) / greatest(sd, 0.0001), 2) AS z
+      |FROM s WHERE abs(round((value - mu) / greatest(sd, 0.0001), 2)) > 2.5
+      |ORDER BY event_id""".stripMargin
+
+  /** Funnel conversion signup → click → purchase, each step strictly
+    * after the previous one per user: three min-timestamp aggregations
+    * and two self-joins, all co-partitioned on user_id after the first
+    * shuffle. One summary row.
+    */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+    val s = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ms")).as("s_ms"))
+    val c = ev.where(col("event_type") === "click").as("c")
+      .join(s, "user_id")
+      .where(col("ms") > col("s_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("c_ms"))
+    val p = ev.where(col("event_type") === "purchase").as("p")
+      .join(c, "user_id")
+      .where(col("ms") > col("c_ms"))
+      .groupBy(col("user_id")).agg(min(col("ms")).as("p_ms"))
+    s.agg(count(lit(1)).as("n_signup")).crossJoin(
+        c.agg(count(lit(1)).as("n_click_after")))
+      .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+  }
+
+  private val funnelSql =
+    """WITH s AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS s_ms FROM events
+      |  WHERE event_type = 'signup' GROUP BY user_id),
+      |c AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS c_ms
+      |  FROM events e JOIN s ON e.user_id = s.user_id
+      |  WHERE e.event_type = 'click' AND epoch_ms(e.ts) > s.s_ms
+      |  GROUP BY e.user_id),
+      |p AS (
+      |  SELECT e.user_id, min(epoch_ms(e.ts)) AS p_ms
+      |  FROM events e JOIN c ON e.user_id = c.user_id
+      |  WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) > c.c_ms
+      |  GROUP BY e.user_id)
+      |SELECT (SELECT count(*) FROM s) AS n_signup,
+      |       (SELECT count(*) FROM c) AS n_click_after,
+      |       (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "events_anomalies" -> QueryDef(movingAnomalies, Some(movingAnomaliesSql)),
+    "user_funnel" -> QueryDef(funnel, Some(funnelSql)),
     "events_asof_click" -> QueryDef(asofPurchaseClick, Some(asofPurchaseClickSql)),
     "daily_retention" -> QueryDef(dailyRetention, Some(dailyRetentionSql)),
     "events_json_path" -> QueryDef(jsonPathStats, Some(jsonPathStatsSql)),
