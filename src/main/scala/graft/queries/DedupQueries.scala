@@ -431,7 +431,67 @@ object DedupQueries {
         sum(when(col("cos_sim") >= 0.95, 1).otherwise(0)).as("n_near_dups"))
   }
 
+  /** Cross-source duplication matrix: verified near-dup pairs rolled up
+    * by (source_a, source_b) — "which sources copy which", the
+    * curation question behind source weighting. Two broadcast-sized
+    * joins attach sources to the (small) verified pair set; sources are
+    * ordered within the pair so the matrix is upper-triangular.
+    */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val pairs = minhashVerifiedPairs(spark, dir)
+      .join(src.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("source", "a_src"), "a_id")
+      .join(src.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("source", "b_src"), "b_id")
+    pairs
+      .select(least(col("a_src"), col("b_src")).as("source_lo"),
+        greatest(col("a_src"), col("b_src")).as("source_hi"))
+      .groupBy(col("source_lo"), col("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_lo"), col("source_hi"))
+  }
+
+  private val crossSourceDupsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, s,
+      |    list_transform(range(0, 8), h ->
+      |      list_aggregate(list_transform(s, x ->
+      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, s, b AS band_idx,
+      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
+      |  FROM sig, unnest(range(0, 4)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      |  FROM banded l JOIN banded r
+      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+      |   AND l.doc_id < r.doc_id),
+      |ver AS (
+      |  SELECT c.a_id, c.b_id
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+      |              JOIN sh sb ON sb.doc_id = c.b_id
+      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |        / len(list_distinct(sa.s || sb.s)) >= 0.7)
+      |SELECT least(da.source, db.source) AS source_lo,
+      |       greatest(da.source, db.source) AS source_hi,
+      |       count(*) AS n_pairs
+      |FROM ver JOIN documents da ON da.doc_id = ver.a_id
+      |         JOIN documents db ON db.doc_id = ver.b_id
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "cross_source_dups" -> QueryDef(crossSourceDups, Some(crossSourceDupsSql)),
     "dedup_exact_stats" -> QueryDef(exactStats, Some(exactStatsSql)),
     "dedup_exact_pairs" -> QueryDef(exactPairs, Some(exactPairsSql)),
     "ngram_jaccard_top_pairs" -> QueryDef(ngramJaccardTopPairs, Some(ngramJaccardTopPairsSql)),
