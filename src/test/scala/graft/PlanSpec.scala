@@ -73,6 +73,12 @@ class PlanSpec extends SparkSpec {
       s"ADC fold missing:\n${p.take(2000)}")
   }
 
+  test("funnel: event_type filters pushed to every branch scan") {
+    val p = plan("user_funnel")
+    assert("PushedFilters: \\[.*EqualTo\\(event_type".r.findAllIn(p).length >= 3,
+      s"funnel branch scans missing pushed type filters:\n${p.take(2500)}")
+  }
+
   test("as-of join: one data shuffle (window key), no join explosion") {
     val p = plan("events_asof_click")
     // union + carry-forward window: hash exchange on the key for the
