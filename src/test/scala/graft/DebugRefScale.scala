@@ -44,6 +44,33 @@ object DebugRefScale {
       f"""{"n_probe":${s.nProbe},"recall_1":${s.recalls(1)}%.4f,"recall_10":${s.recalls(10)}%.4f,"recall_100":${s.recalls(100)}%.4f,"ms_per_query":${s.msPerQuery}%.2f,"qps":${1000.0 / s.msPerQuery}%.1f}"""
     }.mkString("[", ",", "]")
     println(s"""{"metric":"ref_scale","n":$n,"dim":$dim,"k_clusters":${idx.k},"num_shards":${idx.numShards},"build_s":$buildS,"nq":${queries.length},"settings":$js}""")
+
+    // compression path at the same scale: PQ8 codebooks + coded sibling
+    // dataset, batch ADC search, recall vs the float ground truth
+    import graft.operators.{IvfPq, Pq}
+    val pqT0 = System.nanoTime()
+    val model = Pq.train(emb, "embedding", dim, m = 8, ksub = 256,
+      orderCol = Some("vec_id"))
+    val trainS = (System.nanoTime() - pqT0) / 1e9
+    val encT0 = System.nanoTime()
+    IvfPq.buildCodes(spark, idx, model, s"$dataDir/pq_codes")
+    val encodeS = (System.nanoTime() - encT0) / 1e9
+    val gt = Ivf.searchBatch(spark, idx, queries, 1, 10000)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val pqJs = Seq(8, 32, 10000).map { np =>
+      val t0 = System.nanoTime()
+      val rows = IvfPq.searchBatch(spark, idx, model, s"$dataDir/pq_codes",
+        queries, 100, np).collect()
+      val msQ = (System.nanoTime() - t0) / 1e6 / queries.length
+      val byQ = rows.groupBy(_.getLong(0)).map { case (qid, rs) =>
+        qid -> rs.sortBy(_.getInt(1)).map(_.getLong(2))
+      }
+      def recallAt(rank: Int): Double = queries.count { case (qid, _) =>
+        byQ.get(qid).exists(_.take(rank).contains(gt(qid)))
+      }.toDouble / queries.length
+      f"""{"n_probe":$np,"recall_1":${recallAt(1)}%.4f,"recall_10":${recallAt(10)}%.4f,"recall_100":${recallAt(100)}%.4f,"ms_per_query":$msQ%.2f}"""
+    }.mkString("[", ",", "]")
+    println(f"""{"metric":"ref_scale_ivfpq","pq_train_s":$trainS%.1f,"encode_s":$encodeS%.1f,"settings":$pqJs}""")
     spark.stop()
   }
 }
