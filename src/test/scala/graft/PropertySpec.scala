@@ -1,79 +1,132 @@
 package graft
 
-import scala.util.Random
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
-import graft.operators.KMeans
+import graft.operators.{ConnectedComponents, KMeans, Pca}
 
-/** Property-style invariants the reference suite lacks (SURVEY.md §5):
-  * distance-metric laws, top-k prefix property, assignment optimality —
-  * checked over many seeded random cases.
+/** Seeded property checks over the driver-side math kernels — the
+  * pieces whose failure modes are numeric, not plan-shaped. Cases are
+  * drawn from scalacheck generators with a fixed seed chain, so runs
+  * are deterministic (no scalatestplus bridge on the classpath —
+  * sampling is driven manually).
   */
-class PropertySpec extends SparkSpec {
+class PropertySpec extends AnyFunSuite {
 
-  def randVec(rng: Random, d: Int): Array[Float] =
-    Array.fill(d)((rng.nextDouble() * 200 - 100).toFloat)
+  private def forAll[A](g: Gen[A], n: Int = 100)(f: A => Unit): Unit =
+    Iterator.iterate(Seed(42L))(_.next).take(n)
+      .flatMap(s => g.apply(Gen.Parameters.default, s))
+      .foreach(f)
 
-  test("distance: non-negative, symmetric, zero iff identical") {
-    val rng = new Random(1L)
-    (1 to 200).foreach { _ =>
-      val d = 2 + rng.nextInt(31)
-      val a = randVec(rng, d)
-      val b = randVec(rng, d)
-      val dab = KMeans.sqDist(a, b)
-      assert(dab >= 0.0)
-      assert(dab == KMeans.sqDist(b, a))
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forAll(for { a <- ga; b <- gb } yield (a, b))(f.tupled)
+
+  private val vecGen: Gen[Array[Float]] =
+    Gen.choose(1, 64).flatMap(d =>
+      Gen.listOfN(d, Gen.choose(-100.0f, 100.0f)).map(_.toArray))
+
+  test("int8 quantization error is bounded by scale/2 per element") {
+    forAll(vecGen) { v =>
+      val scale = math.max(v.map(x => math.abs(x)).max.toDouble,
+        Float.MinPositiveValue.toDouble) / 127.0
+      v.foreach { x =>
+        val q = math.round(x / scale).toInt
+        assert(q >= -127 && q <= 127)
+        val err = math.abs(x - q * scale)
+        assert(err <= scale / 2 + 1e-9,
+          s"err $err > ${scale / 2} for x=$x scale=$scale")
+      }
+    }
+  }
+
+  test("sqDist is non-negative, symmetric, zero on self") {
+    forAll2(vecGen, vecGen) { (a, b0) =>
+      val b = b0.take(a.length).padTo(a.length, 0.0f)
       assert(KMeans.sqDist(a, a) == 0.0)
+      assert(KMeans.sqDist(a, b) >= 0.0)
+      assert(KMeans.sqDist(a, b) == KMeans.sqDist(b, a))
     }
   }
 
-  test("top-k is a prefix of top-(k+1)") {
-    val data = Array.tabulate(200)(i =>
-      Array.tabulate(8)(j => ((i * 31 + j * 7) % 97).toFloat))
-    val rng = new Random(2L)
-    (1 to 100).foreach { _ =>
-      val q = randVec(rng, 8)
-      val k = 1 + rng.nextInt(20)
-      def topK(n: Int): Seq[Long] =
-        data.zipWithIndex
-          .map { case (v, i) => (i.toLong, KMeans.sqDist(q, v)) }
-          .sortBy(p => (p._2, p._1)).take(n).map(_._1).toSeq
-      assert(topK(k) == topK(k + 1).take(k))
+  private val symGen: Gen[Array[Array[Double]]] =
+    for {
+      n <- Gen.choose(2, 12)
+      flat <- Gen.listOfN(n * n, Gen.choose(-10.0, 10.0))
+    } yield {
+      val m = flat.toArray.grouped(n).toArray
+      Array.tabulate(n, n)((i, j) => (m(i)(j) + m(j)(i)) / 2.0)
+    }
+
+  test("jacobi eigensystem satisfies A.v = lambda.v and preserves the trace") {
+    forAll(symGen) { a =>
+      val n = a.length
+      val (eig, vecs) = Pca.jacobiEigSym(a)
+      assert(math.abs(eig.sum - (0 until n).map(i => a(i)(i)).sum) < 1e-8)
+      for (k <- 0 until n) {
+        val v = vecs(k)
+        val av = Array.tabulate(n)(i =>
+          (0 until n).map(j => a(i)(j) * v(j)).sum)
+        val residual = math.sqrt(
+          (0 until n).map(i => math.pow(av(i) - eig(k) * v(i), 2)).sum)
+        assert(residual < 1e-7, s"eigenpair $k residual $residual")
+      }
     }
   }
 
-  test("assignment optimality: nearest() beats any other centroid") {
-    val rng = new Random(3L)
-    (1 to 200).foreach { _ =>
-      val k = 2 + rng.nextInt(9)
-      val cs = Array.fill(k)(randVec(rng, 6))
-      val p = randVec(rng, 6)
-      val (bi, bd) = KMeans.nearest(p, cs)
-      cs.indices.foreach(i => assert(KMeans.sqDist(p, cs(i)) >= bd))
-      assert(KMeans.sqDist(p, cs(bi)) == bd)
+  private val edgeListGen: Gen[List[(Long, Long)]] =
+    for {
+      n <- Gen.choose(2, 40)
+      m <- Gen.choose(1, 80)
+      edges <- Gen.listOfN(m, for {
+        a <- Gen.choose(0L, n.toLong)
+        b <- Gen.choose(0L, n.toLong)
+      } yield (a, b))
+    } yield edges.filter { case (a, b) => a != b }
+
+  test("union-find components equal a BFS oracle on random graphs") {
+    val spark = SparkSpecSession.spark // shared session
+    import spark.implicits._
+    forAll(edgeListGen, n = 15) { edges =>
+      if (edges.nonEmpty) {
+        val got = ConnectedComponents.resolve(edges.toDF("a", "b"), "a", "b")
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // BFS oracle
+        val adj = edges.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+        val nodes = adj.keySet
+        var want = Map.empty[Long, Long]
+        var seen = Set.empty[Long]
+        nodes.toSeq.sorted.foreach { start =>
+          if (!seen.contains(start)) {
+            var frontier = Set(start)
+            var comp = Set.empty[Long]
+            while (frontier.nonEmpty) {
+              comp ++= frontier
+              frontier = frontier.flatMap(adj(_)) -- comp
+            }
+            val label = comp.min
+            comp.foreach(v => want += v -> label)
+            seen ++= comp
+          }
+        }
+        assert(got == want)
+      }
     }
   }
+}
 
-  test("triangle-ish bound: sqrt(sqDist) satisfies triangle inequality") {
-    val rng = new Random(4L)
-    (1 to 200).foreach { _ =>
-      val d = 2 + rng.nextInt(15)
-      val a = randVec(rng, d)
-      val b = randVec(rng, d)
-      val c = randVec(rng, d)
-      val ab = math.sqrt(KMeans.sqDist(a, b))
-      val bc = math.sqrt(KMeans.sqDist(b, c))
-      val ac = math.sqrt(KMeans.sqDist(a, c))
-      assert(ac <= ab + bc + 1e-6)
-    }
-  }
-
-  test("minhash: identical sets agree on all signatures, disjoint on ~none") {
-    val a = (1 to 50).map(i => s"sh_$i").toSet
-    def sig(s: Set[String]): Seq[Long] =
-      (0 until 32).map(i => s.map(x => (x + ":" + i).hashCode.toLong).min)
-    assert(sig(a) == sig(a))
-    val disjoint = (100 to 150).map(i => s"sh_$i").toSet
-    val agree = sig(a).zip(sig(disjoint)).count { case (x, y) => x == y }
-    assert(agree <= 2)
-  }
+/** One lazily-created shared session for property tests (matches the
+  * SparkSpec config).
+  */
+object SparkSpecSession {
+  lazy val spark: org.apache.spark.sql.SparkSession =
+    org.apache.spark.sql.SparkSession.builder()
+      .master("local[8]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
 }
