@@ -36,6 +36,15 @@ object StreamQueries {
       | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts
       |ORDER BY purchase_id, click_id""".stripMargin
 
+  private val enrichedSql =
+    """WITH profile AS (
+      |  SELECT user_id, min(epoch_ms(ts)) AS first_ms, count(*) AS n_events
+      |  FROM events GROUP BY user_id)
+      |SELECT e.event_id, e.user_id, p.n_events, p.first_ms
+      |FROM events e JOIN profile p USING (user_id)
+      |WHERE e.event_type = 'purchase'
+      |ORDER BY e.event_id""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "stream_hourly" -> QueryDef(
       EventsStreaming.hourlyQuery, Some(hourlySql), bench = false),
@@ -43,6 +52,8 @@ object StreamQueries {
       EventsStreaming.sessionQuery, Some(sessionsSql), bench = false),
     "stream_interval_join" -> QueryDef(
       EventsStreaming.intervalJoinQuery, Some(intervalJoinSql), bench = false),
+    "stream_enriched" -> QueryDef(
+      EventsStreaming.enrichedQuery, Some(enrichedSql), bench = false),
     "multimodal_stats" -> QueryDef(
       Multimodal.stats, None),
     "multimodal_feature_pairs" -> QueryDef(

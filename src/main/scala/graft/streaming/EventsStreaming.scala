@@ -125,6 +125,29 @@ object EventsStreaming {
       s"stream_interval_${math.abs(dir.hashCode)}", OutputMode.Append())
       .orderBy(col("purchase_id"), col("click_id"))
 
+  /** Stream-static enrichment: streamed purchases joined to a STATIC
+    * per-user profile table — the standard dimension-lookup pattern.
+    * The static side is planned as an ordinary (broadcastable) batch
+    * relation re-resolved per micro-batch; no streaming state at all,
+    * so this scales exactly like the batch join.
+    */
+  def enriched(stream: DataFrame, profile: DataFrame): DataFrame =
+    stream.where(col("event_type") === "purchase")
+      .join(profile, "user_id")
+      .select(col("event_id"), col("user_id"), col("n_events"),
+        col("first_ms"))
+
+  /** Catalog query: stream-static enrichment, materialized. */
+  def enrichedQuery(spark: SparkSession, dir: String): DataFrame = {
+    val profile = graft.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(min(unix_millis(col("ts"))).as("first_ms"),
+        count(lit(1)).as("n_events"))
+    runToCompletion(spark, enriched(readEvents(spark, dir), profile),
+      s"stream_enriched_${math.abs(dir.hashCode)}", OutputMode.Append())
+      .orderBy(col("event_id"))
+  }
+
   /** Run a streaming DataFrame to completion against the static input and
     * return the final result from a memory sink (test/verify harness;
     * production would use a real sink + trigger).
