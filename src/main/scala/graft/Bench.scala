@@ -12,6 +12,13 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen/committer warm-up BEFORE any timed entry: ivf_build
+    // runs first and would otherwise absorb ~5 s of one-time costs that
+    // no other (warm-JVM) entry pays
+    spark.range(1000000L).selectExpr("sum(id)").collect()
+    val warmDir = java.nio.file.Files.createTempDirectory("bench_warm").toString
+    spark.range(1000L).toDF("id").write.mode("overwrite").parquet(warmDir)
+    spark.read.parquet(warmDir).count()
     // time the one-per-JVM IVF index build as its own entry, so the index
     // queries below (which reuse the cached index) measure SEARCH only
     val buildT0 = System.nanoTime()
