@@ -44,10 +44,19 @@ object Bench {
         System.err.println(s"[bench] ivfpq_encode FAILED: ${e.getMessage}")
         -1.0
       }
+    // ... and so is the MinHash verified-pair materialization feeding
+    // minhash_lsh_pairs / dedup_clusters / cross_source_dups
+    val pairsT0 = System.nanoTime()
+    val pairsTime =
+      try { graft.queries.DedupQueries.verifiedPairsPath(spark, sfDir); (System.nanoTime() - pairsT0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] minhash_pairs_build FAILED: ${e.getMessage}")
+        -1.0
+      }
     // a failed query reports -1 (not its elapsed-until-crash time) so a
     // regression can never masquerade as a speedup in the headline JSON
     val results = Map("ivf_build" -> buildTime, "pq_train" -> pqTrainTime,
-      "ivfpq_encode" -> pqEncodeTime) ++
+      "ivfpq_encode" -> pqEncodeTime, "minhash_pairs_build" -> pairsTime) ++
       graft.queries.Catalog.all
       .filter { case (_, d) => d.bench }
       .map { case (name, d) =>
