@@ -511,7 +511,70 @@ object DedupQueries {
       |         JOIN documents db ON db.doc_id = ver.b_id
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Corpus-level near-dup reduction headline: how many documents the
+    * keep-one-per-cluster policy removes, and what fraction of the
+    * corpus that is. One aggregation over the cluster table + the
+    * corpus count.
+    */
+  def dedupKeepStats(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = dedupClusters(spark, dir)
+    clusters.agg(
+        count(lit(1)).as("n_clustered"),
+        sum(when(col("is_canonical"), 0).otherwise(1)).cast("long").as("n_removed"))
+      .crossJoin(Tables.documents(spark, dir).agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"), col("n_clustered"), col("n_removed"),
+        round(col("n_removed").cast("double") / col("n_docs"), 4)
+          .as("removed_frac"))
+  }
+
+  private val dedupKeepStatsSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, s,
+      |    list_transform(range(0, 8), h ->
+      |      list_aggregate(list_transform(s, x ->
+      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, s, b AS band_idx,
+      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
+      |  FROM sig, unnest(range(0, 4)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      |  FROM banded l JOIN banded r
+      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+      |   AND l.doc_id < r.doc_id),
+      |ver AS (
+      |  SELECT c.a_id, c.b_id
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+      |              JOIN sh sb ON sb.doc_id = c.b_id
+      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |        / len(list_distinct(sa.s || sb.s)) >= 0.7),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM ver
+      |  UNION ALL SELECT b_id, a_id FROM ver),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+      |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+      |SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |  count(*) AS n_clustered,
+      |  CAST(sum(CASE WHEN id = cluster_id THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+      |  round(CAST(sum(CASE WHEN id = cluster_id THEN 0 ELSE 1 END) AS DOUBLE)
+      |        / (SELECT count(*) FROM documents), 4) AS removed_frac
+      |FROM comp""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "dedup_keep_stats" -> QueryDef(dedupKeepStats, Some(dedupKeepStatsSql)),
     "cross_source_dups" -> QueryDef(crossSourceDups, Some(crossSourceDupsSql)),
     "dedup_exact_stats" -> QueryDef(exactStats, Some(exactStatsSql)),
     "dedup_exact_pairs" -> QueryDef(exactPairs, Some(exactPairsSql)),
