@@ -125,6 +125,23 @@ class StreamingSpec extends SparkSpec {
     assert(Multimodal.featureTopPairs(spark, sf0001).count() == 10)
   }
 
+  test("multimodal features flow through the PQ compression path") {
+    // the whole point of fixed-dim features: the SAME index operators
+    // serve multimodal content — encode the extracted features with PQ
+    // and confirm ADC self-retrieval
+    import graft.operators.Pq
+    val feats = Multimodal.features(Multimodal.assets(spark, sf0001))
+      .select(col("asset_id"), col("features"))
+    val dim = Multimodal.FeatureDim
+    val model = Pq.train(feats, "features", dim, m = 8, ksub = 16,
+      orderCol = Some("asset_id"))
+    val q = feats.where(col("asset_id") === 1L)
+      .select(col("features")).head().getSeq[Float](0).toArray
+    val top = Pq.search(Pq.encode(feats, "features", model), "asset_id",
+      "pq_code", model, q, 3).collect()
+    assert(top.head.getLong(0) == 1L, s"self-retrieval failed: ${top.toSeq}")
+  }
+
   test("frame sampling arithmetic") {
     val fs = Multimodal.frameSample(
       Multimodal.assets(spark, sf0001), frameBytes = 16, stride = 4)
