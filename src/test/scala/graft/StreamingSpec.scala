@@ -125,6 +125,62 @@ class StreamingSpec extends SparkSpec {
     assert(Multimodal.featureTopPairs(spark, sf0001).count() == 10)
   }
 
+  test("watermark drops rows later than the delay across micro-batches") {
+    // two files processed as two micro-batches (maxFilesPerTrigger=1):
+    // batch 1 advances the watermark to (12:00 - 1h) = 11:00; batch 2
+    // replays an event at 09:30 (< watermark → must be dropped from the
+    // Append-mode windowed count) plus one at 09:30+3h (kept)
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import spark.implicits._
+    val stage = JFiles.createTempDirectory("graft_late").toString
+    def writeFile(name: String, rows: Seq[(java.sql.Timestamp, String)],
+        modMs: Long): Unit = {
+      val tmp = JFiles.createTempDirectory("graft_late_w").toString
+      rows.map { case (t, e) => (t, e, 1.0) }.toDF("ts", "event_type", "value")
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val part = JFiles.list(Paths.get(tmp)).iterator()
+      var src: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) src = p
+      }
+      val dst = Paths.get(stage, name)
+      JFiles.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      JFiles.setLastModifiedTime(dst, FileTime.fromMillis(modMs))
+    }
+    def ts(h: Int, m: Int) =
+      java.sql.Timestamp.valueOf(f"2026-01-01 $h%02d:$m%02d:00")
+    writeFile("a.parquet",
+      Seq((ts(9, 15), "click"), (ts(12, 0), "click")), 1000000L)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(stage)
+    val counts = EventsStreaming.hourlyCounts(stream)
+      .select(col("hour_start"), col("event_type"), col("n_events"))
+    val q = counts.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("late_data_test").start()
+    try {
+      q.processAllAvailable() // batch 1: watermark advances to 11:00
+      writeFile("b.parquet",
+        Seq((ts(9, 30), "click"), (ts(12, 30), "click")), 2000000L)
+      q.processAllAvailable() // batch 2: the 09:30 replay is late
+    } finally q.stop()
+    val out = spark.table("late_data_test")
+      .collect().map(r => r.getTimestamp(0).toString -> r.getLong(2)).toMap
+    // 09:00 window: only the on-time 09:15 row — the 09:30 replay
+    // arrived behind the 11:00 watermark and was dropped
+    assert(out("2026-01-01 09:00:00.0") == 1L,
+      s"late row not dropped: $out")
+  }
+
   test("multimodal features flow through the PQ compression path") {
     // the whole point of fixed-dim features: the SAME index operators
     // serve multimodal content — encode the extracted features with PQ
