@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify drivers parse the forked main's stdout as JSON; the
+// default LoggedOutput strategy prefixes every line with "[info] ",
+// which breaks that. Emit forked-run output verbatim.
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -41,7 +41,12 @@ object Ivf {
       vectorsPath: String,
       centroids: Array[Array[Float]],     // dense centroid_id = array index
       centroidToShard: Array[Int],
-      config: Config = Config()) {
+      config: Config = Config(),
+      // Seed the index was BUILT with. append() must assign with the same
+      // seed: for k > the hierarchical threshold the assigner re-derives
+      // its meta-clustering from (seed·17+42), so a different seed routes
+      // identical vectors to different centroids than build time.
+      seed: Long = 42L) {
     def k: Int = centroids.length
     def numShards: Int = centroidToShard.distinct.length
   }
@@ -113,10 +118,11 @@ object Ivf {
     centroids.indices
       .map(i => (i, centroidToShard(i), centroids(i).toSeq))
       .toDF("centroid_id", "shard_id", "centroid")
+      .withColumn("build_seed", lit(seed)) // metadata append() needs back
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
 
-    Index(s"$indexDir/vectors", centroids, centroidToShard)
+    Index(s"$indexDir/vectors", centroids, centroidToShard, seed = seed)
   }
 
   /** Incrementally add vectors to an EXISTING index without retraining:
@@ -153,7 +159,7 @@ object Ivf {
         raise_error(concat(lit(s"append: embedding dimension != $dim for id="),
           col(idCol).cast("string"))))
         .otherwise(col(embCol)))
-    KMeans.withAssignment(checked, embCol, model, 42L, "centroid_id")
+    KMeans.withAssignment(checked, embCol, model, index.seed, "centroid_id")
       .withColumn("shard_id", shardUdf(col("centroid_id")))
       .repartition(shuffleParts, col("shard_id"),
         pmod(xxhash64(col(idCol)), lit(salts)))
@@ -165,7 +171,14 @@ object Ivf {
 
   /** Load the routing table back (S6). */
   def load(spark: SparkSession, indexDir: String, config: Config = Config()): Index = {
-    val rows = spark.read.parquet(s"$indexDir/centroids")
+    val sidecar = spark.read.parquet(s"$indexDir/centroids")
+    // indexes written before build_seed existed default to the build
+    // default (42 — src/api.rs:143)
+    val seed =
+      if (sidecar.columns.contains("build_seed"))
+        sidecar.select("build_seed").head().getLong(0)
+      else 42L
+    val rows = sidecar
       .select("centroid_id", "shard_id", "centroid")
       .collect()
       .sortBy(_.getInt(0))
@@ -173,7 +186,8 @@ object Ivf {
       s"$indexDir/vectors",
       rows.map(_.getSeq[Float](2).toArray),
       rows.map(_.getInt(1)),
-      config)
+      config,
+      seed)
   }
 
   /** Probe selection against the driver-held routing table: the nProbe

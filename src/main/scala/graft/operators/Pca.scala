@@ -151,13 +151,19 @@ object Pca {
     val bc = df.sparkSession.sparkContext.broadcast(model)
     val proj = udf { (emb: Seq[Float]) =>
       val m = bc.value
-      val x = emb.toArray
-      Seq.tabulate(m.q) { r =>
-        val comp = m.components(r)
-        var acc = 0.0
-        var i = 0
-        while (i < m.d) { acc += comp(i) * (x(i) - m.mean(i)); i += 1 }
-        acc.toFloat
+      // Degraded-row contract (same as Pq.encode / Ivf.search): null or
+      // wrong-dimension embedding → null projection, never a task failure.
+      // Downstream top-k orders with asc_nulls_last so such rows lose.
+      if (emb == null || emb.length != m.d) null
+      else {
+        val x = emb.toArray
+        Seq.tabulate(m.q) { r =>
+          val comp = m.components(r)
+          var acc = 0.0
+          var i = 0
+          while (i < m.d) { acc += comp(i) * (x(i) - m.mean(i)); i += 1 }
+          acc.toFloat
+        }
       }
     }
     df.withColumn(outCol, proj(col(embCol)))

@@ -17,11 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** 8-hex-char threshold for a fraction of the 16^8 = 2^32 prefix space. */
+  /** 8-hex-char threshold for a fraction of the 16^8 = 2^32 prefix space.
+    * fraction ≥ 1.0 returns "g" — lexicographically above every hex
+    * prefix, so a strict `<` keeps ALL rows (a "ffffffff" threshold
+    * would silently drop the ~2^-32 of rows whose prefix is exactly
+    * ffffffff).
+    */
   def thresholdHex(fraction: Double): String = {
     require(fraction >= 0.0 && fraction <= 1.0,
       s"fraction must be in [0, 1]: $fraction")
-    f"${math.min(4294967295L, math.floor(fraction * 4294967296.0).toLong)}%08x"
+    if (fraction >= 1.0) "g"
+    else f"${math.floor(fraction * 4294967296.0).toLong}%08x"
   }
 
   /** Uniform deterministic sample: keep ~`fraction` of rows by content

@@ -242,6 +242,18 @@ class IvfSpec extends SparkSpec {
     assert(got == bruteKnn(q, 10))
   }
 
+  test("build seed persists through the sidecar so append assigns consistently") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_seed").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val built = Ivf.build(emb.where(col("vec_id") < 200), "vec_id", "embedding",
+      dir, seed = 7L)
+    assert(built.seed == 7L)
+    val loaded = Ivf.load(spark, dir)
+    assert(loaded.seed == 7L,
+      "load must restore the build seed append() re-derives assignment from")
+  }
+
   test("append rejects dimension-mismatched rows with an error") {
     import java.nio.file.{Files => JFiles}
     import spark.implicits._

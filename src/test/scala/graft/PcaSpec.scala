@@ -68,6 +68,20 @@ class PcaSpec extends SparkSpec {
     assert(eD < 1e-6, s"full-rank reconstruction not exact: $eD")
   }
 
+  test("transform degrades null/ragged embeddings to null, not a crash") {
+    val bad = Seq(
+      (-1L, Seq(1f, 2f)),              // wrong dimension
+      (-2L, null.asInstanceOf[Seq[Float]]),
+    ).toDF("vec_id", "embedding")
+    val mixed = emb.select(col("vec_id"), col("embedding")).limit(3)
+      .unionByName(bad)
+    val out = Pca.transform(mixed, "embedding", model)
+      .select("vec_id", "pca_emb").collect()
+      .map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(out(-1L) && out(-2L), "degraded rows must project to null")
+    assert(out.count(!_._2) == 3, "good rows must still project")
+  }
+
   test("PCA(16) candidate generation + exact re-rank recovers exact top-10") {
     // the classic two-stage ANN: top-50 in the 16-dim space, re-ranked
     // exactly in the original space

@@ -15,8 +15,19 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.thresholdHex(0.5) == "80000000")
     assert(Sampling.thresholdHex(0.75) == "c0000000")
     assert(Sampling.thresholdHex(0.0) == "00000000")
-    assert(Sampling.thresholdHex(1.0) == "ffffffff")
+    // sentinel above every hex prefix: strict '<' keeps ALL rows,
+    // including the ~2^-32 whose md5 prefix is exactly ffffffff
+    assert(Sampling.thresholdHex(1.0) == "g")
     intercept[IllegalArgumentException](Sampling.thresholdHex(1.5))
+  }
+
+  test("a fraction-1.0 stratum keeps every row") {
+    val total = docs.where(col("lang") === "en").count()
+    val kept = Sampling.stratifiedHashSample(docs, col("text"), col("lang"),
+        Map("en" -> 1.0), defaultFraction = 0.0)
+      .where(col("lang") === "en").count()
+    assert(kept == total, s"full-rate stratum dropped rows: $kept/$total")
+    assert(Sampling.hashSample(docs, col("text"), 1.0).count() == docs.count())
   }
 
   test("sample rate is close to the requested fraction") {
