@@ -72,10 +72,35 @@ object Bench {
         spark.catalog.clearCache() // builders' persist()s don't accumulate
         name -> (if (ok) elapsed else -1.0)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def ms(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // full per-query detail goes to a file (best-effort — bench may run
+    // with a read-only cwd); the stdout line must stay SHORT: the driver
+    // keeps only the last ~2000 chars of output, and an 80-query map at
+    // full double precision pushed the line head out of that window in
+    // rounds 1-2, leaving the driver with nothing parseable.
+    val fullJson = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("bench_detail.json"),
+      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"sf":"$sfDir"}""" + "\n")
+        .getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    // compact line: failed queries always included, then most-expensive
+    // first, truncated to a budget that fits the tail window with room
+    // for sbt's trailing "[success]" line
+    val ordered = results.toSeq.sortBy { case (_, v) => (v >= 0, -v) }
+    val budget = 1500
+    val kept = new scala.collection.mutable.ArrayBuffer[String]()
+    var used = 0
+    ordered.foreach { case (k, v) =>
+      val s = "\"" + k + "\":" + ms(v)
+      if (used + s.length + 1 <= budget) { kept += s; used += s.length + 1 }
+    }
+    val nFail = results.values.count(_ < 0)
     spark.stop()
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"sf":"$sfDir"}""")
   }
 }
