@@ -573,7 +573,57 @@ object DedupQueries {
       |        / (SELECT count(*) FROM documents), 4) AS removed_frac
       |FROM comp""".stripMargin
 
+  /** Incremental-ingest dedup: a new crawl batch (doc_id >= 400) is
+    * deduplicated against the already-ingested corpus (doc_id < 400) by
+    * bag-of-words fingerprint (md5 of the sorted distinct token set —
+    * canonicalizes word order, catching shuffled near-dups that the
+    * exact fingerprint misses). The anti join runs through
+    * [[graft.operators.BloomJoin.anti]]: the corpus fingerprint set is
+    * Bloom-summarized, batch rows the filter rejects are DEFINITELY new
+    * and skip the join, and only probable dups pay the exact anti-join
+    * shuffle. That is the steady-state ingestion shape at 100 TB: the
+    * corpus fingerprint store is far too big to broadcast, but its Bloom
+    * filter is not, and a fresh crawl is mostly new — so most rows never
+    * shuffle at all.
+    */
+  def dedupIncrementalStats(spark: SparkSession, dir: String): DataFrame = {
+    val fp = md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), fp.as("fp"))
+    val corpus = docs.where(col("doc_id") < 400).select(col("fp"))
+    val batch = docs.where(col("doc_id") >= 400)
+    val fresh = graft.operators.BloomJoin.anti(batch, "fp", corpus, "fp")
+      .select(col("doc_id"), lit(1L).as("is_new"))
+    batch.join(fresh, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_batch"),
+        sum(coalesce(col("is_new"), lit(0L))).cast("long").as("n_new"),
+        (count(lit(1)) - sum(coalesce(col("is_new"), lit(0L)))).cast("long")
+          .as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_batch"), 4))
+      .orderBy(col("source"))
+  }
+
+  private val dedupIncrementalStatsSql =
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |    md5(list_aggregate(list_sort(list_distinct(
+      |      list_filter(regexp_split_to_array(text, '\s+'), x -> x <> ''))),
+      |      'string_agg', ' ')) AS fp
+      |  FROM documents),
+      |corpus AS (SELECT DISTINCT fp FROM f WHERE doc_id < 400),
+      |batch AS (SELECT * FROM f WHERE doc_id >= 400)
+      |SELECT source, count(*) AS n_batch,
+      |  CAST(sum(CASE WHEN fp NOT IN (SELECT fp FROM corpus) THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM corpus) THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+      |  round(CAST(sum(CASE WHEN fp IN (SELECT fp FROM corpus) THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 4) AS dup_frac
+      |FROM batch GROUP BY source ORDER BY source""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "dedup_incremental_stats" -> QueryDef(dedupIncrementalStats, Some(dedupIncrementalStatsSql)),
     "dedup_keep_stats" -> QueryDef(dedupKeepStats, Some(dedupKeepStatsSql)),
     "cross_source_dups" -> QueryDef(crossSourceDups, Some(crossSourceDupsSql)),
     "dedup_exact_stats" -> QueryDef(exactStats, Some(exactStatsSql)),

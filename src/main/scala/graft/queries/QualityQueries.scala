@@ -227,7 +227,134 @@ object QualityQueries {
       |    / sum(len(toks)), 4) AS stopword_ratio
       |FROM t GROUP BY source ORDER BY source""".stripMargin
 
+  /** Per-language quality deciles: documents ranked by stopword ratio
+    * within each language, NTILE(10)-bucketed, per-decile profile. The
+    * shape behind "train on the top-N% by quality score" curation cuts.
+    * The rank-order is per-language, so the sort/window parallelism unit
+    * at 100 TB is the language partition (plus hash salt within a
+    * language if one dominates) — never a global total order. The
+    * (score, doc_id) ordering makes NTILE deterministic under ties.
+    */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val s = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("lang"),
+        size(col("toks")).as("n_tokens"),
+        (size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*)))
+          .cast("double") / greatest(size(col("toks")), lit(1))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score"), col("doc_id"))
+    s.withColumn("decile", ntile(10).over(w).cast("long"))
+      .groupBy(col("lang"), col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("score")), 4).as("min_score"),
+        round(max(col("score")), 4).as("max_score"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+      .orderBy(col("lang"), col("decile"))
+  }
+
+  private val qualityDecilesSql =
+    """WITH t AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, lang, len(toks) AS n_tokens,
+      |    CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+      |      / greatest(len(toks), 1) AS score
+      |  FROM t),
+      |d AS (
+      |  SELECT lang, n_tokens, score,
+      |    ntile(10) OVER (PARTITION BY lang ORDER BY score, doc_id) AS decile
+      |  FROM s)
+      |SELECT lang, decile, count(*) AS n_docs,
+      |  round(min(score), 4) AS min_score, round(max(score), 4) AS max_score,
+      |  round(avg(n_tokens), 4) AS avg_tokens
+      |FROM d GROUP BY lang, decile ORDER BY lang, decile""".stripMargin
+
+  /** The composed end-to-end curation pipeline, one query: held-out
+    * source exclusion → quality filter (length + stopword ratio) →
+    * bag-fingerprint dedup keeping the lowest doc_id → benchmark
+    * decontamination (drop any doc sharing a 5-gram with the held-out
+    * sources) → per-language corpus stats. Each stage is the
+    * already-proven operator (quality_score, dedup_incremental's bag
+    * fingerprint, decontam_overlap's broadcast gram set); this query
+    * proves they COMPOSE in one Catalyst plan: per-doc signals map-side,
+    * one window shuffle on fp, one broadcast semi join for
+    * contamination, one bounded groupBy — at 100 TB, two shuffles total
+    * over the corpus. Stage attrition at sf0.01: 500 → 414 (quality)
+    * → 366 (dedup) → 361 (decontam) docs.
+    */
+  def corpusFinalStats(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "and", "to")
+    val testSources = Seq("src18", "src19")
+    // one tokenize pass feeds scoring, the test gram set, and dedup
+    val toks = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text"))).persist()
+    val scored = toks.select(col("doc_id"), col("lang"), col("source"),
+      col("toks"), size(col("toks")).as("n_tokens"),
+      (size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*)))
+        .cast("double") / greatest(size(col("toks")), lit(1))).as("stop_ratio"),
+      md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("fp"))
+    val quality = scored.where(!col("source").isin(testSources: _*) &&
+      col("n_tokens") >= 20 && col("stop_ratio") <= 0.25)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"))
+    val deduped = quality.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).persist()
+    val testG = toks.where(col("source").isin(testSources: _*))
+      .select(explode(array_distinct(wordNgrams(col("toks"), 5))).as("g"))
+      .distinct()
+    val contaminated = deduped
+      .select(col("doc_id"), explode(array_distinct(wordNgrams(col("toks"), 5))).as("g"))
+      .join(broadcast(testG), "g").select(col("doc_id")).distinct()
+    deduped.join(contaminated, Seq("doc_id"), "left_anti")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        round(avg(col("n_tokens")), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+  }
+
+  private val corpusFinalStatsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, source,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, lang, source, t, len(t) AS n_tokens,
+      |    CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+      |      / greatest(len(t), 1) AS stop_ratio,
+      |    md5(list_aggregate(list_sort(list_distinct(t)), 'string_agg', ' ')) AS fp
+      |  FROM toks),
+      |quality AS (
+      |  SELECT * FROM scored
+      |  WHERE source NOT IN ('src18', 'src19') AND n_tokens >= 20 AND stop_ratio <= 0.25),
+      |deduped AS (
+      |  SELECT * FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM quality)
+      |  WHERE rn = 1),
+      |test_g AS (
+      |  SELECT DISTINCT unnest(list_distinct(CASE WHEN len(t) >= 5
+      |    THEN list_transform(range(1, len(t) - 3), i -> list_aggregate(t[i:i+4], 'string_agg', ' '))
+      |    ELSE [] END)) AS g
+      |  FROM toks WHERE source IN ('src18', 'src19')),
+      |contaminated AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, unnest(list_distinct(CASE WHEN len(t) >= 5
+      |      THEN list_transform(range(1, len(t) - 3), i -> list_aggregate(t[i:i+4], 'string_agg', ' '))
+      |      ELSE [] END)) AS g
+      |    FROM deduped) d JOIN test_g USING (g)),
+      |final AS (
+      |  SELECT * FROM deduped WHERE doc_id NOT IN (SELECT doc_id FROM contaminated))
+      |SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |  round(avg(n_tokens), 4) AS avg_tokens
+      |FROM final GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "quality_deciles" -> QueryDef(qualityDeciles, Some(qualityDecilesSql)),
+    "corpus_final_stats" -> QueryDef(corpusFinalStats, Some(corpusFinalStatsSql)),
     "doc_repetition_stats" -> QueryDef(repetitionStats, Some(repetitionStatsSql)),
     "decontam_overlap" -> QueryDef(decontamOverlap(_, _), Some(decontamOverlapSql)),
     "pack_sequences" -> QueryDef(packSequences, Some(packSequencesSql)),

@@ -396,7 +396,40 @@ object RelationalQueries {
       |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       |ORDER BY status, priority""".stripMargin
 
+  /** Revenue from line items of large urgent orders, via
+    * [[graft.operators.BloomJoin.semi]]: the urgent-order key set is
+    * Bloom-summarized and applied map-side over the lineitem scan, so
+    * only probable matches reach the exact semi join. At 100 TB the key
+    * set (9% of orders) outgrows a broadcast hash relation long before
+    * its ~1.2 MB/M-keys Bloom filter stops fitting — the pre-filter cuts
+    * the probe-side shuffle to the match fraction. Result is exact
+    * (trailing semi join removes false positives), hence oracle-checked.
+    */
+  def bloomSemiRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(spark, dir)
+      .where(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > 280000)
+      .select(col("o_orderkey"))
+    graft.operators.BloomJoin
+      .semi(Tables.lineitem(spark, dir), "l_orderkey", urgent, "o_orderkey")
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  private val bloomSemiRevenueSql =
+    """SELECT l_returnflag, count(*) AS n_items,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM lineitem
+      |WHERE l_orderkey IN (
+      |  SELECT o_orderkey FROM orders
+      |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 280000)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "bloom_semi_revenue" -> QueryDef(bloomSemiRevenue, Some(bloomSemiRevenueSql)),
     "small_quantity_revenue" -> QueryDef(smallQuantityRevenue, Some(smallQuantityRevenueSql)),
     "promo_revenue_share" -> QueryDef(promoRevenueShare, Some(promoRevenueShareSql)),
     "stats_by_flag" -> QueryDef(statsByFlag, Some(statsByFlagSql)),
