@@ -75,13 +75,73 @@ object KMeans {
     s
   }
 
-  /** Argmin over centroids: (bestIdx, bestDist). */
+  /** sqDist with early abandon (Faiss-style partial-distance pruning):
+    * exact squared distance when it is < `bound`; otherwise bails at a
+    * 16-dim block boundary and returns the partial sum (>= bound).
+    * Block-wise checks keep the inner loop branch-free/vectorizable.
+    * Any caller comparing the result against `bound` (argmin, min-dist
+    * maintenance) gets bitwise-identical outcomes to the full distance.
+    */
+  def sqDistBounded(a: Array[Float], b: Array[Float], bound: Double): Double = {
+    val n = a.length
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val end = math.min(i + 16, n)
+      while (i < end) {
+        val d = a(i).toDouble - b(i).toDouble
+        s += d * d
+        i += 1
+      }
+      if (s >= bound) return s
+    }
+    s
+  }
+
+  /** Exact all-points assignment with point-tile × centroid-stream
+    * blocking: within each 128-point tile the loop is centroid-outer /
+    * point-inner, so the k×dim centroid matrix is streamed once per
+    * TILE instead of once per point — memory traffic drops from
+    * O(n·k·dim) to O(n·k·dim/tile) and the hot tile stays L2-resident.
+    * Each point still meets candidates in ascending centroid order with
+    * the same early-abandon bound, so labels are bitwise-identical to a
+    * per-point nearest() scan. Tiles run in parallel (disjoint slots).
+    */
+  private def assignAllBlocked(pool: Array[Array[Float]],
+      cs: Array[Array[Float]], labels: Array[Int]): Unit = {
+    val n = pool.length
+    val tile = 128
+    val nTiles = (n + tile - 1) / tile
+    java.util.stream.IntStream.range(0, nTiles).parallel().forEach { t =>
+      val lo = t * tile
+      val hi = math.min(lo + tile, n)
+      val bd = new Array[Double](hi - lo)
+      java.util.Arrays.fill(bd, Double.MaxValue)
+      var c = 0
+      while (c < cs.length) {
+        val cv = cs(c)
+        var i = lo
+        while (i < hi) {
+          val d = sqDistBounded(pool(i), cv, bd(i - lo))
+          if (d < bd(i - lo)) { bd(i - lo) = d; labels(i) = c }
+          i += 1
+        }
+        c += 1
+      }
+    }
+  }
+
+  /** Argmin over centroids: (bestIdx, bestDist). Early-abandons each
+    * candidate at the current best — exact same (idx, dist) as the
+    * unpruned scan (a pruned candidate is >= best, so it never wins,
+    * and ties already kept the first index).
+    */
   def nearest(p: Array[Float], cs: Array[Array[Float]]): (Int, Double) = {
     var bi = 0
     var bd = Double.MaxValue
     var i = 0
     while (i < cs.length) {
-      val d = sqDist(p, cs(i))
+      val d = sqDistBounded(p, cs(i), bd)
       if (d < bd) { bd = d; bi = i }
       i += 1
     }
@@ -156,11 +216,19 @@ object KMeans {
     var c = 1
     while (c < k) {
       val newest = out(c - 1)
+      // Parallel min-dist maintenance (the reference's rayon
+      // update_min_distances_parallel, src/kmeans.rs:422-443): slots are
+      // disjoint per index and the early-abandon bound is each point's
+      // own current minD, so results are bitwise-identical to the
+      // sequential scan. The weighted-pick total is then summed in fixed
+      // ascending order — same double, same RNG draw as before.
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        val d = sqDistBounded(pool(i), newest, minD(i))
+        if (d < minD(i)) minD(i) = d
+      }
       var i = 0
       var total = 0.0
       while (i < n) {
-        val d = sqDist(pool(i), newest)
-        if (d < minD(i)) minD(i) = d
         total += minD(i)
         i += 1
       }
@@ -204,7 +272,7 @@ object KMeans {
     val k = math.min(k0, pool.length)
     val rng = new Random(seed)
     val centroids = kppInit(pool, k, rng)
-    refineLloyd(pool, centroids, iters, rng)
+    refineLloyd(pool, centroids, iters, rng, seed)
     Model(centroids)
   }
 
@@ -280,19 +348,29 @@ object KMeans {
     * case (k≈4√n, pool 50k → ~10^10 flops single-threaded otherwise).
     */
   private def refineLloyd(pool: Array[Array[Float]],
-      centroids: Array[Array[Float]], iters: Int, rng: Random): Unit = {
+      centroids: Array[Array[Float]], iters: Int, rng: Random,
+      seed: Long): Unit = {
     val n = pool.length
     val k = centroids.length
     if (n == 0 || k == 0) return
     val dim = pool(0).length
     val labels = new Array[Int](n)
+    // Assignment policy mirrors the reference's full-assignment dispatch
+    // (`assign_points_simd_parallel`, src/kmeans.rs:445-459): brute-force
+    // argmin for k <= 100, hierarchical two-level O(√k)-per-point above.
+    // The hierarchy is rebuilt per iteration from the SAME derived seed
+    // (src/kmeans.rs:494), so training stays deterministic.
+    val useHier = k > HierarchicalThreshold
     var it = 0
     var done = false
     while (it < iters && !done) {
       val prev = centroids.map(_.clone())
-      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
-        labels(i) = nearest(pool(i), centroids)._1
-      }
+      if (useHier) {
+        val assigner = new HierarchicalAssigner(centroids, seed)
+        java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+          labels(i) = assigner.assign(pool(i))._1
+        }
+      } else assignAllBlocked(pool, centroids, labels)
       val sums = Array.ofDim[Double](k, dim)
       val cnts = new Array[Long](k)
       var i = 0
@@ -329,10 +407,13 @@ object KMeans {
         var largest = 0
         c = 0
         while (c < k) { if (cnts(c) > cnts(largest)) largest = c; c += 1 }
+        // the largest cluster's member list is label-stable within the
+        // iteration — computed once, shared by every starved reseed
+        // (identical draws to recomputing it per cluster)
+        lazy val members: IndexedSeq[Int] = (0 until n).filter(labels(_) == largest)
         c = 0
         while (c < k) {
           if (cnts(c) < minSize && c != largest && cnts(largest) > 2 * minSize) {
-            val members = (0 until n).filter(labels(_) == largest)
             centroids(c) = pool(members(rng.nextInt(members.length))).clone()
             reseeded = true
           }

@@ -351,7 +351,7 @@ object TextQueries {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    tf.join(dfreq, "term")
+    tf.join(broadcast(dfreq), "term") // vocabulary-sized — never shuffle tf for it
       .withColumn("score",
         round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
