@@ -9,12 +9,15 @@ import graft.functions.{DotProduct, SquaredL2}
   *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
   *   SELECT squared_l2(a.embedding, b.embedding) FROM ...
   *
-  * (Catalyst strategies/rules are NOT injected — every graft operator
-  * lowers to built-in plans by design, SURVEY.md §4.3; the extension
-  * surface is scalar functions only.)
+  * Also injects [[graft.plans.RewriteVectorDistance]], the optimizer
+  * rule that rewrites the portable HOF distance/dot forms to the native
+  * codegen expressions (30×) without changing query text. Custom
+  * strategies are NOT injected — every graft operator lowers to
+  * built-in physical plans by design (SURVEY.md §4.3).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => graft.plans.RewriteVectorDistance)
     e.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("squared_l2"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -39,6 +42,9 @@ object GraftExtensions {
     * extensions conf — e.g. the driver-owned Verify/Bench sessions).
     */
   def register(spark: SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RewriteVectorDistance))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RewriteVectorDistance
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "squared_l2", args => {
         require(args.length == 2, "squared_l2 takes 2 arguments")
