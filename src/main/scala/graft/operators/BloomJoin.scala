@@ -37,8 +37,15 @@ object BloomJoin {
   def build(keys: DataFrame, keyCol: String, expectedItems: Long = -1L,
       fpp: Double = 0.01): BloomFilter = {
     val n = if (expectedItems > 0) expectedItems
-            else math.max(keys.select(keyCol).count(), 1L)
-    keys.stat.bloomFilter(keyCol, n, fpp)
+            else keys.select(keyCol).count()
+    if (n <= 0) BloomFilter.create(1, fpp) // empty side: filter matches nothing
+    else
+      try keys.stat.bloomFilter(keyCol, n, fpp)
+      catch {
+        // stat.bloomFilter NPEs on an empty relation (null agg buffer) —
+        // reachable when the caller's expectedItems hint was wrong
+        case _: NullPointerException => BloomFilter.create(1, fpp)
+      }
   }
 
   /** Membership predicate for `large(largeKey)` against a built filter.

@@ -68,6 +68,14 @@ class BloomJoinSpec extends SparkSpec {
     assert(anti.flatten.toSeq.sorted == Seq(2L))
   }
 
+  test("empty key set: semi yields nothing, anti yields everything") {
+    import spark.implicits._
+    val large = Seq(1L, 2L, 3L).toDF("k")
+    val keys = Seq.empty[Long].toDF("k2")
+    assert(BloomJoin.semi(large, "k", keys, "k2").count() == 0)
+    assert(BloomJoin.anti(large, "k", keys, "k2").count() == 3)
+  }
+
   test("pre-filter rejects the vast majority of a disjoint probe side") {
     import spark.implicits._
     val large = spark.range(0, 100000).toDF("k") // 0..99999
