@@ -173,17 +173,36 @@ object KMeans {
     }
 
     def assign(p: Array[Float]): (Int, Double) = {
-      // top-metaProbe meta-centroids by distance
-      val md = Array.tabulate(meta.k)(i => (i, sqDist(p, meta.centroids(i))))
-      java.util.Arrays.sort(md, Ordering.by[(Int, Double), Double](_._2))
+      // top-metaProbe meta-centroids by distance — allocation-free stable
+      // selection (strict < on replacement keeps ascending-index order on
+      // ties, matching the previous stable sort; this runs per ROW of the
+      // full-table assignment scan, so no boxed tuples, no O(meta_k log
+      // meta_k) sort)
+      val probes = math.min(metaProbe, meta.k)
+      val topIdx = new Array[Int](probes)
+      val topD = new Array[Double](probes)
+      java.util.Arrays.fill(topD, Double.MaxValue)
+      var i = 0
+      while (i < meta.k) {
+        val d = sqDist(p, meta.centroids(i))
+        var pos = probes
+        while (pos > 0 && d < topD(pos - 1)) pos -= 1
+        if (pos < probes) {
+          var s = probes - 1
+          while (s > pos) { topD(s) = topD(s - 1); topIdx(s) = topIdx(s - 1); s -= 1 }
+          topD(pos) = d
+          topIdx(pos) = i
+        }
+        i += 1
+      }
       var bi = -1
       var bd = Double.MaxValue
       var mi = 0
-      while (mi < math.min(metaProbe, md.length)) {
-        val ms = members(md(mi)._1)
+      while (mi < probes && topD(mi) < Double.MaxValue) {
+        val ms = members(topIdx(mi))
         var j = 0
         while (j < ms.length) {
-          val d = sqDist(p, centroids(ms(j)))
+          val d = sqDistBounded(p, centroids(ms(j)), bd)
           if (d < bd) { bd = d; bi = ms(j) }
           j += 1
         }
