@@ -414,7 +414,50 @@ object TextQueries {
       |            ELSE '80000000' END
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Corpus bigram language-model table (the KenLM-ish count/cond-prob
+    * shape quality filters train on): bigram counts via one exploded
+    * groupBy (map-side combine carries it — the (bigram) key is
+    * high-cardinality and uniform), per-predecessor totals re-aggregated
+    * from the count table (vocabulary-sized → broadcast back), top 20 by
+    * count. At 100 TB: two bounded shuffles, no row ever carries more
+    * than one gram.
+    */
+  def bigramLmTop(spark: SparkSession, dir: String): DataFrame = {
+    val bi = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(explode(QualityQueries.wordNgrams(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("n_bigram"))
+      .persist() // feeds both the predecessor totals and the join
+    val c1 = bi.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("n_bigram")).cast("long").as("n_w1"))
+    bi.withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(broadcast(c1), "w1")
+      .select(col("bigram"), col("n_bigram"),
+        round(col("n_bigram").cast("double") / col("n_w1"), 4).as("cond_p"))
+      .orderBy(col("n_bigram").desc, col("bigram"))
+      .limit(20)
+  }
+
+  private val bigramLmTopSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |bi AS (
+      |  SELECT unnest(CASE WHEN len(t) >= 2
+      |    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+      |    ELSE [] END) AS bigram
+      |  FROM toks),
+      |c2 AS (SELECT bigram, count(*) AS n_bigram FROM bi GROUP BY bigram),
+      |c1 AS (
+      |  SELECT split_part(bigram, ' ', 1) AS w1, CAST(sum(n_bigram) AS BIGINT) AS n_w1
+      |  FROM c2 GROUP BY 1)
+      |SELECT bigram, n_bigram,
+      |  round(CAST(n_bigram AS DOUBLE) / n_w1, 4) AS cond_p
+      |FROM c2 JOIN c1 ON split_part(bigram, ' ', 1) = c1.w1
+      |ORDER BY n_bigram DESC, bigram LIMIT 20""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "bigram_lm_top" -> QueryDef(bigramLmTop, Some(bigramLmTopSql)),
     "doc_logprob_score" -> QueryDef(logprobScore, Some(logprobScoreSql)),
     "hashed_tf" -> QueryDef(hashedTf, Some(hashedTfSql)),
     "tfidf_top_terms" -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql)),

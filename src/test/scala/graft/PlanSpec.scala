@@ -40,6 +40,22 @@ class PlanSpec extends SparkSpec {
     assert(plan("customers_without_orders").contains("LeftAnti"))
   }
 
+  test("bloom semi: probe side pre-filtered before an exact semi join") {
+    val p = plan("bloom_semi_revenue")
+    assert(p.contains("LeftSemi"), "exact semi join missing")
+    assert(p.contains("UDF"), "bloom might-contain pre-filter missing from plan")
+  }
+
+  test("incremental dedup: bloom short-circuit union around a left anti join") {
+    val p = plan("dedup_incremental_stats")
+    assert(p.contains("LeftAnti"), "exact anti join missing")
+    assert(p.contains("Union"), "definite-miss bypass branch missing")
+  }
+
+  test("corpus pipeline: contamination gram set broadcast") {
+    assert(plan("corpus_final_stats").contains("BroadcastHashJoin"))
+  }
+
   test("decontam: test-gram set broadcast, train side never shuffled for the join") {
     val p = plan("decontam_overlap")
     assert(p.contains("BroadcastHashJoin"), "test-gram join not broadcast")
