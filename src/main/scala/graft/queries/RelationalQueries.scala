@@ -275,6 +275,43 @@ object RelationalQueries {
       |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** The skew-safe two-phase exact count-distinct
+    * ([[graft.operators.Skew.countDistinctTwoPhase]]) through the driver
+    * gate: phase 1 dedups on the uniformly-distributed (key, value) pair,
+    * phase 2 counts compressed state — no reducer ever holds a hot key's
+    * whole value set. Same answer as count(DISTINCT), which is the
+    * oracle.
+    */
+  def skewDistinctParts(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.countDistinctTwoPhase(
+        Tables.lineitem(spark, dir), col("l_returnflag"), col("l_partkey"),
+        outName = "n_parts")
+      .select(col("__key").as("l_returnflag"), col("n_parts"))
+      .orderBy(col("l_returnflag"))
+
+  private val skewDistinctPartsSql =
+    """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Salted collect_set ([[graft.operators.Skew.saltedCollectSet]])
+    * through the driver gate: per-salt partial sets bound reducer state
+    * to distinct-values/nSalts; the final union merges small sets. The
+    * set is exploded back to scalar rows for the compare (the driver's
+    * hasher cannot digest array columns), so the oracle is the DISTINCT
+    * pair set — exactly what the salted sets must reconstruct.
+    */
+  def skewQuantitySets(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Skew.saltedCollectSet(
+        Tables.lineitem(spark, dir), col("l_returnflag"), col("l_quantity"),
+        outName = "quantities")
+      .select(col("__key").as("l_returnflag"),
+        explode(col("quantities")).as("quantity"))
+      .orderBy(col("l_returnflag"), col("quantity"))
+
+  private val skewQuantitySetsSql =
+    """SELECT DISTINCT l_returnflag, l_quantity AS quantity
+      |FROM lineitem ORDER BY l_returnflag, quantity""".stripMargin
+
   /** approx_count_distinct (HLL++) — engine-specific sketch, rows-only
     * check; benchmarked because at 100 TB exact distinct on a high-card
     * key is a full shuffle while HLL is map-side mergeable.
@@ -446,6 +483,8 @@ object RelationalQueries {
     "part_type_rollup" -> QueryDef(partTypeRollup, Some(partTypeRollupSql)),
     "set_ops_customers" -> QueryDef(setOpsCustomers, Some(setOpsCustomersSql)),
     "distinct_parts_per_flag" -> QueryDef(distinctPartsPerFlag, Some(distinctPartsPerFlagSql)),
+    "skew_distinct_parts" -> QueryDef(skewDistinctParts, Some(skewDistinctPartsSql)),
+    "skew_quantity_sets" -> QueryDef(skewQuantitySets, Some(skewQuantitySetsSql)),
     "approx_distinct_parts" -> QueryDef(approxDistinctParts, None),
     "approx_quantiles" -> QueryDef(approxQuantiles, None)
   )
