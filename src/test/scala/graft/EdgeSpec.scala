@@ -55,4 +55,16 @@ class EdgeSpec extends SparkSpec {
     val rows = vi.search(Array(1f, 2f, 3f, 4f)).collect()
     assert(rows.length == 1 && rows.head.getLong(0) == 99L)
   }
+
+  test("round-3 curation queries survive the tiny sf (empty-branch paths)") {
+    // sf0.001 has ~50 docs: the incremental batch (doc_id >= 400) is
+    // EMPTY and the pipeline's stage survivors shrink to a handful —
+    // every query must still plan and run, not crash on the empty side
+    import graft.queries.Catalog
+    for (q <- Seq("dedup_incremental_stats", "corpus_final_stats",
+        "quality_deciles", "bigram_lm_top", "bloom_semi_revenue")) {
+      val n = Catalog.all(q).build(spark, sf0001).count()
+      assert(n >= 0, s"$q failed at sf0.001")
+    }
+  }
 }
