@@ -83,7 +83,7 @@ object BloomJoin {
     * positives removed. Costs a second (column-pruned, pushed-down)
     * scan of `large` — at scale that is a scan of one key column vs a
     * full-table shuffle, the right trade; persist `large` first if its
-    * lineage is expensive.
+    * lineage is expensive or nondeterministic (both branches must see identical rows).
     */
   def anti(large: DataFrame, largeKey: String, keys: DataFrame, keyCol: String,
       expectedItems: Long = -1L, fpp: Double = 0.01): DataFrame = {
