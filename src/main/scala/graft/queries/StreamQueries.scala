@@ -55,8 +55,51 @@ object StreamQueries {
     "stream_enriched" -> QueryDef(
       EventsStreaming.enrichedQuery, Some(enrichedSql), bench = false),
     "multimodal_stats" -> QueryDef(
-      Multimodal.stats, None),
+      Multimodal.stats, Some(multimodalStatsSql)),
     "multimodal_feature_pairs" -> QueryDef(
-      Multimodal.featureTopPairs, None)
+      Multimodal.featureTopPairs, Some(multimodalFeaturePairsSql))
   )
+
+  /** The decode kernel is md5-derived (Multimodal.fakeDecode), so the
+    * oracle reconstructs the asset table from documents and mirrors the
+    * decode arithmetic on the md5 60-bit prefix.
+    */
+  private val multimodalStatsSql =
+    """WITH a AS (
+      |  SELECT doc_id AS asset_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+      |    text
+      |  FROM documents),
+      |d AS (
+      |  SELECT asset_id, modality,
+      |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS h,
+      |    octet_length(encode(text)) AS n_bytes
+      |  FROM a)
+      |SELECT modality, count(*) AS n_assets,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  min(h % 1920 + 1) AS min_w,
+      |  max((h // 1920) % 1080 + 1) AS max_h
+      |FROM d GROUP BY modality ORDER BY modality""".stripMargin
+
+  private val multimodalFeaturePairsSql =
+    """WITH a AS (
+      |  SELECT doc_id AS asset_id, text FROM documents WHERE doc_id < 60),
+      |f AS (
+      |  SELECT asset_id,
+      |    list_transform(range(0, 16), j ->
+      |      CAST((CAST(('0x' || substr(md5(j || ':' || text), 1, 15)) AS BIGINT)
+      |            % 1000000) / 1000000.0 AS FLOAT)) AS feat
+      |  FROM a),
+      |p AS (
+      |  SELECT l.asset_id AS a_id, r.asset_id AS b_id,
+      |    list_reduce(list_transform(list_zip(l.feat, r.feat),
+      |      q -> CAST(q[1] AS DOUBLE) * CAST(q[2] AS DOUBLE)), (x, y) -> x + y) AS dp,
+      |    sqrt(list_reduce(list_transform(l.feat,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS na,
+      |    sqrt(list_reduce(list_transform(r.feat,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS nb
+      |  FROM f l JOIN f r ON l.asset_id < r.asset_id)
+      |SELECT a_id, b_id,
+      |  round(CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dp / (na * nb) END, 4) AS cos_sim
+      |FROM p ORDER BY cos_sim DESC, a_id, b_id LIMIT 10""".stripMargin
 }

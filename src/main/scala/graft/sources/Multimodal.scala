@@ -42,31 +42,38 @@ object Multimodal {
         (col("n_chars") * 10).as("duration_ms"),
         lit("raw").as("format")).as("meta"))
 
+  /** First 60 bits of the payload's md5 as a non-negative long — the
+    * same construction the dedup pipeline uses (`DedupQueries.md5Long`),
+    * so the DuckDB oracle reproduces every derived value bit-for-bit.
+    */
+  private def md5Long60(s: String): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   /** STUB decode: deterministic pseudo-decode of a binary payload.
-    * A real implementation would parse the container format here.
+    * A real implementation would parse the container format here; the
+    * stand-in derives (width, height, channels) from the payload's md5
+    * so the whole decode path is oracle-checkable.
     */
   private def fakeDecode(content: Array[Byte]): (Int, Int, Int) = {
-    var h = 1125899906842597L
-    var i = 0
-    while (i < content.length) { h = 31 * h + content(i); i += 1 }
-    val w = (math.abs(h) % 1920 + 1).toInt
-    val ht = (math.abs(h / 1920) % 1080 + 1).toInt
+    val h = md5Long60(new String(content, "UTF-8"))
+    val w = (h % 1920 + 1).toInt
+    val ht = (h / 1920 % 1080 + 1).toInt
     (w, ht, 3)
   }
 
-  /** STUB feature extraction: deterministic pseudo-embedding from bytes.
-    * A real implementation would run a vision/audio encoder per batch.
+  /** STUB feature extraction: deterministic pseudo-embedding from the
+    * payload. A real implementation would run a vision/audio encoder per
+    * batch; the stand-in hashes the payload per dimension (md5-derived,
+    * oracle-reproducible).
     */
   private def fakeFeatures(content: Array[Byte]): Array[Float] = {
-    val out = new Array[Float](FeatureDim)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < content.length) {
-      h = 31 * h + content(i)
-      out(i % FeatureDim) += (h % 1000) / 1000.0f
-      i += 1
-    }
-    out
+    val s = new String(content, "UTF-8")
+    Array.tabulate(FeatureDim)(j =>
+      ((md5Long60(j + ":" + s) % 1000000L) / 1000000.0).toFloat)
   }
 
   final case class Asset(asset_id: Long, modality: String, content: Array[Byte])
@@ -116,14 +123,17 @@ object Multimodal {
       .select(col("asset_id"), col("modality"), col("n_frames"),
         col("n_sampled"))
 
-  /** Catalog query: per-modality decode + payload stats (deterministic). */
+  /** Catalog query: per-modality decode + payload stats (deterministic,
+    * oracle-checked — the decode kernel is md5-derived). Widths cast to
+    * long for the DuckDB BIGINT schema compare.
+    */
   def stats(spark: SparkSession, dir: String): DataFrame =
     decode(assets(spark, dir))
       .groupBy(col("modality"))
       .agg(count(lit(1)).as("n_assets"),
         sum(col("n_bytes")).as("total_bytes"),
-        min(col("width")).as("min_w"),
-        max(col("height")).as("max_h"))
+        min(col("width")).cast("long").as("min_w"),
+        max(col("height")).cast("long").as("max_h"))
       .orderBy(col("modality"))
 
   /** Catalog query: top self-similar asset pairs by pseudo-feature cosine
