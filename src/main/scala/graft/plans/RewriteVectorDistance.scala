@@ -58,7 +58,11 @@ object RewriteVectorDistance extends Rule[LogicalPlan] {
   }
 
   private def isZeroDouble(e: Expression): Boolean = e match {
-    case Literal(d: Double, DoubleType) => d == 0.0
+    // raw-bits check: -0.0D as the zero would surface for EMPTY arrays
+    // (the fold returns the zero literal itself), where SquaredL2 yields
+    // +0.0 — a bitwise deviation this project's parity standard forbids
+    case Literal(d: Double, DoubleType) =>
+      java.lang.Double.doubleToRawLongBits(d) == 0L
     case _ => false
   }
 
@@ -96,7 +100,7 @@ object RewriteVectorDistance extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
-      case ArrayAggregate(
+      case aa @ ArrayAggregate(
           zip: ZipWith, zero, merge: LambdaFunction, finish: LambdaFunction)
           if isZeroDouble(zero) && isSumMerge(merge) && isIdentityFinish(finish) =>
         val rewritten = for {
@@ -104,7 +108,6 @@ object RewriteVectorDistance extends Rule[LogicalPlan] {
           b <- DoubleCastOfFloatArray.unapply(zip.right)
           mk <- kernel(zip.function)
         } yield mk(a, b)
-        rewritten.getOrElse(
-          ArrayAggregate(zip, zero, merge, finish))
+        rewritten.getOrElse(aa)
     }
 }

@@ -588,8 +588,12 @@ object DedupQueries {
     */
   def dedupIncrementalStats(spark: SparkSession, dir: String): DataFrame = {
     val fp = md5(array_join(array_sort(array_distinct(tokens(col("text")))), " "))
+    // persist: the fingerprint lineage (tokenize + sort + md5) feeds the
+    // bloom sizing count, the bloom build, both anti-join branches, and
+    // the final stats join — one computation, not five
     val docs = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), fp.as("fp"))
+      .persist()
     val corpus = docs.where(col("doc_id") < 400).select(col("fp"))
     val batch = docs.where(col("doc_id") >= 400)
     val fresh = graft.operators.BloomJoin.anti(batch, "fp", corpus, "fp")

@@ -447,6 +447,7 @@ object RelationalQueries {
       .where(col("o_orderpriority") === "1-URGENT" &&
         col("o_totalprice") > 280000)
       .select(col("o_orderkey"))
+      .persist() // feeds bloom sizing + bloom build + the exact semi join
     graft.operators.BloomJoin
       .semi(Tables.lineitem(spark, dir), "l_orderkey", urgent, "o_orderkey")
       .groupBy(col("l_returnflag"))

@@ -76,6 +76,15 @@ class BloomJoinSpec extends SparkSpec {
     assert(BloomJoin.anti(large, "k", keys, "k2").count() == 3)
   }
 
+  test("empty probe side: both joins yield empty, union schema intact") {
+    import spark.implicits._
+    val large = Seq.empty[Long].toDF("k")
+    val keys = Seq(1L, 2L).toDF("k2")
+    assert(BloomJoin.semi(large, "k", keys, "k2").count() == 0)
+    val anti = BloomJoin.anti(large, "k", keys, "k2")
+    assert(anti.count() == 0 && anti.columns.toSeq == Seq("k"))
+  }
+
   test("pre-filter rejects the vast majority of a disjoint probe side") {
     import spark.implicits._
     val large = spark.range(0, 100000).toDF("k") // 0..99999

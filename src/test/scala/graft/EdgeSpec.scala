@@ -56,15 +56,16 @@ class EdgeSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getLong(0) == 99L)
   }
 
-  test("round-3 curation queries survive the tiny sf (empty-branch paths)") {
-    // sf0.001 has ~50 docs: the incremental batch (doc_id >= 400) is
-    // EMPTY and the pipeline's stage survivors shrink to a handful —
-    // every query must still plan and run, not crash on the empty side
+  test("round-3 curation queries run at the tiny sf with non-empty output") {
+    // sf0.001 documents is the same 500-row table as sf0.01 (only the
+    // TPC-H tables shrink), so these assert cross-sf robustness of the
+    // plans plus non-trivial output; the genuinely-empty branches
+    // (empty batch / empty key side) are covered in BloomJoinSpec
     import graft.queries.Catalog
     for (q <- Seq("dedup_incremental_stats", "corpus_final_stats",
         "quality_deciles", "bigram_lm_top", "bloom_semi_revenue")) {
       val n = Catalog.all(q).build(spark, sf0001).count()
-      assert(n >= 0, s"$q failed at sf0.001")
+      assert(n > 0, s"$q returned no rows at sf0.001")
     }
   }
 }
