@@ -626,6 +626,140 @@ object DedupQueries {
       |    / count(*), 4) AS dup_frac
       |FROM batch GROUP BY source ORDER BY source""".stripMargin
 
+  /** Exact substring-duplicate spans (the operator shape of Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better"):
+    * maximal runs of shared character 8-grams between document pairs,
+    * reported per pair as the longest shared span, span count, and
+    * duplicated characters. A run is a set of matches with the same
+    * position delta and consecutive positions — the classic
+    * gaps-and-islands window (island = pos − row_number), expressible in
+    * both engines.
+    *
+    * Scale shape: positional-gram inversion is the distributed analogue
+    * of the paper's suffix array — one shuffle on the gram key, runs
+    * detected inside each (pair, delta) window partition. The demo slice
+    * (doc_id < 40) bounds the self-join; at 100 TB the join would first
+    * pass through the winnowed-fingerprint candidate filter
+    * ([[winnowFingerprints]] in TextQueries) so only candidate pairs pay
+    * the positional join.
+    */
+  def substringDupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = 8
+    // persist: both sides of the self-join read the exploded gram table —
+    // one gram materialization, not two
+    val grams = Tables.documents(spark, dir)
+      .where(col("doc_id") < 40)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), greatest(length(col("text")) - (k - 1), lit(1))),
+          i => col("text").substr(i, lit(k)))).as(Seq("pos", "gram")))
+      .persist()
+    val a = grams.select(col("doc_id").as("a_id"), col("pos").as("pa"),
+      col("gram"))
+    val b = grams.select(col("doc_id").as("b_id"), col("pos").as("pb"),
+      col("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("a_id", "b_id", "delta").orderBy("pa")
+    a.join(b, "gram")
+      .where(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("pa"),
+        (col("pb") - col("pa")).as("delta"))
+      .withColumn("isl", col("pa") - row_number().over(w))
+      .groupBy(col("a_id"), col("b_id"), col("delta"), col("isl"))
+      .agg((count(lit(1)) + (k - 1)).as("span_chars"))
+      .where(col("span_chars") >= 20)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("span_chars")).cast("long").as("max_span_chars"),
+        count(lit(1)).cast("long").as("n_spans"),
+        sum(col("span_chars")).cast("long").as("dup_chars"))
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  private val substringDupSpansSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+      |    i -> substr(text, i, 8)) AS grams
+      |  FROM documents WHERE doc_id < 40),
+      |g AS (
+      |  SELECT doc_id, unnest(grams) AS gram,
+      |    generate_subscripts(grams, 1) - 1 AS pos FROM t),
+      |m AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.pos AS pa,
+      |    b.pos - a.pos AS delta
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |r AS (
+      |  SELECT a_id, b_id, delta, pa,
+      |    pa - ROW_NUMBER() OVER (PARTITION BY a_id, b_id, delta ORDER BY pa) AS isl
+      |  FROM m),
+      |runs AS (
+      |  SELECT a_id, b_id, delta, isl, count(*) + 7 AS span_chars
+      |  FROM r GROUP BY 1, 2, 3, 4)
+      |SELECT a_id, b_id,
+      |  CAST(max(span_chars) AS BIGINT) AS max_span_chars,
+      |  CAST(count(*) AS BIGINT) AS n_spans,
+      |  CAST(sum(span_chars) AS BIGINT) AS dup_chars
+      |FROM runs WHERE span_chars >= 20
+      |GROUP BY 1, 2 ORDER BY a_id, b_id""".stripMargin
+
+  /** Diversity-aware sampling (SemDeDup-flavored): cap each semantic
+    * bucket — the top 4 bits of the 60-bit SimHash, so near-duplicate
+    * documents land together — at 3 kept documents, chosen by
+    * content-hash rank (deterministic across engines, partitionings and
+    * reruns, like [[graft.operators.Sampling]]). Emits the kept rows with
+    * their bucket occupancy, i.e. the "keep m per cluster" primitive that
+    * turns a skewed corpus into a balanced training mix.
+    *
+    * Scale shape: the SimHash is map-side; the only shuffle is the
+    * window partition on the bucket key. With B buckets the parallelism
+    * unit is the bucket; per-bucket state is a top-m heap, never the
+    * full bucket (TakeOrdered-shaped, no corpus-wide sort).
+    */
+  def simhashDiverseSample(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy("bucket")
+    Tables.documents(spark, dir)
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), simhashCol("text").as("sh"))
+      .withColumn("bucket", shiftright(col("sh"), 56))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n_in_bucket", count(lit(1)).over(wb).cast("long"))
+      .where(col("rk") <= 3)
+      .select(col("bucket"), col("n_in_bucket"), col("rk"), col("doc_id"))
+      .orderBy(col("bucket"), col("rk"))
+  }
+
+  private val simhashDiverseSampleSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id < 100),
+      |bits AS (
+      |  SELECT doc_id,
+      |    list_reduce(
+      |      list_transform(toks, tok ->
+      |        list_transform(range(0, 60), j ->
+      |          CASE WHEN (CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) >> j) & 1 = 1
+      |               THEN 1 ELSE -1 END)),
+      |      (a, b) -> list_transform(range(1, 61), i -> a[i] + b[i])) AS bc
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_transform(range(1, 61),
+      |      i -> CASE WHEN bc[i] > 0 THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END),
+      |      (a, b) -> a | b) AS sh
+      |  FROM bits),
+      |r AS (
+      |  SELECT sh >> 56 AS bucket, doc_id,
+      |    ROW_NUMBER() OVER (PARTITION BY (sh >> 56)
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+      |    COUNT(*) OVER (PARTITION BY (sh >> 56)) AS n_in_bucket
+      |  FROM s)
+      |SELECT bucket, CAST(n_in_bucket AS BIGINT) AS n_in_bucket,
+      |  CAST(rk AS BIGINT) AS rk, doc_id
+      |FROM r WHERE rk <= 3 ORDER BY bucket, rk""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "dedup_incremental_stats" -> QueryDef(dedupIncrementalStats, Some(dedupIncrementalStatsSql)),
     "dedup_keep_stats" -> QueryDef(dedupKeepStats, Some(dedupKeepStatsSql)),
@@ -636,6 +770,8 @@ object DedupQueries {
     "minhash_lsh_stats" -> QueryDef(minhashLshStats, None),
     "minhash_lsh_pairs" -> QueryDef(minhashLshPairs, Some(minhashLshPairsSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
+    "substring_dup_spans" -> QueryDef(substringDupSpans, Some(substringDupSpansSql)),
+    "simhash_diverse_sample" -> QueryDef(simhashDiverseSample, Some(simhashDiverseSampleSql)),
     "simhash_docs" -> QueryDef(simhashDocs, Some(simhashDocsSql)),
     "simhash_near_pairs" -> QueryDef(simhashNearPairs, Some(simhashNearPairsSql)),
     "embedding_neardup_stats" -> QueryDef(embeddingNeardupStats, None)

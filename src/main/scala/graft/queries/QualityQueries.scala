@@ -352,7 +352,56 @@ object QualityQueries {
       |  round(avg(n_tokens), 4) AS avg_tokens
       |FROM final GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Semantic (embedding-space) benchmark decontamination — the vector
+    * sibling of [[decontamOverlap]]'s n-gram check: a training vector is
+    * contaminated when its squared-L2 distance to ANY benchmark vector
+    * is ≤ τ. Emits each contaminated train row with its best (minimum)
+    * distance and close-match count; `best_d2` is raw double — the
+    * native SquaredL2 expression folds elements in the same order as the
+    * oracle's list_reduce, so the comparison is bitwise.
+    *
+    * Scale shape: the benchmark side is small by nature (test sets are
+    * thousands of rows, the corpus is billions), so it broadcasts; the
+    * min/count aggregate is partial — map-side combine collapses the
+    * |test| pair rows per train vector to ONE row before the only
+    * shuffle. No pair set ever shuffles; cost is a single scan of the
+    * corpus inside whole-stage codegen.
+    */
+  def semanticDecontam(spark: SparkSession, dir: String): DataFrame = {
+    val tau = 1.35
+    val test = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 32)
+      .select(col("vec_id").as("test_id"), col("embedding").as("test_emb"))
+    Tables.embeddings(spark, dir)
+      .where(col("vec_id") >= 32)
+      .crossJoin(broadcast(test))
+      .withColumn("d2",
+        graft.functions.Vec.squaredL2(col("embedding"), col("test_emb")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(min(col("d2")).as("best_d2"),
+        sum(when(col("d2") <= tau, 1L).otherwise(0L)).cast("long")
+          .as("n_close"))
+      .where(col("n_close") >= 1)
+      .orderBy(col("vec_id"))
+  }
+
+  private val semanticDecontamSql =
+    """WITH q AS (
+      |  SELECT vec_id AS test_id, embedding AS qe
+      |  FROM embeddings WHERE vec_id < 32),
+      |d AS (
+      |  SELECT e.vec_id, e.label,
+      |    list_reduce(list_transform(list_zip(e.embedding, q.qe),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+      |         * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+      |      (a, b) -> a + b) AS d2
+      |  FROM embeddings e CROSS JOIN q WHERE e.vec_id >= 32)
+      |SELECT vec_id, label, min(d2) AS best_d2,
+      |  CAST(sum(CASE WHEN d2 <= 1.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
+      |FROM d GROUP BY 1, 2 HAVING n_close >= 1 ORDER BY vec_id""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "semantic_decontam" -> QueryDef(semanticDecontam, Some(semanticDecontamSql)),
     "quality_deciles" -> QueryDef(qualityDeciles, Some(qualityDecilesSql)),
     "corpus_final_stats" -> QueryDef(corpusFinalStats, Some(corpusFinalStatsSql)),
     "doc_repetition_stats" -> QueryDef(repetitionStats, Some(repetitionStatsSql)),

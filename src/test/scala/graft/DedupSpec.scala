@@ -137,6 +137,88 @@ class DedupSpec extends SparkSpec {
       s"candidate pairs $nPairs vs all-pairs ${n * (n - 1) / 2}")
   }
 
+  test("substring dup spans == longest common substring, per pair") {
+    // Any common substring of length L >= k yields a run of L-k+1
+    // consecutive matching 8-grams at one delta, i.e. span_chars == L —
+    // so max_span_chars must EQUAL the pair's true LCS length. Verify
+    // against a driver-side DP over the raw texts for every reported
+    // pair (the slice is 40 docs; texts are small).
+    val spans = DedupQueries.substringDupSpans(spark, sf001).collect()
+    assert(spans.nonEmpty, "slice should contain 20+ char shared spans")
+    val texts = Tables.documents(spark, sf001)
+      .where(col("doc_id") < 40).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    def lcs(s: String, t: String): Int = {
+      var best = 0
+      var prev = new Array[Int](t.length + 1)
+      var cur = new Array[Int](t.length + 1)
+      var i = 1
+      while (i <= s.length) {
+        var j = 1
+        while (j <= t.length) {
+          cur(j) = if (s(i - 1) == t(j - 1)) prev(j - 1) + 1 else 0
+          if (cur(j) > best) best = cur(j)
+          j += 1
+        }
+        val tmp = prev; prev = cur; cur = tmp
+        java.util.Arrays.fill(cur, 0)
+        i += 1
+      }
+      best
+    }
+    spans.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val reported = r.getLong(r.fieldIndex("max_span_chars"))
+      val truth = lcs(texts(a), texts(b))
+      assert(reported == truth,
+        s"pair ($a,$b): reported max span $reported, true LCS $truth")
+    }
+  }
+
+  test("diverse sample caps every simhash bucket at 3, deterministically") {
+    val kept = DedupQueries.simhashDiverseSample(spark, sf001).collect()
+    assert(kept.nonEmpty)
+    val perBucket = kept.groupBy(_.getLong(0))
+    perBucket.foreach { case (bkt, rows) =>
+      assert(rows.length <= 3, s"bucket $bkt kept ${rows.length} rows")
+      val occupancy = rows.head.getLong(1)
+      assert(rows.length == math.min(occupancy, 3L).toInt)
+    }
+    // occupancy sums back to the full slice: nothing lost before the cap
+    assert(perBucket.values.map(_.head.getLong(1)).sum == 100L)
+    // deterministic across runs (content-hash ranking, not rand())
+    val again = DedupQueries.simhashDiverseSample(spark, sf001).collect()
+    assert(kept.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("semantic decontam: best_d2 is the true min distance to the test set") {
+    val out = graft.queries.QualityQueries.semanticDecontam(spark, sf001)
+      .collect()
+    assert(out.nonEmpty)
+    val test = Tables.embeddings(spark, sf001).where(col("vec_id") < 32)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    val train = Tables.embeddings(spark, sf001)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def d2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; s += d * d; i += 1
+      }
+      s
+    }
+    out.foreach { r =>
+      val id = r.getLong(0)
+      val best = r.getDouble(r.fieldIndex("best_d2"))
+      val nClose = r.getLong(r.fieldIndex("n_close"))
+      val dists = test.map(t => d2(train(id), t))
+      assert(best == dists.min, s"vec $id best_d2 $best != ${dists.min}")
+      assert(nClose == dists.count(_ <= 1.35).toLong)
+      assert(best <= 1.35, "emitted rows must actually be contaminated")
+    }
+  }
+
   test("tokenizer contract: whitespace split, no empties") {
     import spark.implicits._
     val toks = Seq(("  a  b\t c \n", 1)).toDF("text", "x")

@@ -63,7 +63,9 @@ class EdgeSpec extends SparkSpec {
     // (empty batch / empty key side) are covered in BloomJoinSpec
     import graft.queries.Catalog
     for (q <- Seq("dedup_incremental_stats", "corpus_final_stats",
-        "quality_deciles", "bigram_lm_top", "bloom_semi_revenue")) {
+        "quality_deciles", "bigram_lm_top", "bloom_semi_revenue",
+        "substring_dup_spans", "simhash_diverse_sample",
+        "semantic_decontam")) {
       val n = Catalog.all(q).build(spark, sf0001).count()
       assert(n > 0, s"$q returned no rows at sf0.001")
     }
