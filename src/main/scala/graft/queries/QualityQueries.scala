@@ -400,8 +400,110 @@ object QualityQueries {
       |  CAST(sum(CASE WHEN d2 <= 1.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_close
       |FROM d GROUP BY 1, 2 HAVING n_close >= 1 ORDER BY vec_id""".stripMargin
 
+  /** Temperature-scaled source mixing weights (the multilingual-LM
+    * recipe, α = 0.5): p_s ∝ n_s^α flattens the natural token
+    * distribution so small sources are not drowned out; `sample_factor`
+    * (= p_α / natural share) is the per-source oversampling rate a
+    * training reader would apply. The normalizer Z = Σ√n_s is computed
+    * with the sorted-fold (aggregate over sort_array) so the float sum
+    * has ONE evaluation order across engines and partitionings — the
+    * same determinism device as doc_logprob_score; everything else is
+    * exact integer arithmetic before a final division.
+    *
+    * Scale shape: one map-side token count + groupBy(source) (sources
+    * number in the hundreds — the collect_list is bounded by source
+    * cardinality, not corpus size), one broadcast of the 1-row totals.
+    */
+  def sourceMixtureWeights(spark: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .persist()
+    val z = per.agg(
+      sum(col("n_tokens")).as("total_tokens"),
+      aggregate(
+        sort_array(collect_list(sqrt(col("n_tokens").cast("double")))),
+        lit(0.0), (a, x) => a + x).as("z"))
+    per.crossJoin(broadcast(z))
+      .withColumn("natural_frac",
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6))
+      .withColumn("p_alpha",
+        round(sqrt(col("n_tokens").cast("double")) / col("z"), 6))
+      .withColumn("sample_factor",
+        round((sqrt(col("n_tokens").cast("double")) / col("z"))
+          / (col("n_tokens").cast("double") / col("total_tokens")), 4))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("natural_frac"), col("p_alpha"), col("sample_factor"))
+      .orderBy(col("source"))
+  }
+
+  private val sourceMixtureWeightsSql =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> t <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY source),
+      |z AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |    list_reduce(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))),
+      |      (a, b) -> a + b) AS z
+      |  FROM per)
+      |SELECT source, n_docs, n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) / total_tokens, 6) AS natural_frac,
+      |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z, 6) AS p_alpha,
+      |  round((sqrt(CAST(n_tokens AS DOUBLE)) / z)
+      |    / (CAST(n_tokens AS DOUBLE) / total_tokens), 4) AS sample_factor
+      |FROM per CROSS JOIN z ORDER BY source""".stripMargin
+
+  /** Balance audit for the training-shard export: every document is
+    * assigned shard = md5(doc_id) mod 16 (content-hash, so placement is
+    * deterministic and independent of partitioning/engine — the same
+    * device as [[graft.operators.Sampling]]), and the audit reports
+    * per-shard doc/token counts and each shard's token deviation from
+    * the ideal 1/16 share. The export itself is
+    * `df.repartition(shard).write.partitionBy("shard")` — this query is
+    * the cheap invariant check that those output files are size-balanced
+    * (hash sharding keeps worker input sizes uniform at any scale; a
+    * skewed shard here means a broken key, not bad luck).
+    */
+  def trainingShardStats(spark: SparkSession, dir: String): DataFrame = {
+    val nShards = 16
+    val per = Tables.documents(spark, dir)
+      .select(
+        pmod(graft.queries.DedupQueries
+          .md5Long(col("doc_id").cast("string")), lit(nShards)).as("shard"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .persist()
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("dev_frac",
+        round(col("n_tokens").cast("double") * nShards
+          / col("total_tokens") - 1.0, 4))
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("dev_frac"))
+      .orderBy(col("shard"))
+  }
+
+  private val trainingShardStatsSql =
+    """WITH per AS (
+      |  SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      % 16 AS shard,
+      |    count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> t <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM per)
+      |SELECT shard, n_docs, n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) * 16 / total_tokens - 1.0, 4) AS dev_frac
+      |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "semantic_decontam" -> QueryDef(semanticDecontam, Some(semanticDecontamSql)),
+    "source_mixture_weights" -> QueryDef(sourceMixtureWeights, Some(sourceMixtureWeightsSql)),
+    "training_shard_stats" -> QueryDef(trainingShardStats, Some(trainingShardStatsSql)),
     "quality_deciles" -> QueryDef(qualityDeciles, Some(qualityDecilesSql)),
     "corpus_final_stats" -> QueryDef(corpusFinalStats, Some(corpusFinalStatsSql)),
     "doc_repetition_stats" -> QueryDef(repetitionStats, Some(repetitionStatsSql)),

@@ -65,7 +65,8 @@ class EdgeSpec extends SparkSpec {
     for (q <- Seq("dedup_incremental_stats", "corpus_final_stats",
         "quality_deciles", "bigram_lm_top", "bloom_semi_revenue",
         "substring_dup_spans", "simhash_diverse_sample",
-        "semantic_decontam")) {
+        "semantic_decontam", "source_mixture_weights",
+        "training_shard_stats")) {
       val n = Catalog.all(q).build(spark, sf0001).count()
       assert(n > 0, s"$q returned no rows at sf0.001")
     }

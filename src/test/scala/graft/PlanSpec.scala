@@ -95,6 +95,23 @@ class PlanSpec extends SparkSpec {
       s"funnel branch scans missing pushed type filters:\n${p.take(2500)}")
   }
 
+  test("semantic decontam: test side broadcast, pairs reduced before the shuffle") {
+    val p = plan("semantic_decontam")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"test side must broadcast, not shuffle:\n${p.take(2000)}")
+    assert(p.contains("partial_min") || p.contains("partial_sum"),
+      "min/count must partial-aggregate map-side — pair rows must never shuffle")
+    assert(p.contains("squaredl2"), "native distance expression missing")
+  }
+
+  test("mixture weights: one groupBy shuffle, totals broadcast back") {
+    val p = plan("source_mixture_weights")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "source aggregation must be partial")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoop"),
+      "the 1-row totals must broadcast, not shuffle the per-source table")
+  }
+
   test("as-of join: one data shuffle (window key), no join explosion") {
     val p = plan("events_asof_click")
     // union + carry-forward window: hash exchange on the key for the

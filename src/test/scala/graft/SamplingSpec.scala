@@ -66,6 +66,37 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(rate("de") - 0.5) < 0.25, s"de=${rate("de")}")
   }
 
+  test("mixture weights: p_alpha is a flattened distribution over sources") {
+    val rows = graft.queries.QualityQueries
+      .sourceMixtureWeights(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val pSum = rows.map(_.getDouble(rows.head.fieldIndex("p_alpha"))).sum
+    assert(math.abs(pSum - 1.0) < 1e-3, s"p_alpha sums to $pSum")
+    val natSum = rows.map(_.getDouble(rows.head.fieldIndex("natural_frac"))).sum
+    assert(math.abs(natSum - 1.0) < 1e-3)
+    // temperature 0.5 flattens: below-average sources get factor > 1,
+    // above-average get < 1 — and the ordering is monotone in size
+    val byTok = rows.sortBy(_.getLong(rows.head.fieldIndex("n_tokens")))
+    val factors = byTok.map(_.getDouble(rows.head.fieldIndex("sample_factor")))
+    assert(factors.head >= factors.last,
+      "smallest source should be oversampled relative to the largest")
+    assert(factors.zip(factors.tail).forall { case (a, b) => a >= b },
+      "sample_factor must decrease as source token count grows")
+  }
+
+  test("training shards are token-balanced within 30% of ideal") {
+    val rows = graft.queries.QualityQueries
+      .trainingShardStats(spark, sf001).collect()
+    assert(rows.length == 16, "every shard must be non-empty at sf0.01")
+    val devIdx = rows.head.fieldIndex("dev_frac")
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(devIdx)) < 0.30,
+        s"shard ${r.getLong(0)} deviates ${r.getDouble(devIdx)} from ideal")
+    }
+    val total = rows.map(_.getLong(rows.head.fieldIndex("n_docs"))).sum
+    assert(total == Tables.documents(spark, sf001).count())
+  }
+
   test("the filter is map-side: no shuffle in the sampled scan") {
     val plan = Sampling.hashSample(docs, col("text"), 0.25)
       .queryExecution.executedPlan.toString
