@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.queries.DedupQueries.md5Long
+
+/** Count-Min sketch over a key column: a (depth × width) table of
+  * integer counters, built with ONE hash-partitioned groupBy and merged
+  * across shards/streams by cell-wise addition — the classic
+  * fixed-memory frequency summary for corpus-scale token statistics.
+  *
+  * Why this sketch here: every cell is an INTEGER SUM, so the sketch —
+  * and every estimate read from it — is bit-identical under any
+  * partitioning, merge order, or engine (unlike float-path sketches such
+  * as HLL), which is what lets the DuckDB oracle check the whole path
+  * exactly. Hashes are the repo-standard 60-bit md5 (`md5Long`) with the
+  * row index as a seed prefix, so the oracle reproduces cell placement
+  * bit-for-bit.
+  *
+  * Scale shape: build is map-side cell derivation + one groupBy whose
+  * key space is at most depth × width (bounded, uniform — md5 cells
+  * can't skew); the result is ≤ depth·width rows regardless of corpus
+  * size, so it broadcasts for estimation and unions cell-wise for
+  * incremental maintenance. Estimate cost per key batch: one broadcast
+  * join + a depth-row min per key.
+  */
+object CountMin {
+
+  /** Cell index of `key` under hash function `seed`. */
+  def cell(key: Column, seed: Int, width: Int): Column =
+    pmod(md5Long(concat(lit(s"$seed:"), key)), lit(width))
+
+  /** Build the sketch: (fn, cell, c) rows, absent cells implicitly 0. */
+  def build(rows: DataFrame, keyCol: String, depth: Int,
+      width: Int): DataFrame =
+    rows.select(posexplode(array(
+        (0 until depth).map(s => cell(col(keyCol), s, width)): _*))
+        .as(Seq("fn", "cell")))
+      .groupBy(col("fn"), col("cell"))
+      .agg(count(lit(1)).as("c"))
+
+  /** Merge two sketches of identical (depth, width): cell-wise sum.
+    * sketch(A ⊎ B) == merge(sketch(A), sketch(B)) exactly — the
+    * incremental-maintenance property (asserted in CountMinSpec).
+    */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("fn"), col("cell"))
+      .agg(sum(col("c")).as("c"))
+
+  /** Point estimates for the keys in `keys(keyCol)`: min over the
+    * depth counters each key hashes to. CMS guarantee: estimate ≥ true
+    * count, with overestimate bounded by collisions. The sketch side is
+    * ≤ depth·width rows → broadcast.
+    */
+  def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
+      depth: Int, width: Int): DataFrame = {
+    val exploded = keys.select(col("*"),
+      posexplode(array(
+        (0 until depth).map(s => cell(col(keyCol), s, width)): _*))
+        .as(Seq("fn", "cell")))
+    val keyCols = keys.columns.map(col)
+    exploded
+      .join(broadcast(sketch), Seq("fn", "cell"))
+      .groupBy(keyCols: _*)
+      .agg(min(col("c")).as("cms_c"))
+  }
+}

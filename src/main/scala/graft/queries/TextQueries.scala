@@ -80,6 +80,61 @@ object TextQueries {
       |      FROM documents) t
       |GROUP BY token ORDER BY freq DESC, token LIMIT 20""".stripMargin
 
+  /** Count-Min-sketched token counts for the exact top-20 tokens,
+    * side-by-side with their true counts — demonstrating the
+    * fixed-memory frequency path ([[graft.operators.CountMin]], depth 4
+    * × width 1024) against ground truth. Every cell is an integer sum,
+    * so the estimates are bit-identical across engines and
+    * partitionings; the CMS guarantee (estimate ≥ exact) is asserted by
+    * the oracle comparing `overestimate` too.
+    */
+  def cmsTokenCounts(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val depth = 4
+    val width = 1024
+    // persist: the exploded token stream feeds both the sketch build
+    // and the exact top-20 — one tokenization pass, not two
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .persist()
+    val sketch = CountMin.build(toks, "token", depth, width)
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_c"))
+      .orderBy(col("exact_c").desc, col("token"))
+      .limit(20)
+    CountMin.estimate(sketch, top, "token", depth, width)
+      .withColumn("overestimate", (col("cms_c") - col("exact_c")).cast("long"))
+      .select(col("token"), col("exact_c"), col("cms_c"), col("overestimate"))
+      .orderBy(col("exact_c").desc, col("token"))
+  }
+
+  private val cmsTokenCountsSql =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |    t -> t <> '')) AS token
+      |  FROM documents),
+      |cells AS (
+      |  SELECT u.fn,
+      |    CAST(('0x' || substr(md5(CAST(u.fn AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT)
+      |      % 1024 AS cell
+      |  FROM toks CROSS JOIN unnest(range(0, 4)) AS u(fn)),
+      |sketch AS (SELECT fn, cell, count(*) AS c FROM cells GROUP BY 1, 2),
+      |top AS (
+      |  SELECT token, count(*) AS exact_c FROM toks
+      |  GROUP BY 1 ORDER BY exact_c DESC, token LIMIT 20),
+      |est AS (
+      |  SELECT t.token, t.exact_c, min(s.c) AS cms_c
+      |  FROM top t
+      |  CROSS JOIN unnest(range(0, 4)) AS u(fn)
+      |  JOIN sketch s
+      |    ON s.fn = u.fn
+      |   AND s.cell = CAST(('0x' || substr(md5(CAST(u.fn AS VARCHAR) || ':' || t.token), 1, 15)) AS BIGINT)
+      |      % 1024
+      |  GROUP BY 1, 2)
+      |SELECT token, exact_c, CAST(cms_c AS BIGINT) AS cms_c,
+      |  CAST(cms_c - exact_c AS BIGINT) AS overestimate
+      |FROM est ORDER BY exact_c DESC, token""".stripMargin
+
   /** Quality scoring: stopword ratio, short-token ratio, length flags —
     * the classic pretraining-corpus filters, as pure column expressions.
     */
@@ -468,6 +523,7 @@ object TextQueries {
     "doc_stats" -> QueryDef(docStats, Some(docStatsSql)),
     "lang_source_stats" -> QueryDef(langSourceStats, Some(langSourceStatsSql)),
     "token_frequency" -> QueryDef(tokenFrequency, Some(tokenFrequencySql)),
+    "cms_token_counts" -> QueryDef(cmsTokenCounts, Some(cmsTokenCountsSql)),
     "quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql)),
     "language_id" -> QueryDef(languageId, Some(languageIdSql)),
     "doc_fingerprints" -> QueryDef(fingerprints, Some(fingerprintsSql))

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.CountMin
+import graft.queries.TextQueries.tokens
+
+/** Count-Min sketch invariants: the one-sided error guarantee, exact
+  * incremental mergeability, bounded size, and partitioning
+  * independence of the estimates.
+  */
+class CountMinSpec extends SparkSpec {
+
+  private val depth = 4
+  private val width = 1024
+
+  private lazy val toks = Tables.documents(spark, sf001)
+    .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+
+  test("estimate >= exact count for EVERY token (one-sided error)") {
+    val sketch = CountMin.build(toks, "token", depth, width)
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_c"))
+    val est = CountMin.estimate(sketch, exact, "token", depth, width)
+    val bad = est.where(col("cms_c") < col("exact_c")).count()
+    assert(bad == 0, s"$bad tokens under-estimated — CMS guarantee broken")
+    // and the overestimate is small at this (depth, width) for this vocab
+    val worst = est.select(max(col("cms_c") - col("exact_c"))).head().getLong(0)
+    assert(worst <= 50, s"worst overestimate $worst too large for 1024 cells")
+  }
+
+  test("sketch of the union == cell-wise merge of split sketches") {
+    val a = toks.where(col("doc_id") < 250)
+    val b = toks.where(col("doc_id") >= 250)
+    val merged = CountMin.merge(
+      CountMin.build(a, "token", depth, width),
+      CountMin.build(b, "token", depth, width))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = CountMin.build(toks, "token", depth, width)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged == whole, "merge is not exactly the union sketch")
+  }
+
+  test("sketch size is bounded by depth x width regardless of input size") {
+    val n = CountMin.build(toks, "token", depth, width).count()
+    assert(n <= depth.toLong * width,
+      s"sketch has $n rows > ${depth * width}")
+  }
+
+  test("estimates are partitioning-independent (integer cells)") {
+    val sketch1 = CountMin.build(toks.repartition(3), "token", depth, width)
+    val sketch2 = CountMin.build(toks.repartition(17), "token", depth, width)
+    val q = toks.select(col("token")).distinct().orderBy("token").limit(50)
+    val e1 = CountMin.estimate(sketch1, q, "token", depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val e2 = CountMin.estimate(sketch2, q, "token", depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(e1 == e2)
+  }
+}
