@@ -147,6 +147,19 @@ object DedupQueries {
         array_min(transform(col("sh"), s => xxhash64(lit(i), s))))
     }
 
+  /** (doc_id, band_idx, band_val) banded MinHash signatures — the
+    * map-side half of the LSH pipeline (xxhash64 fast path), shared by
+    * the batch candidate join and the streaming stateful-bucket form
+    * ([[graft.streaming.DocsStreaming.lshCandidates]]). Pure column
+    * expressions, so it applies to batch and streaming DataFrames alike.
+    */
+  def bandedSignatures(docs: DataFrame, nHashes: Int = 8): DataFrame =
+    withMinhashSig(shingledDocs(docs), nHashes)
+      .select(col("doc_id"),
+        posexplode(array((0 until nHashes / 2).map(b =>
+          concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))): _*))
+          .as(Seq("band_idx", "band_val")))
+
   /** MinHash + LSH banding near-dup pipeline, full corpus. 8 hashes in 4
     * bands of 2 → candidate pairs = same band value; candidates verified
     * with exact shingle Jaccard. Returns corpus-level stats (pair detail

@@ -54,6 +54,11 @@ object StreamQueries {
       EventsStreaming.intervalJoinQuery, Some(intervalJoinSql), bench = false),
     "stream_enriched" -> QueryDef(
       EventsStreaming.enrichedQuery, Some(enrichedSql), bench = false),
+    // xxhash64 signatures are not DuckDB-reproducible → rows-only here;
+    // correctness is the StreamingSpec equality gate vs the batch
+    // band-join candidate set
+    "stream_lsh_candidates" -> QueryDef(
+      graft.streaming.DocsStreaming.lshCandidatesQuery, None, bench = false),
     "multimodal_stats" -> QueryDef(
       Multimodal.stats, Some(multimodalStatsSql)),
     "multimodal_feature_pairs" -> QueryDef(

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.queries.DedupQueries
+
+/** Streaming near-duplicate detection over a document stream: the
+  * stateful form of the batch MinHash+LSH pipeline. Band signatures are
+  * the SAME map-side expressions as the batch path
+  * ([[DedupQueries.bandedSignatures]]); the batch self-join on
+  * (band_idx, band_val) becomes a `flatMapGroupsWithState` keyed by the
+  * band bucket, whose state is the set of document ids previously seen
+  * in that bucket — each arriving document emits a candidate pair per
+  * prior bucket member, exactly the pairs the batch join would produce.
+  *
+  * Scale shape: state is partitioned by bucket key across executors and
+  * bounded per bucket ([[MaxBucketState]]): a bucket hotter than that is
+  * a degenerate near-dup cluster — its members are already known
+  * duplicates of each other, so capping loses only redundant pairs (the
+  * cap is the streaming analogue of the batch pipeline's skew guard). In
+  * production the state would additionally carry an event-time timeout
+  * so cold buckets age out; the test harness uses NoTimeout.
+  */
+object DocsStreaming {
+
+  final case class BandRow(band_idx: Int, band_val: String, doc_id: Long)
+  final case class BucketState(ids: List[Long])
+  final case class CandPair(a_id: Long, b_id: Long)
+
+  /** Per-bucket cap on remembered members. */
+  val MaxBucketState = 64
+
+  /** Streaming read of the documents parquet (test stand-in for a
+    * Kafka/file crawl feed).
+    */
+  def readDocs(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/documents.parquet").schema
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** LSH candidate pairs as they arrive. Pairs duplicated across bands
+    * (a doc pair can collide in several bands) are emitted per band —
+    * downstream consumers `dropDuplicates` within their watermark, just
+    * as the batch form does globally.
+    */
+  def lshCandidates(docs: DataFrame): Dataset[CandPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    DedupQueries.bandedSignatures(docs)
+      .select(col("band_idx"), col("band_val"), col("doc_id"))
+      .as[BandRow]
+      .groupByKey(r => (r.band_idx, r.band_val))
+      .flatMapGroupsWithState[BucketState, CandPair](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (_, rows, state: GroupState[BucketState]) =>
+          val prior = state.getOption.map(_.ids).getOrElse(Nil)
+          // sort new arrivals so within-batch pair emission is
+          // deterministic regardless of shuffle arrival order
+          val fresh = rows.map(_.doc_id).toArray.distinct.sorted
+            .filterNot(prior.contains)
+          val out = Seq.newBuilder[CandPair]
+          var seen = prior
+          fresh.foreach { id =>
+            seen.foreach { p =>
+              out += (if (p < id) CandPair(p, id) else CandPair(id, p))
+            }
+            seen = id :: seen
+          }
+          state.update(BucketState(seen.take(MaxBucketState)))
+          out.result().iterator
+      }
+  }
+
+  /** Materialized form for tests/catalog: the distinct candidate pair
+    * set the stream has emitted, sorted.
+    */
+  def lshCandidatesQuery(spark: SparkSession, dir: String): DataFrame =
+    EventsStreaming.runToCompletion(spark,
+      lshCandidates(readDocs(spark, dir)).toDF(),
+      s"stream_lsh_cand_${math.abs(dir.hashCode)}",
+      OutputMode.Append())
+      .dropDuplicates("a_id", "b_id")
+      .orderBy(col("a_id"), col("b_id"))
+}

@@ -99,6 +99,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == batchDistinct)
   }
 
+  test("streaming LSH candidates equal the batch band-join candidate set") {
+    import graft.queries.DedupQueries
+    import graft.streaming.DocsStreaming
+    val stream = DocsStreaming.lshCandidatesQuery(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = DedupQueries
+      .bandedSignatures(Tables.documents(spark, sf001)).persist()
+    val batch = banded.as("l")
+      .join(banded.as("r"), Seq("band_idx", "band_val"))
+      .where(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    banded.unpersist()
+    assert(batch.nonEmpty, "corpus should produce LSH candidates")
+    assert(stream == batch,
+      s"stream-only: ${(stream -- batch).take(5)}; batch-only: ${(batch -- stream).take(5)}")
+  }
+
   test("multimodal assets carry binary payloads with typed metadata") {
     val df = Multimodal.assets(spark, sf0001)
     val schema = df.schema
