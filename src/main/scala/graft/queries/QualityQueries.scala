@@ -500,9 +500,88 @@ object QualityQueries {
       |  round(CAST(n_tokens AS DOUBLE) * 16 / total_tokens - 1.0, 4) AS dev_frac
       |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin
 
+  /** EXECUTE the mixture: turn [[sourceMixtureWeights]]' per-source
+    * sampling factor (capped at 1 — a single pass can down-sample but
+    * not repeat) into a deterministic content-hash sample via
+    * [[graft.operators.Sampling.stratifiedHashSample]], and report
+    * achieved vs target rates. Weights → thresholds → kept rows is one
+    * closed, engine-reproducible chain: the factors are recomputed
+    * driver-side with the SAME sorted-fold normalizer (bitwise equal to
+    * the distributed form), so the md5 thresholds — and therefore the
+    * exact kept set — match the oracle's.
+    *
+    * Scale shape: the per-source table is a bounded `.collect()`
+    * (source cardinality, like the IVF routing table); the sample
+    * itself is the map-side stratified filter — one corpus scan, no
+    * shuffle before the bounded per-source count.
+    */
+  def mixtureApplyStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+    val per = docs
+      .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val totalTokens = per.map(_._3).sum
+    val z = per.map(t => math.sqrt(t._3.toDouble)).sorted
+      .foldLeft(0.0)(_ + _)
+    val fracs = per.map { case (s, nDocs, nTok) =>
+      val f = math.min(1.0,
+        (math.sqrt(nTok.toDouble) / z) / (nTok.toDouble / totalTokens))
+      (s, nDocs, f)
+    }
+    val kept = graft.operators.Sampling
+      .stratifiedHashSample(docs, col("text"), col("source"),
+        fracs.map(t => t._1 -> t._3).toMap)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_kept"))
+    fracs.toSeq.toDF("source", "n_docs", "frac")
+      .join(kept, Seq("source"), "left")
+      .select(col("source"), col("n_docs"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(col("frac"), 4).as("target_frac"),
+        round(coalesce(col("n_kept"), lit(0L)).cast("double")
+          / col("n_docs"), 4).as("achieved_frac"))
+      .orderBy(col("source"))
+  }
+
+  private val mixtureApplyStatsSql =
+    """WITH per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> t <> ''))) AS BIGINT) AS n_tokens
+      |  FROM documents GROUP BY 1),
+      |z AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |    list_reduce(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))),
+      |      (a, b) -> a + b) AS z
+      |  FROM per),
+      |f AS (
+      |  SELECT source, n_docs,
+      |    least(1.0, (sqrt(CAST(n_tokens AS DOUBLE)) / z)
+      |      / (CAST(n_tokens AS DOUBLE) / total_tokens)) AS frac
+      |  FROM per CROSS JOIN z),
+      |thr AS (
+      |  SELECT source, n_docs, frac,
+      |    CASE WHEN frac >= 1.0 THEN 'g'
+      |         ELSE lpad(lower(to_hex(CAST(floor(frac * 4294967296.0) AS BIGINT))), 8, '0')
+      |    END AS t
+      |  FROM f),
+      |kept AS (
+      |  SELECT d.source, count(*) AS n_kept
+      |  FROM documents d JOIN thr ON d.source = thr.source
+      |  WHERE substr(md5(d.text), 1, 8) < thr.t GROUP BY 1)
+      |SELECT t.source, t.n_docs, CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |  round(t.frac, 4) AS target_frac,
+      |  round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / t.n_docs, 4) AS achieved_frac
+      |FROM thr t LEFT JOIN kept k USING (source) ORDER BY source""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "semantic_decontam" -> QueryDef(semanticDecontam, Some(semanticDecontamSql)),
     "source_mixture_weights" -> QueryDef(sourceMixtureWeights, Some(sourceMixtureWeightsSql)),
+    "mixture_apply_stats" -> QueryDef(mixtureApplyStats, Some(mixtureApplyStatsSql)),
     "training_shard_stats" -> QueryDef(trainingShardStats, Some(trainingShardStatsSql)),
     "quality_deciles" -> QueryDef(qualityDeciles, Some(qualityDecilesSql)),
     "corpus_final_stats" -> QueryDef(corpusFinalStats, Some(corpusFinalStatsSql)),

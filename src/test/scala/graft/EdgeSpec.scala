@@ -66,7 +66,8 @@ class EdgeSpec extends SparkSpec {
         "quality_deciles", "bigram_lm_top", "bloom_semi_revenue",
         "substring_dup_spans", "simhash_diverse_sample",
         "semantic_decontam", "source_mixture_weights",
-        "training_shard_stats", "cms_token_counts")) {
+        "training_shard_stats", "cms_token_counts",
+        "mixture_apply_stats")) {
       val n = Catalog.all(q).build(spark, sf0001).count()
       assert(n > 0, s"$q returned no rows at sf0.001")
     }

@@ -84,6 +84,25 @@ class SamplingSpec extends SparkSpec {
       "sample_factor must decrease as source token count grows")
   }
 
+  test("applying the mixture down-samples toward the flattened target") {
+    val rows = graft.queries.QualityQueries
+      .mixtureApplyStats(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val iDocs = rows.head.fieldIndex("n_docs")
+    val iKept = rows.head.fieldIndex("n_kept")
+    val iTgt = rows.head.fieldIndex("target_frac")
+    val iAch = rows.head.fieldIndex("achieved_frac")
+    rows.foreach { r =>
+      assert(r.getLong(iKept) <= r.getLong(iDocs))
+      assert(r.getDouble(iTgt) <= 1.0 && r.getDouble(iTgt) > 0.0)
+      // hash sampling tracks the target up to per-stratum noise
+      assert(math.abs(r.getDouble(iAch) - r.getDouble(iTgt)) < 0.25,
+        s"${r.getString(0)}: achieved ${r.getDouble(iAch)} vs target ${r.getDouble(iTgt)}")
+    }
+    assert(rows.exists(r => r.getDouble(iTgt) < 1.0),
+      "mixture should down-sample at least one over-represented source")
+  }
+
   test("training shards are token-balanced within 30% of ideal") {
     val rows = graft.queries.QualityQueries
       .trainingShardStats(spark, sf001).collect()
