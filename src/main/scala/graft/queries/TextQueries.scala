@@ -135,6 +135,70 @@ object TextQueries {
       |  CAST(cms_c - exact_c AS BIGINT) AS overestimate
       |FROM est ORDER BY exact_c DESC, token""".stripMargin
 
+  /** Sparse cosine similarity via an inverted-index join (the
+    * all-pairs-similarity shape of Bayardo et al.): documents as
+    * term-frequency vectors, dot products accumulated over the SHARED
+    * tokens only — a join keyed by token, never a dense cross-join. Dot
+    * and squared norms are integer sums (exact under any merge order),
+    * so cos_sim is bit-deterministic; rounded BEFORE ranking so the
+    * top-20 cut is stable across engines.
+    *
+    * Scale shape: the shuffle key is the token (inverted index); pair
+    * cost is Σ_t df(t)² over shared terms, not n². At 100 TB the
+    * standard prefix/df filter (drop the most-common terms from the
+    * index, bounding df(t)) caps the hot-token skew — noted, not
+    * applied here, to keep the similarity exact for the oracle.
+    */
+  def sparseCosinePairs(spark: SparkSession, dir: String): DataFrame = {
+    // persist: tf feeds the norms aggregate and both inverted-index
+    // join sides — one tokenization+count, not three
+    val tf = Tables.documents(spark, dir)
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist()
+    val norms = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf") * col("tf")).as("n2"))
+    val a = tf.select(col("token"), col("doc_id").as("a_id"),
+      col("tf").as("a_tf"))
+    val b = tf.select(col("token"), col("doc_id").as("b_id"),
+      col("tf").as("b_tf"))
+    a.join(b, "token").where(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(sum(col("a_tf") * col("b_tf")).as("dot"))
+      .join(broadcast(norms.select(col("doc_id").as("a_id"),
+        col("n2").as("na2"))), "a_id")
+      .join(broadcast(norms.select(col("doc_id").as("b_id"),
+        col("n2").as("nb2"))), "b_id")
+      .withColumn("cos_sim", round(col("dot").cast("double")
+        / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6))
+      .select(col("a_id"), col("b_id"), col("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
+      .limit(20)
+  }
+
+  private val sparseCosinePairsSql =
+    """WITH tf AS (
+      |  SELECT doc_id, token, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |          t -> t <> '')) AS token
+      |        FROM documents WHERE doc_id < 100)
+      |  GROUP BY 1, 2),
+      |norms AS (
+      |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+      |dots AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      |  FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT a_id, b_id,
+      |  round(CAST(dot AS DOUBLE)
+      |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6) AS cos_sim
+      |FROM dots JOIN norms na ON na.doc_id = a_id
+      |          JOIN norms nb ON nb.doc_id = b_id
+      |ORDER BY cos_sim DESC, a_id, b_id LIMIT 20""".stripMargin
+
   /** Quality scoring: stopword ratio, short-token ratio, length flags —
     * the classic pretraining-corpus filters, as pure column expressions.
     */
@@ -524,6 +588,7 @@ object TextQueries {
     "lang_source_stats" -> QueryDef(langSourceStats, Some(langSourceStatsSql)),
     "token_frequency" -> QueryDef(tokenFrequency, Some(tokenFrequencySql)),
     "cms_token_counts" -> QueryDef(cmsTokenCounts, Some(cmsTokenCountsSql)),
+    "sparse_cosine_pairs" -> QueryDef(sparseCosinePairs, Some(sparseCosinePairsSql)),
     "quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql)),
     "language_id" -> QueryDef(languageId, Some(languageIdSql)),
     "doc_fingerprints" -> QueryDef(fingerprints, Some(fingerprintsSql))

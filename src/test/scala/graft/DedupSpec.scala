@@ -219,6 +219,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("sparse cosine pairs match driver-computed dense TF cosine") {
+    val out = graft.queries.TextQueries.sparseCosinePairs(spark, sf001)
+      .collect()
+    assert(out.length == 20)
+    val tfMaps = Tables.documents(spark, sf001)
+      .where(col("doc_id") < 100).select("doc_id", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        r.getLong(0) -> toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      }.toMap
+    out.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ta, tb) = (tfMaps(a), tfMaps(b))
+      val dot = ta.map { case (t, c) => c * tb.getOrElse(t, 0L) }.sum
+      val na2 = ta.values.map(c => c * c).sum
+      val nb2 = tb.values.map(c => c * c).sum
+      val truth = dot.toDouble / (math.sqrt(na2.toDouble) * math.sqrt(nb2.toDouble))
+      assert(math.abs(r.getDouble(2) - truth) < 1e-6,
+        s"pair ($a,$b): reported ${r.getDouble(2)}, truth $truth")
+    }
+    // ranked descending
+    val sims = out.map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
+  }
+
   test("tokenizer contract: whitespace split, no empties") {
     import spark.implicits._
     val toks = Seq(("  a  b\t c \n", 1)).toDF("text", "x")
