@@ -578,7 +578,66 @@ object QualityQueries {
       |  round(CAST(coalesce(k.n_kept, 0) AS DOUBLE) / t.n_docs, 4) AS achieved_frac
       |FROM thr t LEFT JOIN kept k USING (source) ORDER BY source""".stripMargin
 
+  /** Per-source unigram KL divergence from the corpus distribution —
+    * the domain-novelty diagnostic behind data-selection recipes (a
+    * source whose token distribution diverges from the pool carries
+    * novel signal; one that matches it is redundant). KL(p_s ‖ p_corpus)
+    * = Σ_t p_s(t)·ln(p_s(t)/p_c(t)), summed with the sorted-fold device
+    * (the per-source term list is vocabulary-bounded) so the float sum
+    * has one evaluation order across engines; all counts are exact
+    * integers until the final divisions.
+    *
+    * Scale shape: two bounded-key groupBys (token, (source, token)) with
+    * map-side partials; the corpus vocabulary and per-source totals
+    * broadcast. At 100 TB the vocabulary is capped in practice (top-V
+    * tokens) — the shape is unchanged.
+    */
+  def sourceTokenDivergence(spark: SparkSession, dir: String): DataFrame = {
+    // persist: the exploded token stream feeds the corpus and
+    // per-source aggregations — one tokenization pass
+    val toks = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .persist()
+    val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("cc"))
+    val corpusTotal = corpus.agg(sum(col("cc"))).head().getLong(0)
+    val bySrc = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cs"))
+    val srcTotals = bySrc.groupBy(col("source")).agg(sum(col("cs")).as("st"))
+    bySrc
+      .join(broadcast(corpus), "token")
+      .join(broadcast(srcTotals), "source")
+      .withColumn("term",
+        (col("cs").cast("double") / col("st"))
+          * log((col("cs").cast("double") / col("st"))
+            / (col("cc").cast("double") / corpusTotal.toDouble)))
+      .groupBy(col("source"), col("st").as("n_tokens"))
+      .agg(count(lit(1)).as("vocab"),
+        round(aggregate(sort_array(collect_list(col("term"))), lit(0.0),
+          (a, x) => a + x), 6).as("kl"))
+      .orderBy(col("source"))
+  }
+
+  private val sourceTokenDivergenceSql =
+    """WITH toks AS (
+      |  SELECT source, unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |    t -> t <> '')) AS token
+      |  FROM documents),
+      |corpus AS (SELECT token, count(*) AS cc FROM toks GROUP BY 1),
+      |ctot AS (SELECT CAST(sum(cc) AS BIGINT) AS ct FROM corpus),
+      |bysrc AS (SELECT source, token, count(*) AS cs FROM toks GROUP BY 1, 2),
+      |stot AS (SELECT source, CAST(sum(cs) AS BIGINT) AS st FROM bysrc GROUP BY 1),
+      |terms AS (
+      |  SELECT b.source, s.st,
+      |    (CAST(b.cs AS DOUBLE) / s.st)
+      |      * ln((CAST(b.cs AS DOUBLE) / s.st) / (CAST(c.cc AS DOUBLE) / t.ct)) AS term
+      |  FROM bysrc b JOIN corpus c USING (token)
+      |  JOIN stot s USING (source) CROSS JOIN ctot t)
+      |SELECT source, st AS n_tokens, count(*) AS vocab,
+      |  round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS kl
+      |FROM terms GROUP BY 1, 2 ORDER BY 1""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "source_token_divergence" -> QueryDef(sourceTokenDivergence, Some(sourceTokenDivergenceSql)),
     "semantic_decontam" -> QueryDef(semanticDecontam, Some(semanticDecontamSql)),
     "source_mixture_weights" -> QueryDef(sourceMixtureWeights, Some(sourceMixtureWeightsSql)),
     "mixture_apply_stats" -> QueryDef(mixtureApplyStats, Some(mixtureApplyStatsSql)),

@@ -67,7 +67,8 @@ class EdgeSpec extends SparkSpec {
         "substring_dup_spans", "simhash_diverse_sample",
         "semantic_decontam", "source_mixture_weights",
         "training_shard_stats", "cms_token_counts",
-        "mixture_apply_stats", "sparse_cosine_pairs")) {
+        "mixture_apply_stats", "sparse_cosine_pairs",
+        "source_token_divergence")) {
       val n = Catalog.all(q).build(spark, sf0001).count()
       assert(n > 0, s"$q returned no rows at sf0.001")
     }

@@ -103,6 +103,26 @@ class SamplingSpec extends SparkSpec {
       "mixture should down-sample at least one over-represented source")
   }
 
+  test("source KL divergence: non-negative, totals reconcile") {
+    val rows = graft.queries.QualityQueries
+      .sourceTokenDivergence(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val iTok = rows.head.fieldIndex("n_tokens")
+    val iKl = rows.head.fieldIndex("kl")
+    rows.foreach { r =>
+      // Gibbs: KL >= 0 (tiny negative only from float summation noise)
+      assert(r.getDouble(iKl) >= -1e-5,
+        s"${r.getString(0)}: negative KL ${r.getDouble(iKl)}")
+    }
+    val corpusTokens = Tables.documents(spark, sf001)
+      .select(explode(graft.queries.TextQueries.tokens(col("text"))))
+      .count()
+    assert(rows.map(_.getLong(iTok)).sum == corpusTokens,
+      "per-source token totals must partition the corpus")
+    assert(rows.exists(_.getDouble(iKl) > 0.0),
+      "at least one source should diverge from the pool")
+  }
+
   test("training shards are token-balanced within 30% of ideal") {
     val rows = graft.queries.QualityQueries
       .trainingShardStats(spark, sf001).collect()
