@@ -110,11 +110,12 @@ final class VectorIndexer private (
   /** Top-k search with config defaults (k=10, n_probe=20). */
   def search(query: Array[Float],
       k: Int = -1, nProbe: Int = -1,
-      includeVectors: Boolean = false): DataFrame = {
+      includeVectors: Boolean = false,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val kk = if (k < 0) config.defaultK else k
     val np = if (nProbe < 0) config.defaultNProbe else nProbe
     Ivf.search(spark, withConfig(index), query, kk, np,
-      includeVectors = includeVectors)
+      includeVectors = includeVectors, filter = filter)
   }
 
   /** Batch top-k: one pruned scan for the whole query set. */

@@ -208,9 +208,20 @@ object Ivf {
   /** Top-k search. Returns `(external_id, distance[, embedding])` ascending
     * by (distance, external_id).
     */
+  /** @param filter optional metadata predicate over the vectors
+    *   dataset's passthrough columns (e.g. `col("label") === 3`) —
+    *   FILTERED vector search. Applied inside the pruned scan, so it
+    *   pushes down to the parquet reader alongside the probe filters
+    *   (plan-asserted in IvfSpec): at 100 TB the predicate skips
+    *   row-groups, it never post-filters a materialized top-k — and
+    *   because it narrows the candidate set BEFORE ranking, the top-k
+    *   is the true filtered answer, not top-k-then-filter (which can
+    *   return < k rows even when k matches exist).
+    */
   def search(spark: SparkSession, index: Index, query: Array[Float], k0: Int,
       nProbe0: Int, idCol: String = "vec_id", embCol: String = "embedding",
-      includeVectors: Boolean = false): DataFrame = {
+      includeVectors: Boolean = false,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val k = math.min(k0, index.config.maxK)           // src/api.rs:189
     val nProbe = math.min(nProbe0, index.config.maxNProbe)
     require(k > 0, "k must be > 0")                   // src/ivf_index.rs:197-202
@@ -225,8 +236,9 @@ object Ivf {
     // centroid_id (replaces S8 selective reads), then distance + top-k via
     // TakeOrderedAndProject (J6/T2)
     val qLit = lit(query)
-    val base = spark.read.parquet(index.vectorsPath)
+    val pruned = spark.read.parquet(index.vectorsPath)
       .where(col("shard_id").isin(shards: _*) && col("centroid_id").isin(probes: _*))
+    val base = filter.map(pruned.where).getOrElse(pruned)
       .withColumn("distance", Vec.squaredL2(col(embCol), qLit))
       // nulls last: a ragged/null-element embedding yields NULL distance,
       // which default nulls-first ordering would rank above real neighbors

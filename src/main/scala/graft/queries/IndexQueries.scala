@@ -47,6 +47,28 @@ object IndexQueries {
       |FROM embeddings e CROSS JOIN q
       |ORDER BY distance, e.vec_id LIMIT 10""".stripMargin
 
+  /** FILTERED vector search, probe-all form: top-k restricted to a
+    * metadata predicate (label = 3) pushed into the pruned scan —
+    * exact, so the DuckDB brute-force-with-WHERE oracle checks it. The
+    * predicate narrows candidates BEFORE ranking (true filtered top-k,
+    * never top-k-then-filter).
+    */
+  def searchFilteredAll(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    Ivf.search(spark, idx, queryVec(spark, dir, 0L), k0 = 10, nProbe0 = 10000,
+      filter = Some(col("label") === 3))
+  }
+
+  private val searchFilteredAllSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT e.vec_id AS external_id,
+      |  list_reduce(list_transform(list_zip(e.embedding, q.qe),
+      |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+      |    (a, b) -> a + b) AS distance
+      |FROM embeddings e CROSS JOIN q
+      |WHERE e.label = 3
+      |ORDER BY distance, e.vec_id LIMIT 10""".stripMargin
+
   /** Reference-default search: k=10, n_probe=20 (src/api.rs:33-43).
     * Approximate → rows-only driver check; recall gates live in ScalaTest.
     */
@@ -232,6 +254,7 @@ object IndexQueries {
     "ann_lsh_topk" -> QueryDef(lshAnnTopK, None),
     "recall_sweep" -> QueryDef(recallSweep, None),
     "ivf_search_probe_all" -> QueryDef(searchProbeAll, Some(searchProbeAllSql)),
+    "ivf_search_filtered" -> QueryDef(searchFilteredAll, Some(searchFilteredAllSql)),
     "ivf_search_default" -> QueryDef(searchDefault, None),
     "ivf_search_batch_all" -> QueryDef(searchBatchProbeAll, Some(searchBatchProbeAllSql)),
     "ivf_search_batch_default" -> QueryDef(searchBatchDefault, None),

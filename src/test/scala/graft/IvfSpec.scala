@@ -75,6 +75,39 @@ class IvfSpec extends SparkSpec {
     assert(rows.map(_.getLong(0)).toSeq == bruteKnn(q, 10))
   }
 
+  test("filtered search: true filtered top-k, predicate pushed to the scan") {
+    val q = embAll.find(_._1 == 0L).get._2
+    val res = Ivf.search(spark, index, q, k0 = 5, nProbe0 = 10000,
+      filter = Some(col("label") === 2))
+    // pushed down: the label predicate must reach the parquet reader,
+    // not post-filter materialized rows (read the scan's metadata — the
+    // plan toString truncates long PushedFilters lists)
+    val scan = res.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    assert(scan.metadata("PushedFilters").contains("EqualTo(label,2)"),
+      s"label filter not pushed: ${scan.metadata("PushedFilters")}")
+    val got = res.collect().map(_.getLong(0))
+    // every hit really has the label, and equals brute force under the
+    // same predicate (probe-all ⇒ exact)
+    val labels = Tables.embeddings(spark, sf0001)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.forall(labels(_) == 2))
+    val brute = embAll.filter(t => labels(t._1) == 2)
+      .map { case (id, v) => (id, KMeans.sqDist(q, v)) }
+      .sortBy(t => (t._2, t._1)).take(5).map(_._1)
+    assert(got.toSeq == brute.toSeq)
+  }
+
+  test("filtered search with < k matching rows returns them all, no padding") {
+    val q = embAll.find(_._1 == 0L).get._2
+    // impossible predicate → empty, not an error
+    val none = Ivf.search(spark, index, q, k0 = 5, nProbe0 = 10000,
+      filter = Some(col("label") === -1)).count()
+    assert(none == 0L)
+  }
+
   test("k=0 / n_probe=0 rejected") {
     // mirrors ivf_index_tests.rs:394-457
     val q = embAll(0)._2
