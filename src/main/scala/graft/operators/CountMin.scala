@@ -51,7 +51,10 @@ object CountMin {
   /** Point estimates for the keys in `keys(keyCol)`: min over the
     * depth counters each key hashes to. CMS guarantee: estimate ≥ true
     * count, with overestimate bounded by collisions. The sketch side is
-    * ≤ depth·width rows → broadcast.
+    * ≤ depth·width rows → broadcast. Absent cells count as 0 (left
+    * join + coalesce): a key hashing to any untouched cell estimates
+    * 0 — exactly the never-seen-key answer — instead of inheriting the
+    * min of only its occupied cells.
     */
   def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int, width: Int): DataFrame = {
@@ -61,8 +64,8 @@ object CountMin {
         .as(Seq("fn", "cell")))
     val keyCols = keys.columns.map(col)
     exploded
-      .join(broadcast(sketch), Seq("fn", "cell"))
+      .join(broadcast(sketch), Seq("fn", "cell"), "left")
       .groupBy(keyCols: _*)
-      .agg(min(col("c")).as("cms_c"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("cms_c"))
   }
 }

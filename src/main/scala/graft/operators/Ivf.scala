@@ -207,8 +207,8 @@ object Ivf {
 
   /** Top-k search. Returns `(external_id, distance[, embedding])` ascending
     * by (distance, external_id).
-    */
-  /** @param filter optional metadata predicate over the vectors
+    *
+    * @param filter optional metadata predicate over the vectors
     *   dataset's passthrough columns (e.g. `col("label") === 3`) —
     *   FILTERED vector search. Applied inside the pruned scan, so it
     *   pushes down to the parquet reader alongside the probe filters

@@ -147,6 +147,18 @@ object DedupQueries {
         array_min(transform(col("sh"), s => xxhash64(lit(i), s))))
     }
 
+  /** Band projection of an already-signed DF (sig_0..sig_{n-1} columns):
+    * (doc_id, band_idx, band_val) with 2 hashes per band. The ONE
+    * definition of the banding scheme — batch pipelines apply it to
+    * their persisted signed DF, [[bandedSignatures]] composes it for
+    * callers starting from raw documents.
+    */
+  def bandsOf(signed: DataFrame, nHashes: Int): DataFrame =
+    signed.select(col("doc_id"),
+      posexplode(array((0 until nHashes / 2).map(b =>
+        concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))): _*))
+        .as(Seq("band_idx", "band_val")))
+
   /** (doc_id, band_idx, band_val) banded MinHash signatures — the
     * map-side half of the LSH pipeline (xxhash64 fast path), shared by
     * the batch candidate join and the streaming stateful-bucket form
@@ -154,11 +166,7 @@ object DedupQueries {
     * expressions, so it applies to batch and streaming DataFrames alike.
     */
   def bandedSignatures(docs: DataFrame, nHashes: Int = 8): DataFrame =
-    withMinhashSig(shingledDocs(docs), nHashes)
-      .select(col("doc_id"),
-        posexplode(array((0 until nHashes / 2).map(b =>
-          concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))): _*))
-          .as(Seq("band_idx", "band_val")))
+    bandsOf(withMinhashSig(shingledDocs(docs), nHashes), nHashes)
 
   /** MinHash + LSH banding near-dup pipeline, full corpus. 8 hashes in 4
     * bands of 2 → candidate pairs = same band value; candidates verified
@@ -176,10 +184,7 @@ object DedupQueries {
       .persist()
     // banding carries only (band, doc_id) — shingle arrays stay out of
     // the self-join shuffle
-    val banded = docs.select(col("doc_id"),
-      posexplode(array((0 until nHashes / 2).map(b =>
-        concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))): _*))
-        .as(Seq("band_idx", "band_val")))
+    val banded = bandsOf(docs, nHashes)
     val cand = banded.as("l")
       .join(banded.as("r"), Seq("band_idx", "band_val"))
       .where(col("l.doc_id") < col("r.doc_id"))
@@ -216,10 +221,7 @@ object DedupQueries {
       d.withColumn(s"sig_$i",
         array_min(transform(col("sh"), s => md5Long(concat(lit(s"$i:"), s)))))
     }.persist()
-    val banded = docs.select(col("doc_id"),
-      posexplode(array((0 until nHashes / 2).map(b =>
-        concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))): _*))
-        .as(Seq("band_idx", "band_val")))
+    val banded = bandsOf(docs, nHashes)
     val cand = banded.as("l")
       .join(banded.as("r"), Seq("band_idx", "band_val"))
       .where(col("l.doc_id") < col("r.doc_id"))

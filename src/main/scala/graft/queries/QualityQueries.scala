@@ -420,6 +420,9 @@ object QualityQueries {
         size(tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      // a zero-token source has no defined share (0/0): excluded from
+      // the mixture rather than emitting NaN weights
+      .where(col("n_tokens") > 0)
       .persist()
     val z = per.agg(
       sum(col("n_tokens")).as("total_tokens"),
@@ -444,7 +447,7 @@ object QualityQueries {
       |  SELECT source, count(*) AS n_docs,
       |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
       |      t -> t <> ''))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY source),
+      |  FROM documents GROUP BY source HAVING n_tokens > 0),
       |z AS (
       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
       |    list_reduce(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))),
@@ -522,6 +525,9 @@ object QualityQueries {
       .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      // zero-token sources have no defined share (0/0 → NaN threshold):
+      // excluded from the mixture, matching sourceMixtureWeights
+      .where(col("n_tokens") > 0)
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1)
@@ -552,7 +558,7 @@ object QualityQueries {
       |  SELECT source, count(*) AS n_docs,
       |    CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
       |      t -> t <> ''))) AS BIGINT) AS n_tokens
-      |  FROM documents GROUP BY 1),
+      |  FROM documents GROUP BY 1 HAVING n_tokens > 0),
       |z AS (
       |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
       |    list_reduce(list_sort(list(sqrt(CAST(n_tokens AS DOUBLE)))),
@@ -599,17 +605,20 @@ object QualityQueries {
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .persist()
     val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("cc"))
-    val corpusTotal = corpus.agg(sum(col("cc"))).head().getLong(0)
+    // grand total stays lazy (1-row broadcast), like trainingShardStats —
+    // building the DataFrame must not run a Spark job
+    val ctot = corpus.agg(sum(col("cc")).as("ct"))
     val bySrc = toks.groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("cs"))
     val srcTotals = bySrc.groupBy(col("source")).agg(sum(col("cs")).as("st"))
     bySrc
       .join(broadcast(corpus), "token")
       .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(ctot))
       .withColumn("term",
         (col("cs").cast("double") / col("st"))
           * log((col("cs").cast("double") / col("st"))
-            / (col("cc").cast("double") / corpusTotal.toDouble)))
+            / (col("cc").cast("double") / col("ct"))))
       .groupBy(col("source"), col("st").as("n_tokens"))
       .agg(count(lit(1)).as("vocab"),
         round(aggregate(sort_array(collect_list(col("term"))), lit(0.0),

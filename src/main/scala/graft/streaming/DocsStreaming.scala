@@ -12,7 +12,10 @@ import graft.queries.DedupQueries
   * (band_idx, band_val) becomes a `flatMapGroupsWithState` keyed by the
   * band bucket, whose state is the set of document ids previously seen
   * in that bucket — each arriving document emits a candidate pair per
-  * prior bucket member, exactly the pairs the batch join would produce.
+  * prior bucket member: exactly the pairs the batch join would produce,
+  * as long as no bucket exceeds [[MaxBucketState]] members (beyond the
+  * cap, pairs against the evicted oldest members are dropped — see the
+  * scale note below).
   *
   * Scale shape: state is partitioned by bucket key across executors and
   * bounded per bucket ([[MaxBucketState]]): a bucket hotter than that is

@@ -39,6 +39,18 @@ class CountMinSpec extends SparkSpec {
     assert(merged == whole, "merge is not exactly the union sketch")
   }
 
+  test("a never-seen key estimates 0, not an inflated occupied-cell min") {
+    import spark.implicits._
+    val sketch = CountMin.build(toks, "token", depth, width)
+    val unseen = Seq("zzz_not_in_any_document_zzz").toDF("token")
+    val est = CountMin.estimate(sketch, unseen, "token", depth, width).collect()
+    assert(est.length == 1, "unseen key must not vanish from the output")
+    // with 1024 cells and a small vocab, at least one of the 4 cells is
+    // empty → the min must include the implicit 0
+    assert(est.head.getLong(1) == 0L,
+      s"unseen key estimated ${est.head.getLong(1)}")
+  }
+
   test("sketch size is bounded by depth x width regardless of input size") {
     val n = CountMin.build(toks, "token", depth, width).count()
     assert(n <= depth.toLong * width,

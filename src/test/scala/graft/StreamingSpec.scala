@@ -99,11 +99,8 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == batchDistinct)
   }
 
-  test("streaming LSH candidates equal the batch band-join candidate set") {
+  private def batchLshCandidates(): Set[(Long, Long)] = {
     import graft.queries.DedupQueries
-    import graft.streaming.DocsStreaming
-    val stream = DocsStreaming.lshCandidatesQuery(spark, sf001)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val banded = DedupQueries
       .bandedSignatures(Tables.documents(spark, sf001)).persist()
     val batch = banded.as("l")
@@ -113,9 +110,39 @@ class StreamingSpec extends SparkSpec {
       .dropDuplicates("a_id", "b_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     banded.unpersist()
+    batch
+  }
+
+  test("streaming LSH candidates equal the batch band-join candidate set") {
+    import graft.streaming.DocsStreaming
+    val stream = DocsStreaming.lshCandidatesQuery(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = batchLshCandidates()
     assert(batch.nonEmpty, "corpus should produce LSH candidates")
     assert(stream == batch,
       s"stream-only: ${(stream -- batch).take(5)}; batch-only: ${(batch -- stream).take(5)}")
+  }
+
+  test("streaming LSH equality holds across multiple micro-batches (stateful path)") {
+    // one file per trigger → 4 micro-batches: this drives the
+    // prior-state branch (pairs between docs of DIFFERENT batches),
+    // which the single-file source above never exercises
+    import graft.streaming.{DocsStreaming, EventsStreaming}
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_stream_docs").toString
+    val docs = Tables.documents(spark, sf001)
+    docs.repartition(4).write.mode("overwrite").parquet(stage)
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    val result = EventsStreaming.runToCompletion(spark,
+      DocsStreaming.lshCandidates(stream).toDF(),
+      "stream_lsh_multibatch",
+      org.apache.spark.sql.streaming.OutputMode.Append())
+      .dropDuplicates("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = batchLshCandidates()
+    assert(result == batch,
+      s"stream-only: ${(result -- batch).take(5)}; batch-only: ${(batch -- result).take(5)}")
   }
 
   test("multimodal assets carry binary payloads with typed metadata") {
