@@ -120,10 +120,12 @@ final class VectorIndexer private (
 
   /** Batch top-k: one pruned scan for the whole query set. */
   def searchBatch(queries: Array[(Long, Array[Float])],
-      k: Int = -1, nProbe: Int = -1): DataFrame = {
+      k: Int = -1, nProbe: Int = -1,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val kk = if (k < 0) config.defaultK else k
     val np = if (nProbe < 0) config.defaultNProbe else nProbe
-    Ivf.searchBatch(spark, withConfig(index), queries, kk, np)
+    Ivf.searchBatch(spark, withConfig(index), queries, kk, np,
+      filter = filter)
   }
 
   /** Faiss-style batch result: (D, I) row-major matrices of shape

@@ -265,7 +265,8 @@ object Ivf {
     */
   def searchBatch(spark: SparkSession, index: Index,
       queries: Array[(Long, Array[Float])], k0: Int, nProbe0: Int,
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     val k = math.min(k0, index.config.maxK)
     val nProbe = math.min(nProbe0, index.config.maxNProbe)
@@ -288,8 +289,12 @@ object Ivf {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("distance").asc_nulls_last, col(idCol))
-    spark.read.parquet(index.vectorsPath)
+    val pruned = spark.read.parquet(index.vectorsPath)
       .where(col("shard_id").isin(shards: _*))
+    // same filtered-search contract as single-query search: the
+    // predicate narrows candidates inside the pruned scan (pushed to
+    // the reader), BEFORE per-query ranking
+    filter.map(pruned.where).getOrElse(pruned)
       .join(broadcast(probeDf), Seq("centroid_id"))
       .join(broadcast(queryDf), Seq("query_id"))
       .withColumn("distance", graft.functions.Vec.squaredL2(col(embCol), col("qe")))

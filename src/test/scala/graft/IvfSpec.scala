@@ -100,6 +100,23 @@ class IvfSpec extends SparkSpec {
     assert(got.toSeq == brute.toSeq)
   }
 
+  test("filtered batch search equals per-query filtered search") {
+    val qs = embAll.filter(_._1 < 4L)
+    val batch = Ivf.searchBatch(spark, index, qs, k0 = 5, nProbe0 = 10000,
+        filter = Some(col("label") === 2))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val single = qs.flatMap { case (qid, q) =>
+      Ivf.search(spark, index, q, k0 = 5, nProbe0 = 10000,
+          filter = Some(col("label") === 2))
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, i + 1, r.getLong(0)) }
+    }.sortBy(t => (t._1, t._2))
+    assert(batch.toSeq == single.toSeq)
+    assert(batch.nonEmpty)
+  }
+
   test("filtered search with < k matching rows returns them all, no padding") {
     val q = embAll.find(_._1 == 0L).get._2
     // impossible predicate → empty, not an error
