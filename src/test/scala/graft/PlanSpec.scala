@@ -112,6 +112,29 @@ class PlanSpec extends SparkSpec {
       "the 1-row totals must broadcast, not shuffle the per-source table")
   }
 
+  test("substring spans: no cartesian explosion — the gram join is hash-keyed") {
+    val p = plan("substring_dup_spans")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"positional gram join exploded:\n${p.take(2000)}")
+    assert(p.contains("Window"), "gaps-and-islands window missing")
+  }
+
+  test("sparse cosine: inverted-index join, norm tables broadcast") {
+    val p = plan("sparse_cosine_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"sparse similarity must never cross-join:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"), "norms must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+  }
+
+  test("CMS: sketch build partial-aggregates; estimate broadcasts the sketch") {
+    val p = plan("cms_token_counts")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "cell counting must combine map-side")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      "the bounded sketch side must broadcast")
+  }
+
   test("as-of join: one data shuffle (window key), no join explosion") {
     val p = plan("events_asof_click")
     // union + carry-forward window: hash exchange on the key for the
