@@ -303,4 +303,57 @@ object Ivf {
       .select(col("query_id"), col("rank"),
         col(idCol).as("external_id"), col("distance"))
   }
+
+  /** Distributed ANN JOIN: top-k nearest indexed vectors for EVERY row
+    * of a query DataFrame — the corpus×corpus embedding-join primitive
+    * (cross-corpus semantic dedup, retrieval-augmentation joins), as
+    * opposed to [[searchBatch]], whose query set is a driver-side array.
+    *
+    * The query side never touches the driver: each query row is routed
+    * to its nProbe nearest centroids map-side (broadcast routing table,
+    * the same assignment kernel as build), then a shuffle hash-join on
+    * `centroid_id` co-locates each query replica with exactly the
+    * indexed rows of its probed cells, and per-query top-k is a window.
+    * Cost at 100 TB: queries replicate ×nProbe (small side of the
+    * shuffle), the index side shuffles each cell once per epoch of
+    * queries probing it — never a dense cross-join. A hot centroid is a
+    * skewed join key; AQE skew-join splits it (the cell's rows are
+    * re-usable across the queries that probe it).
+    *
+    * @param queries DataFrame with (`qidCol`, `qembCol`) columns;
+    *   distributed — any size.
+    * @return (`qidCol`, rank, external_id, distance), rank 1..k per query
+    */
+  def annJoin(queries: DataFrame, index: Index, k: Int, nProbe: Int,
+      qidCol: String = "query_id", qembCol: String = "qe",
+      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+    require(k > 0, "k must be > 0")
+    require(nProbe > 0, "n_probe must be > 0")
+    val spark = queries.sparkSession
+    val centB = spark.sparkContext.broadcast(index.centroids)
+    val np = math.min(nProbe, index.centroids.length)
+    val probeUdf = udf((q: Seq[Float]) => {
+      val qa = q.toArray
+      val cents = centB.value
+      cents.indices
+        .map(i => (i, KMeans.sqDist(qa, cents(i))))
+        .sortBy(p => (p._2, p._1))
+        .take(np)
+        .map(_._1)
+    })
+    val probed = queries
+      .select(col(qidCol), col(qembCol))
+      .withColumn("centroid_id", explode(probeUdf(col(qembCol))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qidCol)
+      .orderBy(col("distance").asc_nulls_last, col(idCol))
+    spark.read.parquet(index.vectorsPath)
+      .join(probed, Seq("centroid_id"))
+      .withColumn("distance",
+        graft.functions.Vec.squaredL2(col(embCol), col(qembCol)))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(qidCol), col("rank"),
+        col(idCol).as("external_id"), col("distance"))
+  }
 }

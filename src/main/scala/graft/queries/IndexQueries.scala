@@ -69,6 +69,37 @@ object IndexQueries {
       |WHERE e.label = 3
       |ORDER BY distance, e.vec_id LIMIT 10""".stripMargin
 
+  /** Distributed ANN join, probe-all form: top-3 indexed neighbors for
+    * each row of a (bounded) query table, with the query side staying
+    * distributed — no driver collect ([[Ivf.annJoin]]). Probe-all ⇒
+    * exact ⇒ the DuckDB brute-force window oracle checks it.
+    */
+  def annJoinTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val queries = Tables.embeddings(spark, dir)
+      .where(col("vec_id") >= 480 && col("vec_id") < 500)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    Ivf.annJoin(queries, idx, k = 3, nProbe = 10000)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val annJoinTopKSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      |  WHERE vec_id >= 480 AND vec_id < 500),
+      |d AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_reduce(list_transform(list_zip(e.embedding, q.qe),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+      |      (a, b) -> a + b) AS distance
+      |  FROM embeddings e CROSS JOIN q),
+      |r AS (
+      |  SELECT query_id, vec_id, distance,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+      |  FROM d)
+      |SELECT query_id, rank, vec_id AS external_id, distance
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Reference-default search: k=10, n_probe=20 (src/api.rs:33-43).
     * Approximate → rows-only driver check; recall gates live in ScalaTest.
     */
@@ -255,6 +286,7 @@ object IndexQueries {
     "recall_sweep" -> QueryDef(recallSweep, None),
     "ivf_search_probe_all" -> QueryDef(searchProbeAll, Some(searchProbeAllSql)),
     "ivf_search_filtered" -> QueryDef(searchFilteredAll, Some(searchFilteredAllSql)),
+    "ann_join_topk" -> QueryDef(annJoinTopK, Some(annJoinTopKSql)),
     "ivf_search_default" -> QueryDef(searchDefault, None),
     "ivf_search_batch_all" -> QueryDef(searchBatchProbeAll, Some(searchBatchProbeAllSql)),
     "ivf_search_batch_default" -> QueryDef(searchBatchDefault, None),

@@ -117,6 +117,29 @@ class IvfSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("distributed ANN join: probe-all equals searchBatch; pruned keeps recall") {
+    import spark.implicits._
+    val qs = embAll.filter(_._1 < 8L)
+    val qDf = qs.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("query_id", "qe")
+      .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
+    val joined = Ivf.annJoin(qDf, index, k = 5, nProbe = 10000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val batch = Ivf.searchBatch(spark, index, qs, k0 = 5, nProbe0 = 10000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(joined.toSeq == batch.toSeq,
+      "probe-all ANN join must equal the driver-side batch search")
+    // pruned join: top-1 recall vs exact stays high at nProbe=8
+    val pruned = Ivf.annJoin(qDf, index, k = 1, nProbe = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exactTop1 = batch.filter(_._2 == 1).map(t => t._1 -> t._3).toMap
+    val hits = qs.count(q => pruned.get(q._1).contains(exactTop1(q._1)))
+    assert(hits >= qs.length - 1,
+      s"pruned ANN join recall@1 too low: $hits/${qs.length}")
+  }
+
   test("filtered search with < k matching rows returns them all, no padding") {
     val q = embAll.find(_._1 == 0L).get._2
     // impossible predicate → empty, not an error
