@@ -17,6 +17,15 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Filesystem-safe cache-directory name for an sfDir. The "d" prefix
+    * guarantees the name never starts with '_' or '.', which Spark's
+    * file listing treats as hidden metadata (a leading-underscore
+    * directory read root logs "All paths were ignored" and is invisible
+    * when listed from its parent).
+    */
+  def cacheDirName(dir: String): String =
+    "d" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

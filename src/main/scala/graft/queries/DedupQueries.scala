@@ -252,7 +252,7 @@ object DedupQueries {
   def verifiedPairsPath(spark: SparkSession, dir: String): String =
     pairsCache.computeIfAbsent(dir, { d =>
       val path =
-        s"/tmp/graft_pairs/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        s"/tmp/graft_pairs/${graft.Tables.cacheDirName(d)}"
       minhashVerifiedPairs(spark, d)
         .write.mode("overwrite").parquet(path)
       path

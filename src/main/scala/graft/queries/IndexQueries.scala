@@ -22,7 +22,7 @@ object IndexQueries {
   def index(spark: SparkSession, dir: String): Ivf.Index =
     cache.computeIfAbsent(dir, { d =>
       val emb = Tables.embeddings(spark, d)
-      val indexDir = s"/tmp/graft_index/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+      val indexDir = s"/tmp/graft_index/${Tables.cacheDirName(d)}"
       Ivf.build(emb, "vec_id", "embedding", indexDir)
     })
 
@@ -200,7 +200,7 @@ object IndexQueries {
       val idx = index(spark, d)
       val model = VectorQueries.pqModel(spark, d)
       val path =
-        s"/tmp/graft_index/${d.replaceAll("[^A-Za-z0-9.]", "_")}/pq_codes"
+        s"/tmp/graft_index/${Tables.cacheDirName(d)}/pq_codes"
       graft.operators.IvfPq.buildCodes(spark, idx, model, path)
       path
     })
