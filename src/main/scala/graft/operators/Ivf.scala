@@ -249,6 +249,36 @@ object Ivf {
     if (includeVectors) out else out.drop("vector") // P3
   }
 
+  /** Range search (faiss `range_search` semantics): every indexed vector
+    * with squared-L2 distance strictly below `radius`, ascending by
+    * (distance, external_id). Same probe-pruned scan as [[search]] — at
+    * 100 TB only the probed cells' bytes are read — but with no
+    * TakeOrderedAndProject: the result set is radius-bounded, not
+    * k-bounded, so the plan is scan → filter → sort and the output size
+    * is the radius selectivity. Probe-all makes it exact. NULL distances
+    * (ragged/null embeddings) never satisfy `distance < radius`, so
+    * degraded rows drop out — consistent with the nulls-last contract of
+    * the top-k path.
+    */
+  def rangeSearch(spark: SparkSession, index: Index, query: Array[Float],
+      radius: Double, nProbe0: Int, idCol: String = "vec_id",
+      embCol: String = "embedding",
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val nProbe = math.min(nProbe0, index.config.maxNProbe)
+    require(nProbe > 0, "n_probe must be > 0")
+    require(query.length == index.centroids(0).length,
+      s"query dimension ${query.length} != index dimension ${index.centroids(0).length}")
+    val (probes, shards) = probeSelection(index, query, nProbe)
+    val qLit = lit(query)
+    val pruned = spark.read.parquet(index.vectorsPath)
+      .where(col("shard_id").isin(shards: _*) && col("centroid_id").isin(probes: _*))
+    filter.map(pruned.where).getOrElse(pruned)
+      .withColumn("distance", Vec.squaredL2(col(embCol), qLit))
+      .where(col("distance") < radius)
+      .orderBy(col("distance"), col(idCol))
+      .select(col(idCol).as("external_id"), col("distance"))
+  }
+
   /** Batch ANN: top-k for a whole query set in ONE pruned scan.
     *
     * The reference executes batched queries sequentially per query

@@ -69,6 +69,28 @@ object IndexQueries {
       |WHERE e.label = 3
       |ORDER BY distance, e.vec_id LIMIT 10""".stripMargin
 
+  /** Range search, probe-all form: all vectors within squared-L2
+    * distance 1.5 of query 0 (≈ the corpus' 2% distance quantile —
+    * non-trivial at every sf). Probe-all ⇒ exact ⇒ the DuckDB
+    * brute-force WHERE oracle checks it.
+    */
+  def rangeSearchAll(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    Ivf.rangeSearch(spark, idx, queryVec(spark, dir, 0L),
+      radius = 1.5, nProbe0 = 10000)
+  }
+
+  private val rangeSearchAllSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+      |SELECT * FROM (
+      |  SELECT e.vec_id AS external_id,
+      |    list_reduce(list_transform(list_zip(e.embedding, q.qe),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+      |      (a, b) -> a + b) AS distance
+      |  FROM embeddings e CROSS JOIN q)
+      |WHERE distance < 1.5
+      |ORDER BY distance, external_id""".stripMargin
+
   /** Distributed ANN join, probe-all form: top-3 indexed neighbors for
     * each row of a (bounded) query table, with the query side staying
     * distributed — no driver collect ([[Ivf.annJoin]]). Probe-all ⇒
@@ -285,6 +307,7 @@ object IndexQueries {
     "ann_lsh_topk" -> QueryDef(lshAnnTopK, None),
     "recall_sweep" -> QueryDef(recallSweep, None),
     "ivf_search_probe_all" -> QueryDef(searchProbeAll, Some(searchProbeAllSql)),
+    "ivf_range_search" -> QueryDef(rangeSearchAll, Some(rangeSearchAllSql)),
     "ivf_search_filtered" -> QueryDef(searchFilteredAll, Some(searchFilteredAllSql)),
     "ann_join_topk" -> QueryDef(annJoinTopK, Some(annJoinTopKSql)),
     "ivf_search_default" -> QueryDef(searchDefault, None),

@@ -140,6 +140,41 @@ class IvfSpec extends SparkSpec {
       s"pruned ANN join recall@1 too low: $hits/${qs.length}")
   }
 
+  test("range search: probe-all equals brute force; pruned is a subset") {
+    val q = embAll.find(_._1 == 0L).get._2
+    val radius = 1.8
+    val brute = embAll.map { case (id, v) => (id, KMeans.sqDist(q, v)) }
+      .filter(_._2 < radius).sortBy(p => (p._2, p._1)).map(_._1).toSeq
+    assert(brute.nonEmpty, "test radius must select something")
+    val all = Ivf.rangeSearch(spark, index, q, radius, nProbe0 = 10000)
+      .collect()
+    assert(all.map(_.getLong(0)).toSeq == brute)
+    // every returned distance is < radius and sorted ascending
+    val ds = all.map(_.getDouble(1)).toSeq
+    assert(ds == ds.sorted && ds.forall(_ < radius))
+    // pruned probing returns a subset of the exact answer (never a
+    // wrong extra row — pruning can only miss, not invent)
+    val pruned = Ivf.rangeSearch(spark, index, q, radius, nProbe0 = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(pruned.subsetOf(brute.toSet))
+  }
+
+  test("range search: self-retrieval at tiny radius; filter narrows the set") {
+    val q = embAll.find(_._1 == 42L).get._2
+    val self = Ivf.rangeSearch(spark, index, q, 1e-6, nProbe0 = 10000)
+      .collect()
+    assert(self.map(_.getLong(0)).toSeq == Seq(42L))
+    val filtered = Ivf.rangeSearch(spark, index, q, 1.8, nProbe0 = 10000,
+      filter = Some(col("label") === 3)).collect().map(_.getLong(0)).toSet
+    val unfiltered = Ivf.rangeSearch(spark, index, q, 1.8, nProbe0 = 10000)
+      .collect().map(_.getLong(0)).toSet
+    assert(filtered.subsetOf(unfiltered))
+    val labels3 = Tables.embeddings(spark, sf0001)
+      .where(col("label") === 3).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(filtered == (unfiltered & labels3))
+  }
+
   test("filtered search with < k matching rows returns them all, no padding") {
     val q = embAll.find(_._1 == 0L).get._2
     // impossible predicate → empty, not an error
