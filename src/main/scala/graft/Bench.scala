@@ -44,6 +44,13 @@ object Bench {
         System.err.println(s"[bench] ivfpq_encode FAILED: ${e.getMessage}")
         -1.0
       }
+    val pqResT0 = System.nanoTime()
+    val pqResidualTime =
+      try { graft.queries.IndexQueries.residualModelAndCodes(spark, sfDir); (System.nanoTime() - pqResT0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ivfpq_residual_build FAILED: ${e.getMessage}")
+        -1.0
+      }
     // ... and so is the MinHash verified-pair materialization feeding
     // minhash_lsh_pairs / dedup_clusters / cross_source_dups
     val pairsT0 = System.nanoTime()
@@ -56,7 +63,9 @@ object Bench {
     // a failed query reports -1 (not its elapsed-until-crash time) so a
     // regression can never masquerade as a speedup in the headline JSON
     val results = Map("ivf_build" -> buildTime, "pq_train" -> pqTrainTime,
-      "ivfpq_encode" -> pqEncodeTime, "minhash_pairs_build" -> pairsTime) ++
+      "ivfpq_encode" -> pqEncodeTime,
+      "ivfpq_residual_build" -> pqResidualTime,
+      "minhash_pairs_build" -> pairsTime) ++
       graft.queries.Catalog.all
       .filter { case (_, d) => d.bench }
       .map { case (name, d) =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF-PQ: the faiss `IndexIVFPQ` architecture on Spark — IVF partition
@@ -35,6 +35,127 @@ object IvfPq {
       .write.mode("overwrite")
       .partitionBy("shard_id")
       .parquet(outPath)
+  }
+
+  /** Residual vector x − centroid[centroid_id] as a column — the
+    * quantity faiss IndexIVFPQ actually encodes. Residuals have much
+    * smaller norm than raw vectors (the coarse quantizer already
+    * explains the cluster mean), so the same PQ budget spends its
+    * codebook resolution on a tighter distribution → lower
+    * reconstruction error at identical code size. One-time build-side
+    * UDF over the broadcast routing table, same contract as Pq.encode
+    * (null/ragged in → null out).
+    */
+  private def residualCol(spark: SparkSession,
+      centroids: Array[Array[Float]]): (Column, Column) => Column = {
+    val bc = spark.sparkContext.broadcast(centroids)
+    val f = udf { (emb: Seq[Float], cid: Int) =>
+      val c = bc.value(cid)
+      if (emb == null || emb.length != c.length) null
+      else Seq.tabulate(c.length)(i => emb(i) - c(i))
+    }
+    (emb, cid) => f(emb, cid)
+  }
+
+  /** Train PQ codebooks on residuals (faiss IndexIVFPQ training). */
+  def trainResidual(spark: SparkSession, ivf: Ivf.Index, m: Int = 8,
+      ksub: Int = 256, iters: Int = 10, seed: Long = 42L,
+      idCol: String = "vec_id", embCol: String = "embedding"): Pq.Model = {
+    val dim = ivf.centroids(0).length
+    val res = residualCol(spark, ivf.centroids)
+    val df = spark.read.parquet(ivf.vectorsPath)
+      .withColumn("residual", res(col(embCol), col("centroid_id")))
+    Pq.train(df, "residual", dim, m, ksub, iters, seed, orderCol = Some(idCol))
+  }
+
+  /** Write the residual-coded sibling dataset (layout identical to
+    * [[buildCodes]]; only the encoded quantity differs).
+    */
+  def buildResidualCodes(spark: SparkSession, ivf: Ivf.Index,
+      model: Pq.Model, outPath: String, idCol: String = "vec_id",
+      embCol: String = "embedding"): Unit = {
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val salts = math.max(1,
+      math.ceil(shuffleParts.toDouble / ivf.numShards).toInt)
+    val res = residualCol(spark, ivf.centroids)
+    Pq.encode(
+      spark.read.parquet(ivf.vectorsPath)
+        .withColumn("residual", res(col(embCol), col("centroid_id"))),
+      "residual", model)
+      .select(col("shard_id"), col("centroid_id"), col(idCol), col("pq_code"))
+      .repartition(shuffleParts, col("shard_id"),
+        pmod(xxhash64(col(idCol)), lit(salts)))
+      .sortWithinPartitions(col("centroid_id"), col(idCol))
+      .write.mode("overwrite")
+      .partitionBy("shard_id")
+      .parquet(outPath)
+  }
+
+  /** Top-k over the residual-coded dataset. The ADC table now depends
+    * on the probed centroid (lut_c is built from the query's OWN
+    * residual q − centroid_c), so instead of one literal LUT there is a
+    * broadcast (centroid_id, lut) table of nProbe rows joined into the
+    * pruned scan — the scan-side math is the same codegen fold.
+    */
+  def searchResidual(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
+      codesPath: String, query: Array[Float], k0: Int, nProbe0: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val k = math.min(k0, ivf.config.maxK)
+    val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
+    require(k > 0, "k must be > 0")
+    require(nProbe > 0, "n_probe must be > 0")
+    require(query.length == model.dim,
+      s"query dim ${query.length} != model dim ${model.dim}")
+    val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
+    val lutDf = probes.map { c =>
+      val cent = ivf.centroids(c)
+      val qr = Array.tabulate(query.length)(i => query(i) - cent(i))
+      (c, Pq.lutSeq(qr, model))
+    }.toDF("centroid_id", "lut")
+    spark.read.parquet(codesPath)
+      .where(col("shard_id").isin(shards: _*))
+      .join(broadcast(lutDf), Seq("centroid_id"))
+      .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
+      .orderBy(col("distance").asc_nulls_last, col(idCol))
+      .limit(k)
+      .select(col(idCol).as("external_id"), col("distance"))
+  }
+
+  /** Batch residual ANN: one pruned scan for the whole query set; the
+    * broadcast probe table carries a per-(query, probed-centroid) LUT.
+    */
+  def searchBatchResidual(spark: SparkSession, ivf: Ivf.Index,
+      model: Pq.Model, codesPath: String,
+      queries: Array[(Long, Array[Float])], k0: Int, nProbe0: Int,
+      idCol: String = "vec_id"): DataFrame = {
+    import spark.implicits._
+    val k = math.min(k0, ivf.config.maxK)
+    val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
+    require(k > 0, "k must be > 0")
+    require(nProbe > 0, "n_probe must be > 0")
+    val probeLut = queries.toSeq.flatMap { case (qid, q) =>
+      require(q.length == model.dim,
+        s"query dim ${q.length} != model dim ${model.dim}")
+      Ivf.probeSelection(ivf, q, nProbe)._1.map { c =>
+        val cent = ivf.centroids(c)
+        val qr = Array.tabulate(q.length)(i => q(i) - cent(i))
+        (qid, c, Pq.lutSeq(qr, model))
+      }
+    }
+    val shards = probeLut.map(p => ivf.centroidToShard(p._2)).distinct
+    val lutDf = probeLut.toDF("query_id", "centroid_id", "lut")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("distance").asc_nulls_last, col(idCol))
+    spark.read.parquet(codesPath)
+      .where(col("shard_id").isin(shards: _*))
+      .join(broadcast(lutDf), Seq("centroid_id"))
+      .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"),
+        col(idCol).as("external_id"), col("distance"))
   }
 
   /** Batch ANN over the coded dataset: ONE pruned scan serves the whole

@@ -98,18 +98,25 @@ object Pq {
     df.withColumn(codeCol, enc(col(embCol)))
   }
 
-  /** Per-query ADC lookup table as a literal array<array<double>>
-    * column: lut[j][c] = ‖query_sub_j − codebook[j][c]‖².
+  /** Per-query ADC lookup table as plain data:
+    * lut[j][c] = ‖query_sub_j − codebook[j][c]‖². Used as a literal
+    * column by [[lutFor]] and as a DataFrame column by the residual
+    * IVF-PQ paths (where the LUT varies per probed centroid).
     */
-  def lutFor(query: Array[Float], model: Model): Column = {
+  def lutSeq(query: Array[Float], model: Model): Seq[Seq[Double]] = {
     require(query.length == model.dim,
       s"query dim ${query.length} != model dim ${model.dim}")
     val dsub = model.dsub
-    array(model.codebooks.zipWithIndex.map { case (book, j) =>
+    model.codebooks.zipWithIndex.map { case (book, j) =>
       val sub = query.slice(j * dsub, (j + 1) * dsub)
-      array(book.map(c => lit(KMeans.sqDist(sub, c))): _*)
-    }: _*)
+      book.map(c => KMeans.sqDist(sub, c)).toSeq
+    }.toSeq
   }
+
+  /** [[lutSeq]] embedded as a literal array<array<double>> column. */
+  def lutFor(query: Array[Float], model: Model): Column =
+    array(lutSeq(query, model).map(sub =>
+      array(sub.map(lit): _*)): _*)
 
   /** ADC distance of a code column against a per-query LUT literal —
     * a zip_with + fold, fully codegen'd.

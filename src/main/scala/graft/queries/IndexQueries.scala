@@ -227,6 +227,35 @@ object IndexQueries {
       path
     })
 
+  /** Residual-PQ model + coded dataset, built once per (JVM, sfDir) —
+    * the faiss-default IVF-PQ variant (codes are x − coarse_centroid).
+    */
+  private val residualCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.operators.Pq.Model, String)]()
+
+  def residualModelAndCodes(spark: SparkSession,
+      dir: String): (graft.operators.Pq.Model, String) =
+    residualCache.computeIfAbsent(dir, { d =>
+      val idx = index(spark, d)
+      val model = graft.operators.IvfPq.trainResidual(spark, idx)
+      val path =
+        s"/tmp/graft_index/${Tables.cacheDirName(d)}/pq_residual_codes"
+      graft.operators.IvfPq.buildResidualCodes(spark, idx, model, path)
+      (model, path)
+    })
+
+  /** Residual IVF-PQ ANN — same probe budget as [[ivfPqTopK]], encoding
+    * residuals instead of raw vectors. Deterministic but approximate →
+    * rows-only; the reconstruction-error and recall gates live in
+    * IvfPqSpec.
+    */
+  def ivfPqResidualTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val (model, path) = residualModelAndCodes(spark, dir)
+    graft.operators.IvfPq.searchResidual(spark, idx, model, path,
+      queryVec(spark, dir, 0L), k0 = 10, nProbe0 = 20)
+  }
+
   /** IVF-PQ ANN (faiss IndexIVFPQ shape): probe-pruned directory scan
     * over the byte-coded dataset + codegen ADC fold. Deterministic
     * (seed-42 index + codebooks) but approximate → rows-only; the
@@ -276,6 +305,9 @@ object IndexQueries {
       ("ivfpq_nprobe20", "l2", recall(
         ivfPqTopK(spark, dir)
           .select("external_id").as[Long].collect().toSeq, exactL2)),
+      ("ivfpq_residual_nprobe20", "l2", recall(
+        ivfPqResidualTopK(spark, dir)
+          .select("external_id").as[Long].collect().toSeq, exactL2)),
       ("pca16_rerank", "l2", recall(
         VectorQueries.pcaTopK(spark, dir)
           .select("vec_id").as[Long].collect().toSeq, exactL2)),
@@ -303,6 +335,7 @@ object IndexQueries {
   def defs: Map[String, QueryDef] = Map(
     "ann_quality_summary" -> QueryDef(annQualitySummary, None, bench = false),
     "ann_ivfpq_topk" -> QueryDef(ivfPqTopK, None),
+    "ann_ivfpq_residual_topk" -> QueryDef(ivfPqResidualTopK, None),
     "ann_ivfpq_batch" -> QueryDef(ivfPqBatch, None),
     "ann_lsh_topk" -> QueryDef(lshAnnTopK, None),
     "recall_sweep" -> QueryDef(recallSweep, None),

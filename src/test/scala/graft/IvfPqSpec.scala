@@ -63,6 +63,61 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  private lazy val (resModel, resCodes) =
+    IndexQueries.residualModelAndCodes(spark, sf0001)
+
+  test("residual codes: complete dataset, lower reconstruction error than raw") {
+    val df = spark.read.parquet(resCodes)
+    assert(df.count() == Tables.embeddings(spark, sf0001).count())
+    // the point of residual encoding: decode(code)+centroid reconstructs
+    // x better than raw-PQ decode(code) at the same code size
+    val raw = spark.read.parquet(codes)
+      .select(col("vec_id"), col("pq_code").as("raw_code"))
+    val joined = spark.read.parquet(idx.vectorsPath)
+      .select("vec_id", "centroid_id", "embedding")
+      .join(spark.read.parquet(resCodes).select(col("vec_id"), col("pq_code")), "vec_id")
+      .join(raw, "vec_id")
+      .collect()
+    val (resErr, rawErr) = joined.foldLeft((0.0, 0.0)) { case ((re, rw), r) =>
+      val x = r.getAs[Seq[Float]]("embedding").toArray
+      val cid = r.getAs[Int]("centroid_id")
+      val cent = idx.centroids(cid)
+      val resDec = graft.operators.Pq.decode(
+        r.getAs[Seq[Byte]]("pq_code").toArray, resModel)
+      val rawDec = graft.operators.Pq.decode(
+        r.getAs[Seq[Byte]]("raw_code").toArray, model)
+      val recon = Array.tabulate(x.length)(i => cent(i) + resDec(i))
+      (re + graft.operators.KMeans.sqDist(x, recon.map(_.toFloat)),
+        rw + graft.operators.KMeans.sqDist(x, rawDec))
+    }
+    assert(resErr < rawErr,
+      s"residual reconstruction error $resErr !< raw $rawErr")
+  }
+
+  test("residual search: recall floor holds and batch equals single") {
+    val exact = VectorQueries.knnExact(spark, sf0001, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val got = IvfPq.searchResidual(spark, idx, resModel, resCodes,
+      query(0L), 10, 20).select("external_id").as[Long].collect().toSet
+    val recall = (got & exact).size / 10.0
+    assert(recall >= 0.5, s"residual IVF-PQ recall@10 = $recall")
+    val qs = Tables.embeddings(spark, sf0001)
+      .where(col("vec_id") < 5).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val batch = IvfPq.searchBatchResidual(spark, idx, resModel, resCodes,
+      qs, 10, 20)
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rows) =>
+        qid -> rows.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getDouble(3))).toSeq
+      }
+    qs.foreach { case (qid, q) =>
+      val single = IvfPq.searchResidual(spark, idx, resModel, resCodes,
+        q, 10, 20).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"query $qid diverges")
+    }
+  }
+
   test("pruned search scans fewer partitions than probe-all") {
     val q = query(3L)
     val few = IvfPq.search(spark, idx, model, codes, q, 10, 2)
