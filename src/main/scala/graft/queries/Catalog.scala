@@ -22,6 +22,7 @@ object Catalog {
       EventQueries.defs ++
       DedupQueries.defs ++
       QualityQueries.defs ++
+      CurationQueries.defs ++
       IndexQueries.defs ++
       StreamQueries.defs
 

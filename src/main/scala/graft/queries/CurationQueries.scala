@@ -1,0 +1,230 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.queries.TextQueries.tokens
+import graft.queries.DedupQueries.md5Long
+
+/** Document-curation operators a production training-data pipeline runs
+  * before anything touches a tokenizer: PII detection/redaction,
+  * rule-based filtering (Gopher/C4-style bounds), and DSIR-style
+  * importance weighting for data selection.
+  *
+  * Scale shape: every operator here is a map-side projection over the
+  * corpus followed by one bounded aggregation — no joins against the
+  * corpus, no shuffle wider than the (tiny) output. The DSIR weights
+  * need two unigram LMs; both are integer bucket-count aggregates of a
+  * few KB (1024 buckets) that broadcast back, so the per-doc scoring
+  * pass stays map-side at 100 TB.
+  */
+object CurationQueries {
+
+  // ---------------------------------------------------------------- PII
+
+  /** PII regexes, identical semantics in java.util.regex and RE2 (DuckDB):
+    * character classes, bounded repeats and \b only — no lookaround.
+    * Order matters for redaction: email before phone so an address's
+    * digits are not phone-matched; ipv4/id before phone for the same
+    * reason.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"),
+    ("id_number", "\\b[0-9]{13,16}\\b", "<ID>"),
+    ("phone", "\\+?[0-9][0-9()\\- ]{7,}[0-9]", "<PHONE>"))
+
+  /** Redacted form of a text column: every PII match replaced by its
+    * type token. Pure regexp_replace chain — map-side, codegen.
+    */
+  def redactPii(c: Column): Column =
+    PiiPatterns.foldLeft(c) { case (acc, (_, pat, token)) =>
+      regexp_replace(acc, pat, token)
+    }
+
+  /** Corpus PII scan: matches and affected docs per PII type. One pass:
+    * per-row counts for all types are computed in a single projection
+    * and exploded into (pii_type, n) rows before a 4-group aggregation.
+    * (On the synthetic corpus every count is zero — the oracle still
+    * verifies the full pipeline; detection behavior is unit-tested on
+    * constructed strings in CurationSpec.)
+    */
+  def piiScanStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(array(
+        PiiPatterns.map { case (name, pat, _) =>
+          struct(lit(name).as("pii_type"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n"))
+        }: _*)).as("p"))
+      .select(col("p.pii_type").as("pii_type"), col("p.n").as("n"))
+      .groupBy(col("pii_type"))
+      .agg(sum(col("n")).cast("long").as("n_matches"),
+        sum(when(col("n") > 0, 1).otherwise(0)).cast("long").as("n_docs_with"))
+      .orderBy(col("pii_type"))
+
+  private val piiScanStatsSql = {
+    val per = PiiPatterns.map { case (name, pat, _) =>
+      s"SELECT '$name' AS pii_type, len(regexp_extract_all(text, '$pat')) AS n FROM documents"
+    }.mkString("\n      UNION ALL ")
+    s"""WITH per AS (
+       |  $per)
+       |SELECT pii_type, CAST(sum(n) AS BIGINT) AS n_matches,
+       |  CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with
+       |FROM per GROUP BY pii_type ORDER BY pii_type""".stripMargin
+  }
+
+  // -------------------------------------------------- rule-based filter
+
+  /** Gopher-style stop list (the 8-word variant from Rae et al. 2021). */
+  val StopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Rule-based document filter (Gopher/C4-flavored bounds adapted to a
+    * whitespace corpus), reported as per-rule violation counts plus the
+    * corpus total and the count passing EVERY rule. All six rules are
+    * computed from the token array in one map-side projection; the
+    * aggregation is a single row that is then unpivoted — integer
+    * counts end to end, so the oracle matches bitwise.
+    */
+  def ruleFilterStats(spark: SparkSession, dir: String): DataFrame = {
+    val stopArr = array(StopWords.map(lit): _*)
+    val flags = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(
+        (size(col("toks")) < 50).as("too_few_words"),
+        (size(col("toks")) > 100000).as("too_many_words"),
+        {
+          val mean = aggregate(col("toks"), lit(0.0), (a, t) => a + length(t))
+            .divide(greatest(size(col("toks")), lit(1)))
+          (mean < 3.0 || mean > 10.0).as("mean_word_len_out_of_range")
+        },
+        (size(array_intersect(array_distinct(col("toks")), stopArr)) < 2)
+          .as("too_few_stopwords"),
+        (array_max(transform(col("toks"), t => length(t))) > 20)
+          .as("word_too_long"),
+        (size(filter(col("toks"), t => t.rlike("^[0-9]+$"))).cast("double")
+          / greatest(size(col("toks")), lit(1)) > 0.5).as("digit_heavy"))
+    val ruleCols = Seq("too_few_words", "too_many_words",
+      "mean_word_len_out_of_range", "too_few_stopwords", "word_too_long",
+      "digit_heavy")
+    val aggCols: Seq[Column] =
+      count(lit(1)).as("docs_total") +:
+        sum(when(ruleCols.map(col).reduce(_ || _), 0).otherwise(1))
+          .cast("long").as("kept_all") +:
+        ruleCols.map(r => sum(when(col(r), 1).otherwise(0)).cast("long").as(r))
+    val agg = flags.agg(aggCols.head, aggCols.tail: _*)
+    val stackExpr = (ruleCols ++ Seq("docs_total", "kept_all"))
+      .map(r => s"'$r', $r").mkString(", ")
+    agg.selectExpr(s"stack(${ruleCols.size + 2}, $stackExpr) AS (rule, n_docs)")
+      .orderBy(col("rule"))
+  }
+
+  private val ruleFilterStatsSql =
+    """WITH f AS (
+      |  SELECT
+      |    len(t) < 50 AS too_few_words,
+      |    len(t) > 100000 AS too_many_words,
+      |    list_reduce(list_transform(t, x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
+      |      / greatest(len(t), 1) NOT BETWEEN 3.0 AND 10.0 AS mean_word_len_out_of_range,
+      |    len(list_intersect(list_distinct(t),
+      |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) < 2 AS too_few_stopwords,
+      |    list_max(list_transform(t, x -> length(x))) > 20 AS word_too_long,
+      |    CAST(len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$'))) AS DOUBLE)
+      |      / greatest(len(t), 1) > 0.5 AS digit_heavy
+      |  FROM (SELECT list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |        FROM documents)),
+      |s AS (
+      |  SELECT count(*) AS docs_total,
+      |    CAST(sum(CASE WHEN too_few_words OR too_many_words
+      |      OR mean_word_len_out_of_range OR too_few_stopwords
+      |      OR word_too_long OR digit_heavy THEN 0 ELSE 1 END) AS BIGINT) AS kept_all,
+      |    CAST(sum(CASE WHEN too_few_words THEN 1 ELSE 0 END) AS BIGINT) AS too_few_words,
+      |    CAST(sum(CASE WHEN too_many_words THEN 1 ELSE 0 END) AS BIGINT) AS too_many_words,
+      |    CAST(sum(CASE WHEN mean_word_len_out_of_range THEN 1 ELSE 0 END) AS BIGINT) AS mean_word_len_out_of_range,
+      |    CAST(sum(CASE WHEN too_few_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS too_few_stopwords,
+      |    CAST(sum(CASE WHEN word_too_long THEN 1 ELSE 0 END) AS BIGINT) AS word_too_long,
+      |    CAST(sum(CASE WHEN digit_heavy THEN 1 ELSE 0 END) AS BIGINT) AS digit_heavy
+      |  FROM f)
+      |SELECT rule, n_docs FROM (
+      |  SELECT 'too_few_words' AS rule, too_few_words AS n_docs FROM s
+      |  UNION ALL SELECT 'too_many_words', too_many_words FROM s
+      |  UNION ALL SELECT 'mean_word_len_out_of_range', mean_word_len_out_of_range FROM s
+      |  UNION ALL SELECT 'too_few_stopwords', too_few_stopwords FROM s
+      |  UNION ALL SELECT 'word_too_long', word_too_long FROM s
+      |  UNION ALL SELECT 'digit_heavy', digit_heavy FROM s
+      |  UNION ALL SELECT 'docs_total', docs_total FROM s
+      |  UNION ALL SELECT 'kept_all', kept_all FROM s)
+      |ORDER BY rule""".stripMargin
+
+  // ------------------------------------------------------- DSIR weights
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score each doc by
+    * log p_target(doc) − log p_raw(doc) under two hashed-unigram bag
+    * models — target = the English subset, raw = the full corpus.
+    * Buckets are md5-hashed (1024-way, oracle-reproducible); both LMs
+    * are +1-smoothed integer bucket counts. Per-doc sums fold in sorted
+    * order so the float result is engine- and partitioning-independent
+    * (same discipline as doc_logprob_score).
+    *
+    * Scale shape: the two LMs are 1024-row aggregates (broadcast); the
+    * scoring pass is tokenize → bucket → join-with-broadcast → one
+    * per-doc aggregation. Nothing corpus-sized shuffles except the
+    * (doc_id, token-bucket) explode, which map-side combines.
+    */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    val buckets = 1024
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(tokens(col("text"))).as("token"))
+      .withColumn("bucket", pmod(md5Long(col("token")), lit(buckets)))
+      .persist()
+    val raw = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
+    val tgt = toks.where(col("lang") === "en")
+      .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
+    val totals = raw.agg(sum(col("cr"))).head().getLong(0)
+    val totalT = tgt.agg(sum(col("ct"))).head().getLong(0)
+    val lm = raw.join(tgt, Seq("bucket"), "left")
+      .select(col("bucket"),
+        (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+          (totalT + buckets).toDouble) -
+          log((col("cr") + 1).cast("double") /
+            (totals + buckets).toDouble)).as("lw"))
+    toks.where(col("doc_id") < 100)
+      .join(broadcast(lm), "bucket")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(aggregate(sort_array(collect_list(col("lw"))), lit(0.0),
+          (a, x) => a + x), 4).as("dsir_logratio"),
+        round(aggregate(sort_array(collect_list(col("lw"))), lit(0.0),
+          (a, x) => a + x) / count(lit(1)), 4).as("dsir_per_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val dsirWeightsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, lang,
+      |    CAST(('0x' || substr(md5(unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |      t -> t <> ''))), 1, 15)) AS BIGINT) % 1024 AS bucket
+      |  FROM documents),
+      |raw AS (SELECT bucket, count(*) AS cr FROM toks GROUP BY bucket),
+      |tgt AS (SELECT bucket, count(*) AS ct FROM toks WHERE lang = 'en' GROUP BY bucket),
+      |tot AS (SELECT (SELECT sum(cr) FROM raw) AS tr, (SELECT sum(ct) FROM tgt) AS tt),
+      |lm AS (
+      |  SELECT raw.bucket,
+      |    ln(CAST(coalesce(tgt.ct, 0) + 1 AS DOUBLE) / (tot.tt + 1024))
+      |      - ln(CAST(raw.cr + 1 AS DOUBLE) / (tot.tr + 1024)) AS lw
+      |  FROM raw LEFT JOIN tgt ON raw.bucket = tgt.bucket CROSS JOIN tot)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(list_reduce(list_sort(list(lw)), (a, b) -> a + b), 4) AS dsir_logratio,
+      |  round(list_reduce(list_sort(list(lw)), (a, b) -> a + b) / count(*), 4) AS dsir_per_token
+      |FROM toks JOIN lm USING (bucket)
+      |WHERE doc_id < 100
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  def defs: Map[String, QueryDef] = Map(
+    "pii_scan_stats" -> QueryDef(piiScanStats, Some(piiScanStatsSql)),
+    "rule_filter_stats" -> QueryDef(ruleFilterStats, Some(ruleFilterStatsSql)),
+    "dsir_weights" -> QueryDef(dsirWeights, Some(dsirWeightsSql))
+  )
+}

@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.CurationQueries
+
+/** Unit gates for the curation operators. The synthetic corpus contains
+  * no PII, so detection/redaction behavior is asserted on constructed
+  * strings here; the catalog queries' corpus-level zero counts are
+  * oracle-checked by the driver.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def redact(s: String): String =
+    Seq(s).toDF("text")
+      .select(CurationQueries.redactPii(col("text")).as("r"))
+      .head().getString(0)
+
+  test("PII redaction replaces each type with its token") {
+    assert(redact("mail me at jane.doe+x@example.co.uk today") ==
+      "mail me at <EMAIL> today")
+    assert(redact("server at 192.168.001.1 down") == "server at <IP> down")
+    assert(redact("card 4111111111111111 declined") == "card <ID> declined")
+    assert(redact("call +1 (555) 123-4567 now") == "call <PHONE> now")
+    // an email's host must not leak into the phone/id patterns
+    assert(redact("a@b.com 12345678901234 +44 20 7946 0958") ==
+      "<EMAIL> <ID> <PHONE>")
+    // clean text passes through untouched
+    val clean = "spark batch sort merge join"
+    assert(redact(clean) == clean)
+  }
+
+  test("PII scan counts matches and affected docs per type") {
+    val df = Seq(
+      (1L, "contact a@b.com or c@d.org"),
+      (2L, "ping 10.0.0.1 then 10.0.0.2 or a@b.com"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    // reuse the same projection shape as the catalog query, on a local df
+    val counts = df.select(explode(array(
+      CurationQueries.PiiPatterns.map { case (name, pat, _) =>
+        struct(lit(name).as("pii_type"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n"))
+      }: _*)).as("p"))
+      .select(col("p.pii_type"), col("p.n"))
+      .groupBy("pii_type")
+      .agg(sum("n").as("n_matches"),
+        sum(when(col("n") > 0, 1).otherwise(0)).as("n_docs_with"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(counts("email") == (3L, 2L))
+    assert(counts("ipv4") == (2L, 1L))
+    assert(counts("phone")._1 == 0L)
+    assert(counts("id_number")._1 == 0L)
+  }
+
+  test("rule filter: per-rule counts add up on the corpus") {
+    val rows = CurationQueries.ruleFilterStats(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = rows("docs_total")
+    assert(total > 0)
+    // every per-rule count and the kept count are within [0, total]
+    rows.foreach { case (_, n) => assert(n >= 0 && n <= total) }
+    // kept_all is consistent with the union bound of the violations
+    val violations = rows.view.filterKeys(
+      k => k != "docs_total" && k != "kept_all").values.sum
+    assert(rows("kept_all") >= total - violations)
+    // the synthetic corpus has only clean lowercase words: no digit or
+    // over-long tokens, so those two rules never fire
+    assert(rows("digit_heavy") == 0L)
+    assert(rows("word_too_long") == 0L)
+  }
+
+  test("DSIR weights: English target docs score higher on average") {
+    val w = CurationQueries.dsirWeights(spark, sf001)
+    val docs = Tables.documents(spark, sf001).select("doc_id", "lang")
+    val byLang = w.join(docs, "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("dsir_per_token")).as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    // importance weights must rank the target language's own docs
+    // above the rest — the whole point of the method
+    assert(byLang(true) > byLang(false),
+      s"en ${byLang(true)} !> other ${byLang(false)}")
+  }
+
+  test("DSIR weights are partitioning-independent") {
+    val a = CurationQueries.dsirWeights(spark, sf001).collect().toSeq
+    val b = CurationQueries.dsirWeights(spark, sf001).collect().toSeq
+    assert(a == b)
+  }
+}
