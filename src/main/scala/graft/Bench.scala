@@ -19,6 +19,31 @@ object Bench {
     val warmDir = java.nio.file.Files.createTempDirectory("bench_warm").toString
     spark.range(1000L).toDF("id").write.mode("overwrite").parquet(warmDir)
     spark.read.parquet(warmDir).count()
+    // warm per-table footers + the codegen shapes most queries share
+    // (tokenize/explode, hash-agg, window rank, HOF fold) on a 200-row
+    // slice — otherwise whichever catalog query happens to run them
+    // first absorbs ~5-8 s of one-time JIT/codegen cost and the bench
+    // misattributes it to that query's plan
+    graft.Tables.names.foreach { t =>
+      try graft.Tables.load(spark, sfDir, t).count()
+      catch { case _: Throwable => () }
+    }
+    try {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("t"))
+      graft.Tables.documents(spark, sfDir).limit(200)
+        .select(col("doc_id"),
+          explode(graft.queries.TextQueries.tokens(col("text"))).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)).as("c"))
+        .withColumn("r", row_number().over(w))
+        .withColumn("s", aggregate(array(col("c")), lit(0.0), (a, x) => a + x))
+        .where(col("r") <= 3).count()
+      // typed-Dataset mapPartitions + crossJoin shapes (multimodal path)
+      val tiny = graft.sources.Multimodal.features(
+        graft.sources.Multimodal.assets(spark, sfDir).limit(20))
+      tiny.crossJoin(tiny.select(col("asset_id").as("b"))).count()
+    } catch { case _: Throwable => () }
     // time the one-per-JVM IVF index build as its own entry, so the index
     // queries below (which reuse the cached index) measure SEARCH only
     val buildT0 = System.nanoTime()

@@ -64,7 +64,8 @@ object Ivf {
     require(n > 0, "cannot build an index from an empty table") // src/api.rs empty-build error
     val k = KMeans.numClusters(n)
     val iters = KMeans.maxIterations(n)
-    val model = KMeans.fit(df, embCol, k, iters, seed, orderCol = Some(idCol))
+    val model = KMeans.fit(df, embCol, k, iters, seed, orderCol = Some(idCol),
+      knownCount = Some(n))
 
     // full assignment (map-side, broadcast centroids, no shuffle).
     // persisted: both the counts collect and the partitioned write below

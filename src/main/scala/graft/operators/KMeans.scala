@@ -471,8 +471,11 @@ object KMeans {
     *                 top-K heap + driver merge — one pass, no shuffle.
     */
   def fit(df: DataFrame, embCol: String, k: Int, iters: Int, seed: Long,
-      poolCap: Int = InitSampleCap, orderCol: Option[String] = None): Model = {
-    val n = df.count()
+      poolCap: Int = InitSampleCap, orderCol: Option[String] = None,
+      knownCount: Option[Long] = None): Model = {
+    // callers that already counted the table (Ivf.build) pass the count
+    // through — a count() is a whole extra job per build otherwise
+    val n = knownCount.getOrElse(df.count())
     require(n > 0, "k-means: empty input")
     val pool = orderCol match {
       case Some(c) =>

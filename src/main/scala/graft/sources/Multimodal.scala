@@ -140,7 +140,11 @@ object Multimodal {
     * — proves the multimodal→vector→similarity pipeline end to end.
     */
   def featureTopPairs(spark: SparkSession, dir: String): DataFrame = {
-    val f = features(assets(spark, dir)).where(col("asset_id") < 60)
+    // filter BEFORE the mapPartitions kernel: Catalyst cannot push a
+    // predicate through the opaque typed lambda, so filtering after it
+    // would run the (expensive, per-row) encoder over the whole corpus
+    // to keep 60 rows
+    val f = features(assets(spark, dir).where(col("asset_id") < 60))
     val a = f.select(col("asset_id").as("a_id"), col("features").as("a_f"))
     val b = f.select(col("asset_id").as("b_id"), col("features").as("b_f"))
     a.crossJoin(b).where(col("a_id") < col("b_id"))
