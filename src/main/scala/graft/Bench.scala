@@ -69,6 +69,13 @@ object Bench {
         System.err.println(s"[bench] ivfpq_encode FAILED: ${e.getMessage}")
         -1.0
       }
+    val sqT0 = System.nanoTime()
+    val sqEncodeTime =
+      try { graft.queries.IndexQueries.sqCodesPath(spark, sfDir); (System.nanoTime() - sqT0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ivfsq_encode FAILED: ${e.getMessage}")
+        -1.0
+      }
     val pqResT0 = System.nanoTime()
     val pqResidualTime =
       try { graft.queries.IndexQueries.residualModelAndCodes(spark, sfDir); (System.nanoTime() - pqResT0) / 1e9 }
@@ -90,6 +97,7 @@ object Bench {
     val results = Map("ivf_build" -> buildTime, "pq_train" -> pqTrainTime,
       "ivfpq_encode" -> pqEncodeTime,
       "ivfpq_residual_build" -> pqResidualTime,
+      "ivfsq_encode" -> sqEncodeTime,
       "minhash_pairs_build" -> pairsTime) ++
       graft.queries.Catalog.all
       .filter { case (_, d) => d.bench }

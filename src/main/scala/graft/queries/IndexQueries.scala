@@ -244,6 +244,28 @@ object IndexQueries {
       (model, path)
     })
 
+  /** SQ8-coded sibling dataset, built once per (JVM, sfDir). */
+  private val sqCodesCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def sqCodesPath(spark: SparkSession, dir: String): String =
+    sqCodesCache.computeIfAbsent(dir, { d =>
+      val idx = index(spark, d)
+      val path = s"/tmp/graft_index/${Tables.cacheDirName(d)}/sq8_codes"
+      graft.operators.IvfSq.buildCodes(spark, idx, path)
+      path
+    })
+
+  /** IVF-SQ8 ANN (faiss IndexIVFScalarQuantizer shape): probe-pruned
+    * scan over the 4×-compressed int8 dataset. Deterministic but
+    * approximate → rows-only; gates live in QuantizeSpec.
+    */
+  def ivfSqTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    graft.operators.IvfSq.search(spark, idx, sqCodesPath(spark, dir),
+      queryVec(spark, dir, 0L), k0 = 10, nProbe0 = 20)
+  }
+
   /** Residual IVF-PQ ANN — same probe budget as [[ivfPqTopK]], encoding
     * residuals instead of raw vectors. Deterministic but approximate →
     * rows-only; the reconstruction-error and recall gates live in
@@ -308,6 +330,9 @@ object IndexQueries {
       ("ivfpq_residual_nprobe20", "l2", recall(
         ivfPqResidualTopK(spark, dir)
           .select("external_id").as[Long].collect().toSeq, exactL2)),
+      ("ivfsq8_nprobe20", "l2", recall(
+        ivfSqTopK(spark, dir)
+          .select("external_id").as[Long].collect().toSeq, exactL2)),
       ("pca16_rerank", "l2", recall(
         VectorQueries.pcaTopK(spark, dir)
           .select("vec_id").as[Long].collect().toSeq, exactL2)),
@@ -336,6 +361,7 @@ object IndexQueries {
     "ann_quality_summary" -> QueryDef(annQualitySummary, None, bench = false),
     "ann_ivfpq_topk" -> QueryDef(ivfPqTopK, None),
     "ann_ivfpq_residual_topk" -> QueryDef(ivfPqResidualTopK, None),
+    "ann_ivfsq_topk" -> QueryDef(ivfSqTopK, None),
     "ann_ivfpq_batch" -> QueryDef(ivfPqBatch, None),
     "ann_lsh_topk" -> QueryDef(lshAnnTopK, None),
     "recall_sweep" -> QueryDef(recallSweep, None),

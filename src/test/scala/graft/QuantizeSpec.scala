@@ -43,6 +43,34 @@ class QuantizeSpec extends SparkSpec {
     assert(overlap >= 7, s"quantized/exact top-10 overlap $overlap < 7")
   }
 
+  test("IVF-SQ8: probe-all equals flat asymmetric SQ8; recall floor holds") {
+    val idx = queries.IndexQueries.index(spark, sf0001)
+    val codes = queries.IndexQueries.sqCodesPath(spark, sf0001)
+    val q = Tables.embeddings(spark, sf0001).where(col("vec_id") === 0L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    // flat asymmetric reference: float query vs dequantized rows
+    val flat = Quantize.withInt8(Tables.embeddings(spark, sf0001), "embedding")
+      .withColumn("distance", graft.functions.Vec.squaredL2(
+        Quantize.dequantize(col("q_emb"), col("q_scale")), lit(q)))
+      .orderBy(col("distance").asc_nulls_last, col("vec_id"))
+      .limit(10).select("vec_id").collect().map(_.getLong(0)).toSeq
+    val probeAll = graft.operators.IvfSq.search(spark, idx, codes, q, 10, 10000)
+      .select("external_id").collect().map(_.getLong(0)).toSeq
+    assert(probeAll == flat, "probe-all IVF-SQ8 diverges from flat SQ8")
+    // coded dataset is complete and keeps the layout
+    val df = spark.read.parquet(codes)
+    assert(df.count() == Tables.embeddings(spark, sf0001).count())
+    assert(df.columns.toSet ==
+      Set("shard_id", "centroid_id", "vec_id", "q_scale", "q_emb"))
+    // default-probe recall vs exact
+    val exact = queries.VectorQueries.knnExact(spark, sf0001, 0L, 10)
+      .collect().map(_.getLong(0)).toSet
+    val got = graft.operators.IvfSq.search(spark, idx, codes, q, 10, 20)
+      .select("external_id").collect().map(_.getLong(0)).toSet
+    val recall = (got & exact).size / 10.0
+    assert(recall >= 0.5, s"IVF-SQ8 recall@10 = $recall")
+  }
+
   test("quantization is deterministic across partitionings") {
     val a = Quantize.withInt8(emb, "embedding")
       .select("vec_id", "q_emb").collect()
