@@ -327,6 +327,89 @@ object DedupQueries {
       |                  FROM comp GROUP BY cluster_id) cs USING (cluster_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Quality-aware canonical selection: within each near-dup cluster,
+    * keep the member with the most distinct tokens (tie → lowest
+    * doc_id) — the production keep-policy, vs [[dedupClusters]]'s
+    * min-id convention. Distinct-token count is an integer, so the
+    * argmax is engine- and float-free deterministic. One row per
+    * cluster: who survives and how many rows the cluster removes.
+    *
+    * Scale shape: the cluster table is pair-graph-sized (≪ corpus); the
+    * quality metric joins in from the documents table by id, and the
+    * per-cluster argmax is a window over cluster-sized partitions.
+    */
+  def dedupKeepBest(spark: SparkSession, dir: String): DataFrame = {
+    val comp = graft.operators.ConnectedComponents.resolve(
+      spark.read.parquet(verifiedPairsPath(spark, dir)), "a_id", "b_id")
+    val quality = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(array_distinct(tokens(col("text")))).cast("long").as("q"))
+    val members = comp.join(quality, comp("id") === quality("doc_id"))
+      .select(col("cluster_id"), col("id"), col("q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("q").desc, col("id"))
+    members.withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"),
+        max(when(col("rk") === 1, col("id"))).as("keep_id"),
+        max(when(col("rk") === 1, col("q"))).as("keep_distinct_tokens"),
+        (count(lit(1)) - 1).as("n_dropped"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Same recursive-CTE cluster derivation as [[dedupClustersSql]], with
+    * the keep-policy window appended.
+    */
+  private val dedupKeepBestSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, s,
+      |    list_transform(range(0, 8), h ->
+      |      list_aggregate(list_transform(s, x ->
+      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, s, b AS band_idx,
+      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
+      |  FROM sig, unnest(range(0, 4)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      |  FROM banded l JOIN banded r
+      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+      |   AND l.doc_id < r.doc_id),
+      |ver AS (
+      |  SELECT c.a_id, c.b_id
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+      |              JOIN sh sb ON sb.doc_id = c.b_id
+      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |        / len(list_distinct(sa.s || sb.s)) >= 0.7),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM ver
+      |  UNION ALL SELECT b_id, a_id FROM ver),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+      |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |q AS (SELECT doc_id, CAST(len(list_distinct(t)) AS BIGINT) AS q FROM toks),
+      |m AS (SELECT c.cluster_id, c.id, q.q FROM comp c JOIN q ON q.doc_id = c.id),
+      |rk AS (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY cluster_id ORDER BY q DESC, id) AS rk FROM m)
+      |SELECT cluster_id, count(*) AS cluster_size,
+      |  max(CASE WHEN rk = 1 THEN id END) AS keep_id,
+      |  max(CASE WHEN rk = 1 THEN q END) AS keep_distinct_tokens,
+      |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+      |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+
   private val minhashLshPairsSql =
     """WITH toks AS (
       |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
@@ -785,6 +868,7 @@ object DedupQueries {
     "minhash_lsh_stats" -> QueryDef(minhashLshStats, None),
     "minhash_lsh_pairs" -> QueryDef(minhashLshPairs, Some(minhashLshPairsSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
+    "dedup_keep_best" -> QueryDef(dedupKeepBest, Some(dedupKeepBestSql)),
     "substring_dup_spans" -> QueryDef(substringDupSpans, Some(substringDupSpansSql)),
     "simhash_diverse_sample" -> QueryDef(simhashDiverseSample, Some(simhashDiverseSampleSql)),
     "simhash_docs" -> QueryDef(simhashDocs, Some(simhashDocsSql)),

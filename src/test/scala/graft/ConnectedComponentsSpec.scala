@@ -94,4 +94,28 @@ class ConnectedComponentsSpec extends SparkSpec {
       .distinct().as[Long].collect().toSet
     assert(out.map(_.getLong(0)).toSet == pairDocs)
   }
+
+  test("dedup_keep_best: survivor has the max distinct-token count per cluster") {
+    val clusters = graft.queries.DedupQueries.dedupClusters(spark, sf001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap // doc -> cluster
+    val quality = Tables.documents(spark, sf001)
+      .select(col("doc_id"),
+        size(array_distinct(graft.queries.TextQueries.tokens(col("text")))))
+      .collect().map(r => r.getLong(0) -> r.getInt(1).toLong).toMap
+    val best = graft.queries.DedupQueries.dedupKeepBest(spark, sf001).collect()
+    assert(best.nonEmpty)
+    // same cluster set as dedup_clusters
+    assert(best.map(_.getLong(0)).toSet == clusters.values.toSet)
+    best.foreach { r =>
+      val (cid, size, keepId, keepQ, dropped) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val members = clusters.collect { case (d, c) if c == cid => d }.toSeq
+      assert(members.size.toLong == size && dropped == size - 1)
+      assert(members.contains(keepId))
+      val maxQ = members.map(quality).max
+      assert(keepQ == maxQ, s"cluster $cid kept q=$keepQ, max is $maxQ")
+      // tie-break: lowest id among the max-quality members
+      assert(keepId == members.filter(quality(_) == maxQ).min)
+    }
+  }
 }
