@@ -105,7 +105,7 @@ object IndexQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
-  private val annJoinTopKSql: String =
+  private[queries] val annJoinTopKSql: String =
     """WITH q AS (
       |  SELECT vec_id AS query_id, embedding AS qe FROM embeddings
       |  WHERE vec_id >= 480 AND vec_id < 500),

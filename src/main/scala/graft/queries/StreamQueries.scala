@@ -59,6 +59,11 @@ object StreamQueries {
     // band-join candidate set
     "stream_lsh_candidates" -> QueryDef(
       graft.streaming.DocsStreaming.lshCandidatesQuery, None, bench = false),
+    // probe-all streamed ANN is exact and stateless per query, so it
+    // shares the batch annJoin oracle verbatim
+    "stream_ann_search" -> QueryDef(
+      graft.streaming.VectorsStreaming.annSearchQuery,
+      Some(IndexQueries.annJoinTopKSql), bench = false),
     "multimodal_stats" -> QueryDef(
       Multimodal.stats, Some(multimodalStatsSql)),
     "multimodal_feature_pairs" -> QueryDef(

@@ -145,6 +145,30 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(result -- batch).take(5)}; batch-only: ${(batch -- result).take(5)}")
   }
 
+  test("streaming ANN equals batch annJoin across micro-batch splits") {
+    import graft.streaming.VectorsStreaming
+    val idx = graft.queries.IndexQueries.index(spark, sf0001)
+    val queries = Tables.embeddings(spark, sf0001)
+      .where(col("vec_id") < 30)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val batch = graft.operators.Ivf.annJoin(queries, idx, k = 3, nProbe = 10000)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // 3 files, one per trigger → 3 micro-batches; per-query top-k is
+    // row-local so the union must equal the batch answer exactly
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_in").toString
+    queries.repartition(3).write.mode("overwrite").parquet(stage)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_out").toString
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    VectorsStreaming.annSearchToPath(stream, idx, k = 3, nProbe = 10000, out)
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(5)}; batch-only: ${(batch -- streamed).take(5)}")
+  }
+
   test("multimodal assets carry binary payloads with typed metadata") {
     val df = Multimodal.assets(spark, sf0001)
     val schema = df.schema
