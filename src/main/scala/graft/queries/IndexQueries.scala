@@ -324,6 +324,9 @@ object IndexQueries {
       ("pq_flat", "l2", recall(
         VectorQueries.pqTopK(spark, dir)
           .select("vec_id").as[Long].collect().toSeq, exactL2)),
+      ("opq_flat", "l2", recall(
+        VectorQueries.opqTopK(spark, dir)
+          .select("vec_id").as[Long].collect().toSeq, exactL2)),
       ("ivfpq_nprobe20", "l2", recall(
         ivfPqTopK(spark, dir)
           .select("external_id").as[Long].collect().toSeq, exactL2)),
