@@ -49,4 +49,41 @@ object Sampling {
     }
     df.where(substring(md5(key), 1, 8) < threshold)
   }
+
+  /** Content-hash uniform in (0, 1): 52 bits of md5(key) scaled into the
+    * unit interval (+0.5 keeps it strictly inside). Deterministic and
+    * engine-reproducible (`('0x' || substr(md5, 1, 13))::BIGINT` in
+    * DuckDB).
+    */
+  def hashUniform(key: Column): Column =
+    (conv(substring(md5(key), 1, 13), 16, 10).cast("double") + 0.5) /
+      4503599627370496.0 // 2^52
+
+  /** Weighted sample WITHOUT replacement, k rows, inclusion probability
+    * ∝ `weight` — Efraimidis-Spirakis A-ES with content-hash randomness:
+    * each row gets key = ln(u)/w (u = [[hashUniform]]); the k LARGEST
+    * keys are the sample (equivalent to ranking by u^(1/w); ln-form
+    * avoids pow, whose cross-engine rounding is less predictable).
+    *
+    * Scale shape: one map-side key computation + a global top-k
+    * (TakeOrderedAndProject — partial top-k per partition, k-sized
+    * merge on the driver side of the exchange). No shuffle of the
+    * corpus, no per-row state; deterministic across engines,
+    * partitionings, and reruns.
+    */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      k: Int, tie: Column): DataFrame = {
+    require(k > 0, s"k must be > 0: $k")
+    // E-S is defined for positive weights; non-positive-weight rows are
+    // excluded rather than (wrongly) winning every sample via a
+    // sign-flipped key. `tie` must be a unique column (e.g. the row id):
+    // exact-duplicate keys hash to identical sample keys, and an
+    // ambiguous order at the rank-k cutoff would make the kept set
+    // nondeterministic.
+    df.where(weight > 0)
+      .withColumn("__es_key", log(hashUniform(key)) / weight)
+      .orderBy(col("__es_key").desc, tie)
+      .limit(k)
+      .drop("__es_key")
+  }
 }

@@ -513,6 +513,28 @@ object TextQueries {
       |WHERE substr(md5(text), 1, 8) < '40000000'
       |ORDER BY doc_id""".stripMargin
 
+  /** Weighted sample without replacement (Efraimidis-Spirakis A-ES,
+    * content-hash randomness — graft.operators.Sampling.weightedSample):
+    * 100 docs with inclusion probability ∝ n_chars. Deterministic, so
+    * the DuckDB oracle reproduces the exact kept set; the plan is one
+    * map-side key + a global top-k (no corpus shuffle).
+    */
+  def weightedSampleDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.weightedSample(
+      Tables.documents(spark, dir), col("text"), col("n_chars"),
+      k = 100, tie = col("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  private val weightedSampleDocsSql =
+    """WITH keyed AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    ln((CAST(('0x' || substr(md5(text), 1, 13)) AS BIGINT) + 0.5)
+      |       / 4503599627370496.0) / n_chars AS k
+      |  FROM documents WHERE n_chars > 0),
+      |top AS (SELECT * FROM keyed ORDER BY k DESC, doc_id LIMIT 100)
+      |SELECT doc_id, lang, source, n_chars FROM top ORDER BY doc_id""".stripMargin
+
   /** Stratified deterministic sample: per-language rates (en 25%,
     * zh 75%, others 50%) via one CASE threshold — a single map-side
     * filter, no per-stratum passes.
@@ -582,6 +604,7 @@ object TextQueries {
     "tfidf_top_terms" -> QueryDef(tfidfTopTerms, Some(tfidfTopTermsSql)),
     "docs_hash_sample" -> QueryDef(hashSampleDocs, Some(hashSampleDocsSql)),
     "docs_stratified_sample" -> QueryDef(stratifiedSampleCounts, Some(stratifiedSampleCountsSql)),
+    "docs_weighted_sample" -> QueryDef(weightedSampleDocs, Some(weightedSampleDocsSql)),
     "token_count_bpe" -> QueryDef(tokenCountBpe, Some(tokenCountBpeSql)),
     "doc_winnow_fingerprints" -> QueryDef(winnowFingerprints, Some(winnowFingerprintsSql)),
     "doc_stats" -> QueryDef(docStats, Some(docStatsSql)),

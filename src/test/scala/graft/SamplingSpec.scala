@@ -66,6 +66,39 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(rate("de") - 0.5) < 0.25, s"de=${rate("de")}")
   }
 
+  test("weighted sample: heavier rows overrepresented, deterministic, no corpus shuffle") {
+    import graft.operators.Sampling
+    val docs = Tables.documents(spark, sf001)
+    val sample = Sampling.weightedSample(docs, col("text"), col("n_chars"),
+      k = 100, tie = col("doc_id"))
+    val rows = sample.select("doc_id", "n_chars").collect()
+    assert(rows.length == 100)
+    // inclusion probability ∝ n_chars ⇒ the sample's mean length must
+    // sit clearly above the corpus mean
+    val sampleMean = rows.map(_.getLong(1)).sum.toDouble / rows.length
+    val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean * 1.1,
+      s"sample mean $sampleMean not above corpus mean $corpusMean")
+    // deterministic across partitionings
+    val again = Sampling.weightedSample(docs.repartition(13), col("text"),
+      col("n_chars"), k = 100, tie = col("doc_id"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == rows.map(_.getLong(0)).toSet)
+    // global top-k, not a global sort: TakeOrderedAndProject in the plan
+    val plan = sample.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+  }
+
+  test("weighted sample excludes non-positive weights instead of electing them") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = Seq((1L, "a", 10L), (2L, "b", 0L), (3L, "c", -5L), (4L, "d", 1L))
+      .toDF("id", "text", "w")
+    val kept = Sampling.weightedSample(df, col("text"), col("w"),
+      k = 10, tie = col("id")).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L))
+  }
+
   test("mixture weights: p_alpha is a flattened distribution over sources") {
     val rows = graft.queries.QualityQueries
       .sourceMixtureWeights(spark, sf001).collect()
