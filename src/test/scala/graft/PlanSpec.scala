@@ -135,6 +135,39 @@ class PlanSpec extends SparkSpec {
       "the bounded sketch side must broadcast")
   }
 
+  test("range search: probe filters prune the scan, no global sort of matches") {
+    val df = Catalog.all("ivf_range_search").build(spark, sf001)
+    val p = df.queryExecution.executedPlan.toString
+    // shard_id is the partition column, centroid_id skips row groups
+    assert(p.contains("PartitionFilters") && p.contains("shard_id"),
+      s"no directory pruning:\n${p.take(2000)}")
+    assert(p.contains("PushedFilters") && p.contains("centroid_id"),
+      s"centroid filter not pushed:\n${p.take(2000)}")
+  }
+
+  test("PII scan / rule filter: map-side only — a single final aggregation exchange") {
+    for (q <- Seq("pii_scan_stats", "rule_filter_stats")) {
+      val p = plan(q)
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+        s"$q joins the corpus:\n${p.take(1500)}")
+      assert(p.contains("partial"), s"$q lacks map-side partial aggregation")
+    }
+  }
+
+  test("DSIR: LM tables broadcast back, corpus never sort-merge-joined") {
+    val p = plan("dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket LM must broadcast:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus shuffled for the LM join:\n${p.take(1500)}")
+  }
+
+  test("weighted sample: global top-k, not a global sort") {
+    val p = plan("docs_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"weighted sample global-sorts the corpus:\n${p.take(1500)}")
+  }
+
   test("as-of join: one data shuffle (window key), no join explosion") {
     val p = plan("events_asof_click")
     // union + carry-forward window: hash exchange on the key for the
