@@ -158,6 +158,42 @@ object IvfPq {
         col(idCol).as("external_id"), col("distance"))
   }
 
+  /** Refined search (faiss `IndexRefineFlat`): take a shortlist of
+    * `refine × k` candidates by (cheap) ADC over the coded dataset,
+    * then re-rank ONLY the shortlist by exact float distance. The
+    * shortlist is k-sized — it broadcasts — so the float vectors of
+    * just those rows are fetched via a broadcast semi-join against the
+    * float dataset: at 100 TB the expensive exact math touches
+    * refine·k rows, not the corpus, and the coded scan still prunes by
+    * probes. Recall approaches exact as `refine` grows (gated in
+    * IvfPqSpec); ordering ties resolve by id like every other path.
+    */
+  def searchRefine(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
+      codesPath: String, query: Array[Float], k0: Int, nProbe0: Int,
+      refine: Int = 4, idCol: String = "vec_id",
+      embCol: String = "embedding"): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1: $refine")
+    val k = math.min(k0, ivf.config.maxK)
+    val shortlist = search(spark, ivf, model, codesPath, query,
+      math.min(k.toLong * refine, ivf.config.maxK.toLong).toInt, nProbe0,
+      idCol)
+      .select(col("external_id").as(idCol))
+    // the float fetch prunes by the SAME probed cells as the coded scan
+    // (the shortlist can only contain rows from them), so the exact math
+    // reads probed bytes ∩ shortlist — never the whole float dataset
+    val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
+    val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
+    spark.read.parquet(ivf.vectorsPath)
+      .where(col("shard_id").isin(shards: _*) &&
+        col("centroid_id").isin(probes: _*))
+      .join(broadcast(shortlist), Seq(idCol), "left_semi")
+      .withColumn("distance",
+        graft.functions.Vec.squaredL2(col(embCol), lit(query)))
+      .orderBy(col("distance").asc_nulls_last, col(idCol))
+      .limit(k)
+      .select(col(idCol).as("external_id"), col("distance"))
+  }
+
   /** Batch ANN over the coded dataset: ONE pruned scan serves the whole
     * query set (same amortization as `Ivf.searchBatch` — at 100 TB,
     * one-scan-per-query-set vs one-scan-per-query). Per-query ADC

@@ -57,4 +57,32 @@ object Skew {
       .groupBy(col("__key"))
       .agg(array_sort(array_distinct(flatten(collect_list(col("__pset")))))
         .as(outName))
+
+  /** Manually salted equi-join for a skewed LEFT side when AQE's
+    * skew-join can't apply (e.g. the join is wrapped in a non-AQE
+    * context, or the skew is known up front and the right side is too
+    * big to broadcast whole but small per key): each left row gets a
+    * random-ish-but-DETERMINISTIC salt from its own content, the right
+    * side replicates ×nSalts, and the join key becomes (key, salt) — a
+    * hot key's rows spread over nSalts reducers instead of one.
+    *
+    * Exactness: every left row meets every right row of its key exactly
+    * once (the right replica with the matching salt), so the result
+    * multiset equals the plain join's (asserted in SkewSpec). Cost: the
+    * right side shuffles ×nSalts — use when left-skew dominates, i.e.
+    * |right| · nSalts ≪ hot-key volume.
+    *
+    * @param saltBy a left column whose values vary within the hot key
+    *   (a unique id) — salts derive from xxhash64 of it, so the spread
+    *   is partitioning-independent and reproducible.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltBy: Column, nSalts: Int = 16): DataFrame = {
+    require(nSalts >= 1, s"nSalts must be >= 1: $nSalts")
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(saltBy), lit(nSalts)).cast("int"))
+    val replicated = right.withColumn("__salt",
+      explode(lit((0 until nSalts).toArray)))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
+  }
 }

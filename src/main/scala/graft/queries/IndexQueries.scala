@@ -291,6 +291,19 @@ object IndexQueries {
       k0 = 10, nProbe0 = 20)
   }
 
+  /** Refined IVF-PQ (faiss IndexRefineFlat shape): ADC shortlist of
+    * 4×k re-ranked by exact float distance over the probed cells only.
+    * Rows-only; the recall-dominance and exactness-at-large-shortlist
+    * gates live in IvfPqSpec.
+    */
+  def ivfPqRefineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val model = VectorQueries.pqModel(spark, dir)
+    graft.operators.IvfPq.searchRefine(spark, idx, model,
+      pqCodesPath(spark, dir), queryVec(spark, dir, 0L),
+      k0 = 10, nProbe0 = 20, refine = 4)
+  }
+
   /** ANN quality dashboard: recall@10 of every approximate path against
     * the exact answer for the same query — the compression/pruning
     * tradeoff surface in one table. L2 methods score against exact
@@ -336,6 +349,9 @@ object IndexQueries {
       ("ivfsq8_nprobe20", "l2", recall(
         ivfSqTopK(spark, dir)
           .select("external_id").as[Long].collect().toSeq, exactL2)),
+      ("ivfpq_refine4_nprobe20", "l2", recall(
+        ivfPqRefineTopK(spark, dir)
+          .select("external_id").as[Long].collect().toSeq, exactL2)),
       ("pca16_rerank", "l2", recall(
         VectorQueries.pcaTopK(spark, dir)
           .select("vec_id").as[Long].collect().toSeq, exactL2)),
@@ -365,6 +381,7 @@ object IndexQueries {
     "ann_ivfpq_topk" -> QueryDef(ivfPqTopK, None),
     "ann_ivfpq_residual_topk" -> QueryDef(ivfPqResidualTopK, None),
     "ann_ivfsq_topk" -> QueryDef(ivfSqTopK, None),
+    "ann_pq_refine_topk" -> QueryDef(ivfPqRefineTopK, None),
     "ann_ivfpq_batch" -> QueryDef(ivfPqBatch, None),
     "ann_lsh_topk" -> QueryDef(lshAnnTopK, None),
     "recall_sweep" -> QueryDef(recallSweep, None),

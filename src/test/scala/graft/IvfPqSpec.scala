@@ -118,6 +118,25 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("refine: re-ranked recall dominates ADC; large shortlist at probe-all is exact") {
+    val exact = VectorQueries.knnExact(spark, sf0001, 0L, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val q = query(0L)
+    def recallOf(ids: Iterable[Long]): Double = (ids.toSet & exact).size / 10.0
+    val adc = IvfPq.search(spark, idx, model, codes, q, 10, 20)
+      .select("external_id").as[Long].collect()
+    val refined = IvfPq.searchRefine(spark, idx, model, codes, q, 10, 20,
+      refine = 4).select("external_id").as[Long].collect()
+    assert(recallOf(refined) >= recallOf(adc),
+      s"refine ${recallOf(refined)} < adc ${recallOf(adc)}")
+    // probe-all + shortlist covering the corpus ⇒ exact answer, exact order
+    val full = IvfPq.searchRefine(spark, idx, model, codes, q, 10, 10000,
+      refine = 100).select("external_id").as[Long].collect().toSeq
+    val exactOrdered = VectorQueries.knnExact(spark, sf0001, 0L, 10)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(full == exactOrdered, "full refine diverges from exact kNN")
+  }
+
   test("pruned search scans fewer partitions than probe-all") {
     val q = query(3L)
     val few = IvfPq.search(spark, idx, model, codes, q, 10, 2)

@@ -56,4 +56,28 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(salted == direct)
   }
+
+  test("salted join equals the plain join on a skewed key distribution") {
+    import spark.implicits._
+    // 90% of left rows share one hot key — the shape AQE skew-join or
+    // manual salting exists for
+    val left = (0 until 2000).map { i =>
+      (if (i % 10 == 0) i.toLong % 7 else 999L, i.toLong)
+    }.toDF("k", "row_id")
+    val right = Seq((999L, "hot"), (0L, "a"), (1L, "b"), (3L, "c"))
+      .toDF("k", "label")
+    val plain = left.join(right, Seq("k"))
+      .select("k", "row_id", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val salted = Skew.saltedJoin(left, right, "k",
+      saltBy = col("row_id"), nSalts = 8)
+      .select("k", "row_id", "label").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(salted == plain)
+    // the salt actually spreads the hot key over multiple salt values
+    val spread = left.where(col("k") === 999L)
+      .withColumn("s", pmod(xxhash64(col("row_id")), lit(8)))
+      .select("s").distinct().count()
+    assert(spread > 4, s"hot key spread over only $spread salts")
+  }
 }
