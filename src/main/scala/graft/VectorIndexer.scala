@@ -128,6 +128,29 @@ final class VectorIndexer private (
       filter = filter)
   }
 
+  /** Engine extension: all neighbors within squared-L2 `radius`
+    * (faiss range_search semantics — strict <), via the same pruned
+    * scan as top-k. See `Ivf.rangeSearch`.
+    */
+  def rangeSearch(query: Array[Float], radius: Double,
+      nProbe: Int = -1,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val np = if (nProbe < 0) config.defaultNProbe else nProbe
+    Ivf.rangeSearch(spark, withConfig(index), query, radius, np,
+      filter = filter)
+  }
+
+  /** Engine extension: top-k neighbors for EVERY row of a distributed
+    * query DataFrame (`qidCol`, `qembCol`) — no driver collect. See
+    * `Ivf.annJoin` for the scale contract.
+    */
+  def annJoin(queries: DataFrame, k: Int = -1, nProbe: Int = -1,
+      qidCol: String = "query_id", qembCol: String = "qe"): DataFrame = {
+    val kk = if (k < 0) config.defaultK else k
+    val np = if (nProbe < 0) config.defaultNProbe else nProbe
+    Ivf.annJoin(queries, withConfig(index), kk, np, qidCol, qembCol)
+  }
+
   /** Faiss-style batch result: (D, I) row-major matrices of shape
     * (nq, k), padded with Float.PositiveInfinity / -1 when a query has
     * fewer than k results — exact parity with the reference's Python

@@ -153,6 +153,29 @@ class ApiSpec extends SparkSpec {
     }
   }
 
+  test("rangeSearch and annJoin on the facade") {
+    import org.apache.spark.sql.functions._
+    val recs = ramp(200, 4)
+    val vi = VectorIndexer.create(spark, freshCfg()).buildFromRecords(recs)
+    val q = recs(17)._2
+    // probe-all radius search: must contain the query itself at dist 0,
+    // every distance under the radius, sorted ascending
+    val r = vi.rangeSearch(q, radius = 0.5, nProbe = 10000).collect()
+    assert(r.map(_.getLong(0)).contains(17L))
+    val ds = r.map(_.getDouble(1)).toSeq
+    assert(ds == ds.sorted && ds.forall(_ < 0.5))
+    // distributed ANN join: top-1 of each query row is itself
+    import spark.implicits._
+    val queries = recs.take(20)
+      .map { case (id, v, _) => (id, v.toSeq) }
+      .toDF("query_id", "qe")
+      .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
+    val joined = vi.annJoin(queries, k = 1, nProbe = 10000).collect()
+    assert(joined.length == 20)
+    joined.foreach(row => assert(row.getLong(2) == row.getLong(0),
+      s"query ${row.getLong(0)} top-1 is ${row.getLong(2)}"))
+  }
+
   test("suggest_nlist parity") {
     assert(VectorIndexer.suggestNlist(5000) == math.sqrt(5000).toInt)
     assert(VectorIndexer.suggestNlist(1000000) == 4000)
