@@ -327,6 +327,87 @@ object DedupQueries {
       |                  FROM comp GROUP BY cluster_id) cs USING (cluster_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Incremental NEAR-dup screening: a new crawl batch (doc_id % 10 ∈
+    * {8, 9} here) checked against the EXISTING corpus via the MinHash
+    * band index — the production shape for daily increments, where
+    * re-running the full self-join would recompute O(corpus)
+    * signatures for an O(batch)-sized question. Signatures are
+    * computed once over the union (one persist), the band join is
+    * new-side × corpus-side only (never corpus × corpus), and
+    * candidates verify with exact shingle Jaccard. Complements
+    * [[dedupIncrementalStats]], which screens EXACT dups via the Bloom
+    * anti-join; md5 signatures keep it oracle-reproducible.
+    *
+    * One stats row: batch size, band-candidate pairs, verified-dup new
+    * docs, novel new docs.
+    */
+  def incrementalNeardupStats(spark: SparkSession, dir: String): DataFrame = {
+    val nHashes = 8
+    val docs = (0 until nHashes).foldLeft(
+      shingledDocs(Tables.documents(spark, dir))) { (d, i) =>
+      d.withColumn(s"sig_$i",
+        array_min(transform(col("sh"), s => md5Long(concat(lit(s"$i:"), s)))))
+    }.persist()
+    val isNew = pmod(col("doc_id"), lit(10)) >= 8
+    val banded = bandsOf(docs, nHashes)
+    val cand = banded.where(pmod(col("doc_id"), lit(10)) >= 8).as("n")
+      .join(banded.where(pmod(col("doc_id"), lit(10)) < 8).as("c"),
+        Seq("band_idx", "band_val"))
+      .select(col("n.doc_id").as("new_id"), col("c.doc_id").as("corpus_id"))
+      .dropDuplicates("new_id", "corpus_id")
+    val verified = broadcast(cand)
+      .join(docs.select(col("doc_id").as("new_id"), col("sh").as("n_sh")), "new_id")
+      .join(docs.select(col("doc_id").as("corpus_id"), col("sh").as("c_sh")), "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("n_sh"), col("c_sh"))).cast("double") /
+          size(array_union(col("n_sh"), col("c_sh"))))
+    val nNew = docs.where(isNew).count()
+    verified.agg(
+      count(lit(1)).as("n_candidate_pairs"),
+      countDistinct(when(col("jaccard") >= 0.7, col("new_id")))
+        .as("n_dup_new"))
+      .select(lit(nNew).as("n_new"), col("n_candidate_pairs"),
+        col("n_dup_new"), (lit(nNew) - col("n_dup_new")).as("n_novel"))
+  }
+
+  private val incrementalNeardupStatsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, s,
+      |    list_transform(range(0, 8), h ->
+      |      list_aggregate(list_transform(s, x ->
+      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b AS band_idx,
+      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
+      |  FROM sig, unnest(range(0, 4)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+      |  FROM banded n JOIN banded c
+      |    ON n.band_idx = c.band_idx AND n.band_val = c.band_val
+      |  WHERE n.doc_id % 10 >= 8 AND c.doc_id % 10 < 8),
+      |ver AS (
+      |  SELECT cand.new_id,
+      |    CAST(len(list_intersect(sn.s, sc.s)) AS DOUBLE)
+      |      / len(list_distinct(sn.s || sc.s)) AS jaccard
+      |  FROM cand JOIN sh sn ON sn.doc_id = cand.new_id
+      |            JOIN sh sc ON sc.doc_id = cand.corpus_id),
+      |nn AS (SELECT count(*) AS n_new FROM toks WHERE doc_id % 10 >= 8)
+      |SELECT nn.n_new,
+      |  (SELECT count(*) FROM ver) AS n_candidate_pairs,
+      |  (SELECT count(DISTINCT new_id) FROM ver WHERE jaccard >= 0.7) AS n_dup_new,
+      |  nn.n_new - (SELECT count(DISTINCT new_id) FROM ver WHERE jaccard >= 0.7) AS n_novel
+      |FROM nn""".stripMargin
+
   /** Quality-aware canonical selection: within each near-dup cluster,
     * keep the member with the most distinct tokens (tie → lowest
     * doc_id) — the production keep-policy, vs [[dedupClusters]]'s
@@ -860,6 +941,7 @@ object DedupQueries {
 
   def defs: Map[String, QueryDef] = Map(
     "dedup_incremental_stats" -> QueryDef(dedupIncrementalStats, Some(dedupIncrementalStatsSql)),
+    "dedup_incremental_neardup" -> QueryDef(incrementalNeardupStats, Some(incrementalNeardupStatsSql)),
     "dedup_keep_stats" -> QueryDef(dedupKeepStats, Some(dedupKeepStatsSql)),
     "cross_source_dups" -> QueryDef(crossSourceDups, Some(crossSourceDupsSql)),
     "dedup_exact_stats" -> QueryDef(exactStats, Some(exactStatsSql)),

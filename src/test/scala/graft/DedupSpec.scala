@@ -244,6 +244,24 @@ class DedupSpec extends SparkSpec {
     assert(sims.zip(sims.tail).forall { case (x, y) => x >= y })
   }
 
+  test("incremental near-dup equals the cross-split slice of the full pair set") {
+    val row = DedupQueries.incrementalNeardupStats(spark, sf001).head()
+    val nNew = row.getLong(0)
+    val dupNew = row.getLong(2)
+    assert(nNew > 0 && row.getLong(3) == nNew - dupNew)
+    assert(dupNew <= nNew)
+    // the full (batch) verified pair set restricted to new-vs-corpus
+    // pairs must name exactly the same duplicate new docs
+    val expected = DedupQueries.minhashVerifiedPairs(spark, sf001)
+      .collect().flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        val (aNew, bNew) = (a % 10 >= 8, b % 10 >= 8)
+        Seq(a).filter(_ => aNew && !bNew) ++ Seq(b).filter(_ => bNew && !aNew)
+      }.toSet
+    assert(dupNew == expected.size,
+      s"incremental found $dupNew dup new docs, batch slice has ${expected.size}")
+  }
+
   test("tokenizer contract: whitespace split, no empties") {
     import spark.implicits._
     val toks = Seq(("  a  b\t c \n", 1)).toDF("text", "x")
