@@ -69,7 +69,9 @@ class EdgeSpec extends SparkSpec {
         "training_shard_stats", "cms_token_counts",
         "mixture_apply_stats", "sparse_cosine_pairs",
         "source_token_divergence", "pii_scan_stats", "rule_filter_stats",
-        "dsir_weights", "ivf_range_search", "docs_weighted_sample")) {
+        "dsir_weights", "ivf_range_search", "docs_weighted_sample",
+        "dedup_keep_best", "dedup_incremental_neardup",
+        "stream_ann_search", "ann_pq_refine_topk")) {
       val n = Catalog.all(q).build(spark, sf0001).count()
       assert(n > 0, s"$q returned no rows at sf0.001")
     }

@@ -114,6 +114,29 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("OPQ eigenvalue allocation is a balanced permutation for any spectrum") {
+    val specGen: Gen[(Array[Double], Int)] = for {
+      m <- Gen.oneOf(2, 4, 8)
+      dsub <- Gen.choose(1, 4)
+      // spectra spanning huge dynamic ranges, above and below 1.0
+      eigs <- Gen.listOfN(m * dsub, Gen.choose(-12.0, 12.0))
+        .map(_.map(math.exp).toArray)
+    } yield (eigs, m)
+    forAll(specGen) { case (eigs, m) =>
+      val perm = graft.operators.Opq.allocate(eigs, m)
+      // a permutation: every axis used exactly once
+      assert(perm.sorted.toSeq == eigs.indices.toSeq)
+      val dsub = eigs.length / m
+      // balance: max/min bucket log-product gap bounded by the largest
+      // single log weight (the classic greedy-partition guarantee)
+      val sums = perm.grouped(dsub)
+        .map(_.map(i => math.log(eigs(i))).sum).toSeq
+      val maxW = eigs.map(e => math.abs(math.log(e))).max
+      assert(sums.max - sums.min <= 2 * maxW + 1e-9,
+        s"unbalanced beyond the greedy bound: $sums")
+    }
+  }
 }
 
 /** One lazily-created shared session for property tests (matches the
