@@ -113,8 +113,12 @@ object IvfPq {
       val qr = Array.tabulate(query.length)(i => query(i) - cent(i))
       (c, Pq.lutSeq(qr, model))
     }.toDF("centroid_id", "lut")
+    // centroid_id must ALSO be a scan predicate (not just the join key):
+    // the join discards non-probed rows after decode, the pushed filter
+    // skips their row groups at the reader
     spark.read.parquet(codesPath)
-      .where(col("shard_id").isin(shards: _*))
+      .where(col("shard_id").isin(shards: _*) &&
+        col("centroid_id").isin(probes: _*))
       .join(broadcast(lutDf), Seq("centroid_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
       .orderBy(col("distance").asc_nulls_last, col(idCol))
@@ -144,12 +148,16 @@ object IvfPq {
       }
     }
     val shards = probeLut.map(p => ivf.centroidToShard(p._2)).distinct
+    val probedCentroids = probeLut.map(_._2).distinct
     val lutDf = probeLut.toDF("query_id", "centroid_id", "lut")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("distance").asc_nulls_last, col(idCol))
+    // same contract as the single-query path: the union of probed cells
+    // is a pushed scan predicate, the join only fans rows out per query
     spark.read.parquet(codesPath)
-      .where(col("shard_id").isin(shards: _*))
+      .where(col("shard_id").isin(shards: _*) &&
+        col("centroid_id").isin(probedCentroids: _*))
       .join(broadcast(lutDf), Seq("centroid_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
       .withColumn("rank", row_number().over(w))

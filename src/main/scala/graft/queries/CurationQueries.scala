@@ -53,8 +53,12 @@ object CurationQueries {
     Tables.documents(spark, dir)
       .select(explode(array(
         PiiPatterns.map { case (name, pat, _) =>
+          // greatest(..., 0): size(NULL) is -1 (legacy sizeOfNull), which
+          // would DECREMENT the corpus total once per null-text row while
+          // the oracle's sum() skips NULLs
           struct(lit(name).as("pii_type"),
-            size(regexp_extract_all(col("text"), lit(pat), lit(0))).as("n"))
+            greatest(size(regexp_extract_all(col("text"), lit(pat), lit(0))),
+              lit(0)).as("n"))
         }: _*)).as("p"))
       .select(col("p.pii_type").as("pii_type"), col("p.n").as("n"))
       .groupBy(col("pii_type"))
@@ -124,8 +128,9 @@ object CurationQueries {
       |  SELECT
       |    len(t) < 50 AS too_few_words,
       |    len(t) > 100000 AS too_many_words,
-      |    list_reduce(list_transform(t, x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
-      |      / greatest(len(t), 1) NOT BETWEEN 3.0 AND 10.0 AS mean_word_len_out_of_range,
+      |    CASE WHEN len(t) = 0 THEN 0.0
+      |         ELSE list_reduce(list_transform(t, x -> CAST(length(x) AS DOUBLE)), (a, b) -> a + b)
+      |      END / greatest(len(t), 1) NOT BETWEEN 3.0 AND 10.0 AS mean_word_len_out_of_range,
       |    len(list_intersect(list_distinct(t),
       |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) < 2 AS too_few_stopwords,
       |    list_max(list_transform(t, x -> length(x))) > 20 AS word_too_long,
@@ -173,24 +178,33 @@ object CurationQueries {
     * (doc_id, token-bucket) explode, which map-side combines.
     */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val buckets = 1024
-    val toks = Tables.documents(spark, dir)
+    def tokStream(df: DataFrame): DataFrame = df
       .select(col("doc_id"), col("lang"),
         explode(tokens(col("text"))).as("token"))
       .withColumn("bucket", pmod(md5Long(col("token")), lit(buckets)))
-      .persist()
+    val toks = tokStream(Tables.documents(spark, dir)).persist()
     val raw = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
     val tgt = toks.where(col("lang") === "en")
       .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
     val totals = raw.agg(sum(col("cr"))).head().getLong(0)
     val totalT = tgt.agg(sum(col("ct"))).head().getLong(0)
-    val lm = raw.join(tgt, Seq("bucket"), "left")
+    // the LM is 1024 rows — materialize it driver-side while the token
+    // cache is alive, then RELEASE the cache; the returned scoring plan
+    // re-derives tokens from a fresh doc_id<100 scan (pushed filter)
+    // joined against the broadcast local LM, so nothing stays persisted
+    // after the call
+    val lmLocal = raw.join(tgt, Seq("bucket"), "left")
       .select(col("bucket"),
         (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
           (totalT + buckets).toDouble) -
           log((col("cr") + 1).cast("double") /
             (totals + buckets).toDouble)).as("lw"))
-    toks.where(col("doc_id") < 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    toks.unpersist()
+    val lm = lmLocal.toDF("bucket", "lw")
+    tokStream(Tables.documents(spark, dir).where(col("doc_id") < 100))
       .join(broadcast(lm), "bucket")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),

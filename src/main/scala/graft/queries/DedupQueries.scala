@@ -214,13 +214,23 @@ object DedupQueries {
   /** The verified near-dup pair set behind `minhash_lsh_pairs` and
     * `dedup_clusters`: (a_id, b_id, jaccard ≥ 0.7), unsorted.
     */
-  def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val nHashes = 8
-    val docs = (0 until nHashes).foldLeft(
+  /** The ONE definition of the md5 MinHash signature scheme (the
+    * oracle-reproducible sibling of [[withMinhashSig]]'s xxhash64 fast
+    * path): sig_i = min over shingles of md5Long("i:" || shingle).
+    * Shared by the batch pair pipeline and the incremental screen so
+    * the two can never desynchronize.
+    */
+  private def md5SignedDocs(spark: SparkSession, dir: String,
+      nHashes: Int): DataFrame =
+    (0 until nHashes).foldLeft(
       shingledDocs(Tables.documents(spark, dir))) { (d, i) =>
       d.withColumn(s"sig_$i",
         array_min(transform(col("sh"), s => md5Long(concat(lit(s"$i:"), s)))))
-    }.persist()
+    }
+
+  def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
+    val nHashes = 8
+    val docs = md5SignedDocs(spark, dir, nHashes).persist()
     val banded = bandsOf(docs, nHashes)
     val cand = banded.as("l")
       .join(banded.as("r"), Seq("band_idx", "band_val"))
@@ -342,12 +352,9 @@ object DedupQueries {
     * docs, novel new docs.
     */
   def incrementalNeardupStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val nHashes = 8
-    val docs = (0 until nHashes).foldLeft(
-      shingledDocs(Tables.documents(spark, dir))) { (d, i) =>
-      d.withColumn(s"sig_$i",
-        array_min(transform(col("sh"), s => md5Long(concat(lit(s"$i:"), s)))))
-    }.persist()
+    val docs = md5SignedDocs(spark, dir, nHashes).persist()
     val isNew = pmod(col("doc_id"), lit(10)) >= 8
     val banded = bandsOf(docs, nHashes)
     val cand = banded.where(pmod(col("doc_id"), lit(10)) >= 8).as("n")
@@ -362,12 +369,17 @@ object DedupQueries {
         size(array_intersect(col("n_sh"), col("c_sh"))).cast("double") /
           size(array_union(col("n_sh"), col("c_sh"))))
     val nNew = docs.where(isNew).count()
-    verified.agg(
+    // a stats query's output is one row: compute it eagerly while the
+    // signature cache is alive, then RELEASE the cache — returning a
+    // lazy plan over persisted data would either leak the cache or
+    // (unpersisted) recompute the signatures for every downstream action
+    val row = verified.agg(
       count(lit(1)).as("n_candidate_pairs"),
       countDistinct(when(col("jaccard") >= 0.7, col("new_id")))
-        .as("n_dup_new"))
-      .select(lit(nNew).as("n_new"), col("n_candidate_pairs"),
-        col("n_dup_new"), (lit(nNew) - col("n_dup_new")).as("n_novel"))
+        .as("n_dup_new")).head()
+    docs.unpersist()
+    Seq((nNew, row.getLong(0), row.getLong(1), nNew - row.getLong(1)))
+      .toDF("n_new", "n_candidate_pairs", "n_dup_new", "n_novel")
   }
 
   private val incrementalNeardupStatsSql =

@@ -38,8 +38,9 @@ object TextQueries {
     """SELECT doc_id, lang,
       |  len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS n_tokens,
       |  len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''))) AS n_distinct_tokens,
-      |  round(list_reduce(list_transform(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''),
-      |        t -> CAST(length(t) AS DOUBLE)), (a, b) -> a + b)
+      |  round(CASE WHEN len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) = 0 THEN 0.0
+      |      ELSE list_reduce(list_transform(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> ''),
+      |        t -> CAST(length(t) AS DOUBLE)), (a, b) -> a + b) END
       |    / greatest(len(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')), 1), 4) AS avg_token_len,
       |  n_chars
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
