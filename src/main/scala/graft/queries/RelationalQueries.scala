@@ -466,7 +466,29 @@ object RelationalQueries {
       |  WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 280000)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Z-order (Morton) codes for the part table's (p_size, p_partkey mod
+    * 256) — the layout key `operators.ZOrder.writeClustered` sorts by.
+    * Pure integer bit arithmetic; the oracle SQL is GENERATED from the
+    * same bit loop (`ZOrder.morton2Sql`), so the two engines cannot
+    * drift. The file-skipping win of the clustered layout itself is
+    * measured in ZOrderSpec.
+    */
+  def zorderCodes(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .where(col("p_partkey") < 100)
+      .select(col("p_partkey"), col("p_size"),
+        graft.operators.ZOrder.morton2(
+          col("p_size"), pmod(col("p_partkey"), lit(256)), bits = 16)
+          .as("zval"))
+      .orderBy(col("p_partkey"))
+
+  private val zorderCodesSql =
+    s"""SELECT p_partkey, p_size,
+       |  ${graft.operators.ZOrder.morton2Sql("p_size", "(p_partkey % 256)", 16)} AS zval
+       |FROM part WHERE p_partkey < 100 ORDER BY p_partkey""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "zorder_codes" -> QueryDef(zorderCodes, Some(zorderCodesSql)),
     "bloom_semi_revenue" -> QueryDef(bloomSemiRevenue, Some(bloomSemiRevenueSql)),
     "small_quantity_revenue" -> QueryDef(smallQuantityRevenue, Some(smallQuantityRevenueSql)),
     "promo_revenue_share" -> QueryDef(promoRevenueShare, Some(promoRevenueShareSql)),
