@@ -170,6 +170,39 @@ object Ivf {
       .parquet(index.vectorsPath)
   }
 
+  /** Compact an append-fragmented index: every `append` adds files per
+    * shard directory and interleaves centroid_id ranges across them,
+    * degrading row-group pruning; compaction rewrites the vectors
+    * dataset with EXACTLY the build's write shape (salted parallelism,
+    * `partitionBy(shard_id)`, `centroid_id` clustering) into a fresh
+    * directory and returns an index pointing at it. The routing table
+    * is unchanged — only the file layout is rebuilt — so search results
+    * are identical before and after (asserted in IvfSpec). Swapping the
+    * new directory over the old is the caller's job, consistent with
+    * [[Compaction]].
+    */
+  def compact(spark: SparkSession, index: Index, outDir: String): Index = {
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val salts = math.max(1,
+      math.ceil(shuffleParts.toDouble / index.numShards).toInt)
+    val idCol = "vec_id"
+    spark.read.parquet(index.vectorsPath)
+      .repartition(shuffleParts, col("shard_id"),
+        pmod(xxhash64(col(idCol)), lit(salts)))
+      .sortWithinPartitions(col("centroid_id"), col(idCol))
+      .write.mode("overwrite")
+      .partitionBy("shard_id")
+      .parquet(s"$outDir/vectors")
+    import spark.implicits._
+    index.centroids.indices
+      .map(i => (i, index.centroidToShard(i), index.centroids(i).toSeq))
+      .toDF("centroid_id", "shard_id", "centroid")
+      .withColumn("build_seed", lit(index.seed))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$outDir/centroids")
+    index.copy(vectorsPath = s"$outDir/vectors")
+  }
+
   /** Load the routing table back (S6). */
   def load(spark: SparkSession, indexDir: String, config: Config = Config()): Index = {
     val sidecar = spark.read.parquet(s"$indexDir/centroids")

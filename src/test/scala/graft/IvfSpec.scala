@@ -331,6 +331,37 @@ class IvfSpec extends SparkSpec {
     assert(settings(2).recalls(10) >= 0.6, s"recall@10 nProbe=16 = ${r(2)}")
   }
 
+  test("compact: fewer files per shard, identical search results, inputs kept") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_compact_ivf").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = Ivf.build(emb.where(col("vec_id") < 300), "vec_id", "embedding", dir)
+    // three appends fragment every shard directory
+    for (lo <- Seq(300, 360, 430)) {
+      Ivf.append(idx, emb.where(col("vec_id") >= lo && col("vec_id") < lo + math.min(70, 500 - lo)),
+        "vec_id", "embedding")
+    }
+    def fileCount(path: String): Int = {
+      import scala.jdk.CollectionConverters._
+      JFiles.walk(java.nio.file.Paths.get(path)).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+    }
+    val before = fileCount(idx.vectorsPath)
+    val outDir = JFiles.createTempDirectory("graft_compact_ivf_out").toString
+    val compacted = Ivf.compact(spark, idx, outDir)
+    val after = fileCount(compacted.vectorsPath)
+    assert(after < before, s"no file reduction: $before -> $after")
+    // identical answers through the compacted layout, original untouched
+    val q = embAll(5)._2
+    val a = Ivf.search(spark, idx, q, 10, 10000).collect().map(_.toSeq).toSeq
+    val b = Ivf.search(spark, compacted, q, 10, 10000).collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(fileCount(idx.vectorsPath) == before)
+    // the compacted index also survives a load() roundtrip
+    val loaded = Ivf.load(spark, outDir)
+    assert(loaded.centroidToShard.toSeq == idx.centroidToShard.toSeq)
+  }
+
   test("append: incremental vectors are searchable, complete, duplicate-free") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft_append").toString
