@@ -161,6 +161,56 @@ object CurationQueries {
       |  UNION ALL SELECT 'kept_all', kept_all FROM s)
       |ORDER BY rule""".stripMargin
 
+  // ---------------------------------------------------------- chunking
+
+  /** Sliding-window document chunking — the context-window splitter a
+    * pretraining/RAG pipeline runs before tokenization budgeting:
+    * windows of `window` tokens advancing by `stride` (overlap =
+    * window − stride), last window truncated, every doc yields at least
+    * one chunk. Pure integer arithmetic + array slices, map-side, one
+    * explode; chunk identity is the md5 of the re-joined token span so
+    * downstream chunk-level dedup composes with the existing
+    * fingerprint operators.
+    */
+  def chunkDocs(spark: SparkSession, dir: String, window: Int = 64,
+      stride: Int = 48): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"bad chunking: window=$window stride=$stride")
+    val n = size(col("toks"))
+    // ceil((n - window) / stride) + 1, in integer math, min 1
+    val nChunks = when(n <= window, lit(1))
+      .otherwise((n - window + stride - 1).divide(stride).cast("int") + 1)
+    Tables.documents(spark, dir)
+      .where(col("doc_id") < 30)
+      .withColumn("toks", tokens(col("text")))
+      .withColumn("chunk_idx", explode(sequence(lit(0), nChunks - 1)))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * stride + 1, lit(window))
+          .as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("long").as("chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val chunkDocsSql =
+    """WITH t AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+      |  FROM documents WHERE doc_id < 30),
+      |c AS (
+      |  SELECT doc_id, toks,
+      |    unnest(range(0, CASE WHEN len(toks) <= 64 THEN 1
+      |      ELSE CAST((len(toks) - 64 + 47) // 48 AS INT) + 1 END)) AS chunk_idx
+      |  FROM t),
+      |s AS (
+      |  SELECT doc_id, chunk_idx,
+      |    list_slice(toks, chunk_idx * 48 + 1,
+      |      least(chunk_idx * 48 + 64, len(toks))) AS chunk
+      |  FROM c)
+      |SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+      |  md5(coalesce(list_aggregate(chunk, 'string_agg', ' '), '')) AS chunk_md5
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ------------------------------------------------------- DSIR weights
 
   /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
@@ -237,6 +287,7 @@ object CurationQueries {
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   def defs: Map[String, QueryDef] = Map(
+    "doc_chunks" -> QueryDef(chunkDocs(_, _), Some(chunkDocsSql)),
     "pii_scan_stats" -> QueryDef(piiScanStats, Some(piiScanStatsSql)),
     "rule_filter_stats" -> QueryDef(ruleFilterStats, Some(ruleFilterStatsSql)),
     "dsir_weights" -> QueryDef(dsirWeights, Some(dsirWeightsSql))

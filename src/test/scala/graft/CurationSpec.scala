@@ -82,6 +82,28 @@ class CurationSpec extends SparkSpec {
       s"en ${byLang(true)} !> other ${byLang(false)}")
   }
 
+  test("chunking tiles every document: coverage, overlap, truncated tail") {
+    val chunks = CurationQueries.chunkDocs(spark, sf001).collect()
+      .groupBy(_.getLong(0))
+    val nTokens = Tables.documents(spark, sf001).where(col("doc_id") < 30)
+      .select(col("doc_id"),
+        size(graft.queries.TextQueries.tokens(col("text"))))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet == nTokens.keySet)
+    val (w, s) = (64, 48)
+    nTokens.foreach { case (doc, n) =>
+      val cs = chunks(doc).sortBy(_.getLong(1))
+      val expect = if (n <= w) 1 else (n - w + s - 1) / s + 1
+      assert(cs.length == expect, s"doc $doc: ${cs.length} chunks, want $expect")
+      // every chunk is full-size except possibly the last; the last
+      // reaches exactly the end of the doc
+      cs.init.foreach(c => assert(c.getLong(2) == w))
+      val lastStart = (cs.length - 1) * s
+      assert(cs.last.getLong(2) == math.min(w, n - lastStart))
+      assert(lastStart + cs.last.getLong(2) == n, s"doc $doc tail uncovered")
+    }
+  }
+
   test("DSIR weights are partitioning-independent") {
     val a = CurationQueries.dsirWeights(spark, sf001).collect().toSeq
     val b = CurationQueries.dsirWeights(spark, sf001).collect().toSeq
