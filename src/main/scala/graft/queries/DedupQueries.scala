@@ -228,9 +228,26 @@ object DedupQueries {
         array_min(transform(col("sh"), s => md5Long(concat(lit(s"$i:"), s)))))
     }
 
+  /** The signed-docs table materialized once per (JVM, sfDir) — both
+    * the batch pair pipeline and the incremental screen consume it, and
+    * the 8-pass md5 signature computation is the expensive part of
+    * both. Parquet (not persist) so `clearCache()` between catalog
+    * queries cannot evict it.
+    */
+  private val signedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def signedDocsPath(spark: SparkSession, dir: String): String =
+    signedCache.computeIfAbsent(dir, { d =>
+      val path =
+        s"/tmp/graft_pairs/${graft.Tables.cacheDirName(d)}_signed"
+      md5SignedDocs(spark, d, 8).write.mode("overwrite").parquet(path)
+      path
+    })
+
   def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val nHashes = 8
-    val docs = md5SignedDocs(spark, dir, nHashes).persist()
+    val docs = spark.read.parquet(signedDocsPath(spark, dir))
     val banded = bandsOf(docs, nHashes)
     val cand = banded.as("l")
       .join(banded.as("r"), Seq("band_idx", "band_val"))
@@ -354,7 +371,7 @@ object DedupQueries {
   def incrementalNeardupStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val nHashes = 8
-    val docs = md5SignedDocs(spark, dir, nHashes).persist()
+    val docs = spark.read.parquet(signedDocsPath(spark, dir))
     val isNew = pmod(col("doc_id"), lit(10)) >= 8
     val banded = bandsOf(docs, nHashes)
     val cand = banded.where(pmod(col("doc_id"), lit(10)) >= 8).as("n")
@@ -369,15 +386,12 @@ object DedupQueries {
         size(array_intersect(col("n_sh"), col("c_sh"))).cast("double") /
           size(array_union(col("n_sh"), col("c_sh"))))
     val nNew = docs.where(isNew).count()
-    // a stats query's output is one row: compute it eagerly while the
-    // signature cache is alive, then RELEASE the cache — returning a
-    // lazy plan over persisted data would either leak the cache or
-    // (unpersisted) recompute the signatures for every downstream action
+    // a stats query's output is one row — computed eagerly (the inputs
+    // are parquet-backed, nothing to keep cached)
     val row = verified.agg(
       count(lit(1)).as("n_candidate_pairs"),
       countDistinct(when(col("jaccard") >= 0.7, col("new_id")))
         .as("n_dup_new")).head()
-    docs.unpersist()
     Seq((nNew, row.getLong(0), row.getLong(1), nNew - row.getLong(1)))
       .toDF("n_new", "n_candidate_pairs", "n_dup_new", "n_novel")
   }
