@@ -51,6 +51,39 @@ object Ivf {
     def numShards: Int = centroidToShard.distinct.length
   }
 
+  /** The ONE clustered-write shape, shared by build/append/compact:
+    * salted repartition (each shard spreads over ~shuffleParts/numShards
+    * tasks — write parallelism must NOT be capped at ⌈√k⌉ shards, which
+    * at 100 TB means ~n/√k rows per task, a straggler and an OOM-shaped
+    * sort), (centroid_id, id) sort for row-group clustering, and
+    * `partitionBy(shard_id)` directory layout.
+    */
+  private def writeVectors(df: DataFrame, idCol: String, numShards: Int,
+      path: String, mode: String): Unit = {
+    val spark = df.sparkSession
+    val shuffleParts = spark.sessionState.conf.numShufflePartitions
+    val salts = math.max(1, math.ceil(shuffleParts.toDouble / numShards).toInt)
+    df.repartition(shuffleParts, col("shard_id"),
+        pmod(xxhash64(col(idCol)), lit(salts)))
+      .sortWithinPartitions(col("centroid_id"), col(idCol))
+      .write.mode(mode)
+      .partitionBy("shard_id")
+      .parquet(path)
+  }
+
+  /** Routing-table sidecar write (replaces bincode index.bin — S5/S6). */
+  private def writeSidecar(spark: SparkSession,
+      centroids: Array[Array[Float]], centroidToShard: Array[Int],
+      seed: Long, indexDir: String): Unit = {
+    import spark.implicits._
+    centroids.indices
+      .map(i => (i, centroidToShard(i), centroids(i).toSeq))
+      .toDF("centroid_id", "shard_id", "centroid")
+      .withColumn("build_seed", lit(seed)) // metadata append() needs back
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
   /** Build the index from an embeddings DataFrame.
     *
     * @param df     input table
@@ -94,34 +127,15 @@ object Ivf {
     val shardB = spark.sparkContext.broadcast(centroidToShard)
     val denseUdf = udf((raw: Int) => remapB.value(raw))
     val shardUdf = udf((dense: Int) => shardB.value(dense))
-    // Write parallelism must NOT be capped at numShards (= ⌈√k⌉): with a
-    // plain repartition(shard_id) every shard is a single write task — at
-    // 100 TB that is ~n/√k rows per task, a straggler and an OOM-shaped
-    // sort. Salt the repartition so each shard spreads over ~salts tasks;
-    // partitionBy(shard_id) keeps the directory layout identical and
-    // sortWithinPartitions keeps centroid_id row-group clustering per file.
-    val shuffleParts = spark.sessionState.conf.numShufflePartitions
-    val salts = math.max(1, math.ceil(shuffleParts.toDouble / numShards).toInt)
-    assigned
-      .withColumn("centroid_id", denseUdf(col("raw_centroid_id")))
-      .withColumn("shard_id", shardUdf(col("centroid_id")))
-      .drop("raw_centroid_id")
-      .repartition(shuffleParts, col("shard_id"),
-        pmod(xxhash64(col(idCol)), lit(salts)))
-      .sortWithinPartitions(col("centroid_id"), col(idCol))
-      .write.mode("overwrite")
-      .partitionBy("shard_id")
-      .parquet(s"$indexDir/vectors")
+    writeVectors(
+      assigned
+        .withColumn("centroid_id", denseUdf(col("raw_centroid_id")))
+        .withColumn("shard_id", shardUdf(col("centroid_id")))
+        .drop("raw_centroid_id"),
+      idCol, numShards, s"$indexDir/vectors", "overwrite")
     assigned.unpersist()
 
-    // routing-table sidecar (replaces bincode index.bin — S5/S6)
-    import spark.implicits._
-    centroids.indices
-      .map(i => (i, centroidToShard(i), centroids(i).toSeq))
-      .toDF("centroid_id", "shard_id", "centroid")
-      .withColumn("build_seed", lit(seed)) // metadata append() needs back
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+    writeSidecar(spark, centroids, centroidToShard, seed, indexDir)
 
     Index(s"$indexDir/vectors", centroids, centroidToShard, seed = seed)
   }
@@ -148,9 +162,6 @@ object Ivf {
     val model = KMeans.Model(index.centroids)
     val shardB = spark.sparkContext.broadcast(index.centroidToShard)
     val shardUdf = udf((dense: Int) => shardB.value(dense))
-    val shuffleParts = spark.sessionState.conf.numShufflePartitions
-    val salts = math.max(1,
-      math.ceil(shuffleParts.toDouble / index.numShards).toInt)
     // dimension mismatch is an ERROR (reference P1 semantics), enforced
     // map-side in the same pass — not a silent filter, not a pre-count.
     // All other input columns pass through so appended files keep the
@@ -160,14 +171,10 @@ object Ivf {
         raise_error(concat(lit(s"append: embedding dimension != $dim for id="),
           col(idCol).cast("string"))))
         .otherwise(col(embCol)))
-    KMeans.withAssignment(checked, embCol, model, index.seed, "centroid_id")
-      .withColumn("shard_id", shardUdf(col("centroid_id")))
-      .repartition(shuffleParts, col("shard_id"),
-        pmod(xxhash64(col(idCol)), lit(salts)))
-      .sortWithinPartitions(col("centroid_id"), col(idCol))
-      .write.mode("append")
-      .partitionBy("shard_id")
-      .parquet(index.vectorsPath)
+    writeVectors(
+      KMeans.withAssignment(checked, embCol, model, index.seed, "centroid_id")
+        .withColumn("shard_id", shardUdf(col("centroid_id"))),
+      idCol, index.numShards, index.vectorsPath, "append")
   }
 
   /** Compact an append-fragmented index: every `append` adds files per
@@ -181,25 +188,12 @@ object Ivf {
     * new directory over the old is the caller's job, consistent with
     * [[Compaction]].
     */
-  def compact(spark: SparkSession, index: Index, outDir: String): Index = {
-    val shuffleParts = spark.sessionState.conf.numShufflePartitions
-    val salts = math.max(1,
-      math.ceil(shuffleParts.toDouble / index.numShards).toInt)
-    val idCol = "vec_id"
-    spark.read.parquet(index.vectorsPath)
-      .repartition(shuffleParts, col("shard_id"),
-        pmod(xxhash64(col(idCol)), lit(salts)))
-      .sortWithinPartitions(col("centroid_id"), col(idCol))
-      .write.mode("overwrite")
-      .partitionBy("shard_id")
-      .parquet(s"$outDir/vectors")
-    import spark.implicits._
-    index.centroids.indices
-      .map(i => (i, index.centroidToShard(i), index.centroids(i).toSeq))
-      .toDF("centroid_id", "shard_id", "centroid")
-      .withColumn("build_seed", lit(index.seed))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$outDir/centroids")
+  def compact(spark: SparkSession, index: Index, outDir: String,
+      idCol: String = "vec_id"): Index = {
+    writeVectors(spark.read.parquet(index.vectorsPath), idCol,
+      index.numShards, s"$outDir/vectors", "overwrite")
+    writeSidecar(spark, index.centroids, index.centroidToShard,
+      index.seed, outDir)
     index.copy(vectorsPath = s"$outDir/vectors")
   }
 

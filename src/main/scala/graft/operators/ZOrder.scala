@@ -21,37 +21,52 @@ import org.apache.spark.sql.functions._
 object ZOrder {
 
   /** Morton interleave of two non-negative integer columns, `bits` low
-    * bits each (values above 2^bits saturate into the top slice — callers
-    * bucket/clamp first when ranges exceed it). Bit i of `a` lands at
-    * position 2i, bit i of `b` at 2i+1.
+    * bits each. Values ≥ 2^bits SATURATE at 2^bits − 1 (clamped before
+    * interleaving), so out-of-range rows cluster at the top of the
+    * curve instead of silently wrapping around and aliasing with the
+    * smallest codes — which would interleave rows from opposite ends of
+    * the domain into the same files and quietly destroy the skipping.
+    * Bit i of `a` lands at position 2i, bit i of `b` at 2i+1.
     */
   def morton2(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits out of [1,31]: $bits")
+    val cap = (1L << bits) - 1
+    val ac = least(a.cast("long"), lit(cap))
+    val bc = least(b.cast("long"), lit(cap))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
-        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
-        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(ac, i).bitwiseAND(lit(1L)), 2 * i))
+        .bitwiseOR(shiftleft(shiftright(bc, i).bitwiseAND(lit(1L)), 2 * i + 1))
     }
   }
 
   /** The same interleave as DuckDB SQL, generated from the same loop so
     * the oracle can never drift from the Spark expression.
     */
-  def morton2Sql(a: String, b: String, bits: Int = 16): String =
+  def morton2Sql(a: String, b: String, bits: Int = 16): String = {
     // every term fully parenthesized: DuckDB (like PostgreSQL) gives
     // <<, >>, & and | EQUAL precedence with left associativity, so
-    // `x << 2 | y << 3` would parse as `((x << 2) | y) << 3`
+    // `x << 2 | y << 3` would parse as `((x << 2) | y) << 3`. BIGINT
+    // casts keep the shifts in 64-bit — on an INTEGER column,
+    // `1 << 31` would overflow INT32 where Spark computes in Long.
+    val cap = (1L << bits) - 1
+    val ac = s"least(CAST(($a) AS BIGINT), $cap)"
+    val bc = s"least(CAST(($b) AS BIGINT), $cap)"
     (0 until bits).flatMap(i => Seq(
-      s"((($a >> $i) & 1) << ${2 * i})",
-      s"((($b >> $i) & 1) << ${2 * i + 1})"))
+      s"((($ac >> $i) & 1) << ${2 * i})",
+      s"((($bc >> $i) & 1) << ${2 * i + 1})"))
       .mkString(" | ")
+  }
 
   /** Write `df` Z-order-clustered on (a, b) into `numFiles` files. */
   def writeClustered(df: DataFrame, a: String, b: String, path: String,
-      numFiles: Int, bits: Int = 16): Unit =
+      numFiles: Int, bits: Int = 16): Unit = {
+    require(!df.columns.contains("__z"),
+      "input already has a __z column — it would be silently dropped")
     df.withColumn("__z", morton2(col(a), col(b), bits))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+  }
 }

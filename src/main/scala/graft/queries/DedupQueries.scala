@@ -228,6 +228,14 @@ object DedupQueries {
         array_min(transform(col("sh"), s => md5Long(concat(lit(s"$i:"), s)))))
     }
 
+  /** The one signature-count constant for the md5 pipeline: the signed
+    * parquet, its banding consumers, and the oracle SQL (8 hashes in 4
+    * bands of 2) must all agree — a consumer reading sig_i beyond this
+    * count would hit a missing column, and one reading fewer would
+    * silently band a subset.
+    */
+  private val Md5Hashes = 8
+
   /** The signed-docs table materialized once per (JVM, sfDir) — both
     * the batch pair pipeline and the incremental screen consume it, and
     * the 8-pass md5 signature computation is the expensive part of
@@ -241,12 +249,12 @@ object DedupQueries {
     signedCache.computeIfAbsent(dir, { d =>
       val path =
         s"/tmp/graft_pairs/${graft.Tables.cacheDirName(d)}_signed"
-      md5SignedDocs(spark, d, 8).write.mode("overwrite").parquet(path)
+      md5SignedDocs(spark, d, Md5Hashes).write.mode("overwrite").parquet(path)
       path
     })
 
   def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val nHashes = 8
+    val nHashes = Md5Hashes
     val docs = spark.read.parquet(signedDocsPath(spark, dir))
     val banded = bandsOf(docs, nHashes)
     val cand = banded.as("l")
@@ -370,7 +378,7 @@ object DedupQueries {
     */
   def incrementalNeardupStats(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val nHashes = 8
+    val nHashes = Md5Hashes
     val docs = spark.read.parquet(signedDocsPath(spark, dir))
     val isNew = pmod(col("doc_id"), lit(10)) >= 8
     val banded = bandsOf(docs, nHashes)

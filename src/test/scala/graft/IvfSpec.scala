@@ -336,11 +336,15 @@ class IvfSpec extends SparkSpec {
     val dir = JFiles.createTempDirectory("graft_compact_ivf").toString
     val emb = Tables.embeddings(spark, sf0001)
     val idx = Ivf.build(emb.where(col("vec_id") < 300), "vec_id", "embedding", dir)
-    // three appends fragment every shard directory
-    for (lo <- Seq(300, 360, 430)) {
-      Ivf.append(idx, emb.where(col("vec_id") >= lo && col("vec_id") < lo + math.min(70, 500 - lo)),
+    // three disjoint appends fragment every shard directory (the index
+    // must stay duplicate-free: search could otherwise legitimately
+    // return the same external_id twice)
+    for ((lo, hi) <- Seq((300, 360), (360, 430), (430, 500))) {
+      Ivf.append(idx, emb.where(col("vec_id") >= lo && col("vec_id") < hi),
         "vec_id", "embedding")
     }
+    assert(spark.read.parquet(idx.vectorsPath)
+      .select("vec_id").distinct().count() == 500L)
     def fileCount(path: String): Int = {
       import scala.jdk.CollectionConverters._
       JFiles.walk(java.nio.file.Paths.get(path)).iterator().asScala

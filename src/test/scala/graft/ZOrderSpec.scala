@@ -45,8 +45,11 @@ class ZOrderSpec extends SparkSpec {
     }.toDF("id", "a", "b")
     val zDir = Files.createTempDirectory("graft_zorder").toString
     val linDir = Files.createTempDirectory("graft_linear").toString
-    ZOrder.writeClustered(df, "a", "b", zDir, numFiles = 16, bits = 10)
-    df.repartitionByRange(16, col("a")).sortWithinPartitions(col("a"))
+    // 64 files so the margins survive repartitionByRange's sampled
+    // (run-to-run varying) boundaries: linear must touch ~8 files for a
+    // 1/8 a-range, the z-curve keeps the box within ~2
+    ZOrder.writeClustered(df, "a", "b", zDir, numFiles = 64, bits = 10)
+    df.repartitionByRange(64, col("a")).sortWithinPartitions(col("a"))
       .write.mode("overwrite").parquet(linDir)
 
     // files whose (min,max) box intersects the query box must be read;
@@ -63,14 +66,14 @@ class ZOrderSpec extends SparkSpec {
         maxA >= aLo && minA <= aHi && maxB >= bLo && minB <= bHi
       }
     }
-    // a box selecting ~1/8 of each dimension
+    // a box selecting ~1/8 of each dimension: linear prunes only on a
+    // (≈ 64/8 = 8 files, each spanning all of b); the box's z-range is
+    // 1/64 of the curve → ~1-2 z-ordered files even with boundary
+    // straddle
     val zTouched = touched(zDir, 0, 127, 0, 127)
     val linTouched = touched(linDir, 0, 127, 0, 127)
     assert(zTouched < linTouched,
       s"z-order touches $zTouched files, linear touches $linTouched")
-    // linear layout prunes on its sort column but every file spans all
-    // of b, so it must read ~al l files overlapping the a-range; z-order
-    // should cut that at least in half on this uniform grid
     assert(zTouched * 2 <= linTouched,
       s"weak win: z=$zTouched vs linear=$linTouched")
   }
