@@ -105,6 +105,14 @@ final class VectorIndexer private (
     this
   }
 
+  /** Engine extension: delete vectors by external id (merge-on-read
+    * tombstones — see `Ivf.delete`; `Ivf.compact` materializes them).
+    */
+  def deleteIds(ids: Seq[Long]): this.type = {
+    Ivf.delete(spark, index, ids)
+    this
+  }
+
   private def ingestTimestamp(): Long = System.currentTimeMillis() / 1000L
 
   /** Top-k search with config defaults (k=10, n_probe=20). */

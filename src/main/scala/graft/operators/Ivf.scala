@@ -177,6 +177,44 @@ object Ivf {
       idCol, index.numShards, index.vectorsPath, "append")
   }
 
+  /** Tombstone sidecar location (sibling of `vectors/`). */
+  private def tombstonesPath(index: Index): String =
+    index.vectorsPath.stripSuffix("/vectors") + "/tombstones"
+
+  /** Delete vectors by external id — the faiss `remove_ids` analog, in
+    * merge-on-read form: ids append to a tombstone sidecar (one tiny
+    * file per delete batch, no touch of the data files), every search
+    * path filters them with a broadcast anti-join (the tombstone set is
+    * id-sized — KBs per million deletes), and [[compact]] applies them
+    * physically and clears the sidecar. At 100 TB this is the only
+    * viable delete: rewriting shards per delete would be a full-table
+    * write for a row-sized change.
+    *
+    * Contract: a tombstone hides the id entirely — including a
+    * subsequent `append` of the same id — until a compact materializes
+    * the deletes. Re-adding a deleted id therefore requires compacting
+    * first (documented limitation; versioned tombstones would lift it).
+    */
+  def delete(spark: SparkSession, index: Index, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    require(ids.nonEmpty, "delete: empty id list")
+    ids.toDF("__deleted_id").write.mode("append")
+      .parquet(tombstonesPath(index))
+  }
+
+  /** Live-row filter: anti-join the broadcast tombstone set, if any. */
+  private def liveRows(spark: SparkSession, index: Index, df: DataFrame,
+      idCol: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(tombstonesPath(index))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) df
+    else {
+      val tomb = spark.read.parquet(tombstonesPath(index))
+      df.join(broadcast(tomb), df(idCol) === tomb("__deleted_id"),
+        "left_anti")
+    }
+  }
+
   /** Compact an append-fragmented index: every `append` adds files per
     * shard directory and interleaves centroid_id ranges across them,
     * degrading row-group pruning; compaction rewrites the vectors
@@ -190,8 +228,11 @@ object Ivf {
     */
   def compact(spark: SparkSession, index: Index, outDir: String,
       idCol: String = "vec_id"): Index = {
-    writeVectors(spark.read.parquet(index.vectorsPath), idCol,
-      index.numShards, s"$outDir/vectors", "overwrite")
+    // deletes materialize here: tombstoned rows are dropped from the
+    // rewrite and the fresh directory starts with no tombstone sidecar
+    writeVectors(
+      liveRows(spark, index, spark.read.parquet(index.vectorsPath), idCol),
+      idCol, index.numShards, s"$outDir/vectors", "overwrite")
     writeSidecar(spark, index.centroids, index.centroidToShard,
       index.seed, outDir)
     index.copy(vectorsPath = s"$outDir/vectors")
@@ -264,8 +305,10 @@ object Ivf {
     // centroid_id (replaces S8 selective reads), then distance + top-k via
     // TakeOrderedAndProject (J6/T2)
     val qLit = lit(query)
-    val pruned = spark.read.parquet(index.vectorsPath)
-      .where(col("shard_id").isin(shards: _*) && col("centroid_id").isin(probes: _*))
+    val pruned = liveRows(spark, index,
+      spark.read.parquet(index.vectorsPath)
+        .where(col("shard_id").isin(shards: _*) && col("centroid_id").isin(probes: _*)),
+      idCol)
     val base = filter.map(pruned.where).getOrElse(pruned)
       .withColumn("distance", Vec.squaredL2(col(embCol), qLit))
       // nulls last: a ragged/null-element embedding yields NULL distance,
@@ -298,8 +341,10 @@ object Ivf {
       s"query dimension ${query.length} != index dimension ${index.centroids(0).length}")
     val (probes, shards) = probeSelection(index, query, nProbe)
     val qLit = lit(query)
-    val pruned = spark.read.parquet(index.vectorsPath)
-      .where(col("shard_id").isin(shards: _*) && col("centroid_id").isin(probes: _*))
+    val pruned = liveRows(spark, index,
+      spark.read.parquet(index.vectorsPath)
+        .where(col("shard_id").isin(shards: _*) && col("centroid_id").isin(probes: _*)),
+      idCol)
     filter.map(pruned.where).getOrElse(pruned)
       .withColumn("distance", Vec.squaredL2(col(embCol), qLit))
       .where(col("distance") < radius)
@@ -347,8 +392,10 @@ object Ivf {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("distance").asc_nulls_last, col(idCol))
-    val pruned = spark.read.parquet(index.vectorsPath)
-      .where(col("shard_id").isin(shards: _*))
+    val pruned = liveRows(spark, index,
+      spark.read.parquet(index.vectorsPath)
+        .where(col("shard_id").isin(shards: _*)),
+      idCol)
     // same filtered-search contract as single-query search: the
     // predicate narrows candidates inside the pruned scan (pushed to
     // the reader), BEFORE per-query ranking
@@ -405,7 +452,7 @@ object Ivf {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(qidCol)
       .orderBy(col("distance").asc_nulls_last, col(idCol))
-    spark.read.parquet(index.vectorsPath)
+    liveRows(spark, index, spark.read.parquet(index.vectorsPath), idCol)
       .join(probed, Seq("centroid_id"))
       .withColumn("distance",
         graft.functions.Vec.squaredL2(col(embCol), col(qembCol)))

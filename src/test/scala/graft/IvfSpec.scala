@@ -331,6 +331,41 @@ class IvfSpec extends SparkSpec {
     assert(settings(2).recalls(10) >= 0.6, s"recall@10 nProbe=16 = ${r(2)}")
   }
 
+  test("delete: tombstoned ids vanish from every search path; compact materializes") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_delete").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = Ivf.build(emb, "vec_id", "embedding", dir)
+    val q = embAll.find(_._1 == 42L).get._2
+    assert(Ivf.search(spark, idx, q, 10, 10000).head().getLong(0) == 42L)
+    Ivf.delete(spark, idx, Seq(42L, 7L))
+    // gone from top-k, range, batch, and the distributed join
+    val top = Ivf.search(spark, idx, q, 10, 10000)
+      .collect().map(_.getLong(0)).toSet
+    assert(!top.contains(42L) && !top.contains(7L))
+    val rng = Ivf.rangeSearch(spark, idx, q, 1e9, nProbe0 = 10000)
+      .collect().map(_.getLong(0)).toSet
+    assert(rng.size == 498 && !rng.contains(42L) && !rng.contains(7L))
+    val batch = Ivf.searchBatch(spark, idx, Array((0L, q)), 10, 10000)
+      .collect().map(_.getLong(2)).toSet
+    assert(!batch.contains(42L))
+    import spark.implicits._
+    val joined = Ivf.annJoin(
+      Seq((0L, q.toSeq)).toDF("query_id", "qe")
+        .select(col("query_id"), col("qe").cast("array<float>").as("qe")),
+      idx, k = 3, nProbe = 10000).collect().map(_.getLong(2)).toSet
+    assert(!joined.contains(42L))
+    // merge-on-read: data files untouched until compaction
+    assert(spark.read.parquet(idx.vectorsPath).count() == 500L)
+    val outDir = JFiles.createTempDirectory("graft_delete_out").toString
+    val compacted = Ivf.compact(spark, idx, outDir)
+    assert(spark.read.parquet(compacted.vectorsPath).count() == 498L)
+    val after = Ivf.search(spark, compacted, q, 10, 10000)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == Ivf.search(spark, idx, q, 10, 10000)
+      .collect().map(_.getLong(0)).toSeq)
+  }
+
   test("compact: fewer files per shard, identical search results, inputs kept") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft_compact_ivf").toString
