@@ -174,6 +174,10 @@ class ApiSpec extends SparkSpec {
     assert(joined.length == 20)
     joined.foreach(row => assert(row.getLong(2) == row.getLong(0),
       s"query ${row.getLong(0)} top-1 is ${row.getLong(2)}"))
+    // deletes flow through the facade too
+    vi.deleteIds(Seq(17L))
+    assert(!vi.search(q, nProbe = 10000).collect()
+      .map(_.getLong(0)).contains(17L))
   }
 
   test("suggest_nlist parity") {
