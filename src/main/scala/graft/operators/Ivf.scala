@@ -202,9 +202,13 @@ object Ivf {
       .parquet(tombstonesPath(index))
   }
 
-  /** Live-row filter: anti-join the broadcast tombstone set, if any. */
-  private def liveRows(spark: SparkSession, index: Index, df: DataFrame,
-      idCol: String): DataFrame = {
+  /** Live-row filter: anti-join the broadcast tombstone set, if any.
+    * `private[operators]` so the coded sibling datasets (IvfPq, IvfSq)
+    * honor deletes too — a tombstone must hide the id on EVERY search
+    * path, not just the float one.
+    */
+  private[operators] def liveRows(spark: SparkSession, index: Index,
+      df: DataFrame, idCol: String): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(tombstonesPath(index))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(path)) df

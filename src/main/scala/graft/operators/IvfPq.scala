@@ -116,7 +116,7 @@ object IvfPq {
     // centroid_id must ALSO be a scan predicate (not just the join key):
     // the join discards non-probed rows after decode, the pushed filter
     // skips their row groups at the reader
-    spark.read.parquet(codesPath)
+    Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
       .where(col("shard_id").isin(shards: _*) &&
         col("centroid_id").isin(probes: _*))
       .join(broadcast(lutDf), Seq("centroid_id"))
@@ -155,7 +155,7 @@ object IvfPq {
       .orderBy(col("distance").asc_nulls_last, col(idCol))
     // same contract as the single-query path: the union of probed cells
     // is a pushed scan predicate, the join only fans rows out per query
-    spark.read.parquet(codesPath)
+    Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
       .where(col("shard_id").isin(shards: _*) &&
         col("centroid_id").isin(probedCentroids: _*))
       .join(broadcast(lutDf), Seq("centroid_id"))
@@ -235,7 +235,7 @@ object IvfPq {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("distance").asc_nulls_last, col(idCol))
-    spark.read.parquet(codesPath)
+    Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
       .where(col("shard_id").isin(shards: _*))
       .join(broadcast(probeDf), Seq("centroid_id"))
       .join(broadcast(lutDf), Seq("query_id"))
@@ -255,7 +255,7 @@ object IvfPq {
     require(k > 0, "k must be > 0")
     require(nProbe > 0, "n_probe must be > 0")
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
-    spark.read.parquet(codesPath)
+    Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
       .where(col("shard_id").isin(shards: _*) &&
         col("centroid_id").isin(probes: _*))
       .withColumn("distance", Pq.adc(col("pq_code"), Pq.lutFor(query, model)))

@@ -50,7 +50,7 @@ object IvfSq {
     require(query.length == ivf.centroids(0).length,
       s"query dimension ${query.length} != index dimension ${ivf.centroids(0).length}")
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
-    spark.read.parquet(codesPath)
+    Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
       .where(col("shard_id").isin(shards: _*) &&
         col("centroid_id").isin(probes: _*))
       .withColumn("distance",

@@ -355,6 +355,18 @@ class IvfSpec extends SparkSpec {
         .select(col("query_id"), col("qe").cast("array<float>").as("qe")),
       idx, k = 3, nProbe = 10000).collect().map(_.getLong(2)).toSet
     assert(!joined.contains(42L))
+    // the coded sibling datasets honor tombstones too — a delete must
+    // hide the id on EVERY search path
+    val model = graft.operators.Pq.train(emb, "embedding",
+      embAll.head._2.length, m = 8, ksub = 16, orderCol = Some("vec_id"))
+    val pqDir = JFiles.createTempDirectory("graft_delete_pq").toString
+    graft.operators.IvfPq.buildCodes(spark, idx, model, pqDir)
+    assert(!graft.operators.IvfPq.search(spark, idx, model, pqDir, q, 10, 10000)
+      .collect().map(_.getLong(0)).contains(42L))
+    val sqDir = JFiles.createTempDirectory("graft_delete_sq").toString
+    graft.operators.IvfSq.buildCodes(spark, idx, sqDir)
+    assert(!graft.operators.IvfSq.search(spark, idx, sqDir, q, 10, 10000)
+      .collect().map(_.getLong(0)).contains(42L))
     // merge-on-read: data files untouched until compaction
     assert(spark.read.parquet(idx.vectorsPath).count() == 500L)
     val outDir = JFiles.createTempDirectory("graft_delete_out").toString
