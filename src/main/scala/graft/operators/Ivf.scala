@@ -177,30 +177,63 @@ object Ivf {
       idCol, index.numShards, index.vectorsPath, "append")
   }
 
-  /** Tombstone sidecar location (sibling of `vectors/`). */
-  private def tombstonesPath(index: Index): String =
+  /** Tombstone sidecar location (sibling of `vectors/`). The layout
+    * invariant is guarded because a mis-derived path would write the
+    * sidecar INSIDE the partitioned dataset and corrupt scans.
+    */
+  private def tombstonesPath(index: Index): String = {
+    require(index.vectorsPath.endsWith("/vectors"),
+      s"index vectorsPath must end in /vectors (got ${index.vectorsPath}) — " +
+        "the tombstone sidecar lives beside that directory")
     index.vectorsPath.stripSuffix("/vectors") + "/tombstones"
+  }
 
   /** Delete vectors by external id — the faiss `remove_ids` analog, in
-    * merge-on-read form: ids append to a tombstone sidecar (one tiny
-    * file per delete batch, no touch of the data files), every search
-    * path filters them with a broadcast anti-join (the tombstone set is
-    * id-sized — KBs per million deletes), and [[compact]] applies them
-    * physically and clears the sidecar. At 100 TB this is the only
-    * viable delete: rewriting shards per delete would be a full-table
-    * write for a row-sized change.
+    * merge-on-read form: ids append to a tombstone sidecar (one file
+    * per delete batch, no touch of the data files) and every search
+    * path — float AND the PQ/SQ8 coded siblings — filters them with a
+    * broadcast anti-join. The tombstone set is id-sized (~8 MB per
+    * million Long ids as parquet; more as broadcast rows), so
+    * compaction cadence bounds how large it may grow. At 100 TB this
+    * is the only viable delete: rewriting shards per delete would be a
+    * full-table write for a row-sized change.
     *
-    * Contract: a tombstone hides the id entirely — including a
-    * subsequent `append` of the same id — until a compact materializes
-    * the deletes. Re-adding a deleted id therefore requires compacting
-    * first (documented limitation; versioned tombstones would lift it).
+    * Contract: a tombstone hides the id on every path — including a
+    * subsequent `append` of the same id — until the sidecar is
+    * CLEARED. [[compact]] materializes deletes into the rewritten
+    * float files but carries the sidecar forward, because the coded
+    * sibling datasets are derived artifacts that still contain the
+    * deleted rows; the full lifecycle is
+    * compact → rebuild coded siblings → [[clearTombstones]] → (re-)append.
     */
   def delete(spark: SparkSession, index: Index, ids: Seq[Long]): Unit = {
     import spark.implicits._
     require(ids.nonEmpty, "delete: empty id list")
-    ids.toDF("__deleted_id").write.mode("append")
+    ids.toDF("__deleted_id").coalesce(1).write.mode("append")
       .parquet(tombstonesPath(index))
+    tombstonePresence.put(index.vectorsPath, java.lang.Boolean.TRUE)
   }
+
+  /** Drop the tombstone sidecar — the final step of the delete
+    * lifecycle, once a compact + coded-sibling rebuild has materialized
+    * the deletes everywhere.
+    */
+  def clearTombstones(spark: SparkSession, index: Index): Unit = {
+    val path = new org.apache.hadoop.fs.Path(tombstonesPath(index))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(path, true)
+    tombstonePresence.put(index.vectorsPath, java.lang.Boolean.FALSE)
+  }
+
+  /** Per-JVM memo of "does this index have tombstones" so the hot
+    * search path does not pay a filesystem existence check per query
+    * (on an object store that is an RPC each). `delete`/`clear` in THIS
+    * JVM invalidate; deletes issued from another process are picked up
+    * lazily when the memo is absent. A table format's snapshot metadata
+    * would own this in production.
+    */
+  private val tombstonePresence =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
   /** Live-row filter: anti-join the broadcast tombstone set, if any.
     * `private[operators]` so the coded sibling datasets (IvfPq, IvfSq)
@@ -209,15 +242,34 @@ object Ivf {
     */
   private[operators] def liveRows(spark: SparkSession, index: Index,
       df: DataFrame, idCol: String): DataFrame = {
-    val path = new org.apache.hadoop.fs.Path(tombstonesPath(index))
-    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) df
+    val present = tombstonePresence.computeIfAbsent(index.vectorsPath, { _ =>
+      val path = new org.apache.hadoop.fs.Path(tombstonesPath(index))
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // a directory with no committed data file (e.g. only _temporary
+      // from a killed delete job) must read as "no tombstones", not
+      // crash schema inference and brick every search
+      fs.exists(path) && fs.listStatus(path).exists { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    })
+    if (!present) df
     else {
-      val tomb = spark.read.parquet(tombstonesPath(index))
+      val tomb = spark.read
+        .schema("__deleted_id LONG")
+        .parquet(tombstonesPath(index))
       df.join(broadcast(tomb), df(idCol) === tomb("__deleted_id"),
         "left_anti")
     }
   }
+
+  /** Live (non-tombstoned) rows of the index's float dataset — the
+    * view NON-search consumers (index stats, dedup bucketing) should
+    * read, so deleted vectors don't leak through side surfaces either.
+    */
+  def liveVectors(spark: SparkSession, index: Index,
+      idCol: String = "vec_id"): DataFrame =
+    liveRows(spark, index, spark.read.parquet(index.vectorsPath), idCol)
 
   /** Compact an append-fragmented index: every `append` adds files per
     * shard directory and interleaves centroid_id ranges across them,
@@ -232,14 +284,26 @@ object Ivf {
     */
   def compact(spark: SparkSession, index: Index, outDir: String,
       idCol: String = "vec_id"): Index = {
-    // deletes materialize here: tombstoned rows are dropped from the
-    // rewrite and the fresh directory starts with no tombstone sidecar
+    // deletes materialize in the float rewrite; the tombstone sidecar
+    // is CARRIED FORWARD (see the delete docstring) because coded
+    // sibling datasets built before the compact still contain the
+    // deleted rows — clearTombstones ends the lifecycle once those are
+    // rebuilt. The carried filter is a no-op against the rewritten
+    // float files (the ids are gone), so it costs only the broadcast.
     writeVectors(
       liveRows(spark, index, spark.read.parquet(index.vectorsPath), idCol),
       idCol, index.numShards, s"$outDir/vectors", "overwrite")
     writeSidecar(spark, index.centroids, index.centroidToShard,
       index.seed, outDir)
-    index.copy(vectorsPath = s"$outDir/vectors")
+    val out = index.copy(vectorsPath = s"$outDir/vectors")
+    val src = new org.apache.hadoop.fs.Path(tombstonesPath(index))
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(src)) {
+      spark.read.schema("__deleted_id LONG").parquet(tombstonesPath(index))
+        .coalesce(1).write.mode("overwrite").parquet(tombstonesPath(out))
+      tombstonePresence.put(out.vectorsPath, java.lang.Boolean.TRUE)
+    }
+    out
   }
 
   /** Load the routing table back (S6). */

@@ -652,7 +652,8 @@ object DedupQueries {
     */
   def embeddingNeardupStats(spark: SparkSession, dir: String): DataFrame = {
     val idx = IndexQueries.index(spark, dir)
-    val vecs = spark.read.parquet(idx.vectorsPath)
+    // live view: deleted vectors must not surface as near-dup members
+    val vecs = graft.operators.Ivf.liveVectors(spark, idx)
       .select(col("centroid_id"), col("vec_id"), col("embedding"))
     val a = vecs.select(col("centroid_id"), col("vec_id").as("a_id"),
       col("embedding").as("a_emb"))

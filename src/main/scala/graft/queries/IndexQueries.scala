@@ -135,7 +135,8 @@ object IndexQueries {
     */
   def stats(spark: SparkSession, dir: String): DataFrame = {
     val idx = index(spark, dir)
-    spark.read.parquet(idx.vectorsPath)
+    // live view: stats reflect what search can return, not raw files
+    graft.operators.Ivf.liveVectors(spark, idx)
       .groupBy("shard_id")
       .agg(
         countDistinct(col("centroid_id")).as("n_centroids"),

@@ -376,6 +376,16 @@ class IvfSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(after == Ivf.search(spark, idx, q, 10, 10000)
       .collect().map(_.getLong(0)).toSeq)
+    // compact CARRIES the sidecar: coded siblings built pre-compact
+    // still contain the deleted rows and must stay filtered until
+    // rebuilt (the documented lifecycle)
+    assert(!graft.operators.IvfPq.search(spark, compacted, model, pqDir,
+      q, 10, 10000).collect().map(_.getLong(0)).contains(42L))
+    // after the rebuild step the sidecar is cleared; float results are
+    // unchanged because the rows are physically gone
+    Ivf.clearTombstones(spark, compacted)
+    assert(Ivf.search(spark, compacted, q, 10, 10000)
+      .collect().map(_.getLong(0)).toSeq == after)
   }
 
   test("compact: fewer files per shard, identical search results, inputs kept") {
