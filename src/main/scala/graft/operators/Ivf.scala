@@ -201,17 +201,20 @@ object Ivf {
     * Contract: a tombstone hides the id on every path — including a
     * subsequent `append` of the same id — until the sidecar is
     * CLEARED. [[compact]] materializes deletes into the rewritten
-    * float files but carries the sidecar forward, because the coded
-    * sibling datasets are derived artifacts that still contain the
-    * deleted rows; the full lifecycle is
-    * compact → rebuild coded siblings → [[clearTombstones]] → (re-)append.
+    * float files but carries the sidecar forward, because coded
+    * sibling datasets built BEFORE the deletes still contain the
+    * deleted rows. Sibling builds read the live view themselves, so
+    * the order of compact vs sibling rebuilds is free; the one rule is
+    * that [[clearTombstones]] comes LAST — after a compact AND a
+    * rebuild of every coded sibling that predates the deletes.
     */
   def delete(spark: SparkSession, index: Index, ids: Seq[Long]): Unit = {
     import spark.implicits._
     require(ids.nonEmpty, "delete: empty id list")
     ids.toDF("__deleted_id").coalesce(1).write.mode("append")
       .parquet(tombstonesPath(index))
-    tombstonePresence.put(index.vectorsPath, java.lang.Boolean.TRUE)
+    tombstonePresence.put(index.vectorsPath,
+      TombMemo(present = true, System.nanoTime() + memoTtlNanos))
   }
 
   /** Drop the tombstone sidecar — the final step of the delete
@@ -222,18 +225,23 @@ object Ivf {
     val path = new org.apache.hadoop.fs.Path(tombstonesPath(index))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(path, true)
-    tombstonePresence.put(index.vectorsPath, java.lang.Boolean.FALSE)
+    tombstonePresence.put(index.vectorsPath,
+      TombMemo(present = false, System.nanoTime() + memoTtlNanos))
   }
 
   /** Per-JVM memo of "does this index have tombstones" so the hot
     * search path does not pay a filesystem existence check per query
-    * (on an object store that is an RPC each). `delete`/`clear` in THIS
-    * JVM invalidate; deletes issued from another process are picked up
-    * lazily when the memo is absent. A table format's snapshot metadata
-    * would own this in production.
+    * (on an object store that is an RPC each). Entries EXPIRE after
+    * [[memoTtlNanos]] (30 s): deletes or clears issued from another
+    * process are picked up within that window, not ignored for the
+    * life of the JVM. `delete`/`clear` in THIS JVM refresh the memo
+    * immediately, so same-process callers never see staleness. A table
+    * format's snapshot metadata would own this in production.
     */
+  private final case class TombMemo(present: Boolean, expiresAtNanos: Long)
+  private val memoTtlNanos = 30L * 1000 * 1000 * 1000
   private val tombstonePresence =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[String, TombMemo]()
 
   /** Live-row filter: anti-join the broadcast tombstone set, if any.
     * `private[operators]` so the coded sibling datasets (IvfPq, IvfSq)
@@ -242,17 +250,24 @@ object Ivf {
     */
   private[operators] def liveRows(spark: SparkSession, index: Index,
       df: DataFrame, idCol: String): DataFrame = {
-    val present = tombstonePresence.computeIfAbsent(index.vectorsPath, { _ =>
-      val path = new org.apache.hadoop.fs.Path(tombstonesPath(index))
-      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      // a directory with no committed data file (e.g. only _temporary
-      // from a killed delete job) must read as "no tombstones", not
-      // crash schema inference and brick every search
-      fs.exists(path) && fs.listStatus(path).exists { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    val now = System.nanoTime()
+    val memo = tombstonePresence.get(index.vectorsPath)
+    val present =
+      if (memo != null && now < memo.expiresAtNanos) memo.present
+      else {
+        val path = new org.apache.hadoop.fs.Path(tombstonesPath(index))
+        val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // a directory with no committed data file (e.g. only _temporary
+        // from a killed delete job) must read as "no tombstones", not
+        // crash schema inference and brick every search
+        val probed = fs.exists(path) && fs.listStatus(path).exists { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
+        tombstonePresence.put(index.vectorsPath,
+          TombMemo(probed, now + memoTtlNanos))
+        probed
       }
-    })
     if (!present) df
     else {
       val tomb = spark.read
@@ -301,7 +316,8 @@ object Ivf {
     if (fs.exists(src)) {
       spark.read.schema("__deleted_id LONG").parquet(tombstonesPath(index))
         .coalesce(1).write.mode("overwrite").parquet(tombstonesPath(out))
-      tombstonePresence.put(out.vectorsPath, java.lang.Boolean.TRUE)
+      tombstonePresence.put(out.vectorsPath,
+        TombMemo(present = true, System.nanoTime() + memoTtlNanos))
     }
     out
   }

@@ -20,6 +20,12 @@ object IvfPq {
 
   /** Write the PQ-coded sibling dataset of an IVF index. One-time build
     * step; same salted-write parallelism contract as `Ivf.build`.
+    *
+    * Reads the LIVE view of the float dataset (tombstones filtered), so
+    * a sibling rebuilt at any point in the delete lifecycle never
+    * contains deleted rows — the lifecycle is order-insensitive, which
+    * matters because deletes are often compliance-motivated and a
+    * resurrected row is a silent violation.
     */
   def buildCodes(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
       outPath: String, idCol: String = "vec_id",
@@ -27,7 +33,7 @@ object IvfPq {
     val shuffleParts = spark.sessionState.conf.numShufflePartitions
     val numShards = ivf.numShards
     val salts = math.max(1, math.ceil(shuffleParts.toDouble / numShards).toInt)
-    Pq.encode(spark.read.parquet(ivf.vectorsPath), embCol, model)
+    Pq.encode(Ivf.liveVectors(spark, ivf, idCol), embCol, model)
       .select(col("shard_id"), col("centroid_id"), col(idCol), col("pq_code"))
       .repartition(shuffleParts, col("shard_id"),
         pmod(xxhash64(col(idCol)), lit(salts)))
@@ -57,19 +63,23 @@ object IvfPq {
     (emb, cid) => f(emb, cid)
   }
 
-  /** Train PQ codebooks on residuals (faiss IndexIVFPQ training). */
+  /** Train PQ codebooks on residuals (faiss IndexIVFPQ training).
+    * Trains on the live view — codebooks should not spend resolution on
+    * deleted rows' residual distribution.
+    */
   def trainResidual(spark: SparkSession, ivf: Ivf.Index, m: Int = 8,
       ksub: Int = 256, iters: Int = 10, seed: Long = 42L,
       idCol: String = "vec_id", embCol: String = "embedding"): Pq.Model = {
     val dim = ivf.centroids(0).length
     val res = residualCol(spark, ivf.centroids)
-    val df = spark.read.parquet(ivf.vectorsPath)
+    val df = Ivf.liveVectors(spark, ivf, idCol)
       .withColumn("residual", res(col(embCol), col("centroid_id")))
     Pq.train(df, "residual", dim, m, ksub, iters, seed, orderCol = Some(idCol))
   }
 
   /** Write the residual-coded sibling dataset (layout identical to
-    * [[buildCodes]]; only the encoded quantity differs).
+    * [[buildCodes]] — live view, tombstones never encoded; only the
+    * encoded quantity differs).
     */
   def buildResidualCodes(spark: SparkSession, ivf: Ivf.Index,
       model: Pq.Model, outPath: String, idCol: String = "vec_id",
@@ -79,7 +89,7 @@ object IvfPq {
       math.ceil(shuffleParts.toDouble / ivf.numShards).toInt)
     val res = residualCol(spark, ivf.centroids)
     Pq.encode(
-      spark.read.parquet(ivf.vectorsPath)
+      Ivf.liveVectors(spark, ivf, idCol)
         .withColumn("residual", res(col(embCol), col("centroid_id"))),
       "residual", model)
       .select(col("shard_id"), col("centroid_id"), col(idCol), col("pq_code"))

@@ -20,13 +20,16 @@ import graft.functions.Vec
   */
 object IvfSq {
 
-  /** Write the int8-coded sibling dataset of an IVF index. */
+  /** Write the int8-coded sibling dataset of an IVF index. Reads the
+    * LIVE view (tombstones filtered) so a rebuild never resurrects
+    * deleted rows regardless of where in the delete lifecycle it runs.
+    */
   def buildCodes(spark: SparkSession, ivf: Ivf.Index, outPath: String,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
     val shuffleParts = spark.sessionState.conf.numShufflePartitions
     val salts = math.max(1,
       math.ceil(shuffleParts.toDouble / ivf.numShards).toInt)
-    Quantize.withInt8(spark.read.parquet(ivf.vectorsPath), embCol)
+    Quantize.withInt8(Ivf.liveVectors(spark, ivf, idCol), embCol)
       .select(col("shard_id"), col("centroid_id"), col(idCol),
         col("q_scale"), col("q_emb"))
       .repartition(shuffleParts, col("shard_id"),

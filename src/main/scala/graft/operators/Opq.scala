@@ -65,10 +65,16 @@ object Opq {
     buckets.flatMap(_.reverse)
   }
 
-  /** Fit the rotation on a full-rank PCA of the embedding column. */
+  /** Fit the rotation on a full-rank PCA of the embedding column.
+    * The dimension comes from a null-safe aggregate over the column
+    * (max(size) skips NULL rows), not the first row — a null or ragged
+    * head() row must not pick the dimension for the whole fit.
+    */
   def fit(df: DataFrame, embCol: String, m: Int): Rotation = {
-    val d = df.select(size(col(embCol))).head().getInt(0)
-    val pca = Pca.fit(df, embCol, d)
+    val row = df.agg(max(size(col(embCol)))).head()
+    require(!row.isNullAt(0),
+      s"Opq.fit: no non-null rows in column '$embCol'")
+    val pca = Pca.fit(df, embCol, row.getInt(0))
     Rotation(pca.mean, pca.components, allocate(pca.eigenvalues, m))
   }
 

@@ -104,9 +104,18 @@ object Pca {
 
   /** Fit top-q components over an ArrayType(FloatType) column. */
   def fit(df: DataFrame, embCol: String, q: Int): Model = {
-    val d = df.select(size(col(embCol))).head().getInt(0)
+    // dimension from a null-safe aggregate, not the first row: a null or
+    // ragged head() row must not pick d for the whole fit. Null/ragged
+    // rows are then EXCLUDED from the statistics — the fit-side analog
+    // of transform's null-projection contract (they'd NPE / corrupt the
+    // gram accumulator otherwise).
+    val dRow = df.agg(max(size(col(embCol)))).head()
+    require(!dRow.isNullAt(0), s"PCA: no non-null rows in '$embCol'")
+    val d = dRow.getInt(0)
     require(q >= 1 && q <= d, s"q=$q out of [1, $d]")
-    val rdd = df.select(col(embCol)).rdd
+    val rdd = df.select(col(embCol))
+      .where(col(embCol).isNotNull && size(col(embCol)) === d)
+      .rdd
       .map(_.getSeq[Float](0).toArray)
     // sufficient statistics: (count, sum[d], gram[d*d] row-major)
     val zero = (0L, new Array[Double](d), new Array[Double](d * d))

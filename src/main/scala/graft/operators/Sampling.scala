@@ -74,6 +74,11 @@ object Sampling {
   def weightedSample(df: DataFrame, key: Column, weight: Column,
       k: Int, tie: Column): DataFrame = {
     require(k > 0, s"k must be > 0: $k")
+    // same guard as ZOrder.writeClustered's __z: the helper column is
+    // injected and dropped, which would silently clobber a caller's
+    // column of the same name
+    require(!df.columns.contains("__es_key"),
+      "weightedSample: input already has a column named __es_key")
     // E-S is defined for positive weights; non-positive-weight rows are
     // excluded rather than (wrongly) winning every sample via a
     // sign-flipped key. `tie` must be a unique column (e.g. the row id):

@@ -79,6 +79,12 @@ object Skew {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       saltBy: Column, nSalts: Int = 16): DataFrame = {
     require(nSalts >= 1, s"nSalts must be >= 1: $nSalts")
+    // the salt column is injected on BOTH sides and dropped from the
+    // result — guard against clobbering a caller's column of that name
+    // (same contract as ZOrder.writeClustered's __z guard)
+    require(!left.columns.contains("__salt") &&
+        !right.columns.contains("__salt"),
+      "saltedJoin: input already has a column named __salt")
     val salted = left.withColumn("__salt",
       pmod(xxhash64(saltBy), lit(nSalts)).cast("int"))
     val replicated = right.withColumn("__salt",

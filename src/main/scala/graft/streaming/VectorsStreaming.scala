@@ -36,6 +36,13 @@ object VectorsStreaming {
 
   /** Run a query stream to completion against the index, materializing
     * every micro-batch's annJoin output under `outPath`.
+    *
+    * Write semantics are AT-LEAST-ONCE: `foreachBatch` appends parquet
+    * with no checkpoint, so a retried micro-batch would append its
+    * results twice. Callers needing exactly-once should pass a
+    * `checkpointLocation` through the query options and make the batch
+    * write idempotent (e.g. `partitionBy(batch_id)` + dynamic overwrite
+    * per batch).
     */
   def annSearchToPath(queries: DataFrame, index: Ivf.Index, k: Int,
       nProbe: Int, outPath: String): Unit = {
@@ -51,11 +58,17 @@ object VectorsStreaming {
 
   /** Catalog query: the same 20-query workload as `ann_join_topk`, fed
     * through the stream path with probe-all (exact ⇒ shares the batch
-    * oracle).
+    * oracle). Output goes to a fixed per-(JVM, dir) cache path (the
+    * same convention as the index/pairs caches) wiped before each run —
+    * not a fresh temp dir per invocation, which would leak a directory
+    * per call.
     */
   def annSearchQuery(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.queries.IndexQueries.index(spark, dir)
-    val out = java.nio.file.Files.createTempDirectory("stream_ann").toString
+    val out = s"/tmp/graft_stream_ann/${graft.Tables.cacheDirName(dir)}"
+    val outPath = new org.apache.hadoop.fs.Path(out)
+    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(outPath, true) // stale results from a prior run must not append-merge
     val queries = readQueries(spark, dir)
       .where(col("vec_id") >= 480 && col("vec_id") < 500)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))

@@ -386,6 +386,16 @@ class IvfSpec extends SparkSpec {
     Ivf.clearTombstones(spark, compacted)
     assert(Ivf.search(spark, compacted, q, 10, 10000)
       .collect().map(_.getLong(0)).toSeq == after)
+    // sibling builds read the LIVE view: pqDir/sqDir were built while
+    // the tombstones were active, so the deleted rows are PHYSICALLY
+    // absent from the coded datasets — clearing the sidecar (even
+    // without a compact, the rebuild-first lifecycle order) cannot
+    // resurrect them on any coded search path
+    Ivf.clearTombstones(spark, idx)
+    assert(!graft.operators.IvfPq.search(spark, idx, model, pqDir,
+      q, 10, 10000).collect().map(_.getLong(0)).contains(42L))
+    assert(!graft.operators.IvfSq.search(spark, idx, sqDir,
+      q, 10, 10000).collect().map(_.getLong(0)).contains(42L))
   }
 
   test("compact: fewer files per shard, identical search results, inputs kept") {

@@ -37,6 +37,22 @@ class OpqSpec extends SparkSpec {
       s"log-products badly unbalanced: $prods")
   }
 
+  test("fit survives a null/ragged first row (dimension from the column)") {
+    // head()-derived d would NPE on the null first row; fit must take d
+    // from the non-null rows and exclude degraded (null / ragged-short)
+    // rows from the statistics instead of corrupting the gram
+    val rows: Seq[(Long, Seq[Float])] = Seq(
+      (0L, null), (1L, Seq(1f, 2f)),
+      (2L, Seq(3f, 1f, 0f, 2f)), (3L, Seq(0f, 5f, 1f, 1f)),
+      (4L, Seq(2f, 2f, 9f, 9f)))
+    val df = rows.toDF("vec_id", "emb").coalesce(1)
+    val rot = Opq.fit(df, "emb", 2)
+    assert(rot.d == 4)
+    // all-null column is a clean error, not an NPE
+    intercept[IllegalArgumentException](
+      Opq.fit(Seq((0L, null: Seq[Float])).toDF("vec_id", "emb"), "emb", 2))
+  }
+
   test("rotation preserves pairwise squared-L2 distances") {
     val emb = Tables.embeddings(spark, sf0001)
     val rot = Opq.fit(emb, "embedding", m = 8)

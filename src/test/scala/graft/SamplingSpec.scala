@@ -30,6 +30,13 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.hashSample(docs, col("text"), 1.0).count() == docs.count())
   }
 
+  test("weightedSample refuses an input that already has __es_key") {
+    val poisoned = docs.withColumn("__es_key", lit(1.0))
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(poisoned, col("text"), lit(1.0), 5,
+        col("doc_id")))
+  }
+
   test("sample rate is close to the requested fraction") {
     val n = docs.count().toDouble
     val got = Sampling.hashSample(docs, col("text"), 0.25).count().toDouble

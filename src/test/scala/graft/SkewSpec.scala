@@ -79,5 +79,10 @@ class SkewSpec extends SparkSpec {
       .withColumn("s", pmod(xxhash64(col("row_id")), lit(8)))
       .select("s").distinct().count()
     assert(spread > 4, s"hot key spread over only $spread salts")
+    // the injected helper column must not clobber a caller's __salt
+    intercept[IllegalArgumentException](Skew.saltedJoin(
+      left.withColumn("__salt", lit(0)), right, "k", col("row_id")))
+    intercept[IllegalArgumentException](Skew.saltedJoin(
+      left, right.withColumn("__salt", lit(0)), "k", col("row_id")))
   }
 }
