@@ -1,0 +1,132 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hashed-feature logistic regression — the GPT-3/PaLM-style quality
+  * classifier: train a linear model to distinguish a high-quality
+  * target distribution from the raw corpus, then score (and filter)
+  * every document with it. The model is the standard fasttext-filter
+  * stand-in re-expressed for Spark: feature hashing (no vocabulary to
+  * build or ship), full-batch gradient descent where each iteration is
+  * ONE `treeAggregate` pass, and map-side scoring with the broadcast
+  * weight vector.
+  *
+  * Scale shape: the model is `dim` doubles (8 KB at dim=1024) — always
+  * broadcastable. Training cost is iters × one-pass-over-the-sample;
+  * at 100 TB you train on a deterministic [[Sampling.hashSample]] (a
+  * quality classifier needs ~10^5-10^6 rows, not the corpus) and score
+  * corpus-wide, which is a pure map-side pass inside one stage.
+  * Gradient accumulation uses treeAggregate so the driver merges
+  * O(log P) partial vectors, not P.
+  */
+object LinearClassifier {
+
+  final case class Model(weights: Array[Double], bias: Double) {
+    def dim: Int = weights.length
+  }
+
+  /** Feature index of a token: stable across JVMs and runs (MurmurHash3
+    * with Scala's fixed seed), non-negative mod dim.
+    */
+  private def bucket(token: String, dim: Int): Int = {
+    val h = scala.util.hashing.MurmurHash3.stringHash(token) % dim
+    if (h < 0) h + dim else h
+  }
+
+  /** Sparse L1-normalized hashed term frequencies: (indices, values).
+    * Normalizing by token count keeps long documents from dominating
+    * the gradient; collisions just add (standard feature hashing).
+    */
+  private def features(toks: Seq[String], dim: Int): (Array[Int], Array[Double]) = {
+    val counts = scala.collection.mutable.HashMap.empty[Int, Double]
+    toks.foreach { t => val b = bucket(t, dim)
+      counts(b) = counts.getOrElse(b, 0.0) + 1.0
+    }
+    val n = toks.length.toDouble
+    val idx = counts.keys.toArray.sorted
+    (idx, idx.map(counts(_) / n))
+  }
+
+  private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Train on a DataFrame with an array<string> token column and a
+    * boolean/int label column (1 = target distribution). Deterministic
+    * up to float summation order (init 0, fixed schedule, no sampling);
+    * exact partitioning-independence is NOT guaranteed — gradients are
+    * float sums — but the decision boundary is stable (gated in
+    * ClassifierSpec).
+    *
+    * @param l2 ridge term — keeps collided/rare buckets from blowing up
+    */
+  def train(df: DataFrame, tokensCol: String, labelCol: String,
+      dim: Int = 1024, iters: Int = 50, lr: Double = 4.0,
+      l2: Double = 1e-6): Model = {
+    require(dim > 0 && iters > 0, s"dim=$dim iters=$iters must be > 0")
+    val spark = df.sparkSession
+    // one extraction pass, persisted: every GD iteration re-reads the
+    // sparse features, not the text
+    val data = df
+      .select(col(tokensCol), col(labelCol).cast("int"))
+      .where(col(tokensCol).isNotNull && size(col(tokensCol)) > 0)
+      .rdd
+      .map { r =>
+        val (idx, v) = features(r.getSeq[String](0), dim)
+        (idx, v, r.getInt(1).toDouble)
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = data.count()
+    require(n > 0, "LinearClassifier.train: no usable rows")
+
+    var w = new Array[Double](dim)
+    var b = 0.0
+    for (_ <- 0 until iters) {
+      val wB = spark.sparkContext.broadcast((w, b))
+      val zero = (new Array[Double](dim), 0.0)
+      val (gw, gb) = data.treeAggregate(zero)(
+        seqOp = { case ((gradW, gradB), (idx, v, y)) =>
+          val (wv, bv) = wB.value
+          var z = bv
+          var i = 0
+          while (i < idx.length) { z += wv(idx(i)) * v(i); i += 1 }
+          val err = sigmoid(z) - y
+          i = 0
+          while (i < idx.length) { gradW(idx(i)) += err * v(i); i += 1 }
+          (gradW, gradB + err)
+        },
+        combOp = { case ((g1, b1), (g2, b2)) =>
+          var i = 0
+          while (i < dim) { g1(i) += g2(i); i += 1 }
+          (g1, b1 + b2)
+        })
+      wB.destroy()
+      val next = new Array[Double](dim)
+      var i = 0
+      while (i < dim) { next(i) = w(i) - lr * (gw(i) / n + l2 * w(i)); i += 1 }
+      w = next
+      b = b - lr * (gb / n)
+    }
+    data.unpersist()
+    Model(w, b)
+  }
+
+  /** p(target | doc) as a column — map-side scoring with the broadcast
+    * model. Null/empty token arrays score sigmoid(bias) (the prior),
+    * never a task failure.
+    */
+  def scoreCol(df: DataFrame, tokensCol: Column, model: Model): Column = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val f = udf { (toks: Seq[String]) =>
+      val m = bc.value
+      if (toks == null || toks.isEmpty) sigmoid(m.bias)
+      else {
+        val (idx, v) = features(toks, m.dim)
+        var z = m.bias
+        var i = 0
+        while (i < idx.length) { z += m.weights(idx(i)) * v(i); i += 1 }
+        sigmoid(z)
+      }
+    }
+    f(tokensCol)
+  }
+}

@@ -286,10 +286,82 @@ object CurationQueries {
       |WHERE doc_id < 100
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ---------------------------------------------- trained quality filter
+
+  /** The GPT-3-style TRAINED quality classifier
+    * ([[graft.operators.LinearClassifier]]): logistic regression on
+    * hashed unigram frequencies, target = the English subset (the same
+    * target distribution DSIR importance-weights against — the two are
+    * the classifier-based and importance-sampling-based versions of one
+    * selection recipe). Output: per-language mean score and
+    * fraction-kept at the 0.5 threshold — the table a pipeline owner
+    * reads to set the filter threshold.
+    *
+    * Gate: rows-only (50 float GD iterations are not SQL-expressible);
+    * the learning itself — separable data → AUC 1, target ranks above
+    * non-target on the corpus, boundary stability across partitionings
+    * — is gated in ClassifierSpec.
+    */
+  def qualityClassifierStats(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+    val model = graft.operators.LinearClassifier.train(
+      docs.withColumn("is_target", (col("lang") === "en").cast("int")),
+      "toks", labelCol = "is_target", dim = 1024, iters = 50)
+    docs
+      .withColumn("p", graft.operators.LinearClassifier
+        .scoreCol(docs, col("toks"), model))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("p")), 3).as("mean_p"),
+        round(avg(when(col("p") >= 0.5, 1.0).otherwise(0.0)), 3)
+          .as("frac_kept"))
+      .orderBy(col("lang"))
+  }
+
+  // ---------------------------------------------------- per-domain caps
+
+  /** Per-domain document caps (the C4/CCNet anti-domination step: no
+    * single domain may contribute more than `cap` documents), keeping
+    * the best docs per domain by a deterministic quality rank — here
+    * n_chars descending with doc_id tie-break (length is the standard
+    * cheap quality proxy; swap in any per-doc score).
+    *
+    * Scale shape: one shuffle on `source` + per-group sort for the
+    * window rank. cap ≪ group size means almost all of the sorted rows
+    * are discarded; when a domain is huge (the exact case caps exist
+    * for), pre-prune map-side with an approximate per-domain n_chars
+    * threshold (approx_percentile at 1 - cap/count) so the window sees
+    * ~cap·(1+ε) rows per domain instead of the full domain — same
+    * two-phase trick as [[graft.operators.Skew]]. The output is
+    * cap × |domains| rows, always driver-safe.
+    */
+  def domainCapSample(spark: SparkSession, dir: String): DataFrame = {
+    val cap = 15
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= cap)
+      .orderBy(col("source"), col("rk"))
+  }
+
+  private val domainCapSampleSql =
+    """SELECT source, doc_id, n_chars, rk FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |                       ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 15 ORDER BY source, rk""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "doc_chunks" -> QueryDef(chunkDocs(_, _), Some(chunkDocsSql)),
     "pii_scan_stats" -> QueryDef(piiScanStats, Some(piiScanStatsSql)),
     "rule_filter_stats" -> QueryDef(ruleFilterStats, Some(ruleFilterStatsSql)),
-    "dsir_weights" -> QueryDef(dsirWeights, Some(dsirWeightsSql))
+    "dsir_weights" -> QueryDef(dsirWeights, Some(dsirWeightsSql)),
+    "domain_cap_sample" -> QueryDef(domainCapSample, Some(domainCapSampleSql)),
+    "quality_classifier_stats" -> QueryDef(qualityClassifierStats, None)
   )
 }

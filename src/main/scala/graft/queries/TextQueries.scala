@@ -598,7 +598,24 @@ object TextQueries {
       |FROM c2 JOIN c1 ON split_part(bigram, ' ', 1) = c1.w1
       |ORDER BY n_bigram DESC, bigram LIMIT 20""".stripMargin
 
+  /** BPE tokenizer training over the corpus ([[graft.operators.Bpe]]):
+    * distributed word counting, driver merge loop on the bounded
+    * vocabulary. Output = the learned merge table (top 20 merges) —
+    * exact integer counts + lexicographic tie-breaks make it a pure
+    * function of the corpus, so the rows are deterministic, but the
+    * iterative merge loop is not SQL-expressible → rows-only gate;
+    * the algorithm itself is hand-verified in BpeSpec.
+    */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+    val merges = graft.operators.Bpe.train(docs, "toks", numMerges = 20)
+    graft.operators.Bpe.mergesDf(spark, merges)
+      .orderBy(col("rank"))
+  }
+
   def defs: Map[String, QueryDef] = Map(
+    "bpe_merges" -> QueryDef(bpeMerges, None),
     "bigram_lm_top" -> QueryDef(bigramLmTop, Some(bigramLmTopSql)),
     "doc_logprob_score" -> QueryDef(logprobScore, Some(logprobScoreSql)),
     "hashed_tf" -> QueryDef(hashedTf, Some(hashedTfSql)),

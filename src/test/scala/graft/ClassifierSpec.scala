@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.LinearClassifier
+
+/** Gates for the trained quality classifier: perfect separation on
+  * separable data, target-over-non-target ranking on the real corpus
+  * (the property the quality filter exists for), stability of the
+  * decision boundary across partitionings, and the degraded-row
+  * contract.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toksCol = graft.queries.TextQueries.tokens(col("text"))
+
+  test("separable vocabularies: train accuracy 1.0") {
+    val rows = (0 until 200).map { i =>
+      if (i % 2 == 0) (i.toLong, "good clean prose text here", 1)
+      else (i.toLong, "spam junk noise garbage words", 0)
+    }
+    val df = rows.toDF("id", "text", "y").withColumn("toks", toksCol)
+    val m = LinearClassifier.train(df, "toks", "y", dim = 64, iters = 50)
+    val scored = df.withColumn("p",
+      LinearClassifier.scoreCol(df, col("toks"), m))
+    val acc = scored
+      .where((col("p") >= 0.5) === (col("y") === 1)).count() / 200.0
+    assert(acc == 1.0, s"separable data not separated: acc=$acc")
+  }
+
+  test("corpus: English target scores above non-target on average") {
+    val docs = Tables.documents(spark, sf001)
+      .withColumn("toks", toksCol)
+      .withColumn("y", (col("lang") === "en").cast("int"))
+    val m = LinearClassifier.train(docs, "toks", "y", dim = 1024, iters = 50)
+    val byLabel = docs
+      .withColumn("p", LinearClassifier.scoreCol(docs, col("toks"), m))
+      .groupBy(col("y")).agg(avg(col("p")).as("mp"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // the synthetic langs share one vocabulary and their unigram KLs
+    // are ~0.003 nats — near-uniform — so demand only the RANKING the
+    // quality filter needs (same contract as the DSIR gate), not
+    // absolute accuracy the data cannot support
+    assert(byLabel(1) > byLabel(0),
+      s"target does not outrank non-target: $byLabel")
+  }
+
+  test("corpus: a learnable frequency signal is learned (acc >= 0.95)") {
+    // plant a clean label ON REAL CORPUS ROWS: relative frequency of
+    // one token in the bottom vs top quartile (middle half dropped).
+    // This is linearly separable in the hashed-unigram feature space,
+    // so it gates learning end-to-end — real tokenization, hashing,
+    // distributed gradients — with default hyperparameters.
+    val docs = Tables.documents(spark, sf001)
+      .withColumn("toks", toksCol)
+      .withColumn("f",
+        size(filter(col("toks"), t => t === "vector")).cast("double") /
+          size(col("toks")))
+    val freqs = docs.select("f").collect().map(_.getDouble(0)).sorted
+    val lo = freqs((freqs.length * 0.25).toInt)
+    val hi = freqs((freqs.length * 0.75).toInt)
+    val labeled = docs.where(col("f") <= lo || col("f") >= hi)
+      .withColumn("y", (col("f") >= hi).cast("int"))
+    val m = LinearClassifier.train(labeled, "toks", "y",
+      dim = 1024, iters = 50)
+    val scored = labeled.withColumn("p",
+      LinearClassifier.scoreCol(labeled, col("toks"), m))
+    val n = scored.count().toDouble
+    val acc = scored.where((col("p") >= 0.5) === (col("y") === 1))
+      .count() / n
+    assert(acc >= 0.95, s"frequency signal not learned: acc=$acc")
+  }
+
+  test("decision boundary is stable across partitionings") {
+    val docs = Tables.documents(spark, sf001)
+      .withColumn("toks", toksCol)
+      .withColumn("y", (col("lang") === "en").cast("int"))
+    val m1 = LinearClassifier.train(docs.repartition(1), "toks", "y",
+      dim = 256, iters = 20)
+    val m8 = LinearClassifier.train(docs.repartition(8), "toks", "y",
+      dim = 256, iters = 20)
+    // float gradient sums reorder across partitionings, so demand the
+    // same KEPT SET at the 0.5 threshold, not bitwise weights
+    def kept(m: LinearClassifier.Model): Set[Long] = docs
+      .withColumn("p", LinearClassifier.scoreCol(docs, col("toks"), m))
+      .where(col("p") >= 0.5).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept(m1) == kept(m8), "kept set differs across partitionings")
+  }
+
+  test("degraded rows: null/empty tokens score the prior, never crash") {
+    val df = Seq((1L, Seq("a", "b"), 1), (2L, Seq("c", "d"), 0),
+      (3L, null.asInstanceOf[Seq[String]], 0), (4L, Seq.empty[String], 1))
+      .toDF("id", "toks", "y")
+    // null/empty rows are excluded from training...
+    val m = LinearClassifier.train(df, "toks", "y", dim = 16, iters = 5)
+    // ...and score sigmoid(bias) — defined, in (0, 1)
+    val ps = df.withColumn("p", LinearClassifier.scoreCol(df, col("toks"), m))
+      .where(col("id") >= 3).select("p").collect().map(_.getDouble(0))
+    assert(ps.length == 2 && ps.forall(p => p > 0.0 && p < 1.0))
+    assert(ps(0) == ps(1), "prior score must not depend on the row")
+    intercept[IllegalArgumentException](LinearClassifier.train(
+      Seq((1L, null.asInstanceOf[Seq[String]], 0)).toDF("id", "toks", "y"),
+      "toks", "y", dim = 16, iters = 1))
+  }
+}
