@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Exact top-N per key with BOUNDED partial state — the scale-correct
+  * form of `row_number() OVER (PARTITION BY key ORDER BY ord) <= n`.
+  *
+  * The window form shuffles every row of every group and sorts whole
+  * groups just to discard all but n rows; a hot key (the exact case
+  * per-domain caps exist for) becomes one reducer sorting the domain.
+  * This aggregator instead keeps a bounded buffer of the n best
+  * (ord, id) pairs, and because Aggregator merge is associative,
+  * Catalyst plans it as partial aggregation (ObjectHashAggregate
+  * partial → shuffle → final, plan-asserted in TopNSpec): each map
+  * task emits AT MOST n rows per key it saw, so the shuffle carries
+  * ≤ n·P rows per key instead of the group — at 100 TB a 10^9-row
+  * domain costs the same shuffle bytes as a 10^3-row one.
+  *
+  * Ties break by id ascending (the repo-wide determinism contract), so
+  * the kept set is a pure function of the data. The payload is
+  * recovered by joining the returned ids back against the source —
+  * ord/id travel through the aggregate, not whole rows.
+  */
+object TopNByKey {
+
+  /** One candidate: ordering value + unique tie-break id. */
+  final case class Cand(ord: Double, id: Long)
+
+  /** Encoder carrier — a bare Seq is not a Product. */
+  final case class TopNBuf(rows: Seq[Cand])
+
+  /** Bounded top-n buffer: keep the n smallest (ord, id) pairs when
+    * `asc`, largest-ord (still smallest-id tie) otherwise. The buffer
+    * is a plain unsorted vector scanned per insert — n is tens, not
+    * millions, and ObjectHashAggregate keeps it as a live object
+    * between rows (serialized only at the exchange).
+    */
+  private final class TopNAgg(n: Int, asc: Boolean)
+      extends Aggregator[Cand, TopNBuf, TopNBuf] {
+
+    /** true iff a ranks strictly better than b. */
+    private def better(a: Cand, b: Cand): Boolean = {
+      if (a.ord != b.ord) { if (asc) a.ord < b.ord else a.ord > b.ord }
+      else a.id < b.id
+    }
+
+    private def insert(buf: Seq[Cand], a: Cand): Seq[Cand] = {
+      if (a == null) buf
+      else if (buf.size < n) buf :+ a
+      else {
+        // replace the current worst if the new row beats it
+        var worst = 0
+        var i = 1
+        while (i < buf.size) { if (better(buf(worst), buf(i))) worst = i; i += 1 }
+        if (better(a, buf(worst))) buf.updated(worst, a) else buf
+      }
+    }
+
+    override def zero: TopNBuf = TopNBuf(Vector.empty)
+
+    override def reduce(b: TopNBuf, a: Cand): TopNBuf = TopNBuf(insert(b.rows, a))
+
+    override def merge(x: TopNBuf, y: TopNBuf): TopNBuf =
+      TopNBuf(y.rows.foldLeft(x.rows)(insert))
+
+    override def finish(b: TopNBuf): TopNBuf = TopNBuf(b.rows.sortWith(better))
+
+    override def bufferEncoder: Encoder[TopNBuf] = Encoders.product[TopNBuf]
+    override def outputEncoder: Encoder[TopNBuf] = Encoders.product[TopNBuf]
+  }
+
+  /** Top-n rows per key. Returns `(keyCols…, rk, id, ord)` with rk
+    * 1-based in rank order — join `id` back to the source for payload
+    * columns.
+    *
+    * @param ord numeric ordering column (cast to double — exact for
+    *            integers up to 2^53)
+    * @param id  unique Long tie-break / payload key
+    * @param asc false = largest ord first (caps "keep the best")
+    */
+  def topN(df: DataFrame, keyCols: Seq[String], ord: Column, id: Column,
+      n: Int, asc: Boolean = true): DataFrame = {
+    require(n > 0, s"n must be > 0: $n")
+    val keys = keyCols.map(col)
+    val agg = udaf(new TopNAgg(n, asc), Encoders.product[Cand])
+    df.groupBy(keys: _*)
+      .agg(agg(ord.cast("double"), id.cast("long")).as("__top"))
+      .select((keys :+ posexplode(col("__top.rows")).as(Seq("__pos", "__c"))): _*)
+      .select((keys :+ (col("__pos") + 1).cast("int").as("rk")) ++
+        Seq(col("__c.id").as("id"), col("__c.ord").as("ord")): _*)
+  }
+}

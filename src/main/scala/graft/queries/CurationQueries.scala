@@ -327,24 +327,23 @@ object CurationQueries {
     * n_chars descending with doc_id tie-break (length is the standard
     * cheap quality proxy; swap in any per-doc score).
     *
-    * Scale shape: one shuffle on `source` + per-group sort for the
-    * window rank. cap ≪ group size means almost all of the sorted rows
-    * are discarded; when a domain is huge (the exact case caps exist
-    * for), pre-prune map-side with an approximate per-domain n_chars
-    * threshold (approx_percentile at 1 - cap/count) so the window sees
-    * ~cap·(1+ε) rows per domain instead of the full domain — same
-    * two-phase trick as [[graft.operators.Skew]]. The output is
+    * Scale shape: [[graft.operators.TopNByKey]] — NOT the window
+    * row_number form the oracle SQL uses. The window shuffles and
+    * sorts every row of every domain just to discard all but cap; the
+    * bounded-buffer aggregate emits ≤ cap rows per domain from each
+    * map task (partial ObjectHashAggregate, plan-asserted in
+    * TopNSpec), so a hot domain — the exact case caps exist for —
+    * costs the same shuffle bytes as a tiny one. Equivalence of the
+    * two forms is what this query's oracle checks. Output is
     * cap × |domains| rows, always driver-safe.
     */
   def domainCapSample(spark: SparkSession, dir: String): DataFrame = {
     val cap = 15
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("source"))
-      .orderBy(col("n_chars").desc, col("doc_id"))
-    Tables.documents(spark, dir)
-      .select(col("source"), col("doc_id"), col("n_chars"))
-      .withColumn("rk", row_number().over(w))
-      .where(col("rk") <= cap)
+    graft.operators.TopNByKey.topN(
+        Tables.documents(spark, dir), Seq("source"),
+        ord = col("n_chars"), id = col("doc_id"), n = cap, asc = false)
+      .select(col("source"), col("id").as("doc_id"),
+        col("ord").cast("long").as("n_chars"), col("rk"))
       .orderBy(col("source"), col("rk"))
   }
 
