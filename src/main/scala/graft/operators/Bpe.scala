@@ -85,11 +85,21 @@ object Bpe {
     merges.result()
   }
 
+  /** Merge table → pair-rank lookup, built ONCE and broadcast/shared by
+    * encode callers (a per-row toMap in a UDF would rebuild it per
+    * token).
+    */
+  def rankMap(merges: Seq[Merge]): Map[(String, String), Int] =
+    merges.map(m => (m.left, m.right) -> m.rank).toMap
+
   /** Apply a merge table to one word (greedy lowest-rank-first, the BPE
     * inference rule). Driver/UDF-sized helper for tests and scoring.
     */
-  def encodeWord(word: String, merges: Seq[Merge]): Seq[String] = {
-    val rank = merges.map(m => (m.left, m.right) -> m.rank).toMap
+  def encodeWord(word: String, merges: Seq[Merge]): Seq[String] =
+    encodeWordRanked(word, rankMap(merges))
+
+  def encodeWordRanked(word: String,
+      rank: Map[(String, String), Int]): Seq[String] = {
     var syms = word.map(_.toString).toVector
     var continue = syms.length > 1
     while (continue) {

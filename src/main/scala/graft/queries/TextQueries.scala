@@ -606,16 +606,51 @@ object TextQueries {
     * iterative merge loop is not SQL-expressible → rows-only gate;
     * the algorithm itself is hand-verified in BpeSpec.
     */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .withColumn("toks", tokens(col("text")))
-    val merges = graft.operators.Bpe.train(docs, "toks", numMerges = 20)
-    graft.operators.Bpe.mergesDf(spark, merges)
+  /** Merge table trained once per (JVM, sfDir) — the same build-once
+    * treatment as the IVF index and PQ codebooks; `bpe_merges` exposes
+    * it, `bpe_token_stats` applies it.
+    */
+  private val bpeModels =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[graft.operators.Bpe.Merge]]
+
+  def bpeModel(spark: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] =
+    bpeModels.getOrElseUpdate(dir, {
+      val docs = Tables.documents(spark, dir)
+        .withColumn("toks", tokens(col("text")))
+      graft.operators.Bpe.train(docs, "toks", numMerges = 20)
+    })
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.mergesDf(spark, bpeModel(spark, dir))
       .orderBy(col("rank"))
+
+  /** The trained tokenizer APPLIED corpus-wide: encode every word with
+    * the broadcast merge table (the runtime BPE rule — greedy
+    * lowest-rank-first), then per-source compression stats: words,
+    * BPE symbols, avg symbols/word. Map-side encode + one bounded
+    * groupBy; at 100 TB the merge table is KBs broadcast and the UDF
+    * is the same per-token work a production tokenizer does. Rows-only
+    * (the encode rule is not SQL-expressible); encodeWord is
+    * hand-gated in BpeSpec.
+    */
+  def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
+    val rank = graft.operators.Bpe.rankMap(bpeModel(spark, dir))
+    val bc = spark.sparkContext.broadcast(rank)
+    val nSyms = udf((w: String) =>
+      graft.operators.Bpe.encodeWordRanked(w, bc.value).length)
+    Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("w"))
+      .withColumn("n_syms", nSyms(col("w")))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_bpe_symbols"),
+        round(avg(col("n_syms")), 4).as("avg_syms_per_word"))
+      .orderBy(col("source"))
   }
 
   def defs: Map[String, QueryDef] = Map(
     "bpe_merges" -> QueryDef(bpeMerges, None),
+    "bpe_token_stats" -> QueryDef(bpeTokenStats, None),
     "bigram_lm_top" -> QueryDef(bigramLmTop, Some(bigramLmTopSql)),
     "doc_logprob_score" -> QueryDef(logprobScore, Some(logprobScoreSql)),
     "hashed_tf" -> QueryDef(hashedTf, Some(hashedTfSql)),
