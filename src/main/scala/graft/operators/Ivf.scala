@@ -473,24 +473,23 @@ object Ivf {
       .toDF("query_id", "qe")
       .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
 
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("distance").asc_nulls_last, col(idCol))
     val pruned = liveRows(spark, index,
       spark.read.parquet(index.vectorsPath)
         .where(col("shard_id").isin(shards: _*)),
       idCol)
     // same filtered-search contract as single-query search: the
     // predicate narrows candidates inside the pruned scan (pushed to
-    // the reader), BEFORE per-query ranking
-    filter.map(pruned.where).getOrElse(pruned)
+    // the reader), BEFORE per-query ranking. Per-query top-k is the
+    // bounded-state aggregate, not a window: each map task emits ≤ k
+    // rows per query BEFORE the shuffle, so the exchange carries
+    // ≤ k·P rows per query instead of every probed candidate.
+    val candidates = filter.map(pruned.where).getOrElse(pruned)
       .join(broadcast(probeDf), Seq("centroid_id"))
       .join(broadcast(queryDf), Seq("query_id"))
       .withColumn("distance", graft.functions.Vec.squaredL2(col(embCol), col("qe")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"),
-        col(idCol).as("external_id"), col("distance"))
+    TopNByKey.topN(candidates, Seq("query_id"), col("distance"), col(idCol), k)
+      .select(col("query_id"), col("rk").as("rank"),
+        col("id").as("external_id"), col("ord").as("distance"))
   }
 
   /** Distributed ANN JOIN: top-k nearest indexed vectors for EVERY row
@@ -533,16 +532,17 @@ object Ivf {
     val probed = queries
       .select(col(qidCol), col(qembCol))
       .withColumn("centroid_id", explode(probeUdf(col(qembCol))))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(qidCol)
-      .orderBy(col("distance").asc_nulls_last, col(idCol))
-    liveRows(spark, index, spark.read.parquet(index.vectorsPath), idCol)
-      .join(probed, Seq("centroid_id"))
-      .withColumn("distance",
-        graft.functions.Vec.squaredL2(col(embCol), col(qembCol)))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col(qidCol), col("rank"),
-        col(idCol).as("external_id"), col("distance"))
+    // bounded-state per-query top-k (see searchBatch): the post-join
+    // exchange on the query id carries ≤ k·P rows per query, which is
+    // what keeps a hot query (or a hot probed cell fanning out to many
+    // queries) from becoming one reducer sorting its whole candidate set
+    val candidates =
+      liveRows(spark, index, spark.read.parquet(index.vectorsPath), idCol)
+        .join(probed, Seq("centroid_id"))
+        .withColumn("distance",
+          graft.functions.Vec.squaredL2(col(embCol), col(qembCol)))
+    TopNByKey.topN(candidates, Seq(qidCol), col("distance"), col(idCol), k)
+      .select(col(qidCol), col("rk").as("rank"),
+        col("id").as("external_id"), col("ord").as("distance"))
   }
 }

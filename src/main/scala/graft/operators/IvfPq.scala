@@ -160,20 +160,19 @@ object IvfPq {
     val shards = probeLut.map(p => ivf.centroidToShard(p._2)).distinct
     val probedCentroids = probeLut.map(_._2).distinct
     val lutDf = probeLut.toDF("query_id", "centroid_id", "lut")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("distance").asc_nulls_last, col(idCol))
     // same contract as the single-query path: the union of probed cells
-    // is a pushed scan predicate, the join only fans rows out per query
-    Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
+    // is a pushed scan predicate, the join only fans rows out per query.
+    // Per-query top-k is the bounded-state aggregate (TopNByKey), so
+    // each map task emits ≤ k rows per query before the exchange.
+    val candidates = Ivf.liveRows(spark, ivf,
+        spark.read.parquet(codesPath), idCol)
       .where(col("shard_id").isin(shards: _*) &&
         col("centroid_id").isin(probedCentroids: _*))
       .join(broadcast(lutDf), Seq("centroid_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"),
-        col(idCol).as("external_id"), col("distance"))
+    TopNByKey.topN(candidates, Seq("query_id"), col("distance"), col(idCol), k)
+      .select(col("query_id"), col("rk").as("rank"),
+        col("id").as("external_id"), col("ord").as("distance"))
   }
 
   /** Refined search (faiss `IndexRefineFlat`): take a shortlist of
@@ -242,18 +241,16 @@ object IvfPq {
       }.toSeq
       (qid, lut)
     }.toDF("query_id", "lut")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("query_id"))
-      .orderBy(col("distance").asc_nulls_last, col(idCol))
-    Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
+    // bounded-state per-query top-k — see searchBatchResidual
+    val candidates = Ivf.liveRows(spark, ivf,
+        spark.read.parquet(codesPath), idCol)
       .where(col("shard_id").isin(shards: _*))
       .join(broadcast(probeDf), Seq("centroid_id"))
       .join(broadcast(lutDf), Seq("query_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"),
-        col(idCol).as("external_id"), col("distance"))
+    TopNByKey.topN(candidates, Seq("query_id"), col("distance"), col(idCol), k)
+      .select(col("query_id"), col("rk").as("rank"),
+        col("id").as("external_id"), col("ord").as("distance"))
   }
 
   /** Top-k by ADC over the probe-pruned coded dataset. */

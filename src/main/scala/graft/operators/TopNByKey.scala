@@ -25,8 +25,13 @@ import org.apache.spark.sql.functions._
   */
 object TopNByKey {
 
-  /** One candidate: ordering value + unique tie-break id. */
-  final case class Cand(ord: Double, id: Long)
+  /** One candidate: ordering value + unique tie-break id. `ord` is
+    * optional so NULL ordering values (degraded rows — ragged/null
+    * embeddings yield NULL distances) rank LAST in either direction,
+    * matching the repo-wide `asc_nulls_last` window contract, instead
+    * of silently decoding to 0.0 and ranking first.
+    */
+  final case class Cand(ord: Option[Double], id: Long)
 
   /** Encoder carrier — a bare Seq is not a Product. */
   final case class TopNBuf(rows: Seq[Cand])
@@ -40,10 +45,12 @@ object TopNByKey {
   private final class TopNAgg(n: Int, asc: Boolean)
       extends Aggregator[Cand, TopNBuf, TopNBuf] {
 
-    /** true iff a ranks strictly better than b. */
-    private def better(a: Cand, b: Cand): Boolean = {
-      if (a.ord != b.ord) { if (asc) a.ord < b.ord else a.ord > b.ord }
-      else a.id < b.id
+    /** true iff a ranks strictly better than b (nulls last, ties by id). */
+    private def better(a: Cand, b: Cand): Boolean = (a.ord, b.ord) match {
+      case (Some(x), Some(y)) if x != y => if (asc) x < y else x > y
+      case (Some(_), None) => true
+      case (None, Some(_)) => false
+      case _ => a.id < b.id
     }
 
     private def insert(buf: Seq[Cand], a: Cand): Seq[Cand] = {

@@ -48,13 +48,16 @@ object VectorQueries {
     val emb = Tables.embeddings(spark, dir)
     val queries = emb.where(col("vec_id") < nq)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("distance"), col("vec_id"))
-    emb.crossJoin(broadcast(queries))
+    // per-query top-k via the bounded-state aggregate: the broadcast
+    // cross-join fans out n·nq candidate rows, of which each map task
+    // forwards ≤ k per query — the exchange carries k·nq·P rows, not
+    // the fan-out (at 100 TB the window form would shuffle n·nq rows)
+    val candidates = emb.crossJoin(broadcast(queries))
       .withColumn("distance", Vec.squaredL2(col("embedding"), col("qe")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("vec_id"), col("distance"))
+    graft.operators.TopNByKey
+      .topN(candidates, Seq("query_id"), col("distance"), col("vec_id"), k)
+      .select(col("query_id"), col("rk").as("rank"),
+        col("id").as("vec_id"), col("ord").as("distance"))
   }
 
   private def knnBatchSql(nq: Int, k: Int): String =
