@@ -302,12 +302,27 @@ object CurationQueries {
     * non-target on the corpus, boundary stability across partitionings
     * — is gated in ClassifierSpec.
     */
+  /** Classifier trained once per (JVM, sfDir) — shared by the batch
+    * stats query and the streaming scoring path (the production shape:
+    * train offline, score everywhere).
+    */
+  private val clfModels = scala.collection.concurrent.TrieMap
+    .empty[String, graft.operators.LinearClassifier.Model]
+
+  def classifierModel(spark: SparkSession,
+      dir: String): graft.operators.LinearClassifier.Model =
+    clfModels.getOrElseUpdate(dir, {
+      val docs = Tables.documents(spark, dir)
+        .withColumn("toks", tokens(col("text")))
+      graft.operators.LinearClassifier.train(
+        docs.withColumn("is_target", (col("lang") === "en").cast("int")),
+        "toks", labelCol = "is_target", dim = 1024, iters = 50)
+    })
+
   def qualityClassifierStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .withColumn("toks", tokens(col("text")))
-    val model = graft.operators.LinearClassifier.train(
-      docs.withColumn("is_target", (col("lang") === "en").cast("int")),
-      "toks", labelCol = "is_target", dim = 1024, iters = 50)
+    val model = classifierModel(spark, dir)
     docs
       .withColumn("p", graft.operators.LinearClassifier
         .scoreCol(docs, col("toks"), model))

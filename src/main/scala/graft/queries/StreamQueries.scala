@@ -64,6 +64,11 @@ object StreamQueries {
     "stream_ann_search" -> QueryDef(
       graft.streaming.VectorsStreaming.annSearchQuery,
       Some(IndexQueries.annJoinTopKSql), bench = false),
+    // trained-model scores are not SQL-expressible → rows-only; the
+    // StreamingSpec gate asserts stream == batch scoring exactly
+    "stream_quality_scores" -> QueryDef(
+      graft.streaming.DocsStreaming.qualityScoresQuery, None,
+      bench = false),
     "multimodal_stats" -> QueryDef(
       Multimodal.stats, Some(multimodalStatsSql)),
     "multimodal_feature_pairs" -> QueryDef(

@@ -87,4 +87,25 @@ object DocsStreaming {
       OutputMode.Append())
       .dropDuplicates("a_id", "b_id")
       .orderBy(col("a_id"), col("b_id"))
+
+  /** Stateless streaming quality scoring: each arriving document is
+    * scored map-side with the broadcast classifier trained ONCE on the
+    * static corpus ([[graft.queries.CurationQueries.classifierModel]])
+    * — the filter-the-crawl-as-it-lands shape. Zero streaming state, so
+    * micro-batch boundaries cannot change any score; StreamingSpec
+    * asserts the stream output EQUALS the batch scoring of the same
+    * table with the same model.
+    */
+  def qualityScoresQuery(spark: SparkSession, dir: String): DataFrame = {
+    val model = graft.queries.CurationQueries.classifierModel(spark, dir)
+    val docs = readDocs(spark, dir)
+      .withColumn("toks", graft.queries.TextQueries.tokens(col("text")))
+    val scored = docs
+      .withColumn("p", graft.operators.LinearClassifier
+        .scoreCol(docs, col("toks"), model))
+      .select(col("doc_id"), col("lang"), round(col("p"), 6).as("p"))
+    EventsStreaming.runToCompletion(spark, scored,
+      s"stream_quality_${math.abs(dir.hashCode)}", OutputMode.Append())
+      .orderBy(col("doc_id"))
+  }
 }

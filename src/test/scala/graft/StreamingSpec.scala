@@ -169,6 +169,23 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(5)}; batch-only: ${(batch -- streamed).take(5)}")
   }
 
+  test("streaming quality scores equal the batch scoring exactly") {
+    import graft.streaming.DocsStreaming
+    import graft.queries.{CurationQueries, TextQueries}
+    val model = CurationQueries.classifierModel(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+      .withColumn("toks", TextQueries.tokens(col("text")))
+    val batch = docs
+      .withColumn("p", graft.operators.LinearClassifier
+        .scoreCol(docs, col("toks"), model))
+      .select(col("doc_id"), round(col("p"), 6).as("p"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    val streamed = DocsStreaming.qualityScoresQuery(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(3)}")
+  }
+
   test("multimodal assets carry binary payloads with typed metadata") {
     val df = Multimodal.assets(spark, sf0001)
     val schema = df.schema
