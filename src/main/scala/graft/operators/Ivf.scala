@@ -443,9 +443,9 @@ object Ivf {
     * per-query probes are computed on the driver against the broadcast
     * routing table, the union of probed (query, centroid) pairs becomes a
     * broadcast join against the vectors dataset (directory-pruned to the
-    * union of shards), and per-query top-k is a window rank. One scan of
-    * the big table serves every query — at 100 TB this is the difference
-    * between nq scans and one.
+    * union of shards), and per-query top-k is the bounded-state
+    * [[TopNByKey]] aggregate. One scan of the big table serves every
+    * query — at 100 TB this is the difference between nq scans and one.
     *
     * @param queries (query_id: Long, embedding: Array[Float]) pairs;
     *                must be driver-sized (it is broadcast)
@@ -501,7 +501,8 @@ object Ivf {
     * to its nProbe nearest centroids map-side (broadcast routing table,
     * the same assignment kernel as build), then a shuffle hash-join on
     * `centroid_id` co-locates each query replica with exactly the
-    * indexed rows of its probed cells, and per-query top-k is a window.
+    * indexed rows of its probed cells, and per-query top-k is the
+    * bounded-state [[TopNByKey]] aggregate.
     * Cost at 100 TB: queries replicate ×nProbe (small side of the
     * shuffle), the index side shuffles each cell once per epoch of
     * queries probing it — never a dense cross-join. A hot centroid is a

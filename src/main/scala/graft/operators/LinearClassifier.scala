@@ -68,7 +68,11 @@ object LinearClassifier {
     // sparse features, not the text
     val data = df
       .select(col(tokensCol), col(labelCol).cast("int"))
-      .where(col(tokensCol).isNotNull && size(col(tokensCol)) > 0)
+      // null labels (e.g. a NULL lang column) are excluded like null
+      // token arrays — a clean degraded-row contract, not an executor
+      // NPE at getInt
+      .where(col(tokensCol).isNotNull && size(col(tokensCol)) > 0 &&
+        col(labelCol).isNotNull)
       .rdd
       .map { r =>
         val (idx, v) = features(r.getSeq[String](0), dim)

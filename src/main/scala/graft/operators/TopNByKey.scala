@@ -45,24 +45,46 @@ object TopNByKey {
   private final class TopNAgg(n: Int, asc: Boolean)
       extends Aggregator[Cand, TopNBuf, TopNBuf] {
 
-    /** true iff a ranks strictly better than b (nulls last, ties by id). */
+    /** true iff a ranks strictly better than b (nulls last, ties by id).
+      * Doubles compare via `java.lang.Double.compare`, the total order
+      * Spark's own sort uses — NaN is greatest (last under asc, first
+      * under desc, exactly like the window ordering it replaces), and
+      * the comparator stays transitive so a NaN candidate can neither
+      * freeze the buffer nor break the final sort.
+      */
     private def better(a: Cand, b: Cand): Boolean = (a.ord, b.ord) match {
-      case (Some(x), Some(y)) if x != y => if (asc) x < y else x > y
+      case (Some(x), Some(y)) =>
+        val c = java.lang.Double.compare(x, y)
+        if (c != 0) { if (asc) c < 0 else c > 0 } else a.id < b.id
       case (Some(_), None) => true
       case (None, Some(_)) => false
       case _ => a.id < b.id
     }
 
+    /** Binary-search position of `a` in best-first-sorted `buf`. */
+    private def insertPos(buf: Seq[Cand], a: Cand): Int = {
+      var lo = 0
+      var hi = buf.size
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (better(buf(mid), a)) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+
+    /** The buffer is kept sorted best-first, so the steady-state per-row
+      * cost is ONE comparison against the current worst (O(1) reject);
+      * an accepted candidate pays an O(log n) position search + one
+      * vector copy, which happens only ~n·ln(rows/n) times per task.
+      * This keeps large k (maxK is 10,000 on the ANN paths) from
+      * degrading to an O(rows·k) scan.
+      */
     private def insert(buf: Seq[Cand], a: Cand): Seq[Cand] = {
       if (a == null) buf
-      else if (buf.size < n) buf :+ a
-      else {
-        // replace the current worst if the new row beats it
-        var worst = 0
-        var i = 1
-        while (i < buf.size) { if (better(buf(worst), buf(i))) worst = i; i += 1 }
-        if (better(a, buf(worst))) buf.updated(worst, a) else buf
-      }
+      else if (buf.size < n) buf.patch(insertPos(buf, a), Seq(a), 0)
+      else if (better(a, buf.last))
+        buf.patch(insertPos(buf, a), Seq(a), 0).dropRight(1)
+      else buf
     }
 
     override def zero: TopNBuf = TopNBuf(Vector.empty)
@@ -70,9 +92,11 @@ object TopNByKey {
     override def reduce(b: TopNBuf, a: Cand): TopNBuf = TopNBuf(insert(b.rows, a))
 
     override def merge(x: TopNBuf, y: TopNBuf): TopNBuf =
-      TopNBuf(y.rows.foldLeft(x.rows)(insert))
+      if (x.rows.size >= y.rows.size) TopNBuf(y.rows.foldLeft(x.rows)(insert))
+      else TopNBuf(x.rows.foldLeft(y.rows)(insert))
 
-    override def finish(b: TopNBuf): TopNBuf = TopNBuf(b.rows.sortWith(better))
+    // the buffer is maintained in rank order — finish is the identity
+    override def finish(b: TopNBuf): TopNBuf = b
 
     override def bufferEncoder: Encoder[TopNBuf] = Encoders.product[TopNBuf]
     override def outputEncoder: Encoder[TopNBuf] = Encoders.product[TopNBuf]

@@ -638,13 +638,21 @@ object TextQueries {
     val bc = spark.sparkContext.broadcast(rank)
     val nSyms = udf((w: String) =>
       graft.operators.Bpe.encodeWordRanked(w, bc.value).length)
+    // encode each DISTINCT (source, word) once and weight by count —
+    // the corpus is Zipf-distributed, so per-occurrence encoding would
+    // re-run the merge loop millions of times on the same few words
+    // (the same word-count shape Bpe.train itself consumes). Integer
+    // (n_syms × count) sums also make the ratio bit-deterministic.
     Tables.documents(spark, dir)
       .select(col("source"), explode(tokens(col("text"))).as("w"))
-      .withColumn("n_syms", nSyms(col("w")))
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n_syms", nSyms(col("w")).cast("long"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_words"),
-        sum(col("n_syms")).as("n_bpe_symbols"),
-        round(avg(col("n_syms")), 4).as("avg_syms_per_word"))
+      .agg(sum(col("c")).as("n_words"),
+        sum(col("n_syms") * col("c")).as("n_bpe_symbols"),
+        round(sum(col("n_syms") * col("c")).cast("double")
+          / sum(col("c")), 4).as("avg_syms_per_word"))
       .orderBy(col("source"))
   }
 

@@ -92,6 +92,11 @@ class ClassifierSpec extends SparkSpec {
     val df = Seq((1L, Seq("a", "b"), 1), (2L, Seq("c", "d"), 0),
       (3L, null.asInstanceOf[Seq[String]], 0), (4L, Seq.empty[String], 1))
       .toDF("id", "toks", "y")
+    // a NULL label with usable tokens is excluded, not an executor NPE
+    val withNullLabel = df.unionByName(
+      Seq((5L, Seq("e", "f"))).toDF("id", "toks")
+        .withColumn("y", lit(null).cast("int")))
+    LinearClassifier.train(withNullLabel, "toks", "y", dim = 16, iters = 2)
     // null/empty rows are excluded from training...
     val m = LinearClassifier.train(df, "toks", "y", dim = 16, iters = 5)
     // ...and score sigmoid(bias) — defined, in (0, 1)

@@ -58,6 +58,25 @@ class TopNSpec extends SparkSpec {
     assert(got == Set(("a", 1, 2L), ("a", 2, 1L), ("b", 1, 9L)))
   }
 
+  test("NaN ordering values rank last under asc and cannot freeze the buffer") {
+    // java.lang.Double.compare total order: NaN > any value, so under
+    // asc a NaN candidate ranks after every real distance (the window's
+    // behavior) — and a NaN arriving FIRST must still be evicted by
+    // later, better candidates (a naive x<y comparator would make NaN
+    // incomparable and freeze the top-k at the first k arrivals)
+    val df = Seq((1L, Double.NaN, "k"), (2L, 5.0, "k"), (3L, 1.0, "k"),
+      (4L, 3.0, "k")).toDF("id", "v", "k")
+    val got = TopNByKey.topN(df.coalesce(1), Seq("k"), col("v"), col("id"),
+        n = 2, asc = true)
+      .orderBy(col("rk")).collect().map(_.getLong(2))
+    assert(got.toSeq == Seq(3L, 4L), s"NaN corrupted the buffer: ${got.toSeq}")
+    // with room, NaN is kept but ranked last
+    val all = TopNByKey.topN(df.coalesce(1), Seq("k"), col("v"), col("id"),
+        n = 10, asc = true)
+      .orderBy(col("rk")).collect().map(_.getLong(2))
+    assert(all.toSeq == Seq(3L, 4L, 2L, 1L))
+  }
+
   test("result is partitioning-independent") {
     val docs = Tables.documents(spark, sf001)
     def run(p: Int): Set[(String, Int, Long)] =
