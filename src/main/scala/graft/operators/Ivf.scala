@@ -510,12 +510,23 @@ object Ivf {
     * re-usable across the queries that probe it).
     *
     * @param queries DataFrame with (`qidCol`, `qembCol`) columns;
-    *   distributed — any size.
+    *   distributed — any size. Extra columns pass through to
+    *   `pairFilter` (rename them to avoid clashing with index-side
+    *   names).
+    * @param pairFilter optional predicate over JOINED (query, index)
+    *   row pairs, applied before ranking — so the top-k is the true
+    *   filtered answer, the same contract as filtered single-query
+    *   search. Unlike `search`'s filter it may reference BOTH sides:
+    *   e.g. `col("label") =!= col("q_label")` mines hard negatives
+    *   (nearest vectors of a DIFFERENT class — the contrastive-
+    *   training primitive). Executes as part of the join stage,
+    *   map-side after the hash probe, never on a materialized top-k.
     * @return (`qidCol`, rank, external_id, distance), rank 1..k per query
     */
   def annJoin(queries: DataFrame, index: Index, k: Int, nProbe: Int,
       qidCol: String = "query_id", qembCol: String = "qe",
-      idCol: String = "vec_id", embCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", embCol: String = "embedding",
+      pairFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(k > 0, "k must be > 0")
     require(nProbe > 0, "n_probe must be > 0")
     val spark = queries.sparkSession
@@ -530,18 +541,19 @@ object Ivf {
         .take(np)
         .map(_._1)
     })
+    // all query columns ride along so pairFilter can see them
     val probed = queries
-      .select(col(qidCol), col(qembCol))
       .withColumn("centroid_id", explode(probeUdf(col(qembCol))))
     // bounded-state per-query top-k (see searchBatch): the post-join
     // exchange on the query id carries ≤ k·P rows per query, which is
     // what keeps a hot query (or a hot probed cell fanning out to many
     // queries) from becoming one reducer sorting its whole candidate set
-    val candidates =
+    val joined =
       liveRows(spark, index, spark.read.parquet(index.vectorsPath), idCol)
         .join(probed, Seq("centroid_id"))
-        .withColumn("distance",
-          graft.functions.Vec.squaredL2(col(embCol), col(qembCol)))
+    val candidates = pairFilter.map(joined.where).getOrElse(joined)
+      .withColumn("distance",
+        graft.functions.Vec.squaredL2(col(embCol), col(qembCol)))
     TopNByKey.topN(candidates, Seq(qidCol), col("distance"), col(idCol), k)
       .select(col(qidCol), col("rk").as("rank"),
         col("id").as("external_id"), col("ord").as("distance"))

@@ -122,6 +122,42 @@ object IndexQueries {
       |SELECT query_id, rank, vec_id AS external_id, distance
       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** Hard-negative mining: for each query vector, the top-3 nearest
+    * indexed vectors of a DIFFERENT class — the contrastive-training
+    * data primitive (triplet/InfoNCE negatives), expressed as
+    * [[Ivf.annJoin]] with a pair filter over both sides. The filter
+    * runs before ranking, so the result is the true filtered top-k.
+    * Probe-all ⇒ exact ⇒ brute-force filtered window oracle.
+    */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val queries = Tables.embeddings(spark, dir)
+      .where(col("vec_id") >= 480 && col("vec_id") < 500)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("q_label"))
+    Ivf.annJoin(queries, idx, k = 3, nProbe = 10000,
+        pairFilter = Some(col("label") =!= col("q_label")))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val hardNegativesSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qe, label AS q_label
+      |  FROM embeddings WHERE vec_id >= 480 AND vec_id < 500),
+      |d AS (
+      |  SELECT q.query_id, e.vec_id,
+      |    list_reduce(list_transform(list_zip(e.embedding, q.qe),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+      |      (a, b) -> a + b) AS distance
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.label <> q.q_label),
+      |r AS (
+      |  SELECT query_id, vec_id, distance,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+      |  FROM d)
+      |SELECT query_id, rank, vec_id AS external_id, distance
+      |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
+
   /** Reference-default search: k=10, n_probe=20 (src/api.rs:33-43).
     * Approximate → rows-only driver check; recall gates live in ScalaTest.
     */
@@ -390,6 +426,7 @@ object IndexQueries {
     "ivf_range_search" -> QueryDef(rangeSearchAll, Some(rangeSearchAllSql)),
     "ivf_search_filtered" -> QueryDef(searchFilteredAll, Some(searchFilteredAllSql)),
     "ann_join_topk" -> QueryDef(annJoinTopK, Some(annJoinTopKSql)),
+    "ann_hard_negatives" -> QueryDef(hardNegatives, Some(hardNegativesSql)),
     "ivf_search_default" -> QueryDef(searchDefault, None),
     "ivf_search_batch_all" -> QueryDef(searchBatchProbeAll, Some(searchBatchProbeAllSql)),
     "ivf_search_batch_default" -> QueryDef(searchBatchDefault, None),

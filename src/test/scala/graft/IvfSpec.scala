@@ -140,6 +140,33 @@ class IvfSpec extends SparkSpec {
       s"pruned ANN join recall@1 too low: $hits/${qs.length}")
   }
 
+  test("ANN join pair filter: true filtered top-k over both sides") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001)
+    val qDf = emb.where(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("q_label"))
+    val got = Ivf.annJoin(qDf, index, k = 3, nProbe = 10000,
+        pairFilter = Some(col("label") =!= col("q_label")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val labels = emb.select(col("vec_id"), col("label"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every returned neighbor really is a different class…
+    got.foreach { case (qid, _, nid) =>
+      assert(labels(nid) != labels(qid), s"same-label pair ($qid, $nid)")
+    }
+    // …and it is the true filtered top-k, not top-k-then-filter:
+    // brute-force over the off-class subset must agree exactly
+    val qs = embAll.filter(_._1 < 8L)
+    val expected = qs.flatMap { case (qid, qv) =>
+      embAll.filter(e => labels(e._1) != labels(qid))
+        .map(e => (e._1, graft.operators.KMeans.sqDist(qv, e._2)))
+        .sortBy(p => (p._2, p._1)).take(3).zipWithIndex
+        .map { case ((nid, _), i) => (qid, i + 1, nid) }
+    }.sortBy(t => (t._1, t._2))
+    assert(got.sortBy(t => (t._1, t._2)).toSeq == expected.toSeq)
+  }
+
   test("range search: probe-all equals brute force; pruned is a subset") {
     val q = embAll.find(_._1 == 0L).get._2
     val radius = 1.8
