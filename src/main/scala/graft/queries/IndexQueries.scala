@@ -158,6 +158,69 @@ object IndexQueries {
       |SELECT query_id, rank, vec_id AS external_id, distance
       |FROM r WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin
 
+  /** kNN label prediction: each query vector takes the MAJORITY label
+    * of its 10 nearest indexed neighbors (self excluded) — the
+    * embedding-space auto-labeling / label-propagation primitive a
+    * training pipeline uses to label unlabeled data from a labeled
+    * seed set. Two bounded aggregations after the ANN join: votes per
+    * (query, label), then argmax with deterministic ties (votes desc,
+    * label asc). Probe-all ⇒ the neighbor sets are exact ⇒ the whole
+    * chain is a DuckDB window oracle.
+    */
+  def knnLabelPredict(spark: SparkSession, dir: String): DataFrame = {
+    val idx = index(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val queries = emb
+      .where(col("vec_id") >= 480 && col("vec_id") < 500)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("true_label"))
+    val neighbors = Ivf.annJoin(queries, idx, k = 10, nProbe = 10000,
+      pairFilter = Some(col("vec_id") =!= col("query_id"))) // self excluded
+    val labels = emb.select(col("vec_id").as("external_id"),
+      col("label").as("n_label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("n_votes").desc, col("n_label"))
+    neighbors
+      .join(labels, Seq("external_id")) // co-bounded: 20 queries × 10
+      .groupBy(col("query_id"), col("n_label"))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .join(broadcast(queries.select(col("query_id"), col("true_label"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("true_label"),
+        col("n_label").as("pred_label"), col("n_votes"))
+      .orderBy(col("query_id"))
+  }
+
+  private val knnLabelPredictSql: String =
+    """WITH q AS (
+      |  SELECT vec_id AS query_id, embedding AS qe, label AS true_label
+      |  FROM embeddings WHERE vec_id >= 480 AND vec_id < 500),
+      |d AS (
+      |  SELECT q.query_id, e.vec_id, e.label AS n_label,
+      |    list_reduce(list_transform(list_zip(e.embedding, q.qe),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+      |      (a, b) -> a + b) AS distance
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id <> q.query_id),
+      |nn AS (
+      |  SELECT query_id, vec_id, n_label,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+      |  FROM d),
+      |votes AS (
+      |  SELECT query_id, n_label, count(*) AS n_votes
+      |  FROM nn WHERE rank <= 10 GROUP BY 1, 2),
+      |best AS (
+      |  SELECT query_id, n_label, n_votes,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY n_votes DESC, n_label) AS rk
+      |  FROM votes)
+      |SELECT b.query_id, q.true_label, b.n_label AS pred_label, b.n_votes
+      |FROM best b JOIN q ON b.query_id = q.query_id
+      |WHERE b.rk = 1 ORDER BY b.query_id""".stripMargin
+
   /** Reference-default search: k=10, n_probe=20 (src/api.rs:33-43).
     * Approximate → rows-only driver check; recall gates live in ScalaTest.
     */
@@ -427,6 +490,7 @@ object IndexQueries {
     "ivf_search_filtered" -> QueryDef(searchFilteredAll, Some(searchFilteredAllSql)),
     "ann_join_topk" -> QueryDef(annJoinTopK, Some(annJoinTopKSql)),
     "ann_hard_negatives" -> QueryDef(hardNegatives, Some(hardNegativesSql)),
+    "knn_label_predict" -> QueryDef(knnLabelPredict, Some(knnLabelPredictSql)),
     "ivf_search_default" -> QueryDef(searchDefault, None),
     "ivf_search_batch_all" -> QueryDef(searchBatchProbeAll, Some(searchBatchProbeAllSql)),
     "ivf_search_batch_default" -> QueryDef(searchBatchDefault, None),
