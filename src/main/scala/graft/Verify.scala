@@ -16,6 +16,10 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // oracle generation (probe/code/LUT literals) reads per-dir caches
+    // warmed by the query run below; SparkEntry.oracleSql is evaluated
+    // AFTER the loop, so the generators see the built index
+    graft.queries.OracleGen.enable(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -222,11 +222,99 @@ object IndexQueries {
       |WHERE b.rk = 1 ORDER BY b.query_id""".stripMargin
 
   /** Reference-default search: k=10, n_probe=20 (src/api.rs:33-43).
-    * Approximate → rows-only driver check; recall gates live in ScalaTest.
+    * Oracle-checked via [[OracleGen]]: the probe set is deterministic
+    * given the seed-42 index, so the generated SQL restricts DuckDB's
+    * brute-force top-k to the probed cells' candidate ids.
     */
   def searchDefault(spark: SparkSession, dir: String): DataFrame = {
     val idx = index(spark, dir)
     Ivf.search(spark, idx, queryVec(spark, dir, 1L), k0 = 10, nProbe0 = 20)
+  }
+
+  /** Candidate vec_ids of the cells a query at `qid` probes with the
+    * reference-default budget — the literal material for the
+    * default-probe oracles.
+    */
+  private def probedCandidateIds(spark: SparkSession, dir: String,
+      q: Array[Float], nProbe: Int): Array[Long] = {
+    val idx = index(spark, dir)
+    val (probes, _) = Ivf.probeSelection(idx, q, math.min(nProbe, idx.config.maxNProbe))
+    Ivf.liveVectors(spark, idx)
+      .where(col("centroid_id").isin(probes: _*))
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+  }
+
+  private def searchDefaultOracle(spark: SparkSession, dir: String): String = {
+    val ids = probedCandidateIds(spark, dir, queryVec(spark, dir, 1L), 20)
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1)
+       |SELECT e.vec_id AS external_id,
+       |  list_reduce(list_transform(list_zip(e.embedding, q.qe),
+       |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+       |    (a, b) -> a + b) AS distance
+       |FROM embeddings e CROSS JOIN q
+       |WHERE e.vec_id IN (${ids.mkString(",")})
+       |ORDER BY distance, e.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Batch-default oracle: per-query probe pairs + the probed cells'
+    * (vec_id, centroid_id) assignment inlined as VALUES; DuckDB derives
+    * each query's candidate set by joining them, then brute-forces the
+    * per-query top-k over the real embeddings — independent distance
+    * math, membership join, and ranking.
+    */
+  private def searchBatchDefaultOracle(spark: SparkSession, dir: String): String = {
+    val idx = index(spark, dir)
+    val nProbe = math.min(20, idx.config.maxNProbe)
+    val qs = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 8).select("vec_id", "embedding")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probePairs = qs.flatMap { case (qid, q) =>
+      Ivf.probeSelection(idx, q, nProbe)._1.map(c => (qid, c))
+    }.sorted
+    val cells = probePairs.map(_._2).distinct
+    val assign = Ivf.liveVectors(spark, idx)
+      .where(col("centroid_id").isin(cells.toSeq: _*))
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val probeVals = probePairs.map { case (q, c) => s"($q,$c)" }.mkString(",")
+    val assignVals = assign.map { case (v, c) => s"($v,$c)" }.mkString(",")
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
+       |probe(query_id, centroid_id) AS (VALUES $probeVals),
+       |assign(vec_id, centroid_id) AS (VALUES $assignVals),
+       |d AS (
+       |  SELECT p.query_id, a.vec_id,
+       |    list_reduce(list_transform(list_zip(e.embedding, q.qe),
+       |      p2 -> (CAST(p2[1] AS DOUBLE) - CAST(p2[2] AS DOUBLE)) * (CAST(p2[1] AS DOUBLE) - CAST(p2[2] AS DOUBLE))),
+       |      (a2, b2) -> a2 + b2) AS distance
+       |  FROM probe p
+       |  JOIN assign a ON a.centroid_id = p.centroid_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN q ON q.query_id = p.query_id),
+       |r AS (SELECT query_id, vec_id, distance,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+       |      FROM d)
+       |SELECT query_id, rank, vec_id AS external_id, distance
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  /** ivf_stats oracle: the (vec_id, shard_id, centroid_id) assignment
+    * inlined as VALUES, joined to the real embeddings table (so a
+    * phantom or dropped id breaks the row counts), aggregated by DuckDB
+    * independently.
+    */
+  private def statsOracle(spark: SparkSession, dir: String): String = {
+    val idx = index(spark, dir)
+    val rows = Ivf.liveVectors(spark, idx)
+      .select("vec_id", "shard_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
+    val vals = rows.map { case (v, s, c) => s"($v,$s,$c)" }.mkString(",")
+    s"""WITH assign(vec_id, shard_id, centroid_id) AS (VALUES $vals)
+       |SELECT a.shard_id,
+       |  count(DISTINCT a.centroid_id) AS n_centroids,
+       |  count(*) AS n_vectors
+       |FROM assign a JOIN embeddings e ON e.vec_id = a.vec_id
+       |GROUP BY a.shard_id ORDER BY a.shard_id""".stripMargin
   }
 
   /** Index statistics: per-shard centroid + vector counts (completeness
@@ -476,11 +564,59 @@ object IndexQueries {
       pqCodesPath(spark, dir), qs, k0 = 10, nProbe0 = 20)
   }
 
+  /** IVF-PQ default-probe oracle: probed cells' codes + the query's ADC
+    * LUT inlined; DuckDB recomputes the LUT fold and top-k
+    * ([[OracleGen.adcTopKSql]]).
+    */
+  private def ivfPqTopKOracle(spark: SparkSession, dir: String): String = {
+    val idx = index(spark, dir)
+    val q = queryVec(spark, dir, 0L)
+    val model = VectorQueries.pqModel(spark, dir)
+    val (probes, _) = Ivf.probeSelection(idx, q, math.min(20, idx.config.maxNProbe))
+    val codes = spark.read.parquet(pqCodesPath(spark, dir))
+      .where(col("centroid_id").isin(probes: _*))
+      .select("vec_id", "pq_code").collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1)))
+    OracleGen.adcTopKSql(codes.toSeq, graft.operators.Pq.lutSeq(q, model),
+      k = 10, idAlias = "external_id")
+  }
+
+  /** IVF-SQ8 default-probe oracle: probed cells' (scale, int8 codes)
+    * inlined; DuckDB re-runs dequantize (double multiply, float store)
+    * and squared-L2 against the real query embedding.
+    */
+  private def ivfSqTopKOracle(spark: SparkSession, dir: String): String = {
+    val idx = index(spark, dir)
+    val q = queryVec(spark, dir, 0L)
+    val (probes, _) = Ivf.probeSelection(idx, q, math.min(20, idx.config.maxNProbe))
+    val rows = spark.read.parquet(sqCodesPath(spark, dir))
+      .where(col("centroid_id").isin(probes: _*))
+      .select("vec_id", "q_scale", "q_emb").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Byte](2)))
+      .sortBy(_._1)
+    val vals = rows.map { case (id, s, c) =>
+      s"($id,${OracleGen.dbl(s)},${OracleGen.byteList(c)})"
+    }.mkString(",")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |codes(vec_id, scale, qv) AS (VALUES $vals),
+       |d AS (
+       |  SELECT c.vec_id,
+       |    list_reduce(list_transform(list_zip(c.qv, q.qe),
+       |      p -> (CAST(CAST(p[1] * c.scale AS FLOAT) AS DOUBLE) - CAST(p[2] AS DOUBLE))
+       |         * (CAST(CAST(p[1] * c.scale AS FLOAT) AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+       |      (a, b) -> a + b) AS distance
+       |  FROM codes c CROSS JOIN q)
+       |SELECT vec_id AS external_id, distance
+       |FROM d ORDER BY distance, vec_id LIMIT 10""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "ann_quality_summary" -> QueryDef(annQualitySummary, None, bench = false),
-    "ann_ivfpq_topk" -> QueryDef(ivfPqTopK, None),
+    "ann_ivfpq_topk" -> QueryDef(ivfPqTopK,
+      OracleGen.sql("ann_ivfpq_topk")(ivfPqTopKOracle)),
     "ann_ivfpq_residual_topk" -> QueryDef(ivfPqResidualTopK, None),
-    "ann_ivfsq_topk" -> QueryDef(ivfSqTopK, None),
+    "ann_ivfsq_topk" -> QueryDef(ivfSqTopK,
+      OracleGen.sql("ann_ivfsq_topk")(ivfSqTopKOracle)),
     "ann_pq_refine_topk" -> QueryDef(ivfPqRefineTopK, None),
     "ann_ivfpq_batch" -> QueryDef(ivfPqBatch, None),
     "ann_lsh_topk" -> QueryDef(lshAnnTopK, None),
@@ -491,9 +627,12 @@ object IndexQueries {
     "ann_join_topk" -> QueryDef(annJoinTopK, Some(annJoinTopKSql)),
     "ann_hard_negatives" -> QueryDef(hardNegatives, Some(hardNegativesSql)),
     "knn_label_predict" -> QueryDef(knnLabelPredict, Some(knnLabelPredictSql)),
-    "ivf_search_default" -> QueryDef(searchDefault, None),
+    "ivf_search_default" -> QueryDef(searchDefault,
+      OracleGen.sql("ivf_search_default")(searchDefaultOracle)),
     "ivf_search_batch_all" -> QueryDef(searchBatchProbeAll, Some(searchBatchProbeAllSql)),
-    "ivf_search_batch_default" -> QueryDef(searchBatchDefault, None),
-    "ivf_stats" -> QueryDef(stats, None)
+    "ivf_search_batch_default" -> QueryDef(searchBatchDefault,
+      OracleGen.sql("ivf_search_batch_default")(searchBatchDefaultOracle)),
+    "ivf_stats" -> QueryDef(stats,
+      OracleGen.sql("ivf_stats")(statsOracle))
   )
 }

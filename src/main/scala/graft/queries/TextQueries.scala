@@ -629,9 +629,13 @@ object TextQueries {
     * lowest-rank-first), then per-source compression stats: words,
     * BPE symbols, avg symbols/word. Map-side encode + one bounded
     * groupBy; at 100 TB the merge table is KBs broadcast and the UDF
-    * is the same per-token work a production tokenizer does. Rows-only
-    * (the encode rule is not SQL-expressible); encodeWord is
-    * hand-gated in BpeSpec.
+    * is the same per-token work a production tokenizer does.
+    * Oracle-checked via [[OracleGen]]: the iterative merge loop is not
+    * SQL-expressible, but its RESULT per distinct word is — the
+    * generator encodes the corpus vocabulary driver-side and inlines a
+    * (word → n_syms) VALUES table, so DuckDB independently re-runs the
+    * tokenization, word counting, weighting, and ratio math. encodeWord
+    * itself is hand-gated in BpeSpec.
     */
   def bpeTokenStats(spark: SparkSession, dir: String): DataFrame = {
     val rank = graft.operators.Bpe.rankMap(bpeModel(spark, dir))
@@ -656,9 +660,32 @@ object TextQueries {
       .orderBy(col("source"))
   }
 
+  private def bpeTokenStatsOracle(spark: SparkSession, dir: String): String = {
+    val rank = graft.operators.Bpe.rankMap(bpeModel(spark, dir))
+    val words = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .distinct().collect().map(_.getString(0)).sorted
+    val vals = words.map { w =>
+      s"(${OracleGen.str(w)},${graft.operators.Bpe.encodeWordRanked(w, rank).length})"
+    }.mkString(",")
+    s"""WITH syms(w, n_syms) AS (VALUES $vals),
+       |tok AS (
+       |  SELECT source,
+       |    unnest(list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '')) AS w
+       |  FROM documents),
+       |wc AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2)
+       |SELECT wc.source,
+       |  CAST(sum(wc.c) AS BIGINT) AS n_words,
+       |  CAST(sum(s.n_syms * wc.c) AS BIGINT) AS n_bpe_symbols,
+       |  round(CAST(sum(s.n_syms * wc.c) AS DOUBLE) / sum(wc.c), 4) AS avg_syms_per_word
+       |FROM wc JOIN syms s ON s.w = wc.w
+       |GROUP BY wc.source ORDER BY wc.source""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "bpe_merges" -> QueryDef(bpeMerges, None),
-    "bpe_token_stats" -> QueryDef(bpeTokenStats, None),
+    "bpe_token_stats" -> QueryDef(bpeTokenStats,
+      OracleGen.sql("bpe_token_stats")(bpeTokenStatsOracle)),
     "bigram_lm_top" -> QueryDef(bigramLmTop, Some(bigramLmTopSql)),
     "doc_logprob_score" -> QueryDef(logprobScore, Some(logprobScoreSql)),
     "hashed_tf" -> QueryDef(hashedTf, Some(hashedTfSql)),

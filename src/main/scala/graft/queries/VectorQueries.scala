@@ -195,8 +195,10 @@ object VectorQueries {
       |FROM q ORDER BY vec_id""".stripMargin
 
   /** Top-10 ANN over int8-dequantized embeddings (the 4×-compressed
-    * scan path) — rows-only; the overlap-vs-exact gate lives in
-    * QuantizeSpec.
+    * scan path). The whole quantize→dequantize→distance chain is
+    * SQL-expressible (the same DuckDB forms quantizeStatsSql proves),
+    * so this is a static full oracle; the overlap-vs-exact gate lives
+    * in QuantizeSpec.
     */
   def quantizedTopK(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Quantize
@@ -210,11 +212,32 @@ object VectorQueries {
       .select(col("vec_id"), col("distance"))
   }
 
+  private val quantizedTopKSql =
+    """WITH s AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(greatest(list_reduce(list_transform(embedding, x -> abs(x)),
+      |           (a, b) -> greatest(a, b)),
+      |         CAST(1.401298464324817e-45 AS FLOAT)) AS DOUBLE) / 127.0 AS scale
+      |  FROM embeddings),
+      |deq AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(CAST(CAST(round(CAST(x AS DOUBLE) / scale) AS TINYINT) AS DOUBLE) * scale AS FLOAT)) AS dq
+      |  FROM s),
+      |q AS (SELECT dq AS qe FROM deq WHERE vec_id = 0)
+      |SELECT d.vec_id,
+      |  list_reduce(list_transform(list_zip(d.dq, q.qe),
+      |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+      |    (a, b) -> a + b) AS distance
+      |FROM deq d CROSS JOIN q
+      |ORDER BY distance, d.vec_id LIMIT 10""".stripMargin
+
   /** Top-10 ANN by PQ asymmetric distance (operators.Pq): codebooks
     * trained on the deterministic vec_id-hash pool, table encoded to
     * m=8 byte codes (32× vs float32), scan = LUT-fold per row inside
-    * whole-stage codegen. Deterministic but not SQL-expressible →
-    * rows-only; the recall-vs-exact gate lives in PqSpec.
+    * whole-stage codegen. Oracle-checked via [[OracleGen.adcTopKSql]]
+    * (codes + LUT inlined, DuckDB recomputes the fold and top-k); the
+    * recall-vs-exact gate lives in PqSpec.
     */
   private val pqModels =
     scala.collection.concurrent.TrieMap.empty[String, graft.operators.Pq.Model]
@@ -326,11 +349,45 @@ object VectorQueries {
       .select(col("vec_id"), col("distance"))
   }
 
+  /** Flat-PQ ADC oracle material: every row's code (the scan is
+    * unpruned) + the query-0 LUT. Verify-scale collect (see OracleGen).
+    */
+  private def pqTopKOracle(spark: SparkSession, dir: String): String = {
+    import graft.operators.Pq
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val model = pqModel(spark, dir)
+    val codes = Pq.encode(emb, "embedding", model)
+      .select("vec_id", "pq_code").collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1)))
+    OracleGen.adcTopKSql(codes.toSeq, Pq.lutSeq(q, model), 10, "vec_id")
+  }
+
+  /** OPQ oracle: same ADC form, codes from the rotated table and the
+    * LUT from the rotated query — the rotation itself is exercised on
+    * the Spark side and fixed into the literals.
+    */
+  private def opqTopKOracle(spark: SparkSession, dir: String): String = {
+    import graft.operators.{Opq, Pq}
+    val emb = Tables.embeddings(spark, dir)
+    val q = emb.where(col("vec_id") === 0L)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val (rot, model) = opqModel(spark, dir)
+    val codes = Pq.encode(Opq.rotate(emb, "embedding", rot), "opq_emb", model)
+      .select("vec_id", "pq_code").collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1)))
+    OracleGen.adcTopKSql(codes.toSeq, Pq.lutSeq(Opq.rotateVec(q, rot), model),
+      10, "vec_id")
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "embedding_quantize_stats" -> QueryDef(quantizeStats, Some(quantizeStatsSql)),
-    "ann_quantized_topk" -> QueryDef(quantizedTopK, None),
-    "ann_pq_topk" -> QueryDef(pqTopK, None),
-    "ann_opq_topk" -> QueryDef(opqTopK, None),
+    "ann_quantized_topk" -> QueryDef(quantizedTopK, Some(quantizedTopKSql)),
+    "ann_pq_topk" -> QueryDef(pqTopK,
+      OracleGen.sql("ann_pq_topk")(pqTopKOracle)),
+    "ann_opq_topk" -> QueryDef(opqTopK,
+      OracleGen.sql("ann_opq_topk")(opqTopKOracle)),
     "ann_pca_topk" -> QueryDef(pcaTopK, None),
     "embedding_pca_stats" -> QueryDef(pcaStats, None),
     "vec_normalize" -> QueryDef(normalizedSample, Some(normalizedSampleSql)),
