@@ -510,9 +510,11 @@ object Ivf {
     * re-usable across the queries that probe it).
     *
     * @param queries DataFrame with (`qidCol`, `qembCol`) columns;
-    *   distributed — any size. Extra columns pass through to
-    *   `pairFilter` (rename them to avoid clashing with index-side
-    *   names).
+    *   distributed — any size. Extra columns are projected away unless
+    *   `pairFilter` references them, so a raw query table carrying
+    *   index-side names (embedding, vec_id, shard_id…) is fine; only
+    *   columns the filter USES must be renamed to avoid clashes
+    *   (enforced with a require).
     * @param pairFilter optional predicate over JOINED (query, index)
     *   row pairs, applied before ranking — so the top-k is the true
     *   filtered answer, the same contract as filtered single-query
@@ -530,6 +532,23 @@ object Ivf {
     require(k > 0, "k must be > 0")
     require(nProbe > 0, "n_probe must be > 0")
     val spark = queries.sparkSession
+    // The query side is PROJECTED to (qidCol, qembCol) plus only the
+    // columns pairFilter references — unreferenced extras (which may
+    // carry index-side names like `embedding` from a raw query table)
+    // must not ride into the join and turn into ambiguous-column
+    // errors. Columns the filter DOES use must be renamed by the
+    // caller if they clash with an index-side name.
+    val filterRefs = pairFilter.toSeq
+      .flatMap(org.apache.spark.sql.GraftSqlBridge.referencedNames)
+      .distinct
+    val qCols = (Seq(qidCol, qembCol) ++
+      filterRefs.filter(queries.columns.contains)).distinct
+    val idxCols =
+      spark.read.parquet(index.vectorsPath).columns.toSet + "centroid_id"
+    val clash = qCols.filter(idxCols.contains)
+    require(clash.isEmpty,
+      s"annJoin: query-side column(s) ${clash.mkString(", ")} collide with " +
+        "index-side names — rename them on the query DataFrame first")
     val centB = spark.sparkContext.broadcast(index.centroids)
     val np = math.min(nProbe, index.centroids.length)
     val probeUdf = udf((q: Seq[Float]) => {
@@ -541,8 +560,7 @@ object Ivf {
         .take(np)
         .map(_._1)
     })
-    // all query columns ride along so pairFilter can see them
-    val probed = queries
+    val probed = queries.select(qCols.map(col): _*)
       .withColumn("centroid_id", explode(probeUdf(col(qembCol))))
     // bounded-state per-query top-k (see searchBatch): the post-join
     // exchange on the query id carries ≤ k·P rows per query, which is

@@ -66,15 +66,12 @@ object Opq {
   }
 
   /** Fit the rotation on a full-rank PCA of the embedding column.
-    * The dimension comes from a null-safe aggregate over the column
-    * (max(size) skips NULL rows), not the first row — a null or ragged
-    * head() row must not pick the dimension for the whole fit.
+    * The dimension is the MODAL array size over non-null rows
+    * ([[Pca.inferDim]]) — max(size) would let a single too-long corrupt
+    * row define d and exclude every normal row from the fit.
     */
   def fit(df: DataFrame, embCol: String, m: Int): Rotation = {
-    val row = df.agg(max(size(col(embCol)))).head()
-    require(!row.isNullAt(0),
-      s"Opq.fit: no non-null rows in column '$embCol'")
-    val pca = Pca.fit(df, embCol, row.getInt(0))
+    val pca = Pca.fit(df, embCol, Pca.inferDim(df, embCol))
     Rotation(pca.mean, pca.components, allocate(pca.eigenvalues, m))
   }
 

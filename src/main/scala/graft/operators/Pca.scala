@@ -102,16 +102,30 @@ object Pca {
     math.sqrt(s)
   }
 
+  /** The column's dimension, taken as the MODAL (most frequent) array
+    * size over non-null rows — not max(size), where a single corrupt
+    * row LONGER than the true dimension would silently set d to the
+    * corrupt length and the `size === d` fit filter would then exclude
+    * every normal row, fitting the model on the corrupt rows alone.
+    * With the mode, corrupt rows (long or short) are the ones excluded.
+    * Ties break toward the smaller size for determinism. One bounded
+    * groupBy (a column has few distinct sizes), shared with Opq.fit.
+    */
+  def inferDim(df: DataFrame, embCol: String): Int = {
+    val sizes = df.where(col(embCol).isNotNull)
+      .groupBy(size(col(embCol)).as("__pca_d")).count()
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    require(sizes.nonEmpty, s"PCA: no non-null rows in '$embCol'")
+    sizes.maxBy { case (d, cnt) => (cnt, -d) }._1
+  }
+
   /** Fit top-q components over an ArrayType(FloatType) column. */
   def fit(df: DataFrame, embCol: String, q: Int): Model = {
-    // dimension from a null-safe aggregate, not the first row: a null or
-    // ragged head() row must not pick d for the whole fit. Null/ragged
-    // rows are then EXCLUDED from the statistics — the fit-side analog
-    // of transform's null-projection contract (they'd NPE / corrupt the
+    // dimension from the modal size ([[inferDim]]); null/ragged rows are
+    // then EXCLUDED from the statistics — the fit-side analog of
+    // transform's null-projection contract (they'd NPE / corrupt the
     // gram accumulator otherwise).
-    val dRow = df.agg(max(size(col(embCol)))).head()
-    require(!dRow.isNullAt(0), s"PCA: no non-null rows in '$embCol'")
-    val d = dRow.getInt(0)
+    val d = inferDim(df, embCol)
     require(q >= 1 && q <= d, s"q=$q out of [1, $d]")
     val rdd = df.select(col(embCol))
       .where(col(embCol).isNotNull && size(col(embCol)) === d)

@@ -111,9 +111,21 @@ object TopNByKey {
     * @param id  unique Long tie-break / payload key
     * @param asc false = largest ord first (caps "keep the best")
     */
+  /** Helper/output names topN injects — key columns must not collide
+    * with them or the result would carry duplicate column names (the
+    * same guard Skew.saltedJoin and Sampling.weightedSample apply to
+    * their injected columns).
+    */
+  private val ReservedCols = Set("__top", "__pos", "__c", "rk", "id", "ord")
+
   def topN(df: DataFrame, keyCols: Seq[String], ord: Column, id: Column,
       n: Int, asc: Boolean = true): DataFrame = {
     require(n > 0, s"n must be > 0: $n")
+    val clash = keyCols.filter(ReservedCols.contains)
+    require(clash.isEmpty,
+      s"topN: key column(s) ${clash.mkString(", ")} collide with reserved " +
+        s"helper/output names (${ReservedCols.toSeq.sorted.mkString(", ")}) — " +
+        "rename them before ranking")
     val keys = keyCols.map(col)
     val agg = udaf(new TopNAgg(n, asc), Encoders.product[Cand])
     df.groupBy(keys: _*)

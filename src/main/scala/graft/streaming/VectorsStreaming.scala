@@ -34,23 +34,42 @@ object VectorsStreaming {
       .parquet(dir)
   }
 
+  /** Idempotent per-batch sink: each micro-batch's results land in
+    * their own `batch_id=N` partition and the write is a DYNAMIC
+    * partition overwrite, so a RETRIED micro-batch replaces exactly its
+    * own partition instead of appending a duplicate copy. Shared by
+    * [[annSearchToPath]]'s foreachBatch and the retry assertion in
+    * StreamingSpec (which calls it twice with the same batchId).
+    */
+  def writeAnnBatch(batch: DataFrame, index: Ivf.Index, k: Int,
+      nProbe: Int, outPath: String, batchId: Long): Unit =
+    Ivf.annJoin(batch, index, k = k, nProbe = nProbe)
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id")
+      .parquet(outPath)
+
   /** Run a query stream to completion against the index, materializing
     * every micro-batch's annJoin output under `outPath`.
     *
-    * Write semantics are AT-LEAST-ONCE: `foreachBatch` appends parquet
-    * with no checkpoint, so a retried micro-batch would append its
-    * results twice. Callers needing exactly-once should pass a
-    * `checkpointLocation` through the query options and make the batch
-    * write idempotent (e.g. `partitionBy(batch_id)` + dynamic overwrite
-    * per batch).
+    * Write semantics: EXACTLY-ONCE when `checkpointLocation` is given —
+    * the checkpoint pins batch-id assignment across restarts and
+    * [[writeAnnBatch]] makes a replayed batch id overwrite its own
+    * partition. Without a checkpoint, batch ids restart from 0 on every
+    * run, which is still duplicate-free for a single run (each id
+    * overwrites itself) but a RESUMED source would re-deliver data
+    * under fresh ids — pass the checkpoint for anything long-lived.
     */
   def annSearchToPath(queries: DataFrame, index: Ivf.Index, k: Int,
-      nProbe: Int, outPath: String): Unit = {
-    val q = queries.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        Ivf.annJoin(batch, index, k = k, nProbe = nProbe)
-          .write.mode("append").parquet(outPath)
+      nProbe: Int, outPath: String,
+      checkpointLocation: Option[String] = None): Unit = {
+    val writer = queries.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeAnnBatch(batch, index, k, nProbe, outPath, batchId)
       }
+    val q = checkpointLocation
+      .fold(writer)(cp => writer.option("checkpointLocation", cp))
       .start()
     try q.processAllAvailable()
     finally q.stop()
@@ -58,21 +77,26 @@ object VectorsStreaming {
 
   /** Catalog query: the same 20-query workload as `ann_join_topk`, fed
     * through the stream path with probe-all (exact ⇒ shares the batch
-    * oracle). Output goes to a fixed per-(JVM, dir) cache path (the
-    * same convention as the index/pairs caches) wiped before each run —
-    * not a fresh temp dir per invocation, which would leak a directory
-    * per call.
+    * oracle). Output goes to a per-(process, dir) cache path — the pid
+    * component keeps two JVMs running the catalog over the same data
+    * dir from wiping each other's in-flight micro-batch output — wiped
+    * (with its checkpoint) before each run so stale results never
+    * merge in.
     */
   def annSearchQuery(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.queries.IndexQueries.index(spark, dir)
-    val out = s"/tmp/graft_stream_ann/${graft.Tables.cacheDirName(dir)}"
-    val outPath = new org.apache.hadoop.fs.Path(out)
-    val fs = outPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(outPath, true) // stale results from a prior run must not append-merge
+    val out = s"/tmp/graft_stream_ann/pid${ProcessHandle.current().pid()}/" +
+      graft.Tables.cacheDirName(dir)
+    val ckpt = s"$out.ckpt"
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(out), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
     val queries = readQueries(spark, dir)
       .where(col("vec_id") >= 480 && col("vec_id") < 500)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
-    annSearchToPath(queries, idx, k = 3, nProbe = 10000, out)
-    spark.read.parquet(out).orderBy(col("query_id"), col("rank"))
+    annSearchToPath(queries, idx, k = 3, nProbe = 10000, out, Some(ckpt))
+    spark.read.parquet(out).drop("batch_id")
+      .orderBy(col("query_id"), col("rank"))
   }
 }

@@ -10,4 +10,16 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Column names an unresolved Column references. The classic Column
+    * wraps a lazily-converted ColumnNode tree (NOT catalyst
+    * expressions — `expression(c)` returns an opaque
+    * ColumnNodeExpression leaf), so references are collected by
+    * walking the node tree.
+    */
+  def referencedNames(c: Column): Seq[String] =
+    c.node.collect {
+      case a: org.apache.spark.sql.internal.UnresolvedAttribute =>
+        a.nameParts.mkString(".")
+    }.distinct
 }

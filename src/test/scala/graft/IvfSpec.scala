@@ -229,6 +229,24 @@ class IvfSpec extends SparkSpec {
     assert(rows.length <= 10000)
   }
 
+  test("concurrent searches on one index equal sequential results") {
+    // mirrors ivf_index_tests.rs:767-807: N threads searching one shared
+    // index concurrently must each get the same answer as running alone
+    // (the index is immutable files + a broadcast routing table, so
+    // nothing search-side may mutate shared state)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val queries = (0 until 8).map(i => embAll(i * 13)._2)
+    val sequential = queries.map(q =>
+      Ivf.search(spark, index, q, 10, 20).collect().map(_.toSeq).toSeq)
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val concurrent = Await.result(
+      Future.sequence(queries.map(q => Future(
+        Ivf.search(spark, index, q, 10, 20).collect().map(_.toSeq).toSeq))),
+      5.minutes)
+    assert(concurrent == sequential)
+  }
+
   test("repeated query returns identical results") {
     // mirrors integration_tests.rs:130-188
     val q = embAll(23)._2

@@ -68,6 +68,23 @@ class PcaSpec extends SparkSpec {
     assert(eD < 1e-6, s"full-rank reconstruction not exact: $eD")
   }
 
+  test("a too-long corrupt row cannot hijack the fit dimension") {
+    // dim = MODAL size, not max: one corrupt 5-wide row among 200
+    // 2-wide rows must leave d=2 (max-size would fit on the corrupt
+    // row ALONE — every normal row excluded by the size filter)
+    val pts = (1 to 200).map(i => Seq(i.toFloat, (2 * i).toFloat)) :+
+      Seq(1f, 2f, 3f, 4f, 5f)
+    val df = pts.toDF("embedding")
+    assert(Pca.inferDim(df, "embedding") == 2)
+    val m = Pca.fit(df, "embedding", 2)
+    assert(m.mean.length == 2)
+    val c0 = m.components(0)
+    assert(math.abs(math.abs(c0(1) / c0(0)) - 2.0) < 1e-9)
+    // Opq inherits the same derivation
+    val rot = graft.operators.Opq.fit(df, "embedding", m = 2)
+    assert(rot.mean.length == 2)
+  }
+
   test("transform degrades null/ragged embeddings to null, not a crash") {
     val bad = Seq(
       (-1L, Seq(1f, 2f)),              // wrong dimension

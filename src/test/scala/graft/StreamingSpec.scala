@@ -169,6 +169,24 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(5)}; batch-only: ${(batch -- streamed).take(5)}")
   }
 
+  test("retried ANN micro-batch overwrites its own partition — no duplicates") {
+    import graft.streaming.VectorsStreaming
+    val idx = graft.queries.IndexQueries.index(spark, sf0001)
+    val queries = Tables.embeddings(spark, sf0001)
+      .where(col("vec_id") < 10)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_retry").toString
+    VectorsStreaming.writeAnnBatch(queries, idx, 3, 10000, out, batchId = 7L)
+    val once = spark.read.parquet(out).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    // a replay of the SAME batch id (foreachBatch retry semantics) must
+    // leave both the row set AND the row count unchanged — the append
+    // sink this replaced would have doubled every row
+    VectorsStreaming.writeAnnBatch(queries, idx, 3, 10000, out, batchId = 7L)
+    val twice = spark.read.parquet(out).collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(once.nonEmpty && twice == once)
+  }
+
   test("streaming quality scores equal the batch scoring exactly") {
     import graft.streaming.DocsStreaming
     import graft.queries.{CurationQueries, TextQueries}

@@ -77,6 +77,19 @@ class TopNSpec extends SparkSpec {
     assert(all.toSeq == Seq(3L, 4L, 2L, 1L))
   }
 
+  test("key columns colliding with helper/output names are rejected") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0, "a")).toDF("id", "score", "rk")
+    // "rk" and "id" are both reserved output names — an un-guarded run
+    // would emit duplicate columns
+    for (key <- Seq("rk", "id")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.operators.TopNByKey.topN(df, Seq(key), col("score"), col("id"), 1)
+      }
+      assert(e.getMessage.contains("reserved"))
+    }
+  }
+
   test("result is partitioning-independent") {
     val docs = Tables.documents(spark, sf001)
     def run(p: Int): Set[(String, Int, Long)] =
