@@ -50,6 +50,10 @@ object LinearClassifier {
 
   private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
 
+  /** Numerically-stable softplus: log(1 + e^x) without overflow. */
+  private def softplus(x: Double): Double =
+    math.max(x, 0.0) + math.log1p(math.exp(-math.abs(x)))
+
   /** Train on a DataFrame with an array<string> token column and a
     * boolean/int label column (1 = target distribution). Deterministic
     * up to float summation order (init 0, fixed schedule, no sampling);
@@ -57,16 +61,24 @@ object LinearClassifier {
     * float sums — but the decision boundary is stable (gated in
     * ClassifierSpec).
     *
-    * @param l2 ridge term — keeps collided/rare buckets from blowing up
+    * `iters` is a CEILING: each gradient pass also accumulates the
+    * mean log-loss (free — same treeAggregate), and training stops
+    * once the per-pass improvement drops below `tol`. A converged
+    * model does not pay for the remaining scheduled passes — at scale
+    * each pass is a full cluster job, so the early stop bounds the
+    * sequential-job count by convergence, not by the worst case.
+    *
+    * @param l2  ridge term — keeps collided/rare buckets from blowing up
+    * @param tol mean-log-loss delta below which training stops early
     */
   def train(df: DataFrame, tokensCol: String, labelCol: String,
       dim: Int = 1024, iters: Int = 50, lr: Double = 4.0,
-      l2: Double = 1e-6): Model = {
+      l2: Double = 1e-6, tol: Double = 1e-4): Model = {
     require(dim > 0 && iters > 0, s"dim=$dim iters=$iters must be > 0")
     val spark = df.sparkSession
     // one extraction pass, persisted: every GD iteration re-reads the
     // sparse features, not the text
-    val data = df
+    val raw = df
       .select(col(tokensCol), col(labelCol).cast("int"))
       // null labels (e.g. a NULL lang column) are excluded like null
       // token arrays — a clean degraded-row contract, not an executor
@@ -79,16 +91,30 @@ object LinearClassifier {
         (idx, v, r.getInt(1).toDouble)
       }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = data.count()
+    val n = raw.count()
     require(n > 0, "LinearClassifier.train: no usable rows")
+    // each GD pass is one sequential job over this RDD; near-empty
+    // tasks make SCHEDULING the training cost (iters × parts task
+    // launches), so pack ≥ ~500 rows per task — still every-core
+    // distributed when n is large, a handful of tasks when it is not
+    val parts = math.max(1L, math.min(raw.getNumPartitions.toLong,
+      math.ceil(n / 500.0).toLong)).toInt
+    val data =
+      if (parts < raw.getNumPartitions)
+        raw.coalesce(parts)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else raw
 
     var w = new Array[Double](dim)
     var b = 0.0
-    for (_ <- 0 until iters) {
+    var prevLoss = Double.MaxValue
+    var it = 0
+    var stop = false
+    while (it < iters && !stop) {
       val wB = spark.sparkContext.broadcast((w, b))
-      val zero = (new Array[Double](dim), 0.0)
-      val (gw, gb) = data.treeAggregate(zero)(
-        seqOp = { case ((gradW, gradB), (idx, v, y)) =>
+      val zero = (new Array[Double](dim), 0.0, 0.0)
+      val (gw, gb, lossSum) = data.treeAggregate(zero)(
+        seqOp = { case ((gradW, gradB, loss), (idx, v, y)) =>
           val (wv, bv) = wB.value
           var z = bv
           var i = 0
@@ -96,12 +122,14 @@ object LinearClassifier {
           val err = sigmoid(z) - y
           i = 0
           while (i < idx.length) { gradW(idx(i)) += err * v(i); i += 1 }
-          (gradW, gradB + err)
+          // log-loss of the CURRENT weights, accumulated in the same
+          // pass: y·softplus(−z) + (1−y)·softplus(z), stable at |z|≫0
+          (gradW, gradB + err, loss + y * softplus(-z) + (1.0 - y) * softplus(z))
         },
-        combOp = { case ((g1, b1), (g2, b2)) =>
+        combOp = { case ((g1, b1, l1), (g2, b2, l2s)) =>
           var i = 0
           while (i < dim) { g1(i) += g2(i); i += 1 }
-          (g1, b1 + b2)
+          (g1, b1 + b2, l1 + l2s)
         })
       wB.destroy()
       val next = new Array[Double](dim)
@@ -109,8 +137,13 @@ object LinearClassifier {
       while (i < dim) { next(i) = w(i) - lr * (gw(i) / n + l2 * w(i)); i += 1 }
       w = next
       b = b - lr * (gb / n)
+      val meanLoss = lossSum / n
+      stop = prevLoss - meanLoss < tol // (worsening counts as converged)
+      prevLoss = meanLoss
+      it += 1
     }
-    data.unpersist()
+    if (data ne raw) data.unpersist()
+    raw.unpersist()
     Model(w, b)
   }
 

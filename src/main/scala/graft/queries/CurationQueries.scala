@@ -309,13 +309,25 @@ object CurationQueries {
   private val clfModels = scala.collection.concurrent.TrieMap
     .empty[String, graft.operators.LinearClassifier.Model]
 
+  /** Trained once per (JVM, sfDir) on a BOUNDED deterministic
+    * content-hash sample — the 100 TB shape (SCALE.md): a linear probe
+    * needs ~10^5 rows, not the corpus, and the model then scores
+    * corpus-wide as a pure map-side pass. The cap keeps training cost
+    * constant as the corpus grows; the hash keys the sample to doc
+    * identity, so it is reproducible and partitioning-independent.
+    */
   def classifierModel(spark: SparkSession,
       dir: String): graft.operators.LinearClassifier.Model =
     clfModels.getOrElseUpdate(dir, {
       val docs = Tables.documents(spark, dir)
+      val cap = 2000.0
+      val n = docs.count()
+      val sampled = graft.operators.Sampling.hashSample(
+        docs, col("doc_id").cast("string"),
+        math.min(1.0, cap / math.max(1L, n)))
         .withColumn("toks", tokens(col("text")))
       graft.operators.LinearClassifier.train(
-        docs.withColumn("is_target", (col("lang") === "en").cast("int")),
+        sampled.withColumn("is_target", (col("lang") === "en").cast("int")),
         "toks", labelCol = "is_target", dim = 1024, iters = 50)
     })
 
