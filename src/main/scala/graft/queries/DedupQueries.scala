@@ -647,8 +647,10 @@ object DedupQueries {
 
   /** Embedding near-dup via IVF bucketing: candidate pairs share a
     * centroid (bucket-local pair generation — the scale path vs O(n²)),
-    * verified by cosine ≥ 0.95. Deterministic (seed-42 index) but not
-    * SQL-expressible → rows-only check + ScalaTest gate.
+    * verified by cosine ≥ 0.95. Oracle-checked via [[OracleGen]]: the
+    * cell assignment is inlined and DuckDB independently re-derives the
+    * same-cell pairs, the cosine math over the real embeddings, and
+    * the threshold counts.
     */
   def embeddingNeardupStats(spark: SparkSession, dir: String): DataFrame = {
     val idx = IndexQueries.index(spark, dir)
@@ -990,6 +992,37 @@ object DedupQueries {
     "simhash_diverse_sample" -> QueryDef(simhashDiverseSample, Some(simhashDiverseSampleSql)),
     "simhash_docs" -> QueryDef(simhashDocs, Some(simhashDocsSql)),
     "simhash_near_pairs" -> QueryDef(simhashNearPairs, Some(simhashNearPairsSql)),
-    "embedding_neardup_stats" -> QueryDef(embeddingNeardupStats, None)
+    "embedding_neardup_stats" -> QueryDef(embeddingNeardupStats,
+      OracleGen.sql("embedding_neardup_stats")(embeddingNeardupStatsOracle))
   )
+
+  private def embeddingNeardupStatsOracle(spark: SparkSession,
+      dir: String): String = {
+    val idx = IndexQueries.index(spark, dir)
+    val assign = graft.operators.Ivf.liveVectors(spark, idx)
+      .select(col("vec_id"), col("centroid_id")).collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val assignVals = assign.map { case (v, c) => s"($v,$c)" }.mkString(",")
+    s"""WITH assign(vec_id, centroid_id) AS (VALUES $assignVals),
+       |pairs AS (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id
+       |  FROM assign a JOIN assign b
+       |    ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id),
+       |cs AS (
+       |  SELECT
+       |    list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+       |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y) AS dp,
+       |    sqrt(list_reduce(list_transform(ea.embedding,
+       |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS na,
+       |    sqrt(list_reduce(list_transform(eb.embedding,
+       |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS nb
+       |  FROM pairs p
+       |  JOIN embeddings ea ON ea.vec_id = p.a_id
+       |  JOIN embeddings eb ON eb.vec_id = p.b_id)
+       |SELECT count(*) AS n_candidate_pairs,
+       |  CAST(sum(CASE WHEN (CASE WHEN na = 0 OR nb = 0 THEN 0.0
+       |                          ELSE dp / (na * nb) END) >= 0.95
+       |               THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups
+       |FROM cs""".stripMargin
+  }
 }

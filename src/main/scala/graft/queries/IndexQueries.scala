@@ -610,17 +610,240 @@ object IndexQueries {
        |FROM d ORDER BY distance, vec_id LIMIT 10""".stripMargin
   }
 
+  /** Residual IVF-PQ oracle: the LUT varies per probed centroid (it is
+    * built from the query's own residual q − centroid_c), so the
+    * VALUES table carries one LUT per probed cell and the fold joins
+    * on centroid_id — the literal twin of searchResidual's broadcast
+    * lutDf.
+    */
+  private def ivfPqResidualOracle(spark: SparkSession, dir: String): String = {
+    val idx = index(spark, dir)
+    val q = queryVec(spark, dir, 0L)
+    val (model, path) = residualModelAndCodes(spark, dir)
+    val (probes, _) = Ivf.probeSelection(idx, q, math.min(20, idx.config.maxNProbe))
+    val lutVals = probes.map { c =>
+      val cent = idx.centroids(c)
+      val qr = Array.tabulate(q.length)(i => q(i) - cent(i))
+      s"($c,${OracleGen.dblListList(graft.operators.Pq.lutSeq(qr, model))})"
+    }.mkString(",")
+    val codes = spark.read.parquet(path)
+      .where(col("centroid_id").isin(probes: _*))
+      .select("vec_id", "centroid_id", "pq_code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2)))
+      .sortBy(_._1)
+    val codeVals = codes.map { case (v, c, cd) =>
+      s"($v,$c,${OracleGen.byteList(cd)})"
+    }.mkString(",")
+    s"""WITH lut(centroid_id, l) AS (VALUES $lutVals),
+       |codes(vec_id, centroid_id, code) AS (VALUES $codeVals),
+       |d AS (
+       |  SELECT c.vec_id,
+       |    list_reduce(list_transform(list_zip(c.code, l.l),
+       |      p2 -> p2[2][CAST(p2[1] AS INTEGER) + 129]),
+       |      (a2, b2) -> a2 + b2) AS distance
+       |  FROM codes c JOIN lut l ON l.centroid_id = c.centroid_id)
+       |SELECT vec_id AS external_id, distance
+       |FROM d ORDER BY distance, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Batch IVF-PQ oracle: per-query LUTs + per-query probe pairs +
+    * probed cells' codes as VALUES; DuckDB recomputes the per-query
+    * ADC ranking independently.
+    */
+  private def ivfPqBatchOracle(spark: SparkSession, dir: String): String = {
+    val idx = index(spark, dir)
+    val model = VectorQueries.pqModel(spark, dir)
+    val nProbe = math.min(20, idx.config.maxNProbe)
+    val qs = Tables.embeddings(spark, dir)
+      .where(col("vec_id") < 8).select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probePairs = qs.flatMap { case (qid, q) =>
+      Ivf.probeSelection(idx, q, nProbe)._1.map(c => (qid, c))
+    }.sorted
+    val cells = probePairs.map(_._2).distinct
+    val codes = spark.read.parquet(pqCodesPath(spark, dir))
+      .where(col("centroid_id").isin(cells.toSeq: _*))
+      .select("vec_id", "centroid_id", "pq_code").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2)))
+      .sortBy(_._1)
+    val lutVals = qs.map { case (qid, q) =>
+      s"($qid,${OracleGen.dblListList(graft.operators.Pq.lutSeq(q, model))})"
+    }.mkString(",")
+    val probeVals = probePairs.map { case (qid, c) => s"($qid,$c)" }.mkString(",")
+    val codeVals = codes.map { case (v, c, cd) =>
+      s"($v,$c,${OracleGen.byteList(cd)})"
+    }.mkString(",")
+    s"""WITH lut(query_id, l) AS (VALUES $lutVals),
+       |probe(query_id, centroid_id) AS (VALUES $probeVals),
+       |codes(vec_id, centroid_id, code) AS (VALUES $codeVals),
+       |d AS (
+       |  SELECT p.query_id, c.vec_id,
+       |    list_reduce(list_transform(list_zip(c.code, l.l),
+       |      p2 -> p2[2][CAST(p2[1] AS INTEGER) + 129]),
+       |      (a2, b2) -> a2 + b2) AS distance
+       |  FROM probe p
+       |  JOIN codes c ON c.centroid_id = p.centroid_id
+       |  JOIN lut l ON l.query_id = p.query_id),
+       |r AS (SELECT query_id, vec_id, distance,
+       |        ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY distance, vec_id) AS rank
+       |      FROM d)
+       |SELECT query_id, rank, vec_id AS external_id, distance
+       |FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  /** Refined-search oracle: the ADC shortlist (refine·k = 40 ids over
+    * the probed cells' codes) feeds an EXACT re-rank over the real
+    * embeddings table — DuckDB reproduces both stages, so the compare
+    * covers the shortlist boundary and the float math.
+    */
+  private def ivfPqRefineOracle(spark: SparkSession, dir: String): String = {
+    val idx = index(spark, dir)
+    val q = queryVec(spark, dir, 0L)
+    val model = VectorQueries.pqModel(spark, dir)
+    val (probes, _) = Ivf.probeSelection(idx, q, math.min(20, idx.config.maxNProbe))
+    val codes = spark.read.parquet(pqCodesPath(spark, dir))
+      .where(col("centroid_id").isin(probes: _*))
+      .select("vec_id", "pq_code").collect()
+      .map(r => (r.getLong(0), r.getSeq[Byte](1)))
+      .sortBy(_._1)
+    val codeVals = codes.map { case (v, cd) =>
+      s"($v,${OracleGen.byteList(cd)})"
+    }.mkString(",")
+    s"""WITH lut AS (SELECT ${OracleGen.dblListList(graft.operators.Pq.lutSeq(q, model))} AS l),
+       |codes(vec_id, code) AS (VALUES $codeVals),
+       |adc AS (
+       |  SELECT c.vec_id,
+       |    list_reduce(list_transform(list_zip(c.code, l.l),
+       |      p2 -> p2[2][CAST(p2[1] AS INTEGER) + 129]),
+       |      (a2, b2) -> a2 + b2) AS adist
+       |  FROM codes c CROSS JOIN lut l),
+       |short AS (SELECT vec_id FROM adc ORDER BY adist, vec_id LIMIT 40),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT e.vec_id AS external_id,
+       |  list_reduce(list_transform(list_zip(e.embedding, q.qe),
+       |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+       |    (a, b) -> a + b) AS distance
+       |FROM embeddings e JOIN short s ON s.vec_id = e.vec_id CROSS JOIN q
+       |ORDER BY distance, e.vec_id LIMIT 10""".stripMargin
+  }
+
+  /** LSH oracle: the multi-probed buckets' candidate ids are inlined
+    * (signatures are seed-42 deterministic); DuckDB recomputes cosine
+    * over the real embeddings restricted to them and re-ranks.
+    */
+  private def lshAnnTopKOracle(spark: SparkSession, dir: String): String = {
+    import graft.operators.LshAnn
+    val emb = Tables.embeddings(spark, dir)
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val nBits = LshAnn.suggestBits(emb.count())
+    val planes = LshAnn.hyperplanes(dim, nBits, 42L)
+    val q = queryVec(spark, dir, 0L)
+    val qSig = planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (d >= 0.0) 1L << i else 0L
+    }.reduce(_ | _)
+    val probes = qSig +: (0 until math.min(nBits, planes.length))
+      .map(i => qSig ^ (1L << i))
+    val ids = LshAnn.bucketed(emb, "vec_id", "embedding", planes)
+      .where(col("bucket").isin(probes: _*))
+      .select("vec_id").collect().map(_.getLong(0)).sorted
+    require(ids.nonEmpty, "lsh oracle: empty candidate set")
+    s"""WITH q AS (SELECT ${OracleGen.dblList(q.map(_.toDouble).toSeq)} AS qe),
+       |p AS (
+       |  SELECT e.vec_id,
+       |    list_reduce(list_transform(list_zip(e.embedding, q.qe),
+       |      z -> CAST(z[1] AS DOUBLE) * z[2]), (a, b) -> a + b) AS dp,
+       |    sqrt(list_reduce(list_transform(e.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS na,
+       |    sqrt(list_reduce(list_transform(q.qe, x -> x * x), (a, b) -> a + b)) AS nb
+       |  FROM embeddings e CROSS JOIN q
+       |  WHERE e.vec_id IN (${ids.mkString(",")}))
+       |SELECT vec_id,
+       |  CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dp / (na * nb) END AS cos_sim
+       |FROM p ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
+  }
+
+  /** Recall-sweep oracle: DuckDB recomputes the WHOLE evaluation —
+    * brute-force ground truth, per-(query, n_probe) pruned candidate
+    * ranking (probe lists inlined with their selection rank so each
+    * n_probe setting is a prefix), and the recall fractions. Only the
+    * perturbed query vectors, probe orders, and cell assignment are
+    * literals; all distance math runs independently.
+    */
+  private def recallSweepOracle(spark: SparkSession, dir: String): String = {
+    val idx = index(spark, dir)
+    val qs = graft.operators.RecallEval.perturbedQueries(
+      Tables.embeddings(spark, dir)
+        .where(col("vec_id") < 50).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+      scale = 0.5f)
+    val nq = qs.length
+    val qVals = qs.sortBy(_._1).map { case (qid, q) =>
+      s"($qid,${OracleGen.dblList(q.map(_.toDouble).toSeq)})"
+    }.mkString(",")
+    val probeVals = qs.sortBy(_._1).flatMap { case (qid, q) =>
+      Ivf.probeSelection(idx, q, 64)._1.zipWithIndex.map {
+        case (c, i) => s"($qid,${i + 1},$c)"
+      }
+    }.mkString(",")
+    val assign = Ivf.liveVectors(spark, idx)
+      .select("vec_id", "centroid_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).sorted
+    val assignVals = assign.map { case (v, c) => s"($v,$c)" }.mkString(",")
+    s"""WITH qs(query_id, qe) AS (VALUES $qVals),
+       |probe(query_id, c_rank, centroid_id) AS (VALUES $probeVals),
+       |assign(vec_id, centroid_id) AS (VALUES $assignVals),
+       |np(n_probe) AS (VALUES (1),(4),(16),(64)),
+       |gt AS (
+       |  SELECT query_id, vec_id AS gt_id FROM (
+       |    SELECT q.query_id, e.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |        list_reduce(list_transform(list_zip(e.embedding, q.qe),
+       |          p2 -> (CAST(p2[1] AS DOUBLE) - p2[2]) * (CAST(p2[1] AS DOUBLE) - p2[2])),
+       |          (a2, b2) -> a2 + b2), e.vec_id) AS rn
+       |    FROM embeddings e CROSS JOIN qs q)
+       |  WHERE rn = 1),
+       |cand AS (
+       |  SELECT n.n_probe, p.query_id, a.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY n.n_probe, p.query_id ORDER BY
+       |      list_reduce(list_transform(list_zip(e.embedding, q.qe),
+       |        p2 -> (CAST(p2[1] AS DOUBLE) - p2[2]) * (CAST(p2[1] AS DOUBLE) - p2[2])),
+       |        (a2, b2) -> a2 + b2), a.vec_id) AS rn
+       |  FROM np n
+       |  JOIN probe p ON p.c_rank <= n.n_probe
+       |  JOIN assign a ON a.centroid_id = p.centroid_id
+       |  JOIN embeddings e ON e.vec_id = a.vec_id
+       |  JOIN qs q ON q.query_id = p.query_id),
+       |hits AS (
+       |  SELECT c.n_probe, c.query_id,
+       |    max(CASE WHEN c.vec_id = g.gt_id AND c.rn <= 1 THEN 1 ELSE 0 END) AS h1,
+       |    max(CASE WHEN c.vec_id = g.gt_id AND c.rn <= 10 THEN 1 ELSE 0 END) AS h10,
+       |    max(CASE WHEN c.vec_id = g.gt_id AND c.rn <= 100 THEN 1 ELSE 0 END) AS h100
+       |  FROM cand c JOIN gt g ON g.query_id = c.query_id
+       |  GROUP BY 1, 2)
+       |SELECT n_probe,
+       |  round(CAST(sum(h1) AS DOUBLE) / $nq * 10000) / 10000 AS recall_at_1,
+       |  round(CAST(sum(h10) AS DOUBLE) / $nq * 10000) / 10000 AS recall_at_10,
+       |  round(CAST(sum(h100) AS DOUBLE) / $nq * 10000) / 10000 AS recall_at_100
+       |FROM hits GROUP BY n_probe ORDER BY n_probe""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "ann_quality_summary" -> QueryDef(annQualitySummary, None, bench = false),
     "ann_ivfpq_topk" -> QueryDef(ivfPqTopK,
       OracleGen.sql("ann_ivfpq_topk")(ivfPqTopKOracle)),
-    "ann_ivfpq_residual_topk" -> QueryDef(ivfPqResidualTopK, None),
+    "ann_ivfpq_residual_topk" -> QueryDef(ivfPqResidualTopK,
+      OracleGen.sql("ann_ivfpq_residual_topk")(ivfPqResidualOracle)),
     "ann_ivfsq_topk" -> QueryDef(ivfSqTopK,
       OracleGen.sql("ann_ivfsq_topk")(ivfSqTopKOracle)),
-    "ann_pq_refine_topk" -> QueryDef(ivfPqRefineTopK, None),
-    "ann_ivfpq_batch" -> QueryDef(ivfPqBatch, None),
-    "ann_lsh_topk" -> QueryDef(lshAnnTopK, None),
-    "recall_sweep" -> QueryDef(recallSweep, None),
+    "ann_pq_refine_topk" -> QueryDef(ivfPqRefineTopK,
+      OracleGen.sql("ann_pq_refine_topk")(ivfPqRefineOracle)),
+    "ann_ivfpq_batch" -> QueryDef(ivfPqBatch,
+      OracleGen.sql("ann_ivfpq_batch")(ivfPqBatchOracle)),
+    "ann_lsh_topk" -> QueryDef(lshAnnTopK,
+      OracleGen.sql("ann_lsh_topk")(lshAnnTopKOracle)),
+    "recall_sweep" -> QueryDef(recallSweep,
+      OracleGen.sql("recall_sweep")(recallSweepOracle)),
     "ivf_search_probe_all" -> QueryDef(searchProbeAll, Some(searchProbeAllSql)),
     "ivf_range_search" -> QueryDef(rangeSearchAll, Some(rangeSearchAllSql)),
     "ivf_search_filtered" -> QueryDef(searchFilteredAll, Some(searchFilteredAllSql)),

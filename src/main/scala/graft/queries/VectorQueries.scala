@@ -381,6 +381,44 @@ object VectorQueries {
       10, "vec_id")
   }
 
+  /** PCA reduce-then-refine oracle: the projection matrix (mean +
+    * 16 components) is inlined and DuckDB re-runs BOTH stages — project
+    * every embedding, take the top-50 shortlist in the reduced space,
+    * exact-rerank in the original space — so the compare covers the
+    * projection math and the shortlist boundary.
+    */
+  private def pcaTopKOracle(spark: SparkSession, dir: String): String = {
+    val model = pcaModel(spark, dir)
+    // the query's projection comes from the same transform kernel the
+    // query path uses, so the literal cannot drift from the engine
+    val qPca = graft.operators.Pca.transform(
+        Tables.embeddings(spark, dir).where(col("vec_id") === 0L),
+        "embedding", model)
+      .select("pca_emb").head().getSeq[Float](0)
+    val comps = OracleGen.dblListList(model.components.map(_.toSeq).toSeq)
+    val mean = OracleGen.dblList(model.mean.toSeq)
+    s"""WITH proj AS (
+       |  SELECT vec_id, embedding,
+       |    list_transform($comps, c ->
+       |      CAST(list_reduce(list_transform(list_zip(embedding, c, $mean),
+       |        p2 -> p2[2] * (CAST(p2[1] AS DOUBLE) - p2[3])),
+       |        (a2, b2) -> a2 + b2) AS FLOAT)) AS y
+       |  FROM embeddings),
+       |cand AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_transform(list_zip(y, ${OracleGen.dblList(qPca.map(_.toDouble))}),
+       |      p2 -> (CAST(p2[1] AS DOUBLE) - p2[2]) * (CAST(p2[1] AS DOUBLE) - p2[2])),
+       |      (a2, b2) -> a2 + b2) AS rd
+       |  FROM proj ORDER BY rd, vec_id LIMIT 50),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+       |SELECT c.vec_id,
+       |  list_reduce(list_transform(list_zip(c.embedding, q.qe),
+       |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+       |    (a, b) -> a + b) AS distance
+       |FROM cand c CROSS JOIN q
+       |ORDER BY distance, c.vec_id LIMIT 10""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "embedding_quantize_stats" -> QueryDef(quantizeStats, Some(quantizeStatsSql)),
     "ann_quantized_topk" -> QueryDef(quantizedTopK, Some(quantizedTopKSql)),
@@ -388,7 +426,8 @@ object VectorQueries {
       OracleGen.sql("ann_pq_topk")(pqTopKOracle)),
     "ann_opq_topk" -> QueryDef(opqTopK,
       OracleGen.sql("ann_opq_topk")(opqTopKOracle)),
-    "ann_pca_topk" -> QueryDef(pcaTopK, None),
+    "ann_pca_topk" -> QueryDef(pcaTopK,
+      OracleGen.sql("ann_pca_topk")(pcaTopKOracle)),
     "embedding_pca_stats" -> QueryDef(pcaStats, None),
     "vec_normalize" -> QueryDef(normalizedSample, Some(normalizedSampleSql)),
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)),
