@@ -23,8 +23,17 @@ object Tables {
     * directory read root logs "All paths were ignored" and is invisible
     * when listed from its parent).
     */
+  /** Per-(process, data-dir) cache directory stem for the build-once
+    * artifacts (IVF index, coded siblings, verified pairs, stream
+    * output). The pid component keeps two concurrent JVMs running the
+    * catalog over the same data dir (e.g. the driver's Verify next to
+    * a local Bench) from overwriting each other's in-flight files; the
+    * in-memory caches were always per-JVM, so cross-process disk reuse
+    * never existed and the pid costs nothing.
+    */
   def cacheDirName(dir: String): String =
-    "d" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    "d" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
+      s"_p${ProcessHandle.current().pid()}"
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -67,8 +67,71 @@ object RecallEval {
     }
   }
 
+  /** All settings' recalls from ONE scan. [[sweep]] runs a pruned scan
+    * per n_probe (protocol-faithful for timing); when only the recall
+    * COLUMNS are needed, every setting can share a single pass: the
+    * ground truth already requires probing every cell, and a candidate
+    * row belongs to setting np iff its cell's probe rank ≤ np — so
+    * each row fans out to its applicable settings (≤ |nProbes|+1
+    * replicas of an int key, after the distance is computed once) and
+    * per-(query, setting) top-k is the bounded-state [[TopNByKey]]
+    * aggregate. At 100 TB this is |settings|+1 scans → one; the
+    * rankings are bitwise those of the per-setting path (same distance
+    * expression, same (distance, id) tie-break — parity gated in
+    * IvfSpec).
+    *
+    * n_probe = [[GtSetting]] (-1) carries the ground truth through the
+    * same aggregate.
+    */
+  private val GtSetting = -1
+
+  def recallsOneScan(spark: SparkSession, index: Ivf.Index,
+      queries: Array[(Long, Array[Float])], k: Int,
+      nProbes: Seq[Int], ranks: Seq[Int]): Seq[Setting] = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val probeRows = queries.flatMap { case (qid, q) =>
+      index.centroids.indices
+        .map(i => (i, KMeans.sqDist(q, index.centroids(i))))
+        .sortBy(p => (p._2, p._1))
+        .zipWithIndex
+        .map { case ((c, _), i) =>
+          (qid, c, nProbes.filter(_ >= i + 1) :+ GtSetting)
+        }
+    }
+    val probeDf = probeRows.toSeq.toDF("query_id", "centroid_id", "settings")
+    val queryDf = queries.toSeq.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "qe")
+      .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
+    val candidates = Ivf.liveVectors(spark, index)
+      .join(broadcast(probeDf), Seq("centroid_id"))
+      .join(broadcast(queryDf), Seq("query_id"))
+      .withColumn("distance",
+        graft.functions.Vec.squaredL2(col("embedding"), col("qe")))
+      .withColumn("n_probe", explode(col("settings")))
+    val top = TopNByKey.topN(candidates, Seq("query_id", "n_probe"),
+        col("distance"), col("vec_id"), k)
+      .select("query_id", "n_probe", "rk", "id").collect()
+    // (query, setting) → ranked neighbor ids; eval-sized by contract
+    val byKey = top.groupBy(r => (r.getLong(0), r.getInt(1)))
+      .map { case (key, rows) =>
+        key -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
+      }
+    val gt: Map[Long, Long] =
+      queries.map { case (qid, _) => qid -> byKey((qid, GtSetting)).head }.toMap
+    nProbes.map { np =>
+      val recalls = ranks.map { rank =>
+        val hit = queries.count { case (qid, _) =>
+          byKey.get((qid, np)).exists(_.take(rank).contains(gt(qid)))
+        }
+        rank -> hit.toDouble / queries.length
+      }.toMap
+      Setting(np, recalls, msPerQuery = 0.0, nQueries = queries.length)
+    }
+  }
+
   /** DataFrame form for the driver gate: deterministic columns only
-    * (recalls, not timings).
+    * (recalls, not timings) — computed via the one-scan path.
     */
   def sweepDf(spark: SparkSession, index: Ivf.Index,
       queries: Array[(Long, Array[Float])], k: Int,
@@ -76,7 +139,7 @@ object RecallEval {
     require(ranks.toSet.subsetOf(Set(1, 10, 100)),
       s"sweepDf reports recall_at_{1,10,100} columns only; got ranks=$ranks")
     import spark.implicits._
-    val rows = sweep(spark, index, queries, k, nProbes, ranks).map { s =>
+    val rows = recallsOneScan(spark, index, queries, k, nProbes, ranks).map { s =>
       (s.nProbe,
         math.rint(s.recalls.getOrElse(1, 0.0) * 10000) / 10000,
         math.rint(s.recalls.getOrElse(10, 0.0) * 10000) / 10000,

@@ -77,16 +77,14 @@ object VectorsStreaming {
 
   /** Catalog query: the same 20-query workload as `ann_join_topk`, fed
     * through the stream path with probe-all (exact ⇒ shares the batch
-    * oracle). Output goes to a per-(process, dir) cache path — the pid
-    * component keeps two JVMs running the catalog over the same data
-    * dir from wiping each other's in-flight micro-batch output — wiped
-    * (with its checkpoint) before each run so stale results never
-    * merge in.
+    * oracle). Output goes to a per-(process, dir) cache path
+    * (`Tables.cacheDirName` embeds the pid, so concurrent JVMs cannot
+    * wipe each other's in-flight micro-batch output), wiped (with its
+    * checkpoint) before each run so stale results never merge in.
     */
   def annSearchQuery(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.queries.IndexQueries.index(spark, dir)
-    val out = s"/tmp/graft_stream_ann/pid${ProcessHandle.current().pid()}/" +
-      graft.Tables.cacheDirName(dir)
+    val out = s"/tmp/graft_stream_ann/${graft.Tables.cacheDirName(dir)}"
     val ckpt = s"$out.ckpt"
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

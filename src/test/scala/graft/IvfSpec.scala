@@ -374,6 +374,12 @@ class IvfSpec extends SparkSpec {
     assert(r == r.sorted, s"recall not monotone: $r")
     assert(r.last == 1.0, s"full probe must be exact: $r")
     assert(settings(2).recalls(10) >= 0.6, s"recall@10 nProbe=16 = ${r(2)}")
+    // the one-scan fan-out path must reproduce the per-setting scans
+    // exactly — same distance math, same (distance, id) tie-breaks
+    val oneScan = graft.operators.RecallEval.recallsOneScan(
+      spark, index, qs, k = 10, nProbes = Seq(1, 4, 16, 10000), ranks = Seq(1, 10))
+    assert(oneScan.map(s => (s.nProbe, s.recalls)) ==
+      settings.map(s => (s.nProbe, s.recalls)))
   }
 
   test("delete: tombstoned ids vanish from every search path; compact materializes") {
