@@ -62,6 +62,15 @@ object Bench {
         System.err.println(s"[bench] pq_train FAILED: ${e.getMessage}")
         -1.0
       }
+    // OPQ rotation + codebooks likewise train once per JVM; without its
+    // own entry the first ann_opq_topk call absorbs the training cost
+    val opqT0 = System.nanoTime()
+    val opqTrainTime =
+      try { graft.queries.VectorQueries.opqModel(spark, sfDir); (System.nanoTime() - opqT0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] opq_train FAILED: ${e.getMessage}")
+        -1.0
+      }
     val pqEncT0 = System.nanoTime()
     val pqEncodeTime =
       try { graft.queries.IndexQueries.pqCodesPath(spark, sfDir); (System.nanoTime() - pqEncT0) / 1e9 }
@@ -95,6 +104,7 @@ object Bench {
     // a failed query reports -1 (not its elapsed-until-crash time) so a
     // regression can never masquerade as a speedup in the headline JSON
     val results = Map("ivf_build" -> buildTime, "pq_train" -> pqTrainTime,
+      "opq_train" -> opqTrainTime,
       "ivfpq_encode" -> pqEncodeTime,
       "ivfpq_residual_build" -> pqResidualTime,
       "ivfsq_encode" -> sqEncodeTime,
