@@ -682,7 +682,150 @@ object TextQueries {
        |GROUP BY wc.source ORDER BY wc.source""".stripMargin
   }
 
+  /** BM25 ranked retrieval: documents 0..7 act as queries against the
+    * rest of the corpus (doc_id ≥ 8) — the query→document retrieval
+    * primitive behind retrieval-based decontamination, RAG corpus
+    * search, and retriever hard-negative mining. Lucene-shape BM25
+    * (k1=1.2, b=0.75, idf = ln(1 + (N−df+0.5)/(df+0.5))); N and avgdl
+    * are derived from docs with ≥1 token (the only docs an inverted
+    * index ever sees), identically in both engines.
+    *
+    * Scale shape: term frequencies stream out of ONE tokenization pass
+    * that carries dl alongside the explode (no doc-length join); df
+    * and the 1-row (N, avgdl) stats are vocabulary-/constant-sized
+    * broadcasts; the query term set is a broadcast semi-filter, so the
+    * only corpus-sized shuffle is the (query_id, doc_id) partial
+    * aggregation — volume is matched postings, never the corpus.
+    * Per-term scores fold in sorted order (cross-engine float
+    * determinism, same as [[QualityQueries.sourceTokenDivergence]])
+    * and round(4) BEFORE ranking; top-5 per query ranks through the
+    * bounded-state [[graft.operators.TopNByKey]] aggregate (≤5 rows
+    * per query per map task) — the window form is exactly what the
+    * DuckDB oracle replays.
+    */
+  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val corpusToks = docs.where(col("doc_id") >= 8)
+      .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).as("dl"),
+        explode(col("ts")).as("term"))
+    // dl is functionally dependent on doc_id — grouping by it is free
+    val tf = corpusToks.groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf")).persist()
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = tf.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val qterms = docs.where(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(tokens(lower(col("text"))))).as("term"))
+    val scored = tf
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+          * (col("tf") * lit(2.2))
+          / (col("tf") + lit(1.2)
+            * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(aggregate(sort_array(collect_list(col("s"))), lit(0.0),
+        (a, x) => a + x), 4).as("score"))
+    graft.operators.TopNByKey.topN(scored, Seq("query_id"),
+        col("score"), col("doc_id"), n = 5, asc = false)
+      .select(col("query_id"), col("rk").cast("long").as("rank"),
+        col("id").as("doc_id"), col("ord").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val bm25TopDocsSql =
+    """WITH corpus AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS ts
+      |  FROM documents WHERE doc_id >= 8),
+      |toks AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM corpus),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+      |stats AS (
+      |  SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM (SELECT DISTINCT doc_id, dl FROM tf)),
+      |qterms AS (
+      |  SELECT doc_id AS query_id,
+      |    unnest(list_distinct(
+      |      list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> ''))) AS term
+      |  FROM documents WHERE doc_id < 8),
+      |terms AS (
+      |  SELECT q.query_id, tf.doc_id,
+      |    ln(1E0 + (s.n_docs - d.df + 5E-1) / (d.df + 5E-1))
+      |      * (tf.tf * 2.2E0)
+      |      / (tf.tf + 1.2E0 * (2.5E-1 + 7.5E-1 * tf.dl / s.avgdl)) AS sc
+      |  FROM tf JOIN qterms q USING (term) JOIN dfreq d USING (term)
+      |  CROSS JOIN stats s),
+      |scored AS (
+      |  SELECT query_id, doc_id,
+      |    round(list_reduce(list_sort(list(sc)), (a, b) -> a + b), 4) AS score
+      |  FROM terms GROUP BY 1, 2),
+      |r AS (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      |      FROM scored)
+      |SELECT query_id, rank, doc_id, score
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Training-batch length audit: power-of-2 token-length buckets
+    * (16…2048, open-topped at 4096) with the padding waste a
+    * fixed-shape batcher would pay per (source, bucket) — the
+    * sequence-length efficiency scan run before choosing a packing or
+    * bucketing strategy (the waste this measures is what
+    * [[QualityQueries.packSequences]] eliminates). Bucket assignment
+    * is an integer CASE chain (no float log2 — bitwise-identical
+    * cross-engine by construction), map-side, followed by one tiny
+    * groupBy; integers end to end with a single final division.
+    */
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val n = size(tokens(col("text")))
+    val bucket = Seq(16, 32, 64, 128, 256, 512, 1024, 2048)
+      .foldRight(lit(4096).cast("long"))((b, acc) =>
+        when(n <= b, lit(b).cast("long")).otherwise(acc))
+    Tables.documents(spark, dir)
+      .select(col("source"), n.as("n_tokens"), bucket.as("bucket"))
+      .groupBy(col("source"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .withColumn("padding_tokens",
+        col("bucket") * col("n_docs") - col("total_tokens"))
+      .withColumn("waste_ratio",
+        round(col("padding_tokens").cast("double")
+          / (col("bucket") * col("n_docs")), 4))
+      .orderBy(col("source"), col("bucket"))
+  }
+
+  private val lengthBucketsSql =
+    """WITH t AS (
+      |  SELECT source,
+      |    len(list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '')) AS n_tokens
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, n_tokens,
+      |    CASE WHEN n_tokens <= 16 THEN 16 WHEN n_tokens <= 32 THEN 32
+      |         WHEN n_tokens <= 64 THEN 64 WHEN n_tokens <= 128 THEN 128
+      |         WHEN n_tokens <= 256 THEN 256 WHEN n_tokens <= 512 THEN 512
+      |         WHEN n_tokens <= 1024 THEN 1024 WHEN n_tokens <= 2048 THEN 2048
+      |         ELSE 4096 END AS bucket
+      |  FROM t),
+      |g AS (
+      |  SELECT source, bucket, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |  FROM b GROUP BY 1, 2)
+      |SELECT source, bucket, n_docs, total_tokens,
+      |  bucket * n_docs - total_tokens AS padding_tokens,
+      |  round(CAST(bucket * n_docs - total_tokens AS DOUBLE)
+      |    / (bucket * n_docs), 4) AS waste_ratio
+      |FROM g ORDER BY source, bucket""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "bm25_top_docs" -> QueryDef(bm25TopDocs, Some(bm25TopDocsSql)),
+    "length_buckets" -> QueryDef(lengthBuckets, Some(lengthBucketsSql)),
     "bpe_merges" -> QueryDef(bpeMerges, None),
     "bpe_token_stats" -> QueryDef(bpeTokenStats,
       OracleGen.sql("bpe_token_stats")(bpeTokenStatsOracle)),

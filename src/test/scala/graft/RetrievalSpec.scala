@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.Row
+import graft.queries.TextQueries
+
+/** Gates for the retrieval surface: BM25 ranked retrieval
+  * (`bm25_top_docs`) and the length-bucket padding audit
+  * (`length_buckets`). The DuckDB oracle hash-compares both at driver
+  * time; here we pin the BM25 formula against a hand-computed corpus
+  * and the properties the oracle can't see (partitioning independence
+  * of the sorted float fold).
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def round4(v: Double): Double =
+    BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** documents.parquet with a known 4-doc corpus: doc 0 is the query
+    * ("apple banana"), docs 8..10 the corpus. */
+  private lazy val tinyDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bm25").toString
+    Seq(
+      (0L, "apple banana", "en", "s1", 12L),
+      (8L, "apple apple cherry", "en", "s1", 18L),
+      (9L, "banana cherry date fig", "en", "s1", 22L),
+      (10L, "cherry date", "en", "s1", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bm25 matches the hand-computed Lucene-shape formula") {
+    // N=3 corpus docs, avgdl=3; apple and banana each have df=1 →
+    // idf = ln(1 + 2.5/1.5). doc 8: tf(apple)=2, dl=3 →
+    // tfnorm = 2*2.2 / (2 + 1.2*(0.25+0.75*3/3)). doc 9: tf(banana)=1,
+    // dl=4 → tfnorm = 2.2 / (1 + 1.2*(0.25+0.75*4/3)). doc 10 shares
+    // no term and must not appear.
+    val idf = math.log(1.0 + 2.5 / 1.5)
+    val exp8 = round4(idf * (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0)))
+    val exp9 = round4(idf * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 4.0 / 3.0)))
+    val rows = TextQueries.bm25TopDocs(spark, tinyDir).collect().toSeq
+    assert(rows === Seq(
+      Row(0L, 1L, 8L, exp8),
+      Row(0L, 2L, 9L, exp9)))
+  }
+
+  test("bm25 ranks are contiguous with non-increasing scores") {
+    val rows = TextQueries.bm25TopDocs(spark, sf0001)
+      .collect().toSeq.groupBy(_.getLong(0))
+    assert(rows.size === 8) // doc_id 0..7 all retrieve something
+    rows.foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)) === (1L to rs.size))
+      val scores = rs.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("bm25 result is independent of the shuffle partitioning") {
+    val at8 = TextQueries.bm25TopDocs(spark, sf0001).collect().toSeq
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val at3 = TextQueries.bm25TopDocs(spark, sf0001).collect().toSeq
+      assert(at3 === at8)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+  }
+
+  test("length buckets: exact padding accounting on the tiny corpus") {
+    // token counts 2, 3, 4, 2 — all in the 16 bucket for source s1
+    val rows = TextQueries.lengthBuckets(spark, tinyDir).collect().toSeq
+    assert(rows === Seq(Row("s1", 16L, 4L, 11L, 16L * 4 - 11, round4((64.0 - 11) / 64))))
+  }
+
+  test("length buckets partition every document exactly once") {
+    val docs = Tables.documents(spark, sf0001)
+    val rows = TextQueries.lengthBuckets(spark, sf0001).collect()
+    assert(rows.map(_.getLong(2)).sum === docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(4) >= 0L) // padding can never be negative
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) < 1.0)
+    }
+  }
+}
