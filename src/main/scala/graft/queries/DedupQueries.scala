@@ -362,6 +362,126 @@ object DedupQueries {
       |                  FROM comp GROUP BY cluster_id) cs USING (cluster_id)
       |ORDER BY doc_id""".stripMargin
 
+  /** Leakage-safe train/validation split audit: every document is
+    * assigned train (~90%) or val by the md5 hash of its NEAR-DUP
+    * CLUSTER id — not its own doc_id — so two near-duplicates can
+    * never straddle the boundary (the classic eval-contamination bug:
+    * a per-doc hash split leaks paraphrases of training docs into
+    * validation). Singletons are their own cluster, so for them the
+    * safe split degenerates to the per-doc hash. One audit row
+    * comparing the safe split against the naive per-doc split it
+    * replaces: `safe_split_clusters` is computed from the data (not
+    * assumed) and must be 0, while `naive_split_clusters` /
+    * `naive_leaked_val_docs` quantify the leak the cluster hash
+    * prevents.
+    *
+    * Scale shape: the component map is edge-graph-sized (≪ corpus);
+    * one hash join attaches it to the doc list, split assignment is
+    * map-side md5, and the per-cluster roll-up partial-aggregates —
+    * nothing corpus-sized ever sits in one place.
+    */
+  def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val comp = graft.operators.ConnectedComponents.resolve(
+        spark.read.parquet(verifiedPairsPath(spark, dir)), "a_id", "b_id")
+      .withColumnRenamed("id", "doc_id")
+    val s = docs.join(comp, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("naive_train",
+        pmod(md5Long(col("doc_id").cast("string")), lit(10)) < 9)
+      .withColumn("safe_train",
+        pmod(md5Long(col("cluster_id").cast("string")), lit(10)) < 9)
+    val pc = s.groupBy(col("cluster_id")).agg(
+      count(lit(1)).as("sz"),
+      sum(when(col("naive_train"), 1).otherwise(0)).as("n_tr"),
+      sum(when(col("safe_train"), 1).otherwise(0)).as("n_str"))
+    pc.agg(
+      sum(col("sz")).cast("long").as("n_docs"),
+      count(lit(1)).as("n_clusters"),
+      sum(when(col("sz") > 1, 1).otherwise(0)).cast("long")
+        .as("n_multidoc_clusters"),
+      sum(col("n_str")).cast("long").as("safe_train_docs"),
+      sum(col("sz") - col("n_str")).cast("long").as("safe_val_docs"),
+      sum(col("n_tr")).cast("long").as("naive_train_docs"),
+      sum(col("sz") - col("n_tr")).cast("long").as("naive_val_docs"),
+      sum(when(col("n_tr") > 0 && col("n_tr") < col("sz"), 1).otherwise(0))
+        .cast("long").as("naive_split_clusters"),
+      sum(when(col("n_tr") > 0 && col("n_tr") < col("sz"),
+        col("sz") - col("n_tr")).otherwise(0))
+        .cast("long").as("naive_leaked_val_docs"),
+      sum(when(col("n_str") > 0 && col("n_str") < col("sz"), 1).otherwise(0))
+        .cast("long").as("safe_split_clusters"))
+  }
+
+  private val splitLeakageAuditSql =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, s,
+      |    list_transform(range(0, 8), h ->
+      |      list_aggregate(list_transform(s, x ->
+      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, s, b AS band_idx,
+      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
+      |  FROM sig, unnest(range(0, 4)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      |  FROM banded l JOIN banded r
+      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+      |   AND l.doc_id < r.doc_id),
+      |ver AS (
+      |  SELECT c.a_id, c.b_id
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+      |              JOIN sh sb ON sb.doc_id = c.b_id
+      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |        / len(list_distinct(sa.s || sb.s)) >= 0.7),
+      |edges AS (
+      |  SELECT a_id AS src, b_id AS dst FROM ver
+      |  UNION ALL SELECT b_id, a_id FROM ver),
+      |reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+      |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+      |assigned AS (
+      |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+      |splits AS (
+      |  SELECT doc_id, cluster_id,
+      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      % 10 < 9 AS naive_train,
+      |    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |      % 10 < 9 AS safe_train
+      |  FROM assigned),
+      |pc AS (
+      |  SELECT cluster_id, count(*) AS sz,
+      |    sum(CASE WHEN naive_train THEN 1 ELSE 0 END) AS n_tr,
+      |    sum(CASE WHEN safe_train THEN 1 ELSE 0 END) AS n_str
+      |  FROM splits GROUP BY 1)
+      |SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+      |  count(*) AS n_clusters,
+      |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multidoc_clusters,
+      |  CAST(sum(n_str) AS BIGINT) AS safe_train_docs,
+      |  CAST(sum(sz - n_str) AS BIGINT) AS safe_val_docs,
+      |  CAST(sum(n_tr) AS BIGINT) AS naive_train_docs,
+      |  CAST(sum(sz - n_tr) AS BIGINT) AS naive_val_docs,
+      |  CAST(sum(CASE WHEN n_tr > 0 AND n_tr < sz THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS naive_split_clusters,
+      |  CAST(sum(CASE WHEN n_tr > 0 AND n_tr < sz THEN sz - n_tr ELSE 0 END) AS BIGINT)
+      |    AS naive_leaked_val_docs,
+      |  CAST(sum(CASE WHEN n_str > 0 AND n_str < sz THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS safe_split_clusters
+      |FROM pc""".stripMargin
+
   /** Incremental NEAR-dup screening: a new crawl batch (doc_id % 10 ∈
     * {8, 9} here) checked against the EXISTING corpus via the MinHash
     * band index — the production shape for daily increments, where
@@ -987,6 +1107,7 @@ object DedupQueries {
     "minhash_lsh_stats" -> QueryDef(minhashLshStats, None),
     "minhash_lsh_pairs" -> QueryDef(minhashLshPairs, Some(minhashLshPairsSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
+    "split_leakage_audit" -> QueryDef(splitLeakageAudit, Some(splitLeakageAuditSql)),
     "dedup_keep_best" -> QueryDef(dedupKeepBest, Some(dedupKeepBestSql)),
     "substring_dup_spans" -> QueryDef(substringDupSpans, Some(substringDupSpansSql)),
     "simhash_diverse_sample" -> QueryDef(simhashDiverseSample, Some(simhashDiverseSampleSql)),

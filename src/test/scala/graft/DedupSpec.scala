@@ -262,6 +262,22 @@ class DedupSpec extends SparkSpec {
       s"incremental found $dupNew dup new docs, batch slice has ${expected.size}")
   }
 
+  test("split leakage audit: cluster-hash split never splits a cluster") {
+    val r = DedupQueries.splitLeakageAudit(spark, sf001).head()
+    val nDocs = r.getLong(0)
+    assert(nDocs == Tables.documents(spark, sf001).count())
+    // both splits partition the corpus
+    assert(r.getLong(3) + r.getLong(4) == nDocs) // safe train + val
+    assert(r.getLong(5) + r.getLong(6) == nDocs) // naive train + val
+    // the invariant the op exists for, computed from data: the
+    // cluster-hash split can never straddle a near-dup cluster
+    assert(r.getLong(9) == 0L, "safe split broke a cluster")
+    // leaked docs only exist where a cluster actually split
+    assert((r.getLong(7) == 0L) == (r.getLong(8) == 0L))
+    // near-dup clusters exist at sf0.01, so the audit is non-vacuous
+    assert(r.getLong(2) > 0L, "expected multi-doc near-dup clusters")
+  }
+
   test("tokenizer contract: whitespace split, no empties") {
     import spark.implicits._
     val toks = Seq(("  a  b\t c \n", 1)).toDF("text", "x")
