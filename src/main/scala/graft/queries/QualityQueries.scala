@@ -645,7 +645,96 @@ object QualityQueries {
       |  round(list_reduce(list_sort(list(term)), (a, b) -> a + b), 6) AS kl
       |FROM terms GROUP BY 1, 2 ORDER BY 1""".stripMargin
 
+  /** Data selection under a token budget: rank documents by quality
+    * (distinct-token count — the same deterministic integer metric as
+    * keep-best canonical selection — ties by doc_id) and keep the
+    * maximal prefix whose cumulative token count stays ≤ 10,000.
+    * The "train on the best N tokens" cut behind budgeted data
+    * recipes.
+    *
+    * Scale shape: the textbook form — one global-order running sum —
+    * is a single-partition window, a scale-killer. Instead: (1) a
+    * bounded per-quality histogram (|buckets| ≤ max tokens per doc)
+    * collects to the driver, which locates the boundary bucket by
+    * prefix sum; (2) whole buckets above the boundary keep map-side
+    * with no sort at all; (3) only the boundary bucket — a single
+    * quality value — pays a window, over its own docs. The DuckDB
+    * oracle replays the textbook global window, so the hash compare
+    * proves the decomposition exact.
+    */
+  def tokenBudgetCut(spark: SparkSession, dir: String): DataFrame = {
+    val budget = 10000L
+    val docs = Tables.documents(spark, dir)
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
+        size(array_distinct(col("toks"))).cast("long").as("q"),
+        size(col("toks")).cast("long").as("n_tok"))
+      .persist() // feeds the histogram, both keep branches, and totals
+    val hist = docs.groupBy(col("q")).agg(sum(col("n_tok")).as("tok"))
+      .orderBy(col("q").desc).collect()
+    var acc = 0L
+    var boundary = Option.empty[(Long, Long)] // (bucket, remaining budget)
+    hist.foreach { r =>
+      if (boundary.isEmpty) {
+        val t = r.getLong(1)
+        if (acc + t > budget) boundary = Some((r.getLong(0), budget - acc))
+        else acc += t
+      }
+    }
+    val kept = boundary match {
+      case None => docs
+      case Some((qb, rem)) =>
+        // the boundary window spans ONE quality value's docs — bounded
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        docs.where(col("q") > qb).unionAll(
+          docs.where(col("q") === qb)
+            .withColumn("ct", sum(col("n_tok")).over(w))
+            .where(col("ct") <= rem)
+            .drop("ct"))
+    }
+    val tot = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_tok")).as("total_tokens"))
+    kept.agg(count(lit(1)).as("n_kept"),
+        sum(col("n_tok")).as("kept_tokens"),
+        min(col("q")).as("min_kept_quality"))
+      .crossJoin(broadcast(tot))
+      .select(lit(budget).as("budget"), col("n_docs"), col("total_tokens"),
+        col("n_kept"), col("kept_tokens"),
+        round(col("kept_tokens").cast("double") / col("total_tokens"), 4)
+          .as("kept_token_frac"),
+        col("min_kept_quality"))
+  }
+
+  private val tokenBudgetCutSql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(list_filter(regexp_split_to_array(text, '\s+'),
+      |      x -> x <> ''))) AS BIGINT) AS q,
+      |    CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, q, n_tok,
+      |    sum(n_tok) OVER (ORDER BY q DESC, doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS ct
+      |  FROM d),
+      |k AS (SELECT * FROM c WHERE ct <= 10000),
+      |tot AS (SELECT count(*) AS n_docs,
+      |        CAST(sum(n_tok) AS BIGINT) AS total_tokens FROM d),
+      |ks AS (SELECT count(*) AS n_kept,
+      |       CAST(sum(n_tok) AS BIGINT) AS kept_tokens,
+      |       min(q) AS min_kept_quality FROM k)
+      |SELECT CAST(10000 AS BIGINT) AS budget, tot.n_docs, tot.total_tokens,
+      |  ks.n_kept, ks.kept_tokens,
+      |  round(CAST(ks.kept_tokens AS DOUBLE) / tot.total_tokens, 4)
+      |    AS kept_token_frac,
+      |  ks.min_kept_quality
+      |FROM ks CROSS JOIN tot""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "token_budget_cut" -> QueryDef(tokenBudgetCut, Some(tokenBudgetCutSql)),
     "source_token_divergence" -> QueryDef(sourceTokenDivergence, Some(sourceTokenDivergenceSql)),
     "semantic_decontam" -> QueryDef(semanticDecontam, Some(semanticDecontamSql)),
     "source_mixture_weights" -> QueryDef(sourceMixtureWeights, Some(sourceMixtureWeightsSql)),

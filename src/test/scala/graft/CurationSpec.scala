@@ -109,4 +109,26 @@ class CurationSpec extends SparkSpec {
     val b = CurationQueries.dsirWeights(spark, sf001).collect().toSeq
     assert(a == b)
   }
+
+  test("token budget cut equals the global-order prefix rule") {
+    // driver-compute the textbook rule: sort (q desc, doc_id), keep the
+    // prefix with cumulative tokens ≤ 10,000 — the two-phase
+    // histogram+boundary plan must reproduce it exactly
+    val docs = graft.Tables.documents(spark, sf0001)
+      .withColumn("toks", graft.queries.TextQueries.tokens(col("text")))
+      .select(col("doc_id"),
+        size(array_distinct(col("toks"))).cast("long").as("q"),
+        size(col("toks")).cast("long").as("n_tok"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy { case (id, q, _) => (-q, id) }
+    var acc = 0L
+    val kept = docs.takeWhile { case (_, _, t) => acc += t; acc <= 10000L }
+    val row = graft.queries.QualityQueries.tokenBudgetCut(spark, sf0001).head()
+    assert(row.getLong(0) === 10000L)
+    assert(row.getLong(1) === docs.length)
+    assert(row.getLong(2) === docs.map(_._3).sum)
+    assert(row.getLong(3) === kept.length)
+    assert(row.getLong(4) === kept.map(_._3).sum)
+    assert(row.getLong(6) === kept.map(_._2).min)
+  }
 }
