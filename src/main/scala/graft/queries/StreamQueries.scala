@@ -45,9 +45,36 @@ object StreamQueries {
       |WHERE e.event_type = 'purchase'
       |ORDER BY e.event_id""".stripMargin
 
+  private val dedupHourlySql =
+    """SELECT DISTINCT user_id, event_type,
+      |  CAST(to_timestamp((epoch_ms(ts) // 3600000) * 3600) AS TIMESTAMP) AS hour_start
+      |FROM events ORDER BY user_id, event_type, hour_start""".stripMargin
+
+  private val slidingSql =
+    """SELECT CAST(to_timestamp((epoch_ms(ts) // 1800000 - o.i) * 1800) AS TIMESTAMP) AS window_start,
+      |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
+      |FROM events, unnest([0, 1]) AS o(i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val frameSampleSql =
+    """WITH a AS (
+      |  SELECT doc_id AS asset_id,
+      |    (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS modality,
+      |    CAST(octet_length(encode(text)) // 32 AS INT) AS n_frames
+      |  FROM documents)
+      |SELECT asset_id, modality, n_frames,
+      |  CAST(len(range(0, greatest(n_frames - 1, 0) + 1, 4)) AS INT) AS n_sampled
+      |FROM a ORDER BY asset_id""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "stream_hourly" -> QueryDef(
       EventsStreaming.hourlyQuery, Some(hourlySql), bench = false),
+    "stream_dedup_hourly" -> QueryDef(
+      EventsStreaming.dedupQuery, Some(dedupHourlySql), bench = false),
+    "stream_sliding_counts" -> QueryDef(
+      EventsStreaming.slidingQuery, Some(slidingSql), bench = false),
+    "multimodal_frame_sample" -> QueryDef(
+      Multimodal.frameSampleQuery, Some(frameSampleSql)),
     "stream_sessions" -> QueryDef(
       EventsStreaming.sessionQuery, Some(sessionsSql), bench = false),
     "stream_interval_join" -> QueryDef(

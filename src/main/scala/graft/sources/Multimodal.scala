@@ -123,6 +123,15 @@ object Multimodal {
       .select(col("asset_id"), col("modality"), col("n_frames"),
         col("n_sampled"))
 
+  /** Catalog query: frame-sampling plumbing over the asset payloads —
+    * 32-byte frames, keep every 4th. Pure column arithmetic (so it is
+    * oracle-checked end to end); a real container parser replaces only
+    * the byte-chunk framing.
+    */
+  def frameSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    frameSample(assets(spark, dir), frameBytes = 32, stride = 4)
+      .orderBy(col("asset_id"))
+
   /** Catalog query: per-modality decode + payload stats (deterministic,
     * oracle-checked — the decode kernel is md5-derived). Widths cast to
     * long for the DuckDB BIGINT schema compare.

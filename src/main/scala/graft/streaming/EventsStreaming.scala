@@ -91,6 +91,39 @@ object EventsStreaming {
       .select(col("user_id"), col("event_type"), col("hour_start"),
         col("event_id"))
 
+  /** Catalog query: streaming exact dedup, keys only. Which ROW
+    * survives `dropDuplicates` is arrival-order dependent (first seen
+    * wins), but the surviving KEY SET is deterministic — so the
+    * catalog/oracle surface is the keys, and the batch twin is a plain
+    * DISTINCT.
+    */
+  def dedupQuery(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, dedupFirstPerHour(readEvents(spark, dir)),
+      s"stream_dedup_${math.abs(dir.hashCode)}", OutputMode.Append())
+      .select(col("user_id"), col("event_type"), col("hour_start"))
+      .orderBy(col("user_id"), col("event_type"), col("hour_start"))
+
+  /** Sliding-window counts: 1-hour windows advancing every 30 minutes —
+    * each event lands in exactly 2 windows. Spark expands the event
+    * into its window set map-side before the shuffle, so the shuffle
+    * volume is (events × overlap), the same cost the batch form pays to
+    * explode the window offsets.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Catalog query: streaming sliding-window counts, materialized. */
+  def slidingQuery(spark: SparkSession, dir: String): DataFrame =
+    runToCompletion(spark, slidingCounts(readEvents(spark, dir)),
+      s"stream_sliding_${math.abs(dir.hashCode)}")
+      .orderBy(col("window_start"), col("event_type"))
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding 30 minutes. Both sides carry a 1-hour
     * watermark and the join condition is a bounded event-time range, so

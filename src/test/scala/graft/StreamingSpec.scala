@@ -99,6 +99,36 @@ class StreamingSpec extends SparkSpec {
     assert(out.count() == batchDistinct)
   }
 
+  test("streaming sliding-window counts equal the batch window expansion") {
+    val stream = EventsStreaming.slidingQuery(spark, sf0001)
+    // batch twin: explode each event into its 2 overlapping windows
+    val batch = Tables.events(spark, sf0001)
+      .select(explode(array(lit(0), lit(1))).as("i"), col("ts"),
+        col("event_type"), col("value"))
+      .withColumn("window_start",
+        timestamp_seconds(
+          (floor(unix_millis(col("ts")) / 1800000L) - col("i")) * 1800L))
+      .groupBy("window_start", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+      .select(col("window_start"), col("event_type"), col("n_events"),
+        col("sum_value"))
+    assert(stream.collect().map(_.toSeq).toSeq ==
+      batch.collect().map(_.toSeq).toSeq)
+  }
+
+  test("streaming dedup catalog keys equal the batch DISTINCT") {
+    val stream = EventsStreaming.dedupQuery(spark, sf0001)
+    val batch = Tables.events(spark, sf0001)
+      .withColumn("hour_start",
+        timestamp_seconds(floor(unix_millis(col("ts")) / 3600000L) * 3600L))
+      .select("user_id", "event_type", "hour_start").distinct()
+      .orderBy(col("user_id"), col("event_type"), col("hour_start"))
+    assert(stream.collect().map(_.toSeq).toSeq ==
+      batch.collect().map(_.toSeq).toSeq)
+  }
+
   private def batchLshCandidates(): Set[(Long, Long)] = {
     import graft.queries.DedupQueries
     val banded = DedupQueries
