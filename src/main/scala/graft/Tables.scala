@@ -17,23 +17,53 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** Filesystem-safe cache-directory name for an sfDir. The "d" prefix
-    * guarantees the name never starts with '_' or '.', which Spark's
-    * file listing treats as hidden metadata (a leading-underscore
-    * directory read root logs "All paths were ignored" and is invisible
-    * when listed from its parent).
-    */
   /** Per-(process, data-dir) cache directory stem for the build-once
     * artifacts (IVF index, coded siblings, verified pairs, stream
     * output). The pid component keeps two concurrent JVMs running the
     * catalog over the same data dir (e.g. the driver's Verify next to
     * a local Bench) from overwriting each other's in-flight files; the
     * in-memory caches were always per-JVM, so cross-process disk reuse
-    * never existed and the pid costs nothing.
+    * never existed and the pid costs nothing. The "d" prefix guarantees
+    * the name never starts with '_' or '.', which Spark's file listing
+    * treats as hidden metadata (a leading-underscore directory read
+    * root logs "All paths were ignored" and is invisible when listed
+    * from its parent). A shutdown hook deletes this process's cache
+    * dirs — without it every JVM (each Bench/Verify/test run) would
+    * leak a full artifact set under /tmp.
     */
-  def cacheDirName(dir: String): String =
+  def cacheDirName(dir: String): String = {
+    registerCacheCleanup()
     "d" + dir.replaceAll("[^A-Za-z0-9.]", "_") +
       s"_p${ProcessHandle.current().pid()}"
+  }
+
+  /** /tmp roots that hold per-pid cache dirs named by [[cacheDirName]]. */
+  private val CacheRoots =
+    Seq("/tmp/graft_index", "/tmp/graft_pairs", "/tmp/graft_stream_ann")
+
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean
+  private def registerCacheCleanup(): Unit =
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      // matches `..._p<pid>` and derived names like `..._p<pid>_signed`,
+      // but not another process whose pid merely extends ours (_p12 vs
+      // _p123)
+      val mine =
+        java.util.regex.Pattern.compile(
+          s".*_p${ProcessHandle.current().pid()}(_.*)?")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        CacheRoots.foreach { root =>
+          val entries = new java.io.File(root).listFiles()
+          if (entries != null)
+            entries.filter(e => mine.matcher(e.getName).matches())
+              .foreach(deleteTree)
+        }))
+    }
+
+  private def deleteTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(deleteTree)
+    f.delete()
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

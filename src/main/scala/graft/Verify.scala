@@ -16,10 +16,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // oracle generation (probe/code/LUT literals) reads per-dir caches
-    // warmed by the query run below; SparkEntry.oracleSql is evaluated
-    // AFTER the loop, so the generators see the built index
-    graft.queries.OracleGen.enable(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -30,6 +26,13 @@ object Verify {
       // them between queries so caches don't accumulate over the run
       spark.catalog.clearCache()
     }
+    // Enable oracle generation only NOW, after the query loop:
+    // `SparkEntry.queries` above also evaluates the catalog defs (and
+    // with generation enabled would run every generator eagerly on cold
+    // caches); `Catalog.all` is a def, so the `oracleSql` evaluation
+    // below re-runs the generators with ctx set — against the per-dir
+    // index/codebook caches the query run has just warmed.
+    graft.queries.OracleGen.enable(spark, sfDir)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -538,8 +538,16 @@ object Ivf {
     // must not ride into the join and turn into ambiguous-column
     // errors. Columns the filter DOES use must be renamed by the
     // caller if they clash with an index-side name.
+    // a multi-part ref is either a struct access (`meta.q_tag` → keep
+    // column `meta`) or a qualified name (`q.tag` → keep column `tag`),
+    // so match the full name, its head, and its last part — projecting
+    // a superset is harmless, dropping a referenced column is not
     val filterRefs = pairFilter.toSeq
       .flatMap(org.apache.spark.sql.GraftSqlBridge.referencedNames)
+      .flatMap { r =>
+        val parts = r.split('.')
+        Seq(r, parts.head, parts.last)
+      }
       .distinct
     val qCols = (Seq(qidCol, qembCol) ++
       filterRefs.filter(queries.columns.contains)).distinct

@@ -100,14 +100,26 @@ object LinearClassifier {
     val parts = math.max(1L, math.min(raw.getNumPartitions.toLong,
       math.ceil(n / 500.0).toLong)).toInt
     val data =
-      if (parts < raw.getNumPartitions)
-        raw.coalesce(parts)
+      if (parts < raw.getNumPartitions) {
+        val d = raw.coalesce(parts)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else raw
+        // materialize the coalesced cache, then drop the source cache —
+        // holding both doubles memory for the whole training loop
+        d.count()
+        raw.unpersist()
+        d
+      } else raw
 
     var w = new Array[Double](dim)
     var b = 0.0
     var prevLoss = Double.MaxValue
+    // best weights by MEASURED loss: the loss computed in a pass belongs
+    // to the weights BEFORE that pass's update, so the final update of
+    // the last pass is never evaluated — return the best measured state,
+    // not the last (possibly overshooting) unevaluated one
+    var bestLoss = Double.MaxValue
+    var bestW = w
+    var bestB = b
     var it = 0
     var stop = false
     while (it < iters && !stop) {
@@ -132,19 +144,40 @@ object LinearClassifier {
           (g1, b1 + b2, l1 + l2s)
         })
       wB.destroy()
+      val meanLoss = lossSum / n
+      if (meanLoss < bestLoss) { bestLoss = meanLoss; bestW = w; bestB = b }
       val next = new Array[Double](dim)
       var i = 0
       while (i < dim) { next(i) = w(i) - lr * (gw(i) / n + l2 * w(i)); i += 1 }
       w = next
       b = b - lr * (gb / n)
-      val meanLoss = lossSum / n
-      stop = prevLoss - meanLoss < tol // (worsening counts as converged)
+      // converged = a small NON-NEGATIVE improvement. A worsening pass
+      // (overshoot at high lr) must keep training — gradient descent
+      // routinely recovers, and stopping there both halts early AND
+      // would return weights one unevaluated step PAST the overshoot.
+      stop = meanLoss <= prevLoss && prevLoss - meanLoss < tol
       prevLoss = meanLoss
       it += 1
     }
-    if (data ne raw) data.unpersist()
-    raw.unpersist()
-    Model(w, b)
+    // the loop measures each state one pass late, so the final update
+    // is never evaluated inside it — score it once (loss only) so short
+    // runs (small iters) don't fall back to an earlier state by default
+    locally {
+      val wB = spark.sparkContext.broadcast((w, b))
+      val finalLoss = data.treeAggregate(0.0)(
+        seqOp = { case (loss, (idx, v, y)) =>
+          val (wv, bv) = wB.value
+          var z = bv
+          var i = 0
+          while (i < idx.length) { z += wv(idx(i)) * v(i); i += 1 }
+          loss + y * softplus(-z) + (1.0 - y) * softplus(z)
+        },
+        combOp = _ + _) / n
+      wB.destroy()
+      if (finalLoss < bestLoss) { bestW = w; bestB = b }
+    }
+    data.unpersist()
+    Model(bestW, bestB)
   }
 
   /** p(target | doc) as a column — map-side scoring with the broadcast

@@ -90,6 +90,13 @@ object RecallEval {
       nProbes: Seq[Int], ranks: Seq[Int]): Seq[Setting] = {
     import org.apache.spark.sql.functions._
     import spark.implicits._
+    // a non-positive nProbe would collide with the GtSetting sentinel
+    // (reporting recall 1.0), and a duplicate would double-insert every
+    // candidate into the bounded top-k buffer, displacing real
+    // kth-place neighbors
+    require(nProbes.forall(_ > 0), s"nProbes must be > 0: $nProbes")
+    require(nProbes.distinct.size == nProbes.size,
+      s"nProbes must be distinct: $nProbes")
     val probeRows = queries.flatMap { case (qid, q) =>
       index.centroids.indices
         .map(i => (i, KMeans.sqDist(q, index.centroids(i))))

@@ -311,10 +311,12 @@ object CurationQueries {
 
   /** Trained once per (JVM, sfDir) on a BOUNDED deterministic
     * content-hash sample — the 100 TB shape (SCALE.md): a linear probe
-    * needs ~10^5 rows, not the corpus, and the model then scores
-    * corpus-wide as a pure map-side pass. The cap keeps training cost
-    * constant as the corpus grows; the hash keys the sample to doc
-    * identity, so it is reproducible and partitioning-independent.
+    * needs a bounded sample (~2k rows here at test scale; ~10^5 in
+    * production — the `cap` constant below is the knob), not the
+    * corpus, and the model then scores corpus-wide as a pure map-side
+    * pass. The cap keeps training cost constant as the corpus grows;
+    * the hash keys the sample to doc identity, so it is reproducible
+    * and partitioning-independent.
     */
   def classifierModel(spark: SparkSession,
       dir: String): graft.operators.LinearClassifier.Model =

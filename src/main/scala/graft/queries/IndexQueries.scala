@@ -252,7 +252,7 @@ object IndexQueries {
        |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
        |    (a, b) -> a + b) AS distance
        |FROM embeddings e CROSS JOIN q
-       |WHERE e.vec_id IN (${ids.mkString(",")})
+       |WHERE e.vec_id IN (${OracleGen.lits(ids.map(_.toString))})
        |ORDER BY distance, e.vec_id LIMIT 10""".stripMargin
   }
 
@@ -277,8 +277,8 @@ object IndexQueries {
       .where(col("centroid_id").isin(cells.toSeq: _*))
       .select("vec_id", "centroid_id").collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted
-    val probeVals = probePairs.map { case (q, c) => s"($q,$c)" }.mkString(",")
-    val assignVals = assign.map { case (v, c) => s"($v,$c)" }.mkString(",")
+    val probeVals = OracleGen.lits(probePairs.toSeq.map { case (q, c) => s"($q,$c)" })
+    val assignVals = OracleGen.lits(assign.toSeq.map { case (v, c) => s"($v,$c)" })
     s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 8),
        |probe(query_id, centroid_id) AS (VALUES $probeVals),
        |assign(vec_id, centroid_id) AS (VALUES $assignVals),
@@ -308,7 +308,7 @@ object IndexQueries {
     val rows = Ivf.liveVectors(spark, idx)
       .select("vec_id", "shard_id", "centroid_id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).sorted
-    val vals = rows.map { case (v, s, c) => s"($v,$s,$c)" }.mkString(",")
+    val vals = OracleGen.lits(rows.toSeq.map { case (v, s, c) => s"($v,$s,$c)" })
     s"""WITH assign(vec_id, shard_id, centroid_id) AS (VALUES $vals)
        |SELECT a.shard_id,
        |  count(DISTINCT a.centroid_id) AS n_centroids,
@@ -594,9 +594,9 @@ object IndexQueries {
       .select("vec_id", "q_scale", "q_emb").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Byte](2)))
       .sortBy(_._1)
-    val vals = rows.map { case (id, s, c) =>
+    val vals = OracleGen.lits(rows.toSeq.map { case (id, s, c) =>
       s"($id,${OracleGen.dbl(s)},${OracleGen.byteList(c)})"
-    }.mkString(",")
+    })
     s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
        |codes(vec_id, scale, qv) AS (VALUES $vals),
        |d AS (
@@ -621,19 +621,19 @@ object IndexQueries {
     val q = queryVec(spark, dir, 0L)
     val (model, path) = residualModelAndCodes(spark, dir)
     val (probes, _) = Ivf.probeSelection(idx, q, math.min(20, idx.config.maxNProbe))
-    val lutVals = probes.map { c =>
+    val lutVals = OracleGen.lits(probes.toSeq.map { c =>
       val cent = idx.centroids(c)
       val qr = Array.tabulate(q.length)(i => q(i) - cent(i))
       s"($c,${OracleGen.dblListList(graft.operators.Pq.lutSeq(qr, model))})"
-    }.mkString(",")
+    })
     val codes = spark.read.parquet(path)
       .where(col("centroid_id").isin(probes: _*))
       .select("vec_id", "centroid_id", "pq_code").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2)))
       .sortBy(_._1)
-    val codeVals = codes.map { case (v, c, cd) =>
+    val codeVals = OracleGen.lits(codes.toSeq.map { case (v, c, cd) =>
       s"($v,$c,${OracleGen.byteList(cd)})"
-    }.mkString(",")
+    })
     s"""WITH lut(centroid_id, l) AS (VALUES $lutVals),
        |codes(vec_id, centroid_id, code) AS (VALUES $codeVals),
        |d AS (
@@ -666,13 +666,13 @@ object IndexQueries {
       .select("vec_id", "centroid_id", "pq_code").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Byte](2)))
       .sortBy(_._1)
-    val lutVals = qs.map { case (qid, q) =>
+    val lutVals = OracleGen.lits(qs.toSeq.map { case (qid, q) =>
       s"($qid,${OracleGen.dblListList(graft.operators.Pq.lutSeq(q, model))})"
-    }.mkString(",")
-    val probeVals = probePairs.map { case (qid, c) => s"($qid,$c)" }.mkString(",")
-    val codeVals = codes.map { case (v, c, cd) =>
+    })
+    val probeVals = OracleGen.lits(probePairs.toSeq.map { case (qid, c) => s"($qid,$c)" })
+    val codeVals = OracleGen.lits(codes.toSeq.map { case (v, c, cd) =>
       s"($v,$c,${OracleGen.byteList(cd)})"
-    }.mkString(",")
+    })
     s"""WITH lut(query_id, l) AS (VALUES $lutVals),
        |probe(query_id, centroid_id) AS (VALUES $probeVals),
        |codes(vec_id, centroid_id, code) AS (VALUES $codeVals),
@@ -706,9 +706,9 @@ object IndexQueries {
       .select("vec_id", "pq_code").collect()
       .map(r => (r.getLong(0), r.getSeq[Byte](1)))
       .sortBy(_._1)
-    val codeVals = codes.map { case (v, cd) =>
+    val codeVals = OracleGen.lits(codes.toSeq.map { case (v, cd) =>
       s"($v,${OracleGen.byteList(cd)})"
-    }.mkString(",")
+    })
     s"""WITH lut AS (SELECT ${OracleGen.dblListList(graft.operators.Pq.lutSeq(q, model))} AS l),
        |codes(vec_id, code) AS (VALUES $codeVals),
        |adc AS (
@@ -757,7 +757,7 @@ object IndexQueries {
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS na,
        |    sqrt(list_reduce(list_transform(q.qe, x -> x * x), (a, b) -> a + b)) AS nb
        |  FROM embeddings e CROSS JOIN q
-       |  WHERE e.vec_id IN (${ids.mkString(",")}))
+       |  WHERE e.vec_id IN (${OracleGen.lits(ids.map(_.toString))}))
        |SELECT vec_id,
        |  CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dp / (na * nb) END AS cos_sim
        |FROM p ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin
@@ -778,18 +778,18 @@ object IndexQueries {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
       scale = 0.5f)
     val nq = qs.length
-    val qVals = qs.sortBy(_._1).map { case (qid, q) =>
+    val qVals = OracleGen.lits(qs.sortBy(_._1).toSeq.map { case (qid, q) =>
       s"($qid,${OracleGen.dblList(q.map(_.toDouble).toSeq)})"
-    }.mkString(",")
-    val probeVals = qs.sortBy(_._1).flatMap { case (qid, q) =>
+    })
+    val probeVals = OracleGen.lits(qs.sortBy(_._1).toSeq.flatMap { case (qid, q) =>
       Ivf.probeSelection(idx, q, 64)._1.zipWithIndex.map {
         case (c, i) => s"($qid,${i + 1},$c)"
       }
-    }.mkString(",")
+    })
     val assign = Ivf.liveVectors(spark, idx)
       .select("vec_id", "centroid_id").collect()
       .map(r => (r.getLong(0), r.getInt(1))).sorted
-    val assignVals = assign.map { case (v, c) => s"($v,$c)" }.mkString(",")
+    val assignVals = OracleGen.lits(assign.toSeq.map { case (v, c) => s"($v,$c)" })
     s"""WITH qs(query_id, qe) AS (VALUES $qVals),
        |probe(query_id, c_rank, centroid_id) AS (VALUES $probeVals),
        |assign(vec_id, centroid_id) AS (VALUES $assignVals),

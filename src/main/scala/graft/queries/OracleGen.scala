@@ -73,6 +73,17 @@ object OracleGen {
   /** Signed-byte code list literal (PQ codes, SQ8 cells). */
   def byteList(xs: Seq[Byte]): String = xs.mkString("[", ",", "]")
 
+  /** Comma-joined literal list that REFUSES to be empty. An empty set
+    * would emit syntactically invalid SQL (`IN ()`, a bare `VALUES `)
+    * — generation would "succeed" and the driver's DuckDB compare
+    * would hard-fail the query; throwing here instead routes it into
+    * [[sql]]'s documented rows-only degradation.
+    */
+  def lits(xs: Seq[String]): String = {
+    require(xs.nonEmpty, "empty literal set - degrading to rows-only")
+    xs.mkString(",")
+  }
+
   /** Single-quoted SQL string literal. */
   def str(s: String): String = "'" + s.replace("'", "''") + "'"
 
