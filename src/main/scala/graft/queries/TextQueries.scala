@@ -772,6 +772,99 @@ object TextQueries {
       |SELECT query_id, rank, doc_id, score
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Late-interaction (MaxSim) retrieval over chunk embeddings —
+    * ColBERT-style scoring (Khattab & Zaharia 2020) re-expressed as two
+    * partial aggregations: score(q, d) = Σ over q's chunks of the max
+    * cosine against d's chunks. Docs are split into 16-token chunks and
+    * each chunk carries a 16-dim deterministic pseudo-embedding
+    * (md5-derived, the [[graft.sources.Multimodal]] stub-encoder
+    * construction — a real encoder replaces exactly that expression),
+    * so the whole pipeline is oracle-checkable.
+    *
+    * Scale shape: the query side (8 docs → ~a few dozen chunks) is a
+    * broadcast nested-loop against the corpus chunk scan — chunking
+    * and the per-pair cosine are map-side; the max-per-(query chunk,
+    * doc) and sum-per-(query, doc) are partial aggregations whose
+    * shuffle volume is (query chunks × matched docs), never the corpus
+    * chunk count. Per-chunk maxes fold into the final score in sorted
+    * order (cross-engine float determinism) and round(4) BEFORE
+    * ranking; top-5 per query via the bounded-state
+    * [[graft.operators.TopNByKey]].
+    */
+  def maxsimTopDocs(spark: SparkSession, dir: String): DataFrame = {
+    val win = 16
+    val chunks = Tables.documents(spark, dir)
+      .withColumn("ts", tokens(lower(col("text"))))
+      .withColumn("n_ch", when(size(col("ts")) <= win, lit(1))
+        .otherwise((size(col("ts")) - win + (win - 1))
+          .divide(win).cast("int") + 1))
+      .withColumn("cidx", explode(sequence(lit(0), col("n_ch") - 1)))
+      .withColumn("chunk_text",
+        array_join(slice(col("ts"), col("cidx") * win + 1, lit(win)), " "))
+      .withColumn("feat", transform(sequence(lit(0), lit(15)), j =>
+        ((DedupQueries.md5Long(concat(j.cast("string"), lit(":"),
+          col("chunk_text"))) % 1000000L) / lit(1000000.0)).cast("float")))
+      .select(col("doc_id"), col("cidx"), col("feat"))
+    val q = chunks.where(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("cidx").as("qidx"),
+        col("feat").as("q_feat"))
+    val mx = chunks.where(col("doc_id") >= 8)
+      .crossJoin(broadcast(q))
+      .groupBy(col("query_id"), col("qidx"), col("doc_id"))
+      .agg(max(graft.functions.Vec.cosine(col("q_feat"), col("feat"))).as("m"))
+    val scored = mx.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(aggregate(sort_array(collect_list(col("m"))), lit(0.0),
+        (a, x) => a + x), 4).as("score"))
+    graft.operators.TopNByKey.topN(scored, Seq("query_id"),
+        col("score"), col("doc_id"), n = 5, asc = false)
+      .select(col("query_id"), col("rk").cast("long").as("rank"),
+        col("id").as("doc_id"), col("ord").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private val maxsimTopDocsSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, ts, unnest(range(0, CASE WHEN len(ts) <= 16 THEN 1
+      |    ELSE CAST((len(ts) - 16 + 15) // 16 AS INT) + 1 END)) AS cidx
+      |  FROM t),
+      |ch AS (
+      |  SELECT doc_id, cidx,
+      |    coalesce(list_aggregate(list_slice(ts, cidx * 16 + 1,
+      |      least(cidx * 16 + 16, len(ts))), 'string_agg', ' '), '') AS chunk_text
+      |  FROM c),
+      |f AS (
+      |  SELECT doc_id, cidx,
+      |    list_transform(range(0, 16), j ->
+      |      CAST((CAST(('0x' || substr(md5(j || ':' || chunk_text), 1, 15)) AS BIGINT)
+      |            % 1000000) / 1000000.0 AS FLOAT)) AS feat
+      |  FROM ch),
+      |p AS (
+      |  SELECT q.doc_id AS query_id, q.cidx AS qidx, d.doc_id,
+      |    list_reduce(list_transform(list_zip(q.feat, d.feat),
+      |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) AS dp,
+      |    sqrt(list_reduce(list_transform(q.feat,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS nq,
+      |    sqrt(list_reduce(list_transform(d.feat,
+      |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS nd
+      |  FROM f q JOIN f d ON q.doc_id < 8 AND d.doc_id >= 8),
+      |mx AS (
+      |  SELECT query_id, qidx, doc_id,
+      |    max(CASE WHEN nq = 0 OR nd = 0 THEN 0E0 ELSE dp / (nq * nd) END) AS m
+      |  FROM p GROUP BY 1, 2, 3),
+      |s AS (
+      |  SELECT query_id, doc_id,
+      |    round(list_reduce(list_sort(list(m)), (a, b) -> a + b), 4) AS score
+      |  FROM mx GROUP BY 1, 2),
+      |r AS (SELECT *, ROW_NUMBER() OVER (
+      |        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+      |      FROM s)
+      |SELECT query_id, rank, doc_id, score
+      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Training-batch length audit: power-of-2 token-length buckets
     * (16…2048, open-topped at 4096) with the padding waste a
     * fixed-shape batcher would pay per (source, bucket) — the
@@ -825,6 +918,7 @@ object TextQueries {
 
   def defs: Map[String, QueryDef] = Map(
     "bm25_top_docs" -> QueryDef(bm25TopDocs, Some(bm25TopDocsSql)),
+    "maxsim_top_docs" -> QueryDef(maxsimTopDocs, Some(maxsimTopDocsSql)),
     "length_buckets" -> QueryDef(lengthBuckets, Some(lengthBucketsSql)),
     "bpe_merges" -> QueryDef(bpeMerges, None),
     "bpe_token_stats" -> QueryDef(bpeTokenStats,

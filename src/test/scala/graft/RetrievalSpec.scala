@@ -66,6 +66,41 @@ class RetrievalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
   }
 
+  test("maxsim: identical-text corpus doc ranks first for its query twin") {
+    // doc 8 repeats doc 0's text verbatim: every query chunk's best
+    // cosine against doc 8 is 1.0 (the identical chunk), so no corpus
+    // doc can outscore it
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxsim").toString
+    val txt = (1 to 40).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, txt, "en", "s1", 100L),
+      (8L, txt, "en", "s1", 100L),
+      (9L, (1 to 40).map(i => s"x$i").mkString(" "), "en", "s1", 100L),
+      (10L, "different entirely", "en", "s1", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.maxsimTopDocs(spark, dir)
+      .where($"query_id" === 0L).collect()
+    assert(rows.head.getLong(2) === 8L, s"expected doc 8 first: ${rows.toSeq}")
+    // 40 tokens → 3 chunks, each max-cos 1.0 → score 3.0 exactly
+    assert(rows.head.getDouble(3) === 3.0)
+  }
+
+  test("maxsim ranks are contiguous and independent of partitioning") {
+    val at8 = TextQueries.maxsimTopDocs(spark, sf0001).collect().toSeq
+    at8.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)) === (1L to rs.size))
+      val scores = rs.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val at3 = TextQueries.maxsimTopDocs(spark, sf0001).collect().toSeq
+      assert(at3 === at8)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+  }
+
   test("length buckets: exact padding accounting on the tiny corpus") {
     // token counts 2, 3, 4, 2 — all in the 16 bucket for source s1
     val rows = TextQueries.lengthBuckets(spark, tinyDir).collect().toSeq
