@@ -180,4 +180,15 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 3, s"too many shuffles ($exchanges):\n${p.take(3000)}")
   }
+
+  test("maxsim: query chunks broadcast, both reductions partial-aggregate") {
+    val p = plan("maxsim_top_docs")
+    // the tiny query-chunk side must be the broadcast side of the NLJ —
+    // a CartesianProduct would shuffle corpus chunks against it instead
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"corpus chunks shuffled into a cartesian:\n${p.take(2000)}")
+    assert(p.contains("partial_max"), "max-per-(query chunk, doc) not map-side")
+  }
 }
