@@ -23,8 +23,20 @@ import graft.queries.TextQueries.tokens
   */
 object DedupQueries {
 
-  /** First 60 bits of md5 as a non-negative BIGINT. */
+  /** First 60 bits of md5 as a non-negative BIGINT — the native codegen
+    * [[graft.functions.Md5Long60]] (digest → bit ops, no hex-string
+    * round-trip; DedupSpec asserts bitwise parity with [[md5LongSql]]).
+    */
   def md5Long(c: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.Md5Long60(
+        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
+  /** Composed built-in form of [[md5Long]] — the SQL-expressible parity
+    * baseline (kept for the DedupSpec equivalence gate; the oracle's
+    * DuckDB twin mirrors this construction).
+    */
+  def md5LongSql(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Distinct 3-token shingles from an ALREADY-MATERIALIZED tokens
@@ -179,8 +191,13 @@ object DedupQueries {
     */
   def minhashLshStats(spark: SparkSession, dir: String): DataFrame = {
     val nHashes = 8
+    // repartition BEFORE the signature pass: the whole corpus arrives
+    // as one scan split (one small parquet file locally; at 100 TB the
+    // source is many splits and this exchange is a no-op cost-wise),
+    // and without it the 8-hash-per-shingle map stage runs on one core
     val docs = withMinhashSig(
-      shingledDocs(Tables.documents(spark, dir)), nHashes)
+      shingledDocs(Tables.documents(spark, dir).repartition(col("doc_id"))),
+      nHashes)
       .persist()
     // banding carries only (band, doc_id) — shingle arrays stay out of
     // the self-join shuffle
@@ -222,8 +239,12 @@ object DedupQueries {
     */
   private def md5SignedDocs(spark: SparkSession, dir: String,
       nHashes: Int): DataFrame =
+    // repartition first — same single-scan-split reasoning as
+    // [[minhashLshStats]], and md5 is ~10x xxhash64 so the
+    // one-core signature stage dominated the pairs build without it
     (0 until nHashes).foldLeft(
-      shingledDocs(Tables.documents(spark, dir))) { (d, i) =>
+      shingledDocs(Tables.documents(spark, dir)
+        .repartition(col("doc_id")))) { (d, i) =>
       d.withColumn(s"sig_$i",
         array_min(transform(col("sh"), s => md5Long(concat(lit(s"$i:"), s)))))
     }
@@ -685,15 +706,20 @@ object DedupQueries {
     * only accepts literal shift amounts.
     */
   def simhashCol(textCol: String): Column = expr(
+    // tokens are hashed ONCE in the inner transform (HOF lambdas have
+    // no common-subexpression elimination — hashing inside the per-bit
+    // lambda would digest each token 60 times)
     s"""aggregate(
        |  zip_with(
        |    aggregate(
-       |      filter(split($textCol, '\\\\s+'), t -> length(t) > 0),
+       |      transform(
+       |        filter(split($textCol, '\\\\s+'), t -> length(t) > 0),
+       |        t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)),
        |      array_repeat(CAST(0 AS BIGINT), 60),
-       |      (acc, tok) -> zip_with(
+       |      (acc, h) -> zip_with(
        |        acc,
        |        transform(sequence(0, 59), j ->
-       |          CASE WHEN (shiftright(CAST(conv(substring(md5(tok), 1, 15), 16, 10) AS BIGINT), j) & CAST(1 AS BIGINT)) = 1
+       |          CASE WHEN (shiftright(h, j) & CAST(1 AS BIGINT)) = 1
        |               THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END),
        |        (a, b) -> a + b)),
        |    sequence(0, 59),

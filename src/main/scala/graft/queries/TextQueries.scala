@@ -793,7 +793,11 @@ object TextQueries {
     */
   def maxsimTopDocs(spark: SparkSession, dir: String): DataFrame = {
     val win = 16
-    val chunks = Tables.documents(spark, dir)
+    // repartition before chunking: the corpus arrives as one scan
+    // split locally, and the chunk + 16-digest feature stage is the
+    // expensive map work (see DedupQueries for the same pattern); the
+    // query-side doc_id filter still pushes through the exchange
+    val chunks = Tables.documents(spark, dir).repartition(col("doc_id"))
       .withColumn("ts", tokens(lower(col("text"))))
       .withColumn("n_ch", when(size(col("ts")) <= win, lit(1))
         .otherwise((size(col("ts")) - win + (win - 1))

@@ -46,12 +46,8 @@ object Multimodal {
     * same construction the dedup pipeline uses (`DedupQueries.md5Long`),
     * so the DuckDB oracle reproduces every derived value bit-for-bit.
     */
-  private def md5Long60(s: String): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes("UTF-8"))
-      .map(b => f"$b%02x").mkString
-    java.lang.Long.parseLong(hex.substring(0, 15), 16)
-  }
+  private def md5Long60(s: String): Long =
+    graft.functions.Md5Long60.compute(s.getBytes("UTF-8"))
 
   /** STUB decode: deterministic pseudo-decode of a binary payload.
     * A real implementation would parse the container format here; the

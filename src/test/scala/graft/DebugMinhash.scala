@@ -48,6 +48,34 @@ object DebugMinhash {
         .where(col("jaccard") >= 0.7).count()
     }
     println(s"verified=$verified")
+    def fold(base: org.apache.spark.sql.DataFrame) =
+      (0 until nHashes).foldLeft(DedupQueries.shingledDocs(base)) { (d, i) =>
+        d.withColumn(s"sig_$i",
+          array_min(transform(col("sh"), s =>
+            DedupQueries.md5Long(concat(lit(s"$i:"), s)))))
+      }
+    t("fold 1-part count") {
+      fold(Tables.documents(spark, dir))
+        .agg(sum(col("sig_0").cast("double"))).collect() }
+    t("fold repart count") {
+      fold(Tables.documents(spark, dir).repartition(col("doc_id")))
+        .agg(sum(col("sig_0").cast("double"))).collect() }
+    t("fold repart count 2") {
+      fold(Tables.documents(spark, dir).repartition(col("doc_id")))
+        .agg(sum(col("sig_1").cast("double"))).collect() }
+    t("fold repart all-sig count") {
+      fold(Tables.documents(spark, dir).repartition(col("doc_id")))
+        .agg(sum((0 until nHashes).map(i => col(s"sig_$i").cast("double"))
+          .reduce(_ + _))).collect() }
+    t("write sans sh") {
+      fold(Tables.documents(spark, dir).repartition(col("doc_id")))
+        .drop("sh")
+        .write.mode("overwrite").parquet("/tmp/graft_dbg_nosh") }
+    t("write with sh") {
+      fold(Tables.documents(spark, dir).repartition(col("doc_id")))
+        .write.mode("overwrite").parquet("/tmp/graft_dbg_sh") }
+    t("signedDocsPath write") { DedupQueries.signedDocsPath(spark, dir) }
+    t("verifiedPairsPath write") { DedupQueries.verifiedPairsPath(spark, dir) }
     t("full query end-to-end") {
       spark.catalog.clearCache()
       DedupQueries.minhashLshPairs(spark, dir).collect().length

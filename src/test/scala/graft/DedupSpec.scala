@@ -28,6 +28,25 @@ class DedupSpec extends SparkSpec {
     assert(truth > 0, "corpus should contain near-dups for this gate to bite")
   }
 
+  test("native md5Long equals the composed built-in form bitwise") {
+    import spark.implicits._
+    val inputs = Seq("", "a", "i:tok", "héllo wörld", "日本語テスト",
+      "0:the quick brown fox", "7:" + ("x" * 500)) ++
+      (0 until 100).map(i => s"$i:shingle $i text")
+    val df = inputs.toDF("s")
+    val rows = df.select(
+      DedupQueries.md5Long(col("s")).as("fast"),
+      DedupQueries.md5LongSql(col("s")).as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+      s"mismatch for input row: ${r.toSeq}"))
+    // and the driver-side kernel agrees with the column form
+    inputs.foreach { s =>
+      val fromCol = df.where(col("s") === s)
+        .select(DedupQueries.md5Long(col("s"))).head().getLong(0)
+      assert(graft.functions.Md5Long60.compute(s.getBytes("UTF-8")) == fromCol)
+    }
+  }
+
   test("simhash of identical texts is identical; hamming 0") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
