@@ -65,6 +65,21 @@ object Tables {
     f.delete()
   }
 
+  /** Spread a scan across the cluster ONLY when it arrives
+    * under-parallelized. Locally the corpus tables are one small
+    * parquet file — a single scan split (one row group, so
+    * `maxPartitionBytes` cannot split it), which serializes any
+    * CPU-heavy map stage onto one core. At production scale the same
+    * table arrives as thousands of splits and this is the identity —
+    * no corpus-sized shuffle is baked into the plan. The probe reads
+    * only the source partition count (no job).
+    */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
+    if (df.rdd.getNumPartitions <
+        df.sparkSession.sparkContext.defaultParallelism)
+      df.repartition(key)
+    else df
+
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")

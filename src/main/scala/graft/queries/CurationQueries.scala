@@ -234,11 +234,11 @@ object CurationQueries {
       .select(col("doc_id"), col("lang"),
         explode(tokens(col("text"))).as("token"))
       .withColumn("bucket", pmod(md5Long(col("token")), lit(buckets)))
-    // repartition before the explode+md5 map stage — the corpus
-    // arrives as one scan split locally (see DedupQueries), and the
-    // per-token bucket hashing is the expensive part of this query
-    val toks = tokStream(Tables.documents(spark, dir)
-      .repartition(col("doc_id"))).persist()
+    // spread before the explode+md5 map stage — the corpus arrives as
+    // one scan split locally and the per-token bucket hashing is the
+    // expensive part of this query; identity when already partitioned
+    val toks = tokStream(Tables.spread(Tables.documents(spark, dir),
+      col("doc_id"))).persist()
     val raw = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
     val tgt = toks.where(col("lang") === "en")
       .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))

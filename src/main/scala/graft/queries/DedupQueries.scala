@@ -191,12 +191,14 @@ object DedupQueries {
     */
   def minhashLshStats(spark: SparkSession, dir: String): DataFrame = {
     val nHashes = 8
-    // repartition BEFORE the signature pass: the whole corpus arrives
-    // as one scan split (one small parquet file locally; at 100 TB the
-    // source is many splits and this exchange is a no-op cost-wise),
-    // and without it the 8-hash-per-shingle map stage runs on one core
+    // spread BEFORE the signature pass: locally the corpus is one scan
+    // split and the 8-hash-per-shingle map stage would run on one core;
+    // Tables.spread is the identity when the source already arrives
+    // well-partitioned (the cluster case), so no corpus shuffle is
+    // baked into the plan
     val docs = withMinhashSig(
-      shingledDocs(Tables.documents(spark, dir).repartition(col("doc_id"))),
+      shingledDocs(Tables.spread(Tables.documents(spark, dir),
+        col("doc_id"))),
       nHashes)
       .persist()
     // banding carries only (band, doc_id) — shingle arrays stay out of
@@ -239,12 +241,12 @@ object DedupQueries {
     */
   private def md5SignedDocs(spark: SparkSession, dir: String,
       nHashes: Int): DataFrame =
-    // repartition first — same single-scan-split reasoning as
+    // spread first — same single-scan-split reasoning as
     // [[minhashLshStats]], and md5 is ~10x xxhash64 so the
     // one-core signature stage dominated the pairs build without it
     (0 until nHashes).foldLeft(
-      shingledDocs(Tables.documents(spark, dir)
-        .repartition(col("doc_id")))) { (d, i) =>
+      shingledDocs(Tables.spread(Tables.documents(spark, dir),
+        col("doc_id")))) { (d, i) =>
       d.withColumn(s"sig_$i",
         array_min(transform(col("sh"), s => md5Long(concat(lit(s"$i:"), s)))))
     }

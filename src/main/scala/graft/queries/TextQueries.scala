@@ -791,13 +791,18 @@ object TextQueries {
     * ranking; top-5 per query via the bounded-state
     * [[graft.operators.TopNByKey]].
     */
-  def maxsimTopDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** The maxsim chunk table: (doc_id, cidx, feat) — 16-token chunks,
+    * 16-dim md5-derived stub embeddings. The ONE definition of the
+    * chunk/feature scheme, shared by the catalog query and the
+    * DebugMaxsim stage-timing harness so their plans cannot diverge.
+    * Spread before chunking: locally the corpus is one scan split and
+    * the chunk + 16-digest feature stage is the expensive map work
+    * (identity at cluster scale — Tables.spread); the query-side
+    * doc_id filter still pushes through the exchange.
+    */
+  def maxsimChunks(spark: SparkSession, dir: String): DataFrame = {
     val win = 16
-    // repartition before chunking: the corpus arrives as one scan
-    // split locally, and the chunk + 16-digest feature stage is the
-    // expensive map work (see DedupQueries for the same pattern); the
-    // query-side doc_id filter still pushes through the exchange
-    val chunks = Tables.documents(spark, dir).repartition(col("doc_id"))
+    Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .withColumn("ts", tokens(lower(col("text"))))
       .withColumn("n_ch", when(size(col("ts")) <= win, lit(1))
         .otherwise((size(col("ts")) - win + (win - 1))
@@ -809,6 +814,10 @@ object TextQueries {
         ((DedupQueries.md5Long(concat(j.cast("string"), lit(":"),
           col("chunk_text"))) % 1000000L) / lit(1000000.0)).cast("float")))
       .select(col("doc_id"), col("cidx"), col("feat"))
+  }
+
+  def maxsimTopDocs(spark: SparkSession, dir: String): DataFrame = {
+    val chunks = maxsimChunks(spark, dir)
     val q = chunks.where(col("doc_id") < 8)
       .select(col("doc_id").as("query_id"), col("cidx").as("qidx"),
         col("feat").as("q_feat"))

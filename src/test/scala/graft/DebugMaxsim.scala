@@ -22,18 +22,8 @@ object DebugMaxsim {
       println(f"STAGE $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
     }
-    def chunks = Tables.documents(spark, dir)
-      .withColumn("ts", TextQueries.tokens(lower(col("text"))))
-      .withColumn("n_ch", when(size(col("ts")) <= win, lit(1))
-        .otherwise((size(col("ts")) - win + (win - 1))
-          .divide(win).cast("int") + 1))
-      .withColumn("cidx", explode(sequence(lit(0), col("n_ch") - 1)))
-      .withColumn("chunk_text",
-        array_join(slice(col("ts"), col("cidx") * win + 1, lit(win)), " "))
-      .withColumn("feat", transform(sequence(lit(0), lit(15)), j =>
-        ((DedupQueries.md5Long(concat(j.cast("string"), lit(":"),
-          col("chunk_text"))) % 1000000L) / lit(1000000.0)).cast("float")))
-      .select(col("doc_id"), col("cidx"), col("feat"))
+    // the ONE chunk/feature definition — shared with the production query
+    def chunks = TextQueries.maxsimChunks(spark, dir)
     time("chunks.count")(println("  n=" + chunks.count()))
     time("chunks.feat.count")(println("  n=" +
       chunks.select(explode(col("feat"))).count()))

@@ -76,7 +76,10 @@ object DebugMinhash {
         .write.mode("overwrite").parquet("/tmp/graft_dbg_sh") }
     t("signedDocsPath write") { DedupQueries.signedDocsPath(spark, dir) }
     t("verifiedPairsPath write") { DedupQueries.verifiedPairsPath(spark, dir) }
-    t("full query end-to-end") {
+    // NOTE: the signedDocsPath/verifiedPairsPath calls above populated
+    // the JVM-wide parquet caches, so this is a WARM read of the pair
+    // parquet — the cold end-to-end cost is their two timings combined
+    t("full query end-to-end (warm caches)") {
       spark.catalog.clearCache()
       DedupQueries.minhashLshPairs(spark, dir).collect().length
     }
