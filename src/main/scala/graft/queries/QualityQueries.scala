@@ -102,7 +102,7 @@ object QualityQueries {
       testSources: Seq[String] = Seq("src18", "src19")): DataFrame = {
     // persist: the gram table feeds the test-side distinct, the per-doc
     // totals, and the hit join — one tokenize+shingle pass, not three
-    val grams = Tables.documents(spark, dir)
+    val grams = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .withColumn("toks", tokens(col("text")))
       .select(col("doc_id"), col("source"),
         explode(array_distinct(wordNgrams(col("toks"), 5))).as("g"))
@@ -601,7 +601,7 @@ object QualityQueries {
   def sourceTokenDivergence(spark: SparkSession, dir: String): DataFrame = {
     // persist: the exploded token stream feeds the corpus and
     // per-source aggregations — one tokenization pass
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .persist()
     val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("cc"))

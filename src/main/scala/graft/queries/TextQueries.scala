@@ -565,7 +565,9 @@ object TextQueries {
     * than one gram.
     */
   def bigramLmTop(spark: SparkSession, dir: String): DataFrame = {
-    val bi = Tables.documents(spark, dir)
+    // spread: the bigram explode is the CPU-heavy map stage and the
+    // corpus arrives as one scan split locally (Tables.spread)
+    val bi = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .withColumn("toks", tokens(col("text")))
       .select(explode(QualityQueries.wordNgrams(col("toks"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n_bigram"))
