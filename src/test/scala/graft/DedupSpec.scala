@@ -45,6 +45,11 @@ class DedupSpec extends SparkSpec {
         .select(DedupQueries.md5Long(col("s"))).head().getLong(0)
       assert(graft.functions.Md5Long60.compute(s.getBytes("UTF-8")) == fromCol)
     }
+    // null propagates as null (both forms)
+    val nulls = Seq[Option[String]](None).toDF("s")
+      .select(DedupQueries.md5Long(col("s")).as("fast"),
+        DedupQueries.md5LongSql(col("s")).as("ref")).head()
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
   }
 
   test("simhash of identical texts is identical; hamming 0") {
