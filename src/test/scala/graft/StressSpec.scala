@@ -40,6 +40,33 @@ class StressSpec extends SparkSpec {
     assert(got.head.getLong(0) == 123L && got.head.getDouble(1) == 0.0)
   }
 
+  test("concurrent searches on one index equal their serial results") {
+    // reference parity: 4 threads searching one shared index
+    // (ivf_index_tests.rs:767-807) — Spark schedules concurrent jobs
+    // from multiple caller threads against one session; results must be
+    // identical to the serial run, with no interference or failure
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val queries = df.where(col("vec_id") < 4)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def run(q: Array[Float]): Seq[(Long, Double)] =
+      Ivf.search(spark, index, q, 10, 32).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val serial = queries.map { case (id, q) => id -> run(q) }.toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = (0 until 4).flatMap(_ => queries.map { case (id, q) =>
+        Future((id, run(q)))
+      })
+      val results = Await.result(Future.sequence(futures), 120.seconds)
+      results.foreach { case (id, got) =>
+        assert(got == serial(id), s"concurrent result diverged for query $id")
+      }
+    } finally pool.shutdown()
+  }
+
   test("recall at scale: n_probe=32 of 448 clusters >= 0.5 on uniform data") {
     // uniform random data is the HARD case for IVF (no cluster structure);
     // the reference's floors are on separated Gaussians, so this is a
