@@ -319,6 +319,19 @@ class IvfSpec extends SparkSpec {
     spark.catalog.clearCache() // drop any cached file listings
     val partial = Ivf.search(spark, idx, q, 10000, 10000).count()
     assert(partial < 500 && partial > 0, s"partial=$partial")
+    // degraded reads stay consistent under concurrency too
+    // (integration_tests.rs:487-533 runs its degraded search multi-threaded)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val counts = Await.result(
+        Future.sequence((0 until 4).map(_ =>
+          Future(Ivf.search(spark, idx, q, 10000, 10000).count()))),
+        120.seconds)
+      assert(counts.forall(_ == partial), s"degraded counts diverged: $counts")
+    } finally pool.shutdown()
   }
 
   test("write parallelism is not capped at shard count") {
