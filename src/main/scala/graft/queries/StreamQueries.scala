@@ -66,6 +66,19 @@ object StreamQueries {
       |  CAST(len(range(0, greatest(n_frames - 1, 0) + 1, 4)) AS INT) AS n_sampled
       |FROM a ORDER BY asset_id""".stripMargin
 
+  private val cmsCellsSql =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |    t -> t <> '')) AS token
+      |  FROM documents),
+      |cells AS (
+      |  SELECT u.fn,
+      |    CAST(('0x' || substr(md5(CAST(u.fn AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT)
+      |      % 1024 AS cell
+      |  FROM toks CROSS JOIN unnest(range(0, 4)) AS u(fn))
+      |SELECT fn, cell, count(*) AS c FROM cells
+      |GROUP BY 1, 2 ORDER BY fn, cell""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
     "stream_hourly" -> QueryDef(
       EventsStreaming.hourlyQuery, Some(hourlySql), bench = false),
@@ -95,6 +108,12 @@ object StreamQueries {
     // StreamingSpec gate asserts stream == batch scoring exactly
     "stream_quality_scores" -> QueryDef(
       graft.streaming.DocsStreaming.qualityScoresQuery, None,
+      bench = false),
+    // the running Complete-mode aggregation IS the sketch (integer
+    // cells → micro-batching cannot change any value), so the stream
+    // shares the batch cell oracle
+    "stream_cms_cells" -> QueryDef(
+      graft.streaming.DocsStreaming.cmsCellsQuery, Some(cmsCellsSql),
       bench = false),
     "multimodal_stats" -> QueryDef(
       Multimodal.stats, Some(multimodalStatsSql)),

@@ -88,6 +88,26 @@ object DocsStreaming {
       .dropDuplicates("a_id", "b_id")
       .orderBy(col("a_id"), col("b_id"))
 
+  /** Streaming Count-Min sketch over the document token stream: the
+    * SAME cell expressions as the batch build
+    * ([[graft.operators.CountMin.build]] — pure columns, so they apply
+    * to a streaming frame unchanged), maintained by a Complete-mode
+    * aggregation. The running state IS the sketch: ≤ depth×width
+    * integer cells regardless of stream length (the sketch's bounded-
+    * memory property is exactly what makes it streaming-safe), and
+    * because cells are integer sums, micro-batch boundaries cannot
+    * change any cell — stream == batch bit-for-bit.
+    */
+  def cmsCellsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val toks = readDocs(spark, dir)
+      .select(explode(graft.queries.TextQueries.tokens(col("text")))
+        .as("token"))
+    EventsStreaming.runToCompletion(spark,
+      graft.operators.CountMin.build(toks, "token", depth = 4, width = 1024),
+      s"stream_cms_${math.abs(dir.hashCode)}")
+      .orderBy(col("fn"), col("cell"))
+  }
+
   /** Stateless streaming quality scoring: each arriving document is
     * scored map-side with the broadcast classifier trained ONCE on the
     * static corpus ([[graft.queries.CurationQueries.classifierModel]])

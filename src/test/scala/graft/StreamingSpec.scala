@@ -118,6 +118,20 @@ class StreamingSpec extends SparkSpec {
       batch.collect().map(_.toSeq).toSeq)
   }
 
+  test("streaming CMS cells equal the batch sketch bit-for-bit") {
+    import graft.streaming.DocsStreaming
+    val stream = DocsStreaming.cmsCellsQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.CountMin.build(
+        Tables.documents(spark, sf0001)
+          .select(explode(graft.queries.TextQueries.tokens(col("text")))
+            .as("token")),
+        "token", depth = 4, width = 1024)
+      .orderBy(col("fn"), col("cell"))
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
   test("streaming dedup catalog keys equal the batch DISTINCT") {
     val stream = EventsStreaming.dedupQuery(spark, sf0001)
     val batch = Tables.events(spark, sf0001)
