@@ -43,6 +43,12 @@ object Bench {
       val tiny = graft.sources.Multimodal.features(
         graft.sources.Multimodal.assets(spark, sfDir).limit(20))
       tiny.crossJoin(tiny.select(col("asset_id").as("b"))).count()
+      // native md5_long60 inside a HOF lambda (MinHash/CMS/maxsim shape)
+      graft.Tables.documents(spark, sfDir).limit(200)
+        .select(aggregate(
+          transform(graft.queries.TextQueries.tokens(col("text")),
+            t => graft.queries.DedupQueries.md5Long(t)),
+          lit(0.0), (a, x) => a + x.cast("double"))).count()
     } catch { case _: Throwable => () }
     // time the one-per-JVM IVF index build as its own entry, so the index
     // queries below (which reuse the cached index) measure SEARCH only
