@@ -49,6 +49,15 @@ object Ivf {
       seed: Long = 42L) {
     def k: Int = centroids.length
     def numShards: Int = centroidToShard.distinct.length
+    /** Probe router shared by every search path (single, batch, join,
+      * coded siblings) AND the probe-literal oracle generators — one
+      * routing function keeps engine and oracle probes identical. Lazy
+      * and transient: built once per Index instance (meta-clustering
+      * for k > 100 costs O(k√k) driver flops, amortized over queries),
+      * never serialized with the case class.
+      */
+    @transient lazy val router: KMeans.ProbeRouter =
+      new KMeans.ProbeRouter(centroids, seed)
   }
 
   /** The ONE clustered-write shape, shared by build/append/compact:
@@ -346,15 +355,13 @@ object Ivf {
   /** Probe selection against the driver-held routing table: the nProbe
     * nearest centroids (distance, then id, ascending) and their distinct
     * shard set (J5/T1/P5). Shared by float search and the PQ-coded
-    * variant (IvfPq).
+    * variant (IvfPq). Routing is [[KMeans.ProbeRouter]]: exact for
+    * k ≤ 100 or near-probe-all, hierarchical O(√k) above — probe-all
+    * stays exact on every index size.
     */
   def probeSelection(index: Index, query: Array[Float],
       nProbe: Int): (Seq[Int], Seq[Int]) = {
-    val probes = index.centroids.indices
-      .map(i => (i, KMeans.sqDist(query, index.centroids(i))))
-      .sortBy(p => (p._2, p._1))
-      .take(nProbe)
-      .map(_._1)
+    val probes = index.router.topN(query, nProbe).toSeq
     (probes, probes.map(index.centroidToShard).distinct)
   }
 
@@ -460,12 +467,10 @@ object Ivf {
     require(k > 0, "k must be > 0")
     require(nProbe > 0, "n_probe must be > 0")
 
+    // per-query routing via the shared router — O(√k) per query for
+    // large k instead of a full centroid sort (see Index.router)
     val probePairs = queries.flatMap { case (qid, q) =>
-      index.centroids.indices
-        .map(i => (i, KMeans.sqDist(q, index.centroids(i))))
-        .sortBy(p => (p._2, p._1))
-        .take(nProbe)
-        .map { case (c, _) => (qid, c) }
+      index.router.topN(q, nProbe).map(c => (qid, c))
     }
     val shards = probePairs.map(p => index.centroidToShard(p._2)).distinct.toSeq
     val probeDf = probePairs.toSeq.toDF("query_id", "centroid_id")
@@ -557,17 +562,16 @@ object Ivf {
     require(clash.isEmpty,
       s"annJoin: query-side column(s) ${clash.mkString(", ")} collide with " +
         "index-side names — rename them on the query DataFrame first")
-    val centB = spark.sparkContext.broadcast(index.centroids)
+    // map-side routing through the SAME router as the driver-side paths
+    // (probe-literal oracles included): the broadcast rebuilds the
+    // transient meta-hierarchy once per executor, so per query row the
+    // work is O(√k + nProbe) for large k — not an O(k) scan + sort per
+    // row, which at reference parity k = 4√N is ~126k sorted centroid
+    // distances per row at N = 10⁹.
+    val routerB = spark.sparkContext.broadcast(index.router)
     val np = math.min(nProbe, index.centroids.length)
-    val probeUdf = udf((q: Seq[Float]) => {
-      val qa = q.toArray
-      val cents = centB.value
-      cents.indices
-        .map(i => (i, KMeans.sqDist(qa, cents(i))))
-        .sortBy(p => (p._2, p._1))
-        .take(np)
-        .map(_._1)
-    })
+    val probeUdf = udf((q: Seq[Float]) =>
+      routerB.value.topN(q.toArray, np).toSeq)
     val probed = queries.select(qCols.map(col): _*)
       .withColumn("centroid_id", explode(probeUdf(col(qembCol))))
     // bounded-state per-query top-k (see searchBatch): the post-join

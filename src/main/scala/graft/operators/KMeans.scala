@@ -157,7 +157,7 @@ object KMeans {
       extends Serializable {
     val k: Int = centroids.length
     // meta_k = clamp(√k, 2, k/2) — src/kmeans.rs:483
-    private val metaK = math.max(2, math.min(k / 2, math.sqrt(k.toDouble).toInt))
+    private[graft] val metaK = math.max(2, math.min(k / 2, math.sqrt(k.toDouble).toInt))
     // hierarchy seed = seed*17+42 — src/kmeans.rs:494
     private val meta: Model =
       trainDriver(centroids, metaK, iters = 25, seed = seed * 17 + 42)
@@ -209,6 +209,90 @@ object KMeans {
         mi += 1
       }
       if (bi < 0) nearest(p, centroids) else (bi, bd)
+    }
+
+    /** Approximate top-n nearest centroids — the probe-routing
+      * generalization of [[assign]] (which is n=1). Meta-centroids are
+      * ranked exactly (metaK = O(√k) distances), their member lists
+      * expanded in that order until the candidate pool holds at least
+      * max(2n, top-`metaProbe` cells) centroids — the 2× margin buys
+      * probe recall for n ≫ 1, the `metaProbe` floor preserves the
+      * reference's n=1 behavior — and the pool is exact-ranked by
+      * (distance, centroid id), the same tie order as the brute-force
+      * probe sort. Per-call work is O(√k + n) distances instead of the
+      * O(k) scan + O(k log k) sort.
+      *
+      * @return (probe ids ascending by (distance, id), pool size) — the
+      *         pool size is the number of exact centroid distances
+      *         computed, the test hook for the O(√k) work contract.
+      */
+    def topNProbe(p: Array[Float], n0: Int): (Array[Int], Int) = {
+      val n = math.min(n0, k)
+      if (n <= 0) return (Array.emptyIntArray, 0)
+      val md = new Array[Double](meta.k)
+      var i = 0
+      while (i < meta.k) { md(i) = sqDist(p, meta.centroids(i)); i += 1 }
+      val cellOrder = Array.range(0, meta.k).sortBy(c => (md(c), c))
+      val pool = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var mi = 0
+      while (mi < cellOrder.length && (mi < metaProbe || pool.length < 2 * n)) {
+        pool ++= members(cellOrder(mi))
+        mi += 1
+      }
+      val ranked = pool.toArray
+        .map(c => (c, sqDist(p, centroids(c))))
+        .sortBy(t => (t._2, t._1))
+      (ranked.take(n).map(_._1), ranked.length)
+    }
+  }
+
+  /** Probe routing for the IVF search paths: top-nProbe nearest
+    * centroids per query. Dispatches like [[assigner]]: exact
+    * brute-force sort for k ≤ [[HierarchicalThreshold]] or
+    * near-probe-all requests (2n ≥ k — the hierarchy can't save work
+    * there, and probe-all must stay exact), hierarchical O(√k + n) via
+    * [[HierarchicalAssigner.topNProbe]] above. At reference parity
+    * k = 4√N this is the difference between ~126k sorted centroid
+    * distances per query row at N=10⁹ and ~√k of them.
+    *
+    * Serializable with a transient lazy hierarchy: broadcasting the
+    * router (annJoin's map-side routing) rebuilds the meta-clustering
+    * once per executor, and because meta-training is seed-deterministic
+    * executor-side routing is identical to driver-side routing
+    * (searchBatch, probe-literal oracles).
+    */
+  final class ProbeRouter(val centroids: Array[Array[Float]], val seed: Long)
+      extends Serializable {
+    def k: Int = centroids.length
+    @transient private lazy val hier = new HierarchicalAssigner(centroids, seed)
+
+    private def bruteTopN(p: Array[Float], n: Int): Array[Int] =
+      centroids.indices
+        .map(i => (i, sqDist(p, centroids(i))))
+        .sortBy(t => (t._2, t._1))
+        .take(n)
+        .map(_._1)
+        .toArray
+
+    private def useBrute(n: Int): Boolean =
+      k <= HierarchicalThreshold || 2 * n >= k
+
+    /** Top-n probe ids, ascending by (distance, centroid id). Exact on
+      * the brute path; within-pool exact on the hierarchical path.
+      */
+    def topN(p: Array[Float], n0: Int): Array[Int] = {
+      val n = math.min(n0, k)
+      if (n <= 0) Array.emptyIntArray
+      else if (useBrute(n)) bruteTopN(p, n)
+      else hier.topNProbe(p, n)._1
+    }
+
+    /** Centroid distances computed to route one query (test hook for
+      * the O(√k)-per-row contract; k on the brute path).
+      */
+    private[graft] def routedWork(p: Array[Float], n0: Int): Int = {
+      val n = math.min(n0, k)
+      if (useBrute(n)) k else hier.metaK + hier.topNProbe(p, n)._2
     }
   }
 
