@@ -44,6 +44,22 @@ object Tables {
   private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean
   private def registerCacheCleanup(): Unit =
     if (cleanupRegistered.compareAndSet(false, true)) {
+      // First, sweep siblings orphaned by SIGKILL/OOM-killed runs: their
+      // shutdown hook never fired, and no later process reuses a
+      // foreign-pid dir, so any cache dir whose embedded pid is no
+      // longer alive is permanent garbage (round-6 ADVICE #1). Pid
+      // recycling only makes the sweep conservative — a recycled pid
+      // reads as alive and the dir survives until ITS owner dies.
+      val anyPid = java.util.regex.Pattern.compile(".*_p(\\d+)(_.*)?")
+      CacheRoots.foreach { root =>
+        val entries = new java.io.File(root).listFiles()
+        if (entries != null) entries.foreach { e =>
+          val m = anyPid.matcher(e.getName)
+          if (m.matches() &&
+              ProcessHandle.of(m.group(1).toLong).isEmpty)
+            deleteTree(e)
+        }
+      }
       // matches `..._p<pid>` and derived names like `..._p<pid>_signed`,
       // but not another process whose pid merely extends ours (_p12 vs
       // _p123)
@@ -71,14 +87,31 @@ object Tables {
     * `maxPartitionBytes` cannot split it), which serializes any
     * CPU-heavy map stage onto one core. At production scale the same
     * table arrives as thousands of splits and this is the identity —
-    * no corpus-sized shuffle is baked into the plan. The probe reads
-    * only the source partition count (no job).
+    * no corpus-sized shuffle is baked into the plan.
+    *
+    * The split-count probe (`df.rdd.getNumPartitions`) instantiates
+    * the physical plan's RDD, so the decision is MEMOIZED per input
+    * file set (round-6 ADVICE #5): each table pays the probe once per
+    * JVM instead of once per query, and repeated catalog queries over
+    * the same files skip the double plan build entirely. Keyed on
+    * `inputFiles` (a listing already held by the relation — no job),
+    * which is stable for a given (dir, table) and changes when the
+    * underlying files do.
     */
-  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame =
-    if (df.rdd.getNumPartitions <
-        df.sparkSession.sparkContext.defaultParallelism)
-      df.repartition(key)
-    else df
+  private val spreadMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val files = df.inputFiles
+    def probe: Boolean =
+      df.rdd.getNumPartitions <
+        df.sparkSession.sparkContext.defaultParallelism
+    val need: Boolean =
+      if (files.isEmpty) probe // non-file plan: decide per call
+      else spreadMemo.computeIfAbsent(
+        files.sorted.mkString(","), _ => probe)
+    if (need) df.repartition(key) else df
+  }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

@@ -35,7 +35,10 @@ object RecallEval {
       queries: Array[(Long, Array[Float])], k: Int,
       nProbes: Seq[Int], ranks: Seq[Int],
       minDurationMs: Double = 0.0): Seq[Setting] = {
-    // ground truth: exact top-1 per query via probe-all search
+    // ground truth: top-1 per query at the widest probe the index
+    // permits (searchBatch clamps to maxNProbe — exact whenever
+    // maxNProbe ≥ centroid count, which the default config guarantees;
+    // recallsOneScan mirrors this exact clamp)
     val gt: Map[Long, Long] =
       Ivf.searchBatch(spark, index, queries, 1, index.config.maxNProbe)
         .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
@@ -69,19 +72,21 @@ object RecallEval {
 
   /** All settings' recalls from ONE scan. [[sweep]] runs a pruned scan
     * per n_probe (protocol-faithful for timing); when only the recall
-    * COLUMNS are needed, every setting can share a single pass: the
-    * ground truth already requires probing every cell, and a candidate
-    * row belongs to setting np iff its cell's probe rank ≤ np — so
-    * each row fans out to its applicable settings (≤ |nProbes|+1
-    * replicas of an int key, after the distance is computed once) and
-    * per-(query, setting) top-k is the bounded-state [[TopNByKey]]
-    * aggregate. At 100 TB this is |settings|+1 scans → one; the
-    * rankings are bitwise those of the per-setting path (same distance
-    * expression, same (distance, id) tie-break — parity gated in
-    * IvfSpec).
+    * COLUMNS are needed, every setting can share a single pass: each
+    * setting's probe set comes from the SAME router as
+    * [[Ivf.searchBatch]] (so rankings are bitwise those of the
+    * per-setting path at every k — parity gated in IvfSpec), a
+    * candidate row fans out to the settings that probe its cell
+    * (≤ |nProbes|+1 replicas of an int key, after the distance is
+    * computed once), and per-(query, setting) top-k is the
+    * bounded-state [[TopNByKey]] aggregate. At 100 TB this is
+    * |settings|+1 scans → one.
     *
     * n_probe = [[GtSetting]] (-1) carries the ground truth through the
-    * same aggregate.
+    * same aggregate. The ground truth probes min(maxNProbe, k) cells —
+    * EXACTLY [[sweep]]'s clamped searchBatch ground truth, so an index
+    * whose maxNProbe binds below the centroid count scores both paths
+    * against the same reference (round-6 ADVICE #3).
     */
   private val GtSetting = -1
 
@@ -97,14 +102,23 @@ object RecallEval {
     require(nProbes.forall(_ > 0), s"nProbes must be > 0: $nProbes")
     require(nProbes.distinct.size == nProbes.size,
       s"nProbes must be distinct: $nProbes")
+    val gtProbe = math.min(index.config.maxNProbe, index.k)
     val probeRows = queries.flatMap { case (qid, q) =>
-      index.centroids.indices
-        .map(i => (i, KMeans.sqDist(q, index.centroids(i))))
-        .sortBy(p => (p._2, p._1))
-        .zipWithIndex
-        .map { case ((c, _), i) =>
-          (qid, c, nProbes.filter(_ >= i + 1) :+ GtSetting)
+      // per-setting probe sets from the shared router (searchBatch
+      // clamps to maxNProbe the same way); hierarchical routing does
+      // not guarantee prefix-nested sets across n, so membership is
+      // per setting, not by rank cutoff
+      val cellSettings =
+        scala.collection.mutable.Map.empty[Int, List[Int]]
+      (nProbes.map(np => np -> math.min(np, index.config.maxNProbe)) :+
+          (GtSetting -> gtProbe)).foreach { case (label, np) =>
+        index.router.topN(q, np).foreach { c =>
+          cellSettings(c) = label :: cellSettings.getOrElse(c, Nil)
         }
+      }
+      cellSettings.toSeq.sortBy(_._1).map { case (c, ss) =>
+        (qid, c, ss.sorted)
+      }
     }
     val probeDf = probeRows.toSeq.toDF("query_id", "centroid_id", "settings")
     val queryDf = queries.toSeq.map { case (qid, q) => (qid, q.toSeq) }

@@ -546,7 +546,67 @@ object IndexQueries {
       ("lsh_multiprobe", "cosine", recall(
         lshAnnTopK(spark, dir)
           .select("vec_id").as[Long].collect().toSeq, exactCos)))
-    rows.toDF("method", "metric", "recall_at_10")
+    rows.toDF("method", "metric", "recall_at_10").orderBy("method")
+  }
+
+  /** Dashboard oracle: each method's top-10 id list is inlined (they
+    * are the outputs of paths individually hash-oracled above — echoes
+    * by nature for a recall summary), while BOTH ground truths (exact
+    * squared-L2 and exact cosine top-10) and the recall fractions are
+    * recomputed independently by DuckDB from the embeddings parquet.
+    * So the compare proves the dashboard's scoring, not just its
+    * plumbing.
+    */
+  private def annQualitySummaryOracle(spark: SparkSession, dir: String): String = {
+    import spark.implicits._
+    val idx = index(spark, dir)
+    val q = queryVec(spark, dir, 0L)
+    def ids(df: org.apache.spark.sql.DataFrame, c: String): Seq[Long] =
+      df.select(c).as[Long].collect().toSeq
+    val methods: Seq[(String, String, Seq[Long])] = Seq(
+      ("ivf_nprobe20", "l2",
+        ids(Ivf.search(spark, idx, q, 10, 20), "external_id")),
+      ("int8_dequant", "l2", ids(VectorQueries.quantizedTopK(spark, dir), "vec_id")),
+      ("pq_flat", "l2", ids(VectorQueries.pqTopK(spark, dir), "vec_id")),
+      ("opq_flat", "l2", ids(VectorQueries.opqTopK(spark, dir), "vec_id")),
+      ("ivfpq_nprobe20", "l2", ids(ivfPqTopK(spark, dir), "external_id")),
+      ("ivfpq_residual_nprobe20", "l2", ids(ivfPqResidualTopK(spark, dir), "external_id")),
+      ("ivfsq8_nprobe20", "l2", ids(ivfSqTopK(spark, dir), "external_id")),
+      ("ivfpq_refine4_nprobe20", "l2", ids(ivfPqRefineTopK(spark, dir), "external_id")),
+      ("pca16_rerank", "l2", ids(VectorQueries.pcaTopK(spark, dir), "vec_id")),
+      ("lsh_multiprobe", "cosine", ids(lshAnnTopK(spark, dir), "vec_id")))
+    val vals = OracleGen.lits(methods.map { case (m, met, xs) =>
+      s"(${OracleGen.str(m)},${OracleGen.str(met)},[${xs.mkString(",")}])"
+    })
+    s"""WITH m(method, metric, ids) AS (VALUES $vals),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |l2 AS (
+       |  SELECT e.vec_id FROM embeddings e CROSS JOIN q
+       |  ORDER BY list_reduce(list_transform(list_zip(e.embedding, q.qe),
+       |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+       |    (a, b) -> a + b), e.vec_id LIMIT 10),
+       |cs AS (
+       |  SELECT e.vec_id,
+       |    list_reduce(list_transform(list_zip(e.embedding, q.qe),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (a, b) -> a + b) AS dp,
+       |    sqrt(list_reduce(list_transform(e.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS na,
+       |    sqrt(list_reduce(list_transform(q.qe,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS nb
+       |  FROM embeddings e CROSS JOIN q),
+       |cos AS (
+       |  SELECT vec_id FROM cs
+       |  ORDER BY (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dp / (na * nb) END) DESC,
+       |    vec_id LIMIT 10),
+       |ref AS (
+       |  SELECT 'l2' AS metric, list(vec_id) AS refids FROM l2
+       |  UNION ALL
+       |  SELECT 'cosine' AS metric, list(vec_id) AS refids FROM cos)
+       |SELECT m.method, m.metric,
+       |  round(CAST(len(list_intersect(m.ids, r.refids)) AS DOUBLE) / 10 * 10000) / 10000
+       |    AS recall_at_10
+       |FROM m JOIN ref r ON r.metric = m.metric
+       |ORDER BY m.method""".stripMargin
   }
 
   /** Batch IVF-PQ over the first 8 embeddings — one pruned coded scan
@@ -829,7 +889,9 @@ object IndexQueries {
   }
 
   def defs: Map[String, QueryDef] = Map(
-    "ann_quality_summary" -> QueryDef(annQualitySummary, None, bench = false),
+    "ann_quality_summary" -> QueryDef(annQualitySummary,
+      OracleGen.sql("ann_quality_summary")(annQualitySummaryOracle),
+      bench = false),
     "ann_ivfpq_topk" -> QueryDef(ivfPqTopK,
       OracleGen.sql("ann_ivfpq_topk")(ivfPqTopKOracle)),
     "ann_ivfpq_residual_topk" -> QueryDef(ivfPqResidualTopK,

@@ -11,15 +11,24 @@ object GraftSqlBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
-  /** Column names an unresolved Column references. The classic Column
-    * wraps a lazily-converted ColumnNode tree (NOT catalyst
-    * expressions — `expression(c)` returns an opaque
-    * ColumnNodeExpression leaf), so references are collected by
-    * walking the node tree.
+  /** Column names a Column references. The classic Column wraps a
+    * lazily-converted ColumnNode tree (NOT catalyst expressions —
+    * `expression(c)` returns an opaque ColumnNodeExpression leaf), so
+    * references are collected by walking the node tree. Two leaf
+    * shapes carry names: `col("c")` stays an UnresolvedAttribute node,
+    * while `df("c")` / dataset-apply resolves eagerly against the
+    * frame and arrives as an ExpressionColumnNode wrapping a resolved
+    * catalyst AttributeReference — missing the latter silently
+    * projected referenced columns away (round-6 ADVICE #2).
     */
   def referencedNames(c: Column): Seq[String] =
     c.node.collect {
       case a: org.apache.spark.sql.internal.UnresolvedAttribute =>
-        a.nameParts.mkString(".")
-    }.distinct
+        Seq(a.nameParts.mkString("."))
+      case e: org.apache.spark.sql.classic.ExpressionColumnNode =>
+        e.expression.collect {
+          case ar: org.apache.spark.sql.catalyst.expressions.AttributeReference =>
+            ar.name
+        }
+    }.flatten.distinct
 }

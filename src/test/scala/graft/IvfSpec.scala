@@ -167,6 +167,42 @@ class IvfSpec extends SparkSpec {
     assert(got.sortBy(t => (t._1, t._2)).toSeq == expected.toSeq)
   }
 
+  test("ANN join pair filter from RESOLVED column refs keeps the column") {
+    // df("c") / dataset-apply refs resolve eagerly (no UnresolvedAttribute
+    // in the node tree); the projection must still keep the referenced
+    // query column — round-6 ADVICE #2 regression
+    val emb = Tables.embeddings(spark, sf0001)
+    val qDf = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+        col("label").as("q_label"))
+    val got = Ivf.annJoin(qDf, index, k = 3, nProbe = 10000,
+        pairFilter = Some(col("label") =!= qDf("q_label")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    val unresolved = Ivf.annJoin(qDf, index, k = 3, nProbe = 10000,
+        pairFilter = Some(col("label") =!= col("q_label")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2))
+    assert(got.toSeq == unresolved.toSeq)
+    assert(got.nonEmpty)
+  }
+
+  test("one-scan recall GT mirrors sweep when maxNProbe binds") {
+    // an index whose maxNProbe is below the centroid count must score
+    // both recall paths against the same clamped ground truth —
+    // round-6 ADVICE #3
+    val capped = index.copy(config = Ivf.Config(maxNProbe = 4))
+    assert(capped.config.maxNProbe < capped.k,
+      "test requires a binding cap")
+    val qs = graft.operators.RecallEval.perturbedQueries(embAll.take(10), 0.5f)
+    val swept = graft.operators.RecallEval.sweep(
+      spark, capped, qs, k = 5, nProbes = Seq(1, 2, 16), ranks = Seq(1, 5))
+    val oneScan = graft.operators.RecallEval.recallsOneScan(
+      spark, capped, qs, k = 5, nProbes = Seq(1, 2, 16), ranks = Seq(1, 5))
+    assert(oneScan.map(s => (s.nProbe, s.recalls)) ==
+      swept.map(s => (s.nProbe, s.recalls)))
+  }
+
   test("range search: probe-all equals brute force; pruned is a subset") {
     val q = embAll.find(_._1 == 0L).get._2
     val radius = 1.8
