@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Vec
+
+/** ColBERT-style late-interaction retrieval (MaxSim — Khattab & Zaharia
+  * 2020) with a sub-linear ANN candidate stage.
+  *
+  * The exact contract ([[graft.queries.TextQueries.maxsimTopDocs]])
+  * scores every (query chunk, corpus chunk) pair — correct, but a
+  * scan-everything retrieval whose cost grows linearly in the corpus
+  * per query. This operator keeps exact MaxSim only as a RE-RANK over
+  * candidates from a scale path (the standard late-interaction serving
+  * shape: single-vector first-stage retrieval + exact late-interaction
+  * re-rank):
+  *
+  *   1. mean-pool each doc's chunk embeddings to one vector;
+  *   2. random-hyperplane LSH buckets over the pooled vectors
+  *      ([[LshAnn]], bit width grown with the corpus) — bucket-local
+  *      pooled-cosine ranks top-`perQuery` candidate docs per query;
+  *   3. exact chunk-level MaxSim over the candidates' chunks only.
+  *
+  * At 100 TB the corpus-side cost is the probed buckets' pooled rows
+  * (map-side signature + one bucket join) plus |candidates|·chunks-per-
+  * doc re-rank rows per query — never the full chunk table. Pooled
+  * means fold in cidx order, so candidate sets are partition-order
+  * deterministic (they feed a generated DuckDB oracle).
+  */
+object MaxSim {
+
+  /** Elementwise mean of `feat` arrays per `idCol`: (idCol, pooled).
+    * The fold visits chunks in ascending `cidx` order (sorted
+    * collect_list of (cidx, feat) structs — chunk counts are bounded by
+    * doc length), so the float sum is independent of partitioning; an
+    * unordered SUM would make LSH bucket membership flap across runs at
+    * sign boundaries.
+    */
+  def pooled(chunks: DataFrame, idCol: String, dim: Int): DataFrame =
+    chunks.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("cidx"), col("feat")))).as("cf"))
+      .select(col(idCol),
+        transform(
+          aggregate(col("cf"), array_repeat(lit(0.0), dim),
+            (acc, x) => zip_with(acc, x.getField("feat"),
+              (a, b) => a + b.cast("double"))),
+          v => (v / size(col("cf"))).cast("float")).as("pooled"))
+
+  /** Candidate (query_id, doc_id) pairs: top-`perQuery` corpus docs per
+    * query by pooled cosine, restricted to the query's multi-probed LSH
+    * buckets. Queries are driver-sized by contract (their pooled
+    * vectors broadcast); the corpus side is one map-side signature pass
+    * + a broadcast bucket join — no corpus-sized shuffle.
+    */
+  def candidates(qChunks: DataFrame, corpusChunks: DataFrame, dim: Int,
+      perQuery: Int, nProbeBits: Int, seed: Long): DataFrame = {
+    val spark = corpusChunks.sparkSession
+    import spark.implicits._
+    val corpusPooled = pooled(corpusChunks, "doc_id", dim)
+    val nBits = LshAnn.suggestBits(corpusPooled.count())
+    val planes = LshAnn.hyperplanes(dim, nBits, seed)
+    val buckets = LshAnn.bucketed(corpusPooled, "doc_id", "pooled", planes)
+    val qPooled = pooled(
+      qChunks.select(col("query_id").as("doc_id"),
+        col("qidx").as("cidx"), col("q_feat").as("feat")),
+      "doc_id", dim)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val probePairs = qPooled.flatMap { case (qid, v) =>
+      val qSig = planes.zipWithIndex.map { case (p, i) =>
+        val d = p.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
+        if (d >= 0.0) 1L << i else 0L
+      }.reduce(_ | _)
+      (qSig +: (0 until math.min(nProbeBits, nBits))
+        .map(i => qSig ^ (1L << i))).distinct.map(b => (qid, b))
+    }
+    val probeDf = probePairs.toSeq.toDF("query_id", "bucket")
+    val qDf = qPooled.toSeq.map { case (id, v) => (id, v.toSeq) }
+      .toDF("query_id", "q_pooled")
+      .select(col("query_id"),
+        col("q_pooled").cast("array<float>").as("q_pooled"))
+    val cand = buckets.join(broadcast(probeDf), Seq("bucket"))
+      .join(broadcast(qDf), Seq("query_id"))
+      .withColumn("pc", Vec.cosine(col("pooled"), col("q_pooled")))
+    TopNByKey.topN(cand, Seq("query_id"), col("pc"), col("doc_id"),
+        perQuery, asc = false)
+      .select(col("query_id"), col("id").as("doc_id"))
+  }
+
+  /** Approximate MaxSim top-k: exact late-interaction scoring over the
+    * ANN candidates only. Output matches the exact contract's shape:
+    * (query_id, rank, doc_id, score), score = Σ over query chunks of
+    * the max cosine against the doc's chunks, folded in sorted order
+    * and rounded BEFORE ranking (cross-engine float determinism).
+    */
+  def annTopDocs(qChunks: DataFrame, corpusChunks: DataFrame, dim: Int,
+      k: Int, perQuery: Int, nProbeBits: Int, seed: Long): DataFrame = {
+    val cand = candidates(qChunks, corpusChunks, dim, perQuery,
+      nProbeBits, seed)
+    val mx = corpusChunks
+      .join(broadcast(cand), Seq("doc_id"))
+      .join(broadcast(qChunks), Seq("query_id"))
+      .groupBy(col("query_id"), col("qidx"), col("doc_id"))
+      .agg(max(Vec.cosine(col("q_feat"), col("feat"))).as("m"))
+    val scored = mx.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(aggregate(sort_array(collect_list(col("m"))), lit(0.0),
+        (a, x) => a + x), 4).as("score"))
+    TopNByKey.topN(scored, Seq("query_id"), col("score"), col("doc_id"),
+        k, asc = false)
+      .select(col("query_id"), col("rk").cast("long").as("rank"),
+        col("id").as("doc_id"), col("ord").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+}

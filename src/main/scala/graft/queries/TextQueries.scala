@@ -883,6 +883,86 @@ object TextQueries {
       |SELECT query_id, rank, doc_id, score
       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** The query-side chunk view shared by the approximate-MaxSim catalog
+    * query and its oracle generator: docs 0-7 as queries, relabeled to
+    * the [[graft.operators.MaxSim]] operator contract.
+    */
+  private def maxsimQueryChunks(spark: SparkSession, dir: String): DataFrame =
+    maxsimChunks(spark, dir).where(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"), col("cidx").as("qidx"),
+        col("feat").as("q_feat"))
+
+  /** Approximate MaxSim (the scale path — VERDICT r5 next-round #2):
+    * LSH over mean-pooled chunk embeddings generates top-20 candidate
+    * docs per query, exact chunk-level MaxSim re-ranks only those.
+    * [[maxsimTopDocs]] stays the exact contract; this entry is the plan
+    * a 100 TB corpus actually runs — no all-corpus-chunks NLJ.
+    */
+  def maxsimAnnTopDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MaxSim.annTopDocs(
+      maxsimQueryChunks(spark, dir),
+      maxsimChunks(spark, dir).where(col("doc_id") >= 8),
+      dim = 16, k = 5, perQuery = 20, nProbeBits = 3, seed = 42L)
+
+  /** Approximate-MaxSim oracle: the engine's candidate pairs are
+    * inlined (they depend on seeded LSH buckets + pooled-cosine
+    * ranking); DuckDB recomputes the chunking, the md5 pseudo-features,
+    * and the full MaxSim scoring + ranking restricted to those pairs —
+    * the same independence split as the LSH/IVF probe oracles.
+    */
+  private def maxsimAnnTopDocsOracle(spark: SparkSession, dir: String): String = {
+    val pairs = graft.operators.MaxSim.candidates(
+        maxsimQueryChunks(spark, dir),
+        maxsimChunks(spark, dir).where(col("doc_id") >= 8),
+        dim = 16, perQuery = 20, nProbeBits = 3, seed = 42L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val vals = OracleGen.lits(pairs.toSeq.map { case (q, d) => s"($q,$d)" })
+    s"""WITH cand(query_id, doc_id) AS (VALUES $vals),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ts, unnest(range(0, CASE WHEN len(ts) <= 16 THEN 1
+       |    ELSE CAST((len(ts) - 16 + 15) // 16 AS INT) + 1 END)) AS cidx
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id, cidx,
+       |    coalesce(list_aggregate(list_slice(ts, cidx * 16 + 1,
+       |      least(cidx * 16 + 16, len(ts))), 'string_agg', ' '), '') AS chunk_text
+       |  FROM c),
+       |f AS (
+       |  SELECT doc_id, cidx,
+       |    list_transform(range(0, 16), j ->
+       |      CAST((CAST(('0x' || substr(md5(j || ':' || chunk_text), 1, 15)) AS BIGINT)
+       |            % 1000000) / 1000000.0 AS FLOAT)) AS feat
+       |  FROM ch),
+       |p AS (
+       |  SELECT cd.query_id, q.cidx AS qidx, cd.doc_id,
+       |    list_reduce(list_transform(list_zip(q.feat, d.feat),
+       |      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) AS dp,
+       |    sqrt(list_reduce(list_transform(q.feat,
+       |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS nq,
+       |    sqrt(list_reduce(list_transform(d.feat,
+       |      v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS nd
+       |  FROM cand cd
+       |  JOIN f q ON q.doc_id = cd.query_id
+       |  JOIN f d ON d.doc_id = cd.doc_id),
+       |mx AS (
+       |  SELECT query_id, qidx, doc_id,
+       |    max(CASE WHEN nq = 0 OR nd = 0 THEN 0E0 ELSE dp / (nq * nd) END) AS m
+       |  FROM p GROUP BY 1, 2, 3),
+       |s AS (
+       |  SELECT query_id, doc_id,
+       |    round(list_reduce(list_sort(list(m)), (a, b) -> a + b), 4) AS score
+       |  FROM mx GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |      FROM s)
+       |SELECT query_id, rank, doc_id, score
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Training-batch length audit: power-of-2 token-length buckets
     * (16…2048, open-topped at 4096) with the padding waste a
     * fixed-shape batcher would pay per (source, bucket) — the
@@ -937,6 +1017,8 @@ object TextQueries {
   def defs: Map[String, QueryDef] = Map(
     "bm25_top_docs" -> QueryDef(bm25TopDocs, Some(bm25TopDocsSql)),
     "maxsim_top_docs" -> QueryDef(maxsimTopDocs, Some(maxsimTopDocsSql)),
+    "maxsim_ann_top_docs" -> QueryDef(maxsimAnnTopDocs,
+      OracleGen.sql("maxsim_ann_top_docs")(maxsimAnnTopDocsOracle)),
     "length_buckets" -> QueryDef(lengthBuckets, Some(lengthBucketsSql)),
     "bpe_merges" -> QueryDef(bpeMerges, None),
     "bpe_token_stats" -> QueryDef(bpeTokenStats,

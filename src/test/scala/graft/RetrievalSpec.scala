@@ -101,6 +101,70 @@ class RetrievalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
   }
 
+  test("maxsim ANN: top-1 self-retrieval survives the candidate stage") {
+    // doc 8 repeats doc 0's text verbatim → identical chunk features →
+    // identical POOLED vector → identical LSH signature, so doc 8 is
+    // always in the query's own probed bucket, becomes a candidate, and
+    // the exact re-rank must put it first with the exact-path score
+    val dir = java.nio.file.Files.createTempDirectory("graft_maxsim_ann").toString
+    val txt = (1 to 40).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, txt, "en", "s1", 100L),
+      (8L, txt, "en", "s1", 100L),
+      (9L, (1 to 40).map(i => s"x$i").mkString(" "), "en", "s1", 100L),
+      (10L, "different entirely", "en", "s1", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.maxsimAnnTopDocs(spark, dir)
+      .where($"query_id" === 0L).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(2) === 8L, s"expected doc 8 first: ${rows.toSeq}")
+    assert(rows.head.getDouble(3) === 3.0) // 3 chunks × max-cos 1.0
+  }
+
+  test("maxsim ANN: re-rank scores equal the exact path; candidates bounded") {
+    val exact = TextQueries.maxsimTopDocs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    val ann = TextQueries.maxsimAnnTopDocs(spark, sf0001).collect()
+    assert(ann.nonEmpty)
+    // the approximate path may MISS docs (candidate recall), but every
+    // (query, doc) it scores must carry the exact MaxSim score — the
+    // re-rank is exact over the candidate set; ann scores can never
+    // exceed the query's exact top-1
+    val exactTop1 = exact.groupBy(_._1._1).map { case (q, m) => q -> m.values.max }
+    ann.foreach { r =>
+      val (q, d, s) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      exact.get((q, d)).foreach(es =>
+        assert(es === s, s"score mismatch for ($q, $d)"))
+      assert(s <= exactTop1(q) + 1e-9)
+    }
+    // ranks contiguous per query
+    ann.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted.toSeq == (1L to rs.size))
+    }
+    // candidate stage emits ≤ perQuery pairs per query
+    val cands = graft.operators.MaxSim.candidates(
+      TextQueries.maxsimChunks(spark, sf0001).where($"doc_id" < 8)
+        .select($"doc_id".as("query_id"), $"cidx".as("qidx"), $"feat".as("q_feat")),
+      TextQueries.maxsimChunks(spark, sf0001).where($"doc_id" >= 8),
+      dim = 16, perQuery = 20, nProbeBits = 3, seed = 42L).collect()
+    cands.groupBy(_.getLong(0)).foreach { case (q, cs) =>
+      assert(cs.length <= 20, s"query $q has ${cs.length} candidates")
+    }
+  }
+
+  test("maxsim ANN result is independent of the shuffle partitioning") {
+    // exercises the cidx-ordered pooling fold: unordered float sums
+    // would flap LSH bucket membership across partitionings
+    val at8 = TextQueries.maxsimAnnTopDocs(spark, sf0001).collect().toSeq
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val at3 = TextQueries.maxsimAnnTopDocs(spark, sf0001).collect().toSeq
+      assert(at3 === at8)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+  }
+
   test("length buckets: exact padding accounting on the tiny corpus") {
     // token counts 2, 3, 4, 2 — all in the 16 bucket for source s1
     val rows = TextQueries.lengthBuckets(spark, tinyDir).collect().toSeq
