@@ -151,6 +151,54 @@ object RecallEval {
     }
   }
 
+  final case class QpsSetting(concurrency: Int, nProbe: Int, qps: Double,
+      msPerQuery: Double, batches: Long, nQueries: Long)
+
+  /** QPS under concurrent clients — the reference's concurrency sweep
+    * (`bench.yaml`: concurrency [1,4,8,16] × duration): `c` client
+    * threads share ONE session/index (the adapter pattern — concurrent
+    * synchronous callers over one engine), each repeatedly issues the
+    * full query batch (the adapter's `search(xq, k)` unit of work)
+    * until the wall clock passes `minDurationMs`, and QPS = completed
+    * queries / elapsed. Every client completes at least one batch, so
+    * short durations still measure something. Spark schedules the
+    * concurrent collect() jobs across the shared local executor pool —
+    * the sweep measures scheduling + plan overhead under load, the
+    * analog of the reference's runtime-contention sweep; RESULT
+    * correctness under exactly this concurrency pattern is gated in
+    * StressSpec ("concurrent searches equal serial").
+    */
+  def qpsSweep(spark: SparkSession, index: Ivf.Index,
+      queries: Array[(Long, Array[Float])], k: Int, nProbe: Int,
+      concurrency: Seq[Int], minDurationMs: Double): Seq[QpsSetting] = {
+    require(queries.nonEmpty, "qpsSweep: empty query batch")
+    concurrency.map { c =>
+      require(c > 0, s"concurrency must be > 0: $c")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(c)
+      try {
+        val t0 = System.nanoTime()
+        val deadline = t0 + (minDurationMs * 1e6).toLong
+        val futures = (0 until c).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = {
+              var batches = 0L
+              while (batches == 0L || System.nanoTime() < deadline) {
+                Ivf.searchBatch(spark, index, queries, k, nProbe).collect()
+                batches += 1L
+              }
+              batches
+            }
+          })
+        }
+        val batches = futures.map(_.get()).sum
+        val elapsedS = (System.nanoTime() - t0) / 1e9
+        val nq = batches * queries.length
+        QpsSetting(c, nProbe, nq / elapsedS, elapsedS * 1000.0 / nq,
+          batches, nq)
+      } finally pool.shutdown()
+    }
+  }
+
   /** DataFrame form for the driver gate: deterministic columns only
     * (recalls, not timings) — computed via the one-scan path.
     */

@@ -187,6 +187,20 @@ class IvfSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("qps sweep: every concurrency level completes batches, sane rates") {
+    val qs = graft.operators.RecallEval.perturbedQueries(embAll.take(8), 0.5f)
+    val res = graft.operators.RecallEval.qpsSweep(spark, index, qs,
+      k = 5, nProbe = 4, concurrency = Seq(1, 2), minDurationMs = 200.0)
+    assert(res.map(_.concurrency) == Seq(1, 2))
+    res.foreach { s =>
+      // at least one batch per client, consistent derived counts
+      assert(s.batches >= s.concurrency,
+        s"c=${s.concurrency}: ${s.batches} batches")
+      assert(s.nQueries == s.batches * qs.length)
+      assert(s.qps > 0.0 && s.msPerQuery > 0.0)
+    }
+  }
+
   test("one-scan recall GT mirrors sweep when maxNProbe binds") {
     // an index whose maxNProbe is below the centroid count must score
     // both recall paths against the same clamped ground truth —
