@@ -53,11 +53,16 @@ object MaxSim {
     * + a broadcast bucket join — no corpus-sized shuffle.
     */
   def candidates(qChunks: DataFrame, corpusChunks: DataFrame, dim: Int,
-      perQuery: Int, nProbeBits: Int, seed: Long): DataFrame = {
+      perQuery: Int, nProbeBits: Int, seed: Long,
+      nDocsHint: Option[Long] = None): DataFrame = {
     val spark = corpusChunks.sparkSession
     import spark.implicits._
     val corpusPooled = pooled(corpusChunks, "doc_id", dim)
-    val nBits = LshAnn.suggestBits(corpusPooled.count())
+    // signature width needs only the corpus DOC count — callers that
+    // know it (a plain filtered count on the source table) save a full
+    // chunk-featurize + pooling pass here
+    val nBits = LshAnn.suggestBits(
+      nDocsHint.getOrElse(corpusPooled.count()))
     val planes = LshAnn.hyperplanes(dim, nBits, seed)
     val buckets = LshAnn.bucketed(corpusPooled, "doc_id", "pooled", planes)
     val qPooled = pooled(
@@ -93,11 +98,25 @@ object MaxSim {
     * and rounded BEFORE ranking (cross-engine float determinism).
     */
   def annTopDocs(qChunks: DataFrame, corpusChunks: DataFrame, dim: Int,
-      k: Int, perQuery: Int, nProbeBits: Int, seed: Long): DataFrame = {
-    val cand = candidates(qChunks, corpusChunks, dim, perQuery,
-      nProbeBits, seed)
+      k: Int, perQuery: Int, nProbeBits: Int, seed: Long,
+      nDocsHint: Option[Long] = None): DataFrame = {
+    val spark = corpusChunks.sparkSession
+    import spark.implicits._
+    // candidate pairs are driver-sized by construction (bounded queries
+    // × perQuery) — collecting them lets the candidate-doc restriction
+    // become an `isin` PREDICATE that pushes through the chunk
+    // featurization to the source scan, so the re-rank computes chunk
+    // features for candidate docs only. Joining the candidate DataFrame
+    // instead would sit ABOVE the feature projection in the plan and
+    // featurize the whole corpus a second time.
+    val candPairs = candidates(qChunks, corpusChunks, dim, perQuery,
+        nProbeBits, seed, nDocsHint)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val candDocs = candPairs.map(_._2).distinct.toSeq
+    val candDf = candPairs.toSeq.toDF("query_id", "doc_id")
     val mx = corpusChunks
-      .join(broadcast(cand), Seq("doc_id"))
+      .where(col("doc_id").isin(candDocs: _*))
+      .join(broadcast(candDf), Seq("doc_id"))
       .join(broadcast(qChunks), Seq("query_id"))
       .groupBy(col("query_id"), col("qidx"), col("doc_id"))
       .agg(max(Vec.cosine(col("q_feat"), col("feat"))).as("m"))

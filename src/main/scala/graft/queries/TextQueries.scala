@@ -902,7 +902,11 @@ object TextQueries {
     graft.operators.MaxSim.annTopDocs(
       maxsimQueryChunks(spark, dir),
       maxsimChunks(spark, dir).where(col("doc_id") >= 8),
-      dim = 16, k = 5, perQuery = 20, nProbeBits = 3, seed = 42L)
+      dim = 16, k = 5, perQuery = 20, nProbeBits = 3, seed = 42L,
+      // plain filtered count on the source table — saves the operator a
+      // full chunk-featurize + pooling pass for the LSH width
+      nDocsHint = Some(
+        Tables.documents(spark, dir).where(col("doc_id") >= 8).count()))
 
   /** Approximate-MaxSim oracle: the engine's candidate pairs are
     * inlined (they depend on seeded LSH buckets + pooled-cosine
@@ -914,7 +918,9 @@ object TextQueries {
     val pairs = graft.operators.MaxSim.candidates(
         maxsimQueryChunks(spark, dir),
         maxsimChunks(spark, dir).where(col("doc_id") >= 8),
-        dim = 16, perQuery = 20, nProbeBits = 3, seed = 42L)
+        dim = 16, perQuery = 20, nProbeBits = 3, seed = 42L,
+        nDocsHint = Some(
+          Tables.documents(spark, dir).where(col("doc_id") >= 8).count()))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     val vals = OracleGen.lits(pairs.toSeq.map { case (q, d) => s"($q,$d)" })
     s"""WITH cand(query_id, doc_id) AS (VALUES $vals),
