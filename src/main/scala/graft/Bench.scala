@@ -107,6 +107,15 @@ object Bench {
         System.err.println(s"[bench] minhash_pairs_build FAILED: ${e.getMessage}")
         -1.0
       }
+    // ... and the MaxSim pooled+bucketed chunk table (the approximate
+    // retrieval path's index build)
+    val poolT0 = System.nanoTime()
+    val poolTime =
+      try { graft.queries.TextQueries.maxsimPool(spark, sfDir); (System.nanoTime() - poolT0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] maxsim_pool_build FAILED: ${e.getMessage}")
+        -1.0
+      }
     // a failed query reports -1 (not its elapsed-until-crash time) so a
     // regression can never masquerade as a speedup in the headline JSON
     val results = Map("ivf_build" -> buildTime, "pq_train" -> pqTrainTime,
@@ -114,7 +123,8 @@ object Bench {
       "ivfpq_encode" -> pqEncodeTime,
       "ivfpq_residual_build" -> pqResidualTime,
       "ivfsq_encode" -> sqEncodeTime,
-      "minhash_pairs_build" -> pairsTime) ++
+      "minhash_pairs_build" -> pairsTime,
+      "maxsim_pool_build" -> poolTime) ++
       graft.queries.Catalog.all
       .filter { case (_, d) => d.bench }
       .map { case (name, d) =>

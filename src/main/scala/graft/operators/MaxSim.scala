@@ -55,8 +55,6 @@ object MaxSim {
   def candidates(qChunks: DataFrame, corpusChunks: DataFrame, dim: Int,
       perQuery: Int, nProbeBits: Int, seed: Long,
       nDocsHint: Option[Long] = None): DataFrame = {
-    val spark = corpusChunks.sparkSession
-    import spark.implicits._
     val corpusPooled = pooled(corpusChunks, "doc_id", dim)
     // signature width needs only the corpus DOC count — callers that
     // know it (a plain filtered count on the source table) save a full
@@ -64,7 +62,25 @@ object MaxSim {
     val nBits = LshAnn.suggestBits(
       nDocsHint.getOrElse(corpusPooled.count()))
     val planes = LshAnn.hyperplanes(dim, nBits, seed)
-    val buckets = LshAnn.bucketed(corpusPooled, "doc_id", "pooled", planes)
+    candidatesFromBuckets(qChunks,
+      LshAnn.bucketed(corpusPooled, "doc_id", "pooled", planes),
+      planes, dim, perQuery, nProbeBits)
+  }
+
+  /** Candidate generation over a PREBUILT bucketed pooled table
+    * (doc_id, pooled, bucket) — the amortized form: pooling +
+    * featurization of the corpus happens once at build time (like the
+    * IVF vectors dataset), and each query batch touches only its
+    * probed buckets. The bucket restriction is applied as an `isin`
+    * predicate BEFORE the probe join so it pushes into the parquet
+    * scan (row-group skip when the table is written bucket-clustered).
+    */
+  def candidatesFromBuckets(qChunks: DataFrame, buckets: DataFrame,
+      planes: Array[Array[Float]], dim: Int, perQuery: Int,
+      nProbeBits: Int): DataFrame = {
+    val spark = buckets.sparkSession
+    import spark.implicits._
+    val nBits = planes.length
     val qPooled = pooled(
       qChunks.select(col("query_id").as("doc_id"),
         col("qidx").as("cidx"), col("q_feat").as("feat")),
@@ -78,12 +94,15 @@ object MaxSim {
       (qSig +: (0 until math.min(nProbeBits, nBits))
         .map(i => qSig ^ (1L << i))).distinct.map(b => (qid, b))
     }
+    val probedBuckets = probePairs.map(_._2).distinct.toSeq
     val probeDf = probePairs.toSeq.toDF("query_id", "bucket")
     val qDf = qPooled.toSeq.map { case (id, v) => (id, v.toSeq) }
       .toDF("query_id", "q_pooled")
       .select(col("query_id"),
         col("q_pooled").cast("array<float>").as("q_pooled"))
-    val cand = buckets.join(broadcast(probeDf), Seq("bucket"))
+    val cand = buckets
+      .where(col("bucket").isin(probedBuckets: _*))
+      .join(broadcast(probeDf), Seq("bucket"))
       .join(broadcast(qDf), Seq("query_id"))
       .withColumn("pc", Vec.cosine(col("pooled"), col("q_pooled")))
     TopNByKey.topN(cand, Seq("query_id"), col("pc"), col("doc_id"),
@@ -99,19 +118,37 @@ object MaxSim {
     */
   def annTopDocs(qChunks: DataFrame, corpusChunks: DataFrame, dim: Int,
       k: Int, perQuery: Int, nProbeBits: Int, seed: Long,
-      nDocsHint: Option[Long] = None): DataFrame = {
+      nDocsHint: Option[Long] = None): DataFrame =
+    rerank(qChunks, corpusChunks,
+      candidates(qChunks, corpusChunks, dim, perQuery, nProbeBits, seed,
+          nDocsHint)
+        .collect().map(r => (r.getLong(0), r.getLong(1))), k)
+
+  /** Approximate MaxSim over a prebuilt bucketed pooled table — the
+    * serving shape: the corpus-wide featurize+pool pass happened at
+    * build time, so a query batch costs probed pooled rows + candidate
+    * chunks only.
+    */
+  def annTopDocsFromBuckets(qChunks: DataFrame, corpusChunks: DataFrame,
+      buckets: DataFrame, planes: Array[Array[Float]], dim: Int, k: Int,
+      perQuery: Int, nProbeBits: Int): DataFrame =
+    rerank(qChunks, corpusChunks,
+      candidatesFromBuckets(qChunks, buckets, planes, dim, perQuery,
+          nProbeBits)
+        .collect().map(r => (r.getLong(0), r.getLong(1))), k)
+
+  /** Exact chunk-level MaxSim restricted to candidate (query, doc)
+    * pairs. The pairs are driver-sized by construction (bounded queries
+    * × perQuery) — carrying them as an `isin` PREDICATE lets the
+    * candidate-doc restriction push through the chunk featurization to
+    * the source scan, so chunk features are computed for candidate docs
+    * only; a join would sit ABOVE the feature projection and featurize
+    * the whole corpus.
+    */
+  private def rerank(qChunks: DataFrame, corpusChunks: DataFrame,
+      candPairs: Array[(Long, Long)], k: Int): DataFrame = {
     val spark = corpusChunks.sparkSession
     import spark.implicits._
-    // candidate pairs are driver-sized by construction (bounded queries
-    // × perQuery) — collecting them lets the candidate-doc restriction
-    // become an `isin` PREDICATE that pushes through the chunk
-    // featurization to the source scan, so the re-rank computes chunk
-    // features for candidate docs only. Joining the candidate DataFrame
-    // instead would sit ABOVE the feature projection in the plan and
-    // featurize the whole corpus a second time.
-    val candPairs = candidates(qChunks, corpusChunks, dim, perQuery,
-        nProbeBits, seed, nDocsHint)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
     val candDocs = candPairs.map(_._2).distinct.toSeq
     val candDf = candPairs.toSeq.toDF("query_id", "doc_id")
     val mx = corpusChunks

@@ -892,21 +892,48 @@ object TextQueries {
       .select(col("doc_id").as("query_id"), col("cidx").as("qidx"),
         col("feat").as("q_feat"))
 
+  /** Bucketed pooled chunk table, built ONCE per (JVM, sfDir) and
+    * persisted to the per-pid cache dir — the same build-once
+    * treatment as the IVF index and the MinHash verified pairs: the
+    * corpus-wide chunk-featurize + pooling + LSH-signature pass is the
+    * INDEX BUILD of the approximate-MaxSim path, paid at build time
+    * and amortized over query batches. Written bucket-clustered so a
+    * probed-bucket `isin` skips row groups. Returns (parquet path,
+    * nBits) — the hyperplanes re-derive from (dim, nBits, seed).
+    */
+  private val maxsimPoolCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+
+  def maxsimPool(spark: SparkSession, dir: String): (String, Int) =
+    maxsimPoolCache.computeIfAbsent(dir, { d =>
+      val nDocs = Tables.documents(spark, d).where(col("doc_id") >= 8).count()
+      val nBits = graft.operators.LshAnn.suggestBits(nDocs)
+      val planes = graft.operators.LshAnn.hyperplanes(16, nBits, 42L)
+      val pool = graft.operators.MaxSim.pooled(
+        maxsimChunks(spark, d).where(col("doc_id") >= 8), "doc_id", 16)
+      val path = s"/tmp/graft_index/${Tables.cacheDirName(d)}/maxsim_pool"
+      graft.operators.LshAnn.bucketed(pool, "doc_id", "pooled", planes)
+        .sortWithinPartitions(col("bucket"))
+        .write.mode("overwrite").parquet(path)
+      (path, nBits)
+    })
+
   /** Approximate MaxSim (the scale path — VERDICT r5 next-round #2):
     * LSH over mean-pooled chunk embeddings generates top-20 candidate
     * docs per query, exact chunk-level MaxSim re-ranks only those.
     * [[maxsimTopDocs]] stays the exact contract; this entry is the plan
-    * a 100 TB corpus actually runs — no all-corpus-chunks NLJ.
+    * a 100 TB corpus actually runs — no all-corpus-chunks NLJ, and the
+    * corpus pass lives in the [[maxsimPool]] build, not in the query.
     */
-  def maxsimAnnTopDocs(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.MaxSim.annTopDocs(
+  def maxsimAnnTopDocs(spark: SparkSession, dir: String): DataFrame = {
+    val (path, nBits) = maxsimPool(spark, dir)
+    graft.operators.MaxSim.annTopDocsFromBuckets(
       maxsimQueryChunks(spark, dir),
       maxsimChunks(spark, dir).where(col("doc_id") >= 8),
-      dim = 16, k = 5, perQuery = 20, nProbeBits = 3, seed = 42L,
-      // plain filtered count on the source table — saves the operator a
-      // full chunk-featurize + pooling pass for the LSH width
-      nDocsHint = Some(
-        Tables.documents(spark, dir).where(col("doc_id") >= 8).count()))
+      spark.read.parquet(path),
+      graft.operators.LshAnn.hyperplanes(16, nBits, 42L),
+      dim = 16, k = 5, perQuery = 20, nProbeBits = 3)
+  }
 
   /** Approximate-MaxSim oracle: the engine's candidate pairs are
     * inlined (they depend on seeded LSH buckets + pooled-cosine
@@ -915,12 +942,12 @@ object TextQueries {
     * the same independence split as the LSH/IVF probe oracles.
     */
   private def maxsimAnnTopDocsOracle(spark: SparkSession, dir: String): String = {
-    val pairs = graft.operators.MaxSim.candidates(
+    val (path, nBits) = maxsimPool(spark, dir)
+    val pairs = graft.operators.MaxSim.candidatesFromBuckets(
         maxsimQueryChunks(spark, dir),
-        maxsimChunks(spark, dir).where(col("doc_id") >= 8),
-        dim = 16, perQuery = 20, nProbeBits = 3, seed = 42L,
-        nDocsHint = Some(
-          Tables.documents(spark, dir).where(col("doc_id") >= 8).count()))
+        spark.read.parquet(path),
+        graft.operators.LshAnn.hyperplanes(16, nBits, 42L),
+        dim = 16, perQuery = 20, nProbeBits = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     val vals = OracleGen.lits(pairs.toSeq.map { case (q, d) => s"($q,$d)" })
     s"""WITH cand(query_id, doc_id) AS (VALUES $vals),
