@@ -116,6 +116,14 @@ object Bench {
         System.err.println(s"[bench] maxsim_pool_build FAILED: ${e.getMessage}")
         -1.0
       }
+    // ... and the BM25 inverted index (posting table build)
+    val bm25T0 = System.nanoTime()
+    val bm25Time =
+      try { graft.queries.TextQueries.bm25Index(spark, sfDir); (System.nanoTime() - bm25T0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bm25_index_build FAILED: ${e.getMessage}")
+        -1.0
+      }
     // a failed query reports -1 (not its elapsed-until-crash time) so a
     // regression can never masquerade as a speedup in the headline JSON
     val results = Map("ivf_build" -> buildTime, "pq_train" -> pqTrainTime,
@@ -124,7 +132,8 @@ object Bench {
       "ivfpq_residual_build" -> pqResidualTime,
       "ivfsq_encode" -> sqEncodeTime,
       "minhash_pairs_build" -> pairsTime,
-      "maxsim_pool_build" -> poolTime) ++
+      "maxsim_pool_build" -> poolTime,
+      "bm25_index_build" -> bm25Time) ++
       graft.queries.Catalog.all
       .filter { case (_, d) => d.bench }
       .map { case (name, d) =>

@@ -695,12 +695,14 @@ object TextQueries {
     * are derived from docs with ≥1 token (the only docs an inverted
     * index ever sees), identically in both engines.
     *
-    * Scale shape: term frequencies stream out of ONE tokenization pass
-    * that carries dl alongside the explode (no doc-length join); df
-    * and the 1-row (N, avgdl) stats are vocabulary-/constant-sized
-    * broadcasts; the query term set is a broadcast semi-filter, so the
-    * only corpus-sized shuffle is the (query_id, doc_id) partial
-    * aggregation — volume is matched postings, never the corpus.
+    * Scale shape: term frequencies come from the build-once posting
+    * table ([[bm25Index]] — ONE tokenization pass at build time that
+    * carries dl alongside the explode, no doc-length join); df and the
+    * 1-row (N, avgdl) stats are vocabulary-/constant-sized broadcasts
+    * derived from the postings; the query term set is a broadcast
+    * semi-filter, so the only corpus-sized shuffle is the
+    * (query_id, doc_id) partial aggregation — volume is matched
+    * postings, never the corpus.
     * Per-term scores fold in sorted order (cross-engine float
     * determinism, same as [[QualityQueries.sourceTokenDivergence]])
     * and round(4) BEFORE ranking; top-5 per query ranks through the
@@ -708,15 +710,35 @@ object TextQueries {
     * per query per map task) — the window form is exactly what the
     * DuckDB oracle replays.
     */
+  /** BM25 inverted index (doc_id, dl, term, tf) over the corpus slice,
+    * built ONCE per (JVM, sfDir) into the per-pid cache dir — the
+    * build-once treatment every retrieval path gets (IVF vectors,
+    * MaxSim pool): tokenizing the corpus is the INDEX BUILD, queries
+    * serve from the posting table. Also replaces the tf persist: both
+    * consumers (df aggregate, scoring join) read the parquet back.
+    */
+  private val bm25Cache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def bm25Index(spark: SparkSession, dir: String): String =
+    bm25Cache.computeIfAbsent(dir, { d =>
+      val corpusToks =
+        Tables.spread(Tables.documents(spark, d).where(col("doc_id") >= 8),
+          col("doc_id"))
+        .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
+        .select(col("doc_id"), size(col("ts")).as("dl"),
+          explode(col("ts")).as("term"))
+      val path = s"/tmp/graft_index/${Tables.cacheDirName(d)}/bm25_tf"
+      // dl is functionally dependent on doc_id — grouping by it is free
+      corpusToks.groupBy(col("doc_id"), col("dl"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(path)
+      path
+    })
+
   def bm25TopDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val corpusToks = docs.where(col("doc_id") >= 8)
-      .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
-      .select(col("doc_id"), size(col("ts")).as("dl"),
-        explode(col("ts")).as("term"))
-    // dl is functionally dependent on doc_id — grouping by it is free
-    val tf = corpusToks.groupBy(col("doc_id"), col("dl"), col("term"))
-      .agg(count(lit(1)).as("tf")).persist()
+    val tf = spark.read.parquet(bm25Index(spark, dir))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = tf.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).as("n_docs"),
