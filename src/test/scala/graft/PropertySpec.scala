@@ -115,6 +115,38 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("ProbeRouter: probe-all equals brute sort; top-n is a valid prefix-free set") {
+    // random centroid sets spanning the brute/hierarchical dispatch
+    // boundary; probe-all must be exactly the (distance, id)-sorted
+    // centroid list at ANY k, and top-n must be n distinct valid ids in
+    // ascending distance order
+    val cfgGen: Gen[(Int, Int, Long)] = for {
+      k <- Gen.oneOf(3, 50, 150, 400)
+      n <- Gen.oneOf(1, 5, 20)
+      seed <- Gen.choose(0L, 1000L)
+    } yield (k, n, seed)
+    forAll(cfgGen, n = 12) { case (k, n, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val dim = 6
+      val cents = Array.fill(k)(Array.fill(dim)(rnd.nextFloat()))
+      val q = Array.fill(dim)(rnd.nextFloat())
+      val router = new KMeans.ProbeRouter(cents, 42L)
+      val exact = cents.indices
+        .map(i => (i, KMeans.sqDist(q, cents(i))))
+        .sortBy(t => (t._2, t._1)).map(_._1)
+      assert(router.topN(q, k).toSeq == exact, s"probe-all k=$k")
+      val top = router.topN(q, n)
+      assert(top.length == math.min(n, k))
+      assert(top.distinct.length == top.length)
+      assert(top.forall(c => c >= 0 && c < k))
+      val ds = top.map(c => KMeans.sqDist(q, cents(c))).toSeq
+      assert(ds == ds.sorted, s"not ascending for k=$k n=$n")
+      // top-1 always equals the assignment dispatch's cell
+      assert(router.topN(q, 1).head ==
+        KMeans.assigner(KMeans.Model(cents), 42L)(q)._1)
+    }
+  }
+
   test("OPQ eigenvalue allocation is a balanced permutation for any spectrum") {
     val specGen: Gen[(Array[Double], Int)] = for {
       m <- Gen.oneOf(2, 4, 8)
