@@ -191,4 +191,39 @@ class PlanSpec extends SparkSpec {
       s"corpus chunks shuffled into a cartesian:\n${p.take(2000)}")
     assert(p.contains("partial_max"), "max-per-(query chunk, doc) not map-side")
   }
+
+  test("maxsim ANN re-rank: candidate-doc filter pushed below featurization") {
+    // the isin restriction must reach the documents scan so chunk
+    // features are computed for candidate docs only — a regression
+    // re-featurizes the whole corpus (SCALE.md round-6). AQE wraps the
+    // executed plan, so assert on the string form like the other gates.
+    val p = graft.queries.TextQueries.maxsimAnnTopDocs(spark, sf001)
+      .queryExecution.executedPlan.toString
+    val corpusScanLines = p.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("documents"))
+    assert(corpusScanLines.exists(l =>
+      l.contains("INSET") || l.contains("In(doc_id")),
+      s"candidate-doc set not pushed to a documents scan:\n" +
+        corpusScanLines.map(_.take(200)).mkString("\n"))
+    // the re-rank must NOT read the pooled bucket table — candidates
+    // were resolved at build time; only chunk scans remain
+    assert(!p.contains("maxsim_pool"),
+      "re-rank plan still scans the pooled bucket table")
+  }
+
+  test("bm25: corpus side served from the posting table, qterms pruned") {
+    val p = graft.queries.TextQueries.bm25TopDocs(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // postings parquet present (the build-once inverted index) …
+    assert(p.contains("bm25_tf"),
+      "query plan does not read the prebuilt posting table")
+    // … and every documents scan is the pruned doc_id<8 query side
+    val docScanLines = p.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("documents"))
+    assert(docScanLines.nonEmpty)
+    docScanLines.foreach { l =>
+      assert(l.contains("< 8)"),
+        s"query-side doc filter not pushed: ${l.take(200)}")
+    }
+  }
 }
