@@ -124,8 +124,27 @@ object Bench {
         System.err.println(s"[bench] bm25_index_build FAILED: ${e.getMessage}")
         -1.0
       }
-    // a failed query reports -1 (not its elapsed-until-crash time) so a
-    // regression can never masquerade as a speedup in the headline JSON
+    // ONE timing protocol for both passes: each pass rebuilds the query
+    // DataFrame (fresh lineage — a second action on the same lineage
+    // reuses shuffle files and reads artificially fast), captures
+    // elapsed BEFORE the clearCache, reports -1 on failure (a
+    // regression can never masquerade as a speedup), and logs failures
+    // identically so the passes cannot drift
+    def timedPass(label: String): Map[String, Double] =
+      graft.queries.Catalog.all
+        .filter { case (_, d) => d.bench }
+        .map { case (name, d) =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { d.build(spark, sfDir).count(); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name FAILED ($label): ${e.getMessage}")
+              false
+            }
+          val elapsed = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache() // builders' persist()s don't accumulate
+          name -> (if (ok) elapsed else -1.0)
+        }
     val results = Map("ivf_build" -> buildTime, "pq_train" -> pqTrainTime,
       "opq_train" -> opqTrainTime,
       "ivfpq_encode" -> pqEncodeTime,
@@ -133,40 +152,13 @@ object Bench {
       "ivfsq_encode" -> sqEncodeTime,
       "minhash_pairs_build" -> pairsTime,
       "maxsim_pool_build" -> poolTime,
-      "bm25_index_build" -> bm25Time) ++
-      graft.queries.Catalog.all
-      .filter { case (_, d) => d.bench }
-      .map { case (name, d) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { d.build(spark, sfDir).count(); true }
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-            false
-          }
-        // capture elapsed BEFORE clearCache so the timing is the query's
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache() // builders' persist()s don't accumulate
-        name -> (if (ok) elapsed else -1.0)
-      }
+      "bm25_index_build" -> bm25Time) ++ timedPass("pass1")
     // SECOND timed pass over the catalog queries (builds stay cached):
     // a driver-box outlier is decidable from this artifact alone —
     // pass2 ≈ pass1 means the cost is the plan; pass2 ≪ pass1 means
     // pass1 absorbed one-time/contended cost (SCALE.md box-variance
-    // rule, VERDICT r5 next-round #4). Each pass REBUILDS the query
-    // DataFrame, so lineages are fresh and no shuffle files are reused
-    // (a second action on the same lineage reads artificially fast).
-    val secondPass = graft.queries.Catalog.all
-      .filter { case (_, d) => d.bench }
-      .map { case (name, d) =>
-        val t0 = System.nanoTime()
-        val ok =
-          try { d.build(spark, sfDir).count(); true }
-          catch { case _: Throwable => false }
-        val elapsed = (System.nanoTime() - t0) / 1e9
-        spark.catalog.clearCache()
-        name -> (if (ok) elapsed else -1.0)
-      }
+    // rule, VERDICT r5 next-round #4).
+    val secondPass = timedPass("pass2")
     val total = results.values.filter(_ >= 0).sum
     val total2 = secondPass.values.filter(_ >= 0).sum
     def ms(v: Double): String =

@@ -55,8 +55,11 @@ object Tables {
         val entries = new java.io.File(root).listFiles()
         if (entries != null) entries.foreach { e =>
           val m = anyPid.matcher(e.getName)
-          if (m.matches() &&
-              ProcessHandle.of(m.group(1).toLong).isEmpty)
+          // toLong guarded: a stray dir with a pid-like digit run
+          // longer than Long must not crash every future run's first
+          // cacheDirName call — leave it alone instead
+          if (m.matches() && scala.util.Try(m.group(1).toLong)
+              .toOption.exists(pid => ProcessHandle.of(pid).isEmpty))
             deleteTree(e)
         }
       }

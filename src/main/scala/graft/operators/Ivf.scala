@@ -569,7 +569,11 @@ object Ivf {
     // row, which at reference parity k = 4√N is ~126k sorted centroid
     // distances per row at N = 10⁹.
     val routerB = spark.sparkContext.broadcast(index.router)
-    val np = math.min(nProbe, index.centroids.length)
+    // clamp like search/searchBatch (maxNProbe first, then centroid
+    // count) — annJoin must stay probe-parity with searchBatch on every
+    // config, including a binding maxNProbe cap
+    val np = math.min(math.min(nProbe, index.config.maxNProbe),
+      index.centroids.length)
     val probeUdf = udf((q: Seq[Float]) =>
       routerB.value.topN(q.toArray, np).toSeq)
     val probed = queries.select(qCols.map(col): _*)

@@ -53,6 +53,29 @@ object LshAnn {
     df.select(col(idCol), col(embCol),
       signature(col(embCol), planes).as("bucket"))
 
+  /** Driver-side query signature — the exact bit convention of the
+    * executor-side [[signature]] column (double dot, `>= 0` sets the
+    * bit). The ONE definition every driver-side prober (LSH search,
+    * MaxSim candidates, the LSH oracle generator) must share: bucket
+    * membership parity between the two sides is what candidate recall
+    * rests on.
+    */
+  def querySignature(planes: Array[Array[Float]], query: Array[Float]): Long =
+    planes.zipWithIndex.map { case (p, i) =>
+      val d = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
+      if (d >= 0.0) 1L << i else 0L
+    }.reduce(_ | _)
+
+  /** Multi-probe bucket set for one query: its own bucket plus the
+    * `nProbeBits` Hamming-1 neighbors on the lowest-index bits.
+    */
+  def queryProbes(planes: Array[Array[Float]], query: Array[Float],
+      nProbeBits: Int): Seq[Long] = {
+    val qSig = querySignature(planes, query)
+    (qSig +: (0 until math.min(nProbeBits, planes.length))
+      .map(i => qSig ^ (1L << i))).distinct
+  }
+
   /** Top-k by cosine for one query via bucket-local candidates. */
   def search(spark: SparkSession, table: DataFrame, idCol: String,
       embCol: String, planes: Array[Array[Float]],
@@ -61,12 +84,7 @@ object LshAnn {
       s"query dimension ${query.length} != hyperplane dimension " +
         s"${planes.headOption.map(_.length).getOrElse(0)}")
     // query signature + multi-probe neighbors, computed driver-side
-    val qSig = planes.zipWithIndex.map { case (p, i) =>
-      val d = p.zip(query).map { case (a, b) => a.toDouble * b.toDouble }.sum
-      if (d >= 0.0) 1L << i else 0L
-    }.reduce(_ | _)
-    val probes = qSig +: (0 until math.min(nProbeBits, planes.length))
-      .map(i => qSig ^ (1L << i))
+    val probes = queryProbes(planes, query, nProbeBits)
     table
       .where(col("bucket").isin(probes: _*))
       .withColumn("cos_sim", Vec.cosine(col(embCol), typedlit(query.toSeq)))

@@ -87,12 +87,7 @@ object MaxSim {
       "doc_id", dim)
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     val probePairs = qPooled.flatMap { case (qid, v) =>
-      val qSig = planes.zipWithIndex.map { case (p, i) =>
-        val d = p.zip(v).map { case (a, b) => a.toDouble * b.toDouble }.sum
-        if (d >= 0.0) 1L << i else 0L
-      }.reduce(_ | _)
-      (qSig +: (0 until math.min(nProbeBits, nBits))
-        .map(i => qSig ^ (1L << i))).distinct.map(b => (qid, b))
+      LshAnn.queryProbes(planes, v, nProbeBits).map(b => (qid, b))
     }
     val probedBuckets = probePairs.map(_._2).distinct.toSeq
     val probeDf = probePairs.toSeq.toDF("query_id", "bucket")

@@ -60,8 +60,12 @@ object RecallEval {
         qid -> rows.sortBy(_.getInt(1)).map(_.getLong(2))
       }
       val recalls = ranks.map { rank =>
+        // a query with no ground-truth row (its probed cells held no
+        // live vectors under a binding maxNProbe) scores as a miss,
+        // not a crash — mirrored in recallsOneScan
         val hit = queries.count { case (qid, _) =>
-          byQuery.get(qid).exists(_.take(rank).contains(gt(qid)))
+          gt.get(qid).exists(g =>
+            byQuery.get(qid).exists(_.take(rank).contains(g)))
         }
         rank -> hit.toDouble / queries.length
       }.toMap
@@ -138,12 +142,18 @@ object RecallEval {
       .map { case (key, rows) =>
         key -> rows.sortBy(_.getInt(2)).map(_.getLong(3)).toSeq
       }
+    // a query whose ground-truth probes held no live vectors has no
+    // GtSetting rows — it scores as a miss at every setting (same
+    // convention as sweep), never a NoSuchElementException
     val gt: Map[Long, Long] =
-      queries.map { case (qid, _) => qid -> byKey((qid, GtSetting)).head }.toMap
+      queries.flatMap { case (qid, _) =>
+        byKey.get((qid, GtSetting)).map(r => qid -> r.head)
+      }.toMap
     nProbes.map { np =>
       val recalls = ranks.map { rank =>
         val hit = queries.count { case (qid, _) =>
-          byKey.get((qid, np)).exists(_.take(rank).contains(gt(qid)))
+          gt.get(qid).exists(g =>
+            byKey.get((qid, np)).exists(_.take(rank).contains(g)))
         }
         rank -> hit.toDouble / queries.length
       }.toMap

@@ -798,12 +798,7 @@ object IndexQueries {
     val nBits = LshAnn.suggestBits(emb.count())
     val planes = LshAnn.hyperplanes(dim, nBits, 42L)
     val q = queryVec(spark, dir, 0L)
-    val qSig = planes.zipWithIndex.map { case (p, i) =>
-      val d = p.zip(q).map { case (a, b) => a.toDouble * b.toDouble }.sum
-      if (d >= 0.0) 1L << i else 0L
-    }.reduce(_ | _)
-    val probes = qSig +: (0 until math.min(nBits, planes.length))
-      .map(i => qSig ^ (1L << i))
+    val probes = LshAnn.queryProbes(planes, q, nProbeBits = nBits)
     val ids = LshAnn.bucketed(emb, "vec_id", "embedding", planes)
       .where(col("bucket").isin(probes: _*))
       .select("vec_id").collect().map(_.getLong(0)).sorted
@@ -825,10 +820,13 @@ object IndexQueries {
 
   /** Recall-sweep oracle: DuckDB recomputes the WHOLE evaluation —
     * brute-force ground truth, per-(query, n_probe) pruned candidate
-    * ranking (probe lists inlined with their selection rank so each
-    * n_probe setting is a prefix), and the recall fractions. Only the
-    * perturbed query vectors, probe orders, and cell assignment are
-    * literals; all distance math runs independently.
+    * ranking, and the recall fractions. Probe sets are inlined PER
+    * SETTING through the same `Ivf.probeSelection` the engine routes
+    * with — hierarchical routing (k > 100) does not produce
+    * prefix-nested sets across n_probe values, so a rank-cutoff
+    * reconstruction would diverge from the engine there. Only the
+    * perturbed query vectors, per-setting probe sets, and cell
+    * assignment are literals; all distance math runs independently.
     */
   private def recallSweepOracle(spark: SparkSession, dir: String): String = {
     val idx = index(spark, dir)
@@ -841,9 +839,11 @@ object IndexQueries {
     val qVals = OracleGen.lits(qs.sortBy(_._1).toSeq.map { case (qid, q) =>
       s"($qid,${OracleGen.dblList(q.map(_.toDouble).toSeq)})"
     })
+    val sweepNps = Seq(1, 4, 16, 64)
     val probeVals = OracleGen.lits(qs.sortBy(_._1).toSeq.flatMap { case (qid, q) =>
-      Ivf.probeSelection(idx, q, 64)._1.zipWithIndex.map {
-        case (c, i) => s"($qid,${i + 1},$c)"
+      sweepNps.flatMap { np =>
+        val clamped = math.min(np, idx.config.maxNProbe)
+        Ivf.probeSelection(idx, q, clamped)._1.map(c => s"($qid,$np,$c)")
       }
     })
     val assign = Ivf.liveVectors(spark, idx)
@@ -851,9 +851,8 @@ object IndexQueries {
       .map(r => (r.getLong(0), r.getInt(1))).sorted
     val assignVals = OracleGen.lits(assign.toSeq.map { case (v, c) => s"($v,$c)" })
     s"""WITH qs(query_id, qe) AS (VALUES $qVals),
-       |probe(query_id, c_rank, centroid_id) AS (VALUES $probeVals),
+       |probe(query_id, n_probe, centroid_id) AS (VALUES $probeVals),
        |assign(vec_id, centroid_id) AS (VALUES $assignVals),
-       |np(n_probe) AS (VALUES (1),(4),(16),(64)),
        |gt AS (
        |  SELECT query_id, vec_id AS gt_id FROM (
        |    SELECT q.query_id, e.vec_id,
@@ -864,13 +863,12 @@ object IndexQueries {
        |    FROM embeddings e CROSS JOIN qs q)
        |  WHERE rn = 1),
        |cand AS (
-       |  SELECT n.n_probe, p.query_id, a.vec_id,
-       |    ROW_NUMBER() OVER (PARTITION BY n.n_probe, p.query_id ORDER BY
+       |  SELECT p.n_probe, p.query_id, a.vec_id,
+       |    ROW_NUMBER() OVER (PARTITION BY p.n_probe, p.query_id ORDER BY
        |      list_reduce(list_transform(list_zip(e.embedding, q.qe),
        |        p2 -> (CAST(p2[1] AS DOUBLE) - p2[2]) * (CAST(p2[1] AS DOUBLE) - p2[2])),
        |        (a2, b2) -> a2 + b2), a.vec_id) AS rn
-       |  FROM np n
-       |  JOIN probe p ON p.c_rank <= n.n_probe
+       |  FROM probe p
        |  JOIN assign a ON a.centroid_id = p.centroid_id
        |  JOIN embeddings e ON e.vec_id = a.vec_id
        |  JOIN qs q ON q.query_id = p.query_id),

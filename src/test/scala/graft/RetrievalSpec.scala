@@ -154,6 +154,24 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("maxsim ANN: one-shot annTopDocs equals the prebuilt-bucket path") {
+    // the build-free operator entry must stay consistent with the
+    // catalog's amortized path — same buckets (same nBits/planes/seed),
+    // same candidates, same re-rank
+    val qc = TextQueries.maxsimChunks(spark, sf0001).where($"doc_id" < 8)
+      .select($"doc_id".as("query_id"), $"cidx".as("qidx"), $"feat".as("q_feat"))
+    val corpus = TextQueries.maxsimChunks(spark, sf0001).where($"doc_id" >= 8)
+    val nDocs = Tables.documents(spark, sf0001).where($"doc_id" >= 8).count()
+    val oneShot = graft.operators.MaxSim.annTopDocs(qc, corpus,
+        dim = 16, k = 5, perQuery = 20, nProbeBits = 3, seed = 42L,
+        nDocsHint = Some(nDocs))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val cached = TextQueries.maxsimAnnTopDocs(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(oneShot.toSeq == cached.toSeq)
+    assert(oneShot.nonEmpty)
+  }
+
   test("maxsim ANN result is independent of the shuffle partitioning") {
     // exercises the cidx-ordered pooling fold: unordered float sums
     // would flap LSH bucket membership across partitionings
