@@ -77,6 +77,40 @@ object CurationQueries {
        |FROM per GROUP BY pii_type ORDER BY pii_type""".stripMargin
   }
 
+  /** PII redaction as a catalog transform (doc_id < 100 slice): the
+    * [[redactPii]] regexp_replace chain applied per doc, reported as
+    * before/after lengths + changed flag + a bounded redacted prefix.
+    * Cross-engine this verifies the REPLACE path (the scan only gates
+    * extract): same patterns, same fold order, DuckDB 'g' flag =
+    * Spark's replace-all default. Map-side projection — no shuffle at
+    * any scale; detection behavior on constructed PII strings is
+    * CurationSpec's job.
+    */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).where(col("doc_id") < 100)
+      .withColumn("redacted", redactPii(col("text")))
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("len_before"),
+        length(col("redacted")).cast("long").as("len_after"),
+        when(col("text") =!= col("redacted"), 1L).otherwise(0L).as("changed"),
+        substring(col("redacted"), 1, 64).as("redacted_prefix"))
+      .orderBy(col("doc_id"))
+
+  private val piiRedactSql = {
+    val redacted = PiiPatterns.foldLeft("text") { case (acc, (_, pat, token)) =>
+      s"regexp_replace($acc, '$pat', '$token', 'g')"
+    }
+    s"""WITH r AS (
+       |  SELECT doc_id, text, $redacted AS redacted
+       |  FROM documents WHERE doc_id < 100)
+       |SELECT doc_id,
+       |  CAST(length(text) AS BIGINT) AS len_before,
+       |  CAST(length(redacted) AS BIGINT) AS len_after,
+       |  CAST(CASE WHEN text <> redacted THEN 1 ELSE 0 END AS BIGINT) AS changed,
+       |  substr(redacted, 1, 64) AS redacted_prefix
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   // -------------------------------------------------- rule-based filter
 
   /** Gopher-style stop list (the 8-word variant from Rae et al. 2021). */
@@ -391,6 +425,7 @@ object CurationQueries {
   def defs: Map[String, QueryDef] = Map(
     "doc_chunks" -> QueryDef(chunkDocs(_, _), Some(chunkDocsSql)),
     "pii_scan_stats" -> QueryDef(piiScanStats, Some(piiScanStatsSql)),
+    "pii_redact" -> QueryDef(piiRedact, Some(piiRedactSql)),
     "rule_filter_stats" -> QueryDef(ruleFilterStats, Some(ruleFilterStatsSql)),
     "dsir_weights" -> QueryDef(dsirWeights, Some(dsirWeightsSql)),
     "domain_cap_sample" -> QueryDef(domainCapSample, Some(domainCapSampleSql)),
