@@ -172,6 +172,10 @@ object KMeans {
       m.map(_.reverse.toArray)
     }
 
+    // test/diagnostic hooks (probe-pool experiments, work accounting)
+    private[graft] def metaModelForDebug: Model = meta
+    private[graft] def membersForDebug: Array[Array[Int]] = members
+
     def assign(p: Array[Float]): (Int, Double) = {
       // top-metaProbe meta-centroids by distance — allocation-free stable
       // selection (strict < on replacement keeps ascending-index order on
@@ -215,12 +219,19 @@ object KMeans {
       * generalization of [[assign]] (which is n=1). Meta-centroids are
       * ranked exactly (metaK = O(√k) distances), their member lists
       * expanded in that order until the candidate pool holds at least
-      * max(2n, top-`metaProbe` cells) centroids — the 2× margin buys
-      * probe recall for n ≫ 1, the `metaProbe` floor preserves the
-      * reference's n=1 behavior — and the pool is exact-ranked by
-      * (distance, centroid id), the same tie order as the brute-force
-      * probe sort. Per-call work is O(√k + n) distances instead of the
-      * O(k) scan + O(k log k) sort.
+      * max(16n, top-`metaProbe` cells) centroids, and the pool is
+      * exact-ranked by (distance, centroid id), the same tie order as
+      * the brute-force probe sort. Per-call work is O(√k + 16n)
+      * distances instead of the O(k) scan.
+      *
+      * The 16× pool margin is MEASURED, not guessed (DebugProbePool on
+      * the reference 100k/D=128 workload — uniform data, the
+      * adversarial case for meta-cell locality): capture of the exact
+      * top-64 probe cells is 0.44 with a 2n pool, 0.78 at 8n, 0.99 at
+      * 16n. A 2n pool capped end-to-end recall@64 at 0.745 vs 1.0
+      * exact, which is why this path is OPT-IN (see [[ProbeRouter]]):
+      * exact selection stays the default wherever k·d per routed row
+      * is affordable.
       *
       * @return (probe ids ascending by (distance, id), pool size) — the
       *         pool size is the number of exact centroid distances
@@ -235,7 +246,7 @@ object KMeans {
       val cellOrder = Array.range(0, meta.k).sortBy(c => (md(c), c))
       val pool = scala.collection.mutable.ArrayBuffer.empty[Int]
       var mi = 0
-      while (mi < cellOrder.length && (mi < metaProbe || pool.length < 2 * n)) {
+      while (mi < cellOrder.length && (mi < metaProbe || pool.length < 16 * n)) {
         pool ++= members(cellOrder(mi))
         mi += 1
       }
@@ -246,14 +257,31 @@ object KMeans {
     }
   }
 
+  /** Probe selection becomes APPROXIMATE above this many centroids
+    * (default router). Below it, routing is exact: computing all k
+    * centroid distances per routed row is affordable (k·d ≈ 1M flops
+    * at k=8192, d=128), and a bounded-heap selection replaces the full
+    * sort, so the only saving the hierarchy could offer is distance
+    * count — which it buys with measured recall loss (see
+    * [[HierarchicalAssigner.topNProbe]]: 0.745 vs 1.0 recall@64 on the
+    * reference workload with the old always-hierarchical routing). At
+    * k beyond the threshold (N ≳ 4M at reference parity k = 4√N), the
+    * per-row cost of exact routing dominates corpus×corpus joins and
+    * the O(√k + 16n) approximate path takes over.
+    */
+  val ApproxRoutingThreshold = 8192
+
   /** Probe routing for the IVF search paths: top-nProbe nearest
-    * centroids per query. Dispatches like [[assigner]]: exact
-    * brute-force sort for k ≤ [[HierarchicalThreshold]] or
-    * near-probe-all requests (2n ≥ k — the hierarchy can't save work
-    * there, and probe-all must stay exact), hierarchical O(√k + n) via
-    * [[HierarchicalAssigner.topNProbe]] above. At reference parity
-    * k = 4√N this is the difference between ~126k sorted centroid
-    * distances per query row at N=10⁹ and ~√k of them.
+    * centroids per query, ascending by (distance, id).
+    *
+    *   - k ≤ `approxThreshold` (default [[ApproxRoutingThreshold]]) or
+    *     2n ≥ k: EXACT — all k distances, bounded-insertion selection
+    *     (O(k) distances + O(k) scan, no O(k log k) sort, no per-row
+    *     allocation beyond the n-slot buffers). Probe-all is always
+    *     exact.
+    *   - above the threshold: hierarchical O(√k + 16n) via
+    *     [[HierarchicalAssigner.topNProbe]] — the opt-in scale path for
+    *     huge k, with the measured 16n pool margin.
     *
     * Serializable with a transient lazy hierarchy: broadcasting the
     * router (annJoin's map-side routing) rebuilds the meta-clustering
@@ -261,24 +289,50 @@ object KMeans {
     * executor-side routing is identical to driver-side routing
     * (searchBatch, probe-literal oracles).
     */
-  final class ProbeRouter(val centroids: Array[Array[Float]], val seed: Long)
+  final class ProbeRouter(val centroids: Array[Array[Float]], val seed: Long,
+      val approxThreshold: Int = ApproxRoutingThreshold)
       extends Serializable {
     def k: Int = centroids.length
     @transient private lazy val hier = new HierarchicalAssigner(centroids, seed)
 
-    private def bruteTopN(p: Array[Float], n: Int): Array[Int] =
-      centroids.indices
-        .map(i => (i, sqDist(p, centroids(i))))
-        .sortBy(t => (t._2, t._1))
-        .take(n)
-        .map(_._1)
-        .toArray
+    /** Exact top-n by (distance, id): allocation-light bounded
+      * insertion (the [[HierarchicalAssigner.assign]] selection loop,
+      * widened to n slots). Scanning ids ascending with a strict-<
+      * replacement resolves distance ties to the smaller id — the same
+      * order as sortBy((distance, id)).
+      */
+    private def bruteTopN(p: Array[Float], n: Int): Array[Int] = {
+      if (n >= k) {
+        return centroids.indices
+          .map(i => (i, sqDist(p, centroids(i))))
+          .sortBy(t => (t._2, t._1)).map(_._1).toArray
+      }
+      val topIdx = new Array[Int](n)
+      val topD = new Array[Double](n)
+      java.util.Arrays.fill(topD, Double.MaxValue)
+      var i = 0
+      while (i < k) {
+        val d = sqDistBounded(p, centroids(i), topD(n - 1))
+        if (d < topD(n - 1)) {
+          var pos = n
+          while (pos > 0 && d < topD(pos - 1)) pos -= 1
+          var s = n - 1
+          while (s > pos) { topD(s) = topD(s - 1); topIdx(s) = topIdx(s - 1); s -= 1 }
+          topD(pos) = d
+          topIdx(pos) = i
+        }
+        i += 1
+      }
+      topIdx
+    }
 
     private def useBrute(n: Int): Boolean =
-      k <= HierarchicalThreshold || 2 * n >= k
+      // 16n ≥ k: the hierarchical pool would cover (nearly) every
+      // centroid anyway — exact selection is both cheaper and exact
+      k <= approxThreshold || 16 * n >= k
 
     /** Top-n probe ids, ascending by (distance, centroid id). Exact on
-      * the brute path; within-pool exact on the hierarchical path.
+      * the default path; within-pool exact on the hierarchical path.
       */
     def topN(p: Array[Float], n0: Int): Array[Int] = {
       val n = math.min(n0, k)
@@ -288,7 +342,8 @@ object KMeans {
     }
 
     /** Centroid distances computed to route one query (test hook for
-      * the O(√k)-per-row contract; k on the brute path).
+      * the O(√k)-per-row contract on the approximate path; k on the
+      * exact path).
       */
     private[graft] def routedWork(p: Array[Float], n0: Int): Int = {
       val n = math.min(n0, k)

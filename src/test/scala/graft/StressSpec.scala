@@ -67,18 +67,30 @@ class StressSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
-  test("probe routing at k > 100 does O(√k) centroid work per query") {
-    // the annJoin/searchBatch routing contract at scale: per-query
-    // distance computations are a small multiple of √k, not the O(k)
-    // brute scan (VERDICT r5 "what's wrong" #1)
+  test("approximate probe routing does O(√k + 16n) centroid work per query") {
+    // the opt-in huge-k routing contract (k > ApproxRoutingThreshold at
+    // reference parity N ≳ 4M): per-query distance computations are
+    // bounded by the 16n pool + meta ranking, not the O(k) scan. The
+    // DEFAULT router at this k routes exactly — recall-safe (the 2n
+    // hierarchical pool measurably capped recall; SCALE.md round-6) —
+    // so the approximate regime is forced via approxThreshold here.
     val qs = df.where(col("vec_id") < 8).select("embedding").collect()
       .map(_.getSeq[Float](0).toArray)
-    val work = qs.map(q => index.router.routedWork(q, 32))
+    val approx = new KMeans.ProbeRouter(index.centroids, index.seed,
+      approxThreshold = KMeans.HierarchicalThreshold)
+    // n=4: 16n = 64 ≪ k = 448 — the regime where the pool saves work
+    // (at 16n ≥ k the router falls back to exact by design)
+    val work = qs.map(q => approx.routedWork(q, 4))
     assert(index.k > KMeans.HierarchicalThreshold)
-    assert(work.max < index.k / 3,
+    assert(work.max < index.k / 2,
       s"routedWork ${work.max} not sub-linear in k=${index.k}")
-    assert(work.max <= 20 * math.sqrt(index.k.toDouble).toInt,
-      s"routedWork ${work.max} not O(√k) for k=${index.k}")
+    assert(work.max <= 16 * 4 + 10 * math.sqrt(index.k.toDouble).toInt,
+      s"routedWork ${work.max} not O(√k + 16n) for k=${index.k}")
+    // and the probe sets it returns remain valid ascending selections
+    qs.foreach { q =>
+      val probes = approx.topN(q, 4)
+      assert(probes.length == 4 && probes.distinct.length == 4)
+    }
   }
 
   test("pruned annJoin equals pruned searchBatch (executor vs driver routing)") {
