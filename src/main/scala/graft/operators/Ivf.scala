@@ -355,9 +355,12 @@ object Ivf {
   /** Probe selection against the driver-held routing table: the nProbe
     * nearest centroids (distance, then id, ascending) and their distinct
     * shard set (J5/T1/P5). Shared by float search and the PQ-coded
-    * variant (IvfPq). Routing is [[KMeans.ProbeRouter]]: exact for
-    * k ≤ 100 or near-probe-all, hierarchical O(√k) above — probe-all
-    * stays exact on every index size.
+    * variant (IvfPq). Routing is [[KMeans.ProbeRouter]]: EXACT
+    * bounded-insertion selection through k ≤ 8192 centroids (no sort,
+    * recall identical to a full ranking by construction); the
+    * hierarchical O(√k + 16n) approximation takes over only beyond
+    * that, where k·d per routed row is genuinely prohibitive.
+    * Probe-all stays exact on every index size.
     */
   def probeSelection(index: Index, query: Array[Float],
       nProbe: Int): (Seq[Int], Seq[Int]) = {
@@ -563,11 +566,13 @@ object Ivf {
       s"annJoin: query-side column(s) ${clash.mkString(", ")} collide with " +
         "index-side names — rename them on the query DataFrame first")
     // map-side routing through the SAME router as the driver-side paths
-    // (probe-literal oracles included): the broadcast rebuilds the
-    // transient meta-hierarchy once per executor, so per query row the
-    // work is O(√k + nProbe) for large k — not an O(k) scan + sort per
-    // row, which at reference parity k = 4√N is ~126k sorted centroid
-    // distances per row at N = 10⁹.
+    // (probe-literal oracles included). Per query row: exact
+    // bounded-insertion selection (k distances, NO sort) through
+    // k ≤ 8192 — recall-safe by construction; beyond that (N ≳ 4M at
+    // reference parity k = 4√N, where k·d per row dominates a
+    // corpus×corpus join) the broadcast rebuilds the transient
+    // meta-hierarchy once per executor and routing drops to
+    // O(√k + 16n) with the measured pool margin (SCALE.md round-6).
     val routerB = spark.sparkContext.broadcast(index.router)
     // clamp like search/searchBatch (maxNProbe first, then centroid
     // count) — annJoin must stay probe-parity with searchBatch on every

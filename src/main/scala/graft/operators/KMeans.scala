@@ -237,7 +237,8 @@ object KMeans {
       *         pool size is the number of exact centroid distances
       *         computed, the test hook for the O(√k) work contract.
       */
-    def topNProbe(p: Array[Float], n0: Int): (Array[Int], Int) = {
+    def topNProbe(p: Array[Float], n0: Int,
+        poolFactor: Int = HierarchicalAssigner.ProbePoolFactor): (Array[Int], Int) = {
       val n = math.min(n0, k)
       if (n <= 0) return (Array.emptyIntArray, 0)
       val md = new Array[Double](meta.k)
@@ -246,7 +247,8 @@ object KMeans {
       val cellOrder = Array.range(0, meta.k).sortBy(c => (md(c), c))
       val pool = scala.collection.mutable.ArrayBuffer.empty[Int]
       var mi = 0
-      while (mi < cellOrder.length && (mi < metaProbe || pool.length < 16 * n)) {
+      while (mi < cellOrder.length &&
+          (mi < metaProbe || pool.length < poolFactor * n)) {
         pool ++= members(cellOrder(mi))
         mi += 1
       }
@@ -255,6 +257,14 @@ object KMeans {
         .sortBy(t => (t._2, t._1))
       (ranked.take(n).map(_._1), ranked.length)
     }
+  }
+
+  object HierarchicalAssigner {
+    /** Member-pool target, as a multiple of n, for approximate top-n
+      * probe selection — the MEASURED margin (DebugProbePool, which
+      * sweeps this very parameter through the production code path).
+      */
+    val ProbePoolFactor = 16
   }
 
   /** Probe selection becomes APPROXIMATE above this many centroids
@@ -275,10 +285,10 @@ object KMeans {
     * centroids per query, ascending by (distance, id).
     *
     *   - k ≤ `approxThreshold` (default [[ApproxRoutingThreshold]]) or
-    *     2n ≥ k: EXACT — all k distances, bounded-insertion selection
-    *     (O(k) distances + O(k) scan, no O(k log k) sort, no per-row
-    *     allocation beyond the n-slot buffers). Probe-all is always
-    *     exact.
+    *     16n ≥ k (the pool would cover everything anyway): EXACT — all
+    *     k distances, bounded-insertion selection (O(k) distances +
+    *     O(k) scan, no O(k log k) sort, no per-row allocation beyond
+    *     the n-slot buffers). Probe-all is always exact.
     *   - above the threshold: hierarchical O(√k + 16n) via
     *     [[HierarchicalAssigner.topNProbe]] — the opt-in scale path for
     *     huge k, with the measured 16n pool margin.
@@ -327,9 +337,10 @@ object KMeans {
     }
 
     private def useBrute(n: Int): Boolean =
-      // 16n ≥ k: the hierarchical pool would cover (nearly) every
+      // pool ≥ k: the hierarchical pool would cover (nearly) every
       // centroid anyway — exact selection is both cheaper and exact
-      k <= approxThreshold || 16 * n >= k
+      k <= approxThreshold ||
+        HierarchicalAssigner.ProbePoolFactor * n >= k
 
     /** Top-n probe ids, ascending by (distance, centroid id). Exact on
       * the default path; within-pool exact on the hierarchical path.

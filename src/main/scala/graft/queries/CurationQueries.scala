@@ -79,35 +79,49 @@ object CurationQueries {
 
   /** PII redaction as a catalog transform (doc_id < 100 slice): the
     * [[redactPii]] regexp_replace chain applied per doc, reported as
-    * before/after lengths + changed flag + a bounded redacted prefix.
-    * Cross-engine this verifies the REPLACE path (the scan only gates
-    * extract): same patterns, same fold order, DuckDB 'g' flag =
-    * Spark's replace-all default. Map-side projection — no shuffle at
-    * any scale; detection behavior on constructed PII strings is
-    * CurationSpec's job.
+    * before/after lengths + changed flag + a bounded redacted SUFFIX.
+    * The synthetic corpus contains no PII (piiScanStats measures zero
+    * matches), so redacting raw text would be an identity transform in
+    * BOTH engines and a broken pattern/token/fold-order would stay
+    * oracle-green; instead each doc gets a deterministic planted-PII
+    * footer (email + IP derived from doc_id, built identically in both
+    * engines) so every row exercises real replacement and the hash
+    * compare genuinely gates the replace path. Map-side projection —
+    * no shuffle at any scale; detection behavior on constructed
+    * strings is CurationSpec's job.
     */
   def piiRedact(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir).where(col("doc_id") < 100)
-      .withColumn("redacted", redactPii(col("text")))
+      .withColumn("salted",
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com ip 10.0."), col("doc_id"), lit(".7")))
+      .withColumn("redacted", redactPii(col("salted")))
       .select(col("doc_id"),
-        length(col("text")).cast("long").as("len_before"),
+        length(col("salted")).cast("long").as("len_before"),
         length(col("redacted")).cast("long").as("len_after"),
-        when(col("text") =!= col("redacted"), 1L).otherwise(0L).as("changed"),
-        substring(col("redacted"), 1, 64).as("redacted_prefix"))
+        when(col("salted") =!= col("redacted"), 1L).otherwise(0L).as("changed"),
+        // tail via the same CASE the SQL twin uses — Spark's negative
+        // substring start and DuckDB's disagree on short strings
+        when(length(col("redacted")) <= 48, col("redacted"))
+          .otherwise(expr("substring(redacted, length(redacted) - 47, 48)"))
+          .as("redacted_tail"))
       .orderBy(col("doc_id"))
 
   private val piiRedactSql = {
-    val redacted = PiiPatterns.foldLeft("text") { case (acc, (_, pat, token)) =>
+    val redacted = PiiPatterns.foldLeft("salted") { case (acc, (_, pat, token)) =>
       s"regexp_replace($acc, '$pat', '$token', 'g')"
     }
-    s"""WITH r AS (
-       |  SELECT doc_id, text, $redacted AS redacted
-       |  FROM documents WHERE doc_id < 100)
+    s"""WITH s AS (
+       |  SELECT doc_id,
+       |    text || ' contact: user' || doc_id || '@example.com ip 10.0.' || doc_id || '.7' AS salted
+       |  FROM documents WHERE doc_id < 100),
+       |r AS (SELECT doc_id, salted, $redacted AS redacted FROM s)
        |SELECT doc_id,
-       |  CAST(length(text) AS BIGINT) AS len_before,
+       |  CAST(length(salted) AS BIGINT) AS len_before,
        |  CAST(length(redacted) AS BIGINT) AS len_after,
-       |  CAST(CASE WHEN text <> redacted THEN 1 ELSE 0 END AS BIGINT) AS changed,
-       |  substr(redacted, 1, 64) AS redacted_prefix
+       |  CAST(CASE WHEN salted <> redacted THEN 1 ELSE 0 END AS BIGINT) AS changed,
+       |  CASE WHEN length(redacted) <= 48 THEN redacted
+       |       ELSE substr(redacted, length(redacted) - 47, 48) END AS redacted_tail
        |FROM r ORDER BY doc_id""".stripMargin
   }
 

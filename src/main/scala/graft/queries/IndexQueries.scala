@@ -819,14 +819,18 @@ object IndexQueries {
   }
 
   /** Recall-sweep oracle: DuckDB recomputes the WHOLE evaluation —
-    * brute-force ground truth, per-(query, n_probe) pruned candidate
-    * ranking, and the recall fractions. Probe sets are inlined PER
-    * SETTING through the same `Ivf.probeSelection` the engine routes
-    * with — hierarchical routing (k > 100) does not produce
-    * prefix-nested sets across n_probe values, so a rank-cutoff
-    * reconstruction would diverge from the engine there. Only the
-    * perturbed query vectors, per-setting probe sets, and cell
-    * assignment are literals; all distance math runs independently.
+    * ground truth, per-(query, n_probe) pruned candidate ranking, and
+    * the recall fractions. Probe sets are inlined PER SETTING through
+    * the same `Ivf.probeSelection` the engine routes with —
+    * hierarchical routing does not produce prefix-nested sets across
+    * n_probe values, so a rank-cutoff reconstruction would diverge
+    * from the engine there. The ground truth mirrors the engine's
+    * exactly: the GT probe set (min(maxNProbe, k) routed cells) rides
+    * in as sentinel n_probe = -1 rows and DuckDB ranks only within
+    * those cells' LIVE rows (the assign join) — a binding maxNProbe
+    * cap or tombstones produce the same clamped GT on both sides.
+    * Only query vectors, probe sets, and the cell assignment are
+    * literals; all distance math runs independently.
     */
   private def recallSweepOracle(spark: SparkSession, dir: String): String = {
     val idx = index(spark, dir)
@@ -839,11 +843,14 @@ object IndexQueries {
     val qVals = OracleGen.lits(qs.sortBy(_._1).toSeq.map { case (qid, q) =>
       s"($qid,${OracleGen.dblList(q.map(_.toDouble).toSeq)})"
     })
+    // n_probe = -1 carries the engine's clamped GT probe set (the
+    // recallsOneScan GtSetting convention)
+    val gtProbe = math.min(idx.config.maxNProbe, idx.k)
     val sweepNps = Seq(1, 4, 16, 64)
     val probeVals = OracleGen.lits(qs.sortBy(_._1).toSeq.flatMap { case (qid, q) =>
-      sweepNps.flatMap { np =>
-        val clamped = math.min(np, idx.config.maxNProbe)
-        Ivf.probeSelection(idx, q, clamped)._1.map(c => s"($qid,$np,$c)")
+      (sweepNps.map(np => np -> math.min(np, idx.config.maxNProbe)) :+
+          (-1 -> gtProbe)).flatMap { case (label, np) =>
+        Ivf.probeSelection(idx, q, np)._1.map(c => s"($qid,$label,$c)")
       }
     })
     val assign = Ivf.liveVectors(spark, idx)
@@ -855,12 +862,16 @@ object IndexQueries {
        |assign(vec_id, centroid_id) AS (VALUES $assignVals),
        |gt AS (
        |  SELECT query_id, vec_id AS gt_id FROM (
-       |    SELECT q.query_id, e.vec_id,
-       |      ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+       |    SELECT p.query_id, a.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
        |        list_reduce(list_transform(list_zip(e.embedding, q.qe),
        |          p2 -> (CAST(p2[1] AS DOUBLE) - p2[2]) * (CAST(p2[1] AS DOUBLE) - p2[2])),
-       |          (a2, b2) -> a2 + b2), e.vec_id) AS rn
-       |    FROM embeddings e CROSS JOIN qs q)
+       |          (a2, b2) -> a2 + b2), a.vec_id) AS rn
+       |    FROM probe p
+       |    JOIN assign a ON a.centroid_id = p.centroid_id
+       |    JOIN embeddings e ON e.vec_id = a.vec_id
+       |    JOIN qs q ON q.query_id = p.query_id
+       |    WHERE p.n_probe = -1)
        |  WHERE rn = 1),
        |cand AS (
        |  SELECT p.n_probe, p.query_id, a.vec_id,
@@ -871,7 +882,8 @@ object IndexQueries {
        |  FROM probe p
        |  JOIN assign a ON a.centroid_id = p.centroid_id
        |  JOIN embeddings e ON e.vec_id = a.vec_id
-       |  JOIN qs q ON q.query_id = p.query_id),
+       |  JOIN qs q ON q.query_id = p.query_id
+       |  WHERE p.n_probe <> -1),
        |hits AS (
        |  SELECT c.n_probe, c.query_id,
        |    max(CASE WHEN c.vec_id = g.gt_id AND c.rn <= 1 THEN 1 ELSE 0 END) AS h1,

@@ -4,7 +4,13 @@ import graft.operators.{Ivf, KMeans, RecallEval}
 import org.apache.spark.sql.functions.col
 
 /** Probe-set capture vs pool size: fraction of the EXACT top-n probe
-  * cells captured by the hierarchical pool as the expansion rule grows.
+  * cells captured by the hierarchical pool as the expansion factor
+  * grows — sweeping [[KMeans.HierarchicalAssigner.topNProbe]]'s own
+  * `poolFactor` parameter, so the numbers describe the PRODUCTION code
+  * path, not a re-implementation. This measurement set the shipped
+  * ProbePoolFactor = 16 (SCALE.md round-6): capture at n=64 on the
+  * reference 100k/D=128 workload read 0.44 / 0.78 / 0.99 at factors
+  * 2 / 8 / 16. Requires a prior DebugRefScale run (reuses its index).
   */
 object DebugProbePool {
   def main(args: Array[String]): Unit = {
@@ -22,40 +28,19 @@ object DebugProbePool {
     val cents = idx.centroids
     println(s"k=$k")
     val hier = new KMeans.HierarchicalAssigner(cents, idx.seed)
-    // rank meta cells per query, expand members in order; capture of
-    // exact top-n cells as a function of #cells expanded
     for (n <- Seq(8, 16, 64)) {
       val exactSets = queries.map { case (_, q) =>
         cents.indices.map(i => (i, KMeans.sqDist(q, cents(i))))
           .sortBy(t => (t._2, t._1)).take(n).map(_._1).toSet
       }
       for (factor <- Seq(2, 4, 8, 16, 32)) {
-        // simulate pool rule: expand until pool >= factor*n (min 3 cells)
         val caps = queries.zip(exactSets).map { case ((_, q), exact) =>
-          val (probes, _) = hierTopWithPool(hier, cents, q, n, factor)
+          val (probes, _) = hier.topNProbe(q, n, poolFactor = factor)
           (probes.toSet & exact).size.toDouble / n
         }
         println(f"n=$n%3d factor=$factor%3d capture=${caps.sum / caps.length}%.3f")
       }
     }
     spark.stop()
-  }
-
-  // replicate topNProbe with a configurable pool factor
-  def hierTopWithPool(h: KMeans.HierarchicalAssigner,
-      cents: Array[Array[Float]], p: Array[Float], n: Int,
-      factor: Int): (Array[Int], Int) = {
-    val meta = h.metaModelForDebug
-    val members = h.membersForDebug
-    val md = meta.centroids.map(c => KMeans.sqDist(p, c))
-    val order = meta.centroids.indices.sortBy(i => (md(i), i))
-    val pool = scala.collection.mutable.ArrayBuffer.empty[Int]
-    var mi = 0
-    while (mi < order.length && (mi < 3 || pool.length < factor * n)) {
-      pool ++= members(order(mi)); mi += 1
-    }
-    val ranked = pool.toArray.map(c => (c, KMeans.sqDist(p, cents(c))))
-      .sortBy(t => (t._2, t._1))
-    (ranked.take(n).map(_._1), ranked.length)
   }
 }
