@@ -213,6 +213,32 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(streamed -- batch).take(5)}; batch-only: ${(batch -- streamed).take(5)}")
   }
 
+  test("streaming ANN equals batch annJoin at PRUNED nProbe too") {
+    // probe-all parity (above) can't see routing drift: pruned probes
+    // exercise the shared ProbeRouter through the streaming path —
+    // executor-side routing inside foreachBatch must match the batch
+    // join's, micro-batch splits and all
+    import graft.streaming.VectorsStreaming
+    val idx = graft.queries.IndexQueries.index(spark, sf0001)
+    val queries = Tables.embeddings(spark, sf0001)
+      .where(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    val batch = graft.operators.Ivf.annJoin(queries, idx, k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_pruned_in").toString
+    queries.repartition(2).write.mode("overwrite").parquet(stage)
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_stream_ann_pruned_out").toString
+    val stream = spark.readStream.schema(queries.schema)
+      .option("maxFilesPerTrigger", 1).parquet(stage)
+    VectorsStreaming.annSearchToPath(stream, idx, k = 3, nProbe = 4, out)
+    val streamed = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"stream-only: ${(streamed -- batch).take(5)}; batch-only: ${(batch -- streamed).take(5)}")
+  }
+
   test("retried ANN micro-batch overwrites its own partition — no duplicates") {
     import graft.streaming.VectorsStreaming
     val idx = graft.queries.IndexQueries.index(spark, sf0001)
