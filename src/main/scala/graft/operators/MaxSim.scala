@@ -77,6 +77,21 @@ object MaxSim {
     */
   def candidatesFromBuckets(qChunks: DataFrame, buckets: DataFrame,
       planes: Array[Array[Float]], dim: Int, perQuery: Int,
+      nProbeBits: Int): DataFrame =
+    rankedCandidatesFromBuckets(qChunks, buckets, planes, dim, perQuery,
+      nProbeBits).select(col("query_id"), col("doc_id"))
+
+  /** [[candidatesFromBuckets]] keeping the pooled-cosine rank
+    * (query_id, doc_id, rk) — the first-stage retrieval list a rank
+    * fusion (RRF) consumes. The cosine is round(6)ed BEFORE ranking
+    * (the repo-wide round-before-rank contract), so a DuckDB oracle
+    * given only the candidate SET can recompute the pooled vectors and
+    * reproduce the ranks exactly: ranking the kept top-`perQuery` among
+    * themselves by the same (cosine DESC, doc_id) order yields the same
+    * 1..perQuery ranks as ranking the whole probed set.
+    */
+  def rankedCandidatesFromBuckets(qChunks: DataFrame, buckets: DataFrame,
+      planes: Array[Array[Float]], dim: Int, perQuery: Int,
       nProbeBits: Int): DataFrame = {
     val spark = buckets.sparkSession
     import spark.implicits._
@@ -99,10 +114,11 @@ object MaxSim {
       .where(col("bucket").isin(probedBuckets: _*))
       .join(broadcast(probeDf), Seq("bucket"))
       .join(broadcast(qDf), Seq("query_id"))
-      .withColumn("pc", Vec.cosine(col("pooled"), col("q_pooled")))
+      .withColumn("pc",
+        round(Vec.cosine(col("pooled"), col("q_pooled")), 6))
     TopNByKey.topN(cand, Seq("query_id"), col("pc"), col("doc_id"),
         perQuery, asc = false)
-      .select(col("query_id"), col("id").as("doc_id"))
+      .select(col("query_id"), col("id").as("doc_id"), col("rk"))
   }
 
   /** Approximate MaxSim top-k: exact late-interaction scoring over the

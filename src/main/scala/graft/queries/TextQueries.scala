@@ -736,7 +736,12 @@ object TextQueries {
       path
     })
 
-  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** BM25 (query_id, doc_id, score) over the posting table — the shared
+    * scoring stage behind [[bm25TopDocs]] and the lexical arm of
+    * [[hybridRrfTopDocs]]. Scores fold sorted and round(4) BEFORE any
+    * ranking (cross-engine float determinism).
+    */
+  def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tf = spark.read.parquet(bm25Index(spark, dir))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -746,7 +751,7 @@ object TextQueries {
     val qterms = docs.where(col("doc_id") < 8)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(tokens(lower(col("text"))))).as("term"))
-    val scored = tf
+    tf
       .join(broadcast(qterms), "term")
       .join(broadcast(dfreq), "term")
       .crossJoin(broadcast(stats))
@@ -759,15 +764,21 @@ object TextQueries {
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(aggregate(sort_array(collect_list(col("s"))), lit(0.0),
         (a, x) => a + x), 4).as("score"))
-    graft.operators.TopNByKey.topN(scored, Seq("query_id"),
-        col("score"), col("doc_id"), n = 5, asc = false)
+  }
+
+  def bm25TopDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TopNByKey.topN(bm25Scored(spark, dir),
+        Seq("query_id"), col("score"), col("doc_id"), n = 5, asc = false)
       .select(col("query_id"), col("rk").cast("long").as("rank"),
         col("id").as("doc_id"), col("ord").as("score"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
-  private val bm25TopDocsSql =
-    """WITH corpus AS (
+  /** The BM25 CTE chain ending in scored(query_id, doc_id, score) —
+    * shared by the bm25_top_docs oracle (rank ≤ 5) and the hybrid-RRF
+    * oracle (rank ≤ 20), so the two oracles cannot drift.
+    */
+  private val bm25ScoredCtes =
+    """corpus AS (
       |  SELECT doc_id,
       |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t <> '') AS ts
       |  FROM documents WHERE doc_id >= 8),
@@ -792,12 +803,15 @@ object TextQueries {
       |scored AS (
       |  SELECT query_id, doc_id,
       |    round(list_reduce(list_sort(list(sc)), (a, b) -> a + b), 4) AS score
-      |  FROM terms GROUP BY 1, 2),
-      |r AS (SELECT *, ROW_NUMBER() OVER (
-      |        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
-      |      FROM scored)
-      |SELECT query_id, rank, doc_id, score
-      |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+      |  FROM terms GROUP BY 1, 2)""".stripMargin
+
+  private val bm25TopDocsSql =
+    s"""WITH $bm25ScoredCtes,
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY query_id ORDER BY score DESC, doc_id) AS rank
+       |      FROM scored)
+       |SELECT query_id, rank, doc_id, score
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Late-interaction (MaxSim) retrieval over chunk embeddings —
     * ColBERT-style scoring (Khattab & Zaharia 2020) re-expressed as two
@@ -1018,6 +1032,131 @@ object TextQueries {
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    * Buettcher 2009): fuse a lexical arm (BM25 top-20 from the
+    * amortized posting table) with a vector arm (pooled-embedding LSH
+    * candidates, the [[maxsimAnnTopDocs]] first stage) by
+    * rrf(d) = Σ_arms 1/(60 + rank_arm(d)) — the standard production
+    * combo for RAG corpus search and retrieval-based decontamination,
+    * where each arm catches what the other misses (lexical: rare
+    * identifiers; vector: paraphrase).
+    *
+    * Scale shape: BOTH arms serve from build-once artifacts
+    * ([[bm25Index]] postings, [[maxsimPool]] bucketed pooled vectors) —
+    * query cost is matched postings + probed buckets, never a corpus
+    * scan. The fusion itself is rank arithmetic over ≤40 rows per
+    * query: contributions are exact IEEE doubles (1/(60+r) with integer
+    * r), folded sorted and round(6)ed BEFORE the final ranking, ties by
+    * doc_id — bitwise reproducible in DuckDB.
+    */
+  def hybridRrfTopDocs(spark: SparkSession, dir: String): DataFrame = {
+    val bmTop = graft.operators.TopNByKey.topN(bm25Scored(spark, dir),
+        Seq("query_id"), col("score"), col("doc_id"), n = 20, asc = false)
+      .select(col("query_id"), col("id").as("doc_id"), col("rk"))
+    val (path, nBits) = maxsimPool(spark, dir)
+    val vecTop = graft.operators.MaxSim.rankedCandidatesFromBuckets(
+      maxsimQueryChunks(spark, dir), spark.read.parquet(path),
+      graft.operators.LshAnn.hyperplanes(16, nBits, 42L),
+      dim = 16, perQuery = 20, nProbeBits = 3)
+    val contrib = bmTop.unionByName(vecTop)
+      .select(col("query_id"), col("doc_id"),
+        (lit(1.0) / (lit(60.0) + col("rk"))).as("c"))
+    val fused = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
+        (a, x) => a + x), 6).as("rrf_score"))
+    graft.operators.TopNByKey.topN(fused, Seq("query_id"),
+        col("rrf_score"), col("doc_id"), n = 5, asc = false)
+      .select(col("query_id"), col("rk").cast("long").as("rank"),
+        col("id").as("doc_id"), col("ord").as("rrf_score"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Hybrid-RRF oracle: only the vector arm's candidate SET is inlined
+    * (it depends on seeded LSH buckets); DuckDB independently recomputes
+    * the pooled embeddings from text, the pooled cosines AND their ranks
+    * (round(6)-before-rank makes the ranks float-reproducible; ranking
+    * the kept top-20 among themselves preserves the 1..20 ranks), the
+    * whole BM25 arm from scratch via the shared [[bm25ScoredCtes]], and
+    * the fusion arithmetic.
+    */
+  private def hybridRrfOracle(spark: SparkSession, dir: String): String = {
+    val (path, nBits) = maxsimPool(spark, dir)
+    val pairs = graft.operators.MaxSim.candidatesFromBuckets(
+        maxsimQueryChunks(spark, dir), spark.read.parquet(path),
+        graft.operators.LshAnn.hyperplanes(16, nBits, 42L),
+        dim = 16, perQuery = 20, nProbeBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val vals = OracleGen.lits(pairs.toSeq.map { case (q, d) => s"($q,$d)" })
+    s"""WITH cand(query_id, doc_id) AS (VALUES $vals),
+       |t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents
+       |  WHERE doc_id < 8 OR doc_id IN (SELECT doc_id FROM cand)),
+       |c AS (
+       |  SELECT doc_id, ts, unnest(range(0, CASE WHEN len(ts) <= 16 THEN 1
+       |    ELSE CAST((len(ts) - 16 + 15) // 16 AS INT) + 1 END)) AS cidx
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id, cidx,
+       |    coalesce(list_aggregate(list_slice(ts, cidx * 16 + 1,
+       |      least(cidx * 16 + 16, len(ts))), 'string_agg', ' '), '') AS chunk_text
+       |  FROM c),
+       |f AS (
+       |  SELECT doc_id, cidx,
+       |    list_transform(range(0, 16), j ->
+       |      CAST((CAST(('0x' || substr(md5(j || ':' || chunk_text), 1, 15)) AS BIGINT)
+       |            % 1000000) / 1000000.0 AS FLOAT)) AS feat
+       |  FROM ch),
+       |pl AS (
+       |  SELECT doc_id, list(feat ORDER BY cidx) AS fl, count(*) AS n
+       |  FROM f GROUP BY doc_id),
+       |pooled AS (
+       |  SELECT doc_id,
+       |    list_transform(range(0, 16), j ->
+       |      CAST(list_reduce(list_transform(fl, v -> CAST(v[j + 1] AS DOUBLE)),
+       |        (a, b) -> a + b) / n AS FLOAT)) AS p
+       |  FROM pl),
+       |vc AS (
+       |  SELECT x.query_id, x.doc_id,
+       |    round(CASE WHEN nq = 0 OR nd = 0 THEN 0E0
+       |               ELSE dp / (nq * nd) END, 6) AS pc
+       |  FROM (
+       |    SELECT cd.query_id, cd.doc_id,
+       |      list_reduce(list_transform(list_zip(q.p, d.p),
+       |        z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)), (x, y) -> x + y) AS dp,
+       |      sqrt(list_reduce(list_transform(q.p,
+       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS nq,
+       |      sqrt(list_reduce(list_transform(d.p,
+       |        v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)) AS nd
+       |    FROM cand cd
+       |    JOIN pooled q ON q.doc_id = cd.query_id
+       |    JOIN pooled d ON d.doc_id = cd.doc_id) x),
+       |vecr AS (
+       |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY pc DESC, doc_id) AS vrank
+       |  FROM vc),
+       |$bm25ScoredCtes,
+       |bmr AS (
+       |  SELECT query_id, doc_id, ROW_NUMBER() OVER (
+       |    PARTITION BY query_id ORDER BY score DESC, doc_id) AS brank
+       |  FROM scored),
+       |arms AS (
+       |  SELECT query_id, doc_id, 1E0 / (60E0 + vrank) AS c FROM vecr
+       |  UNION ALL
+       |  SELECT query_id, doc_id, 1E0 / (60E0 + brank) AS c
+       |  FROM bmr WHERE brank <= 20),
+       |fused AS (
+       |  SELECT query_id, doc_id,
+       |    round(list_reduce(list_sort(list(c)), (a, b) -> a + b), 6) AS rrf_score
+       |  FROM arms GROUP BY 1, 2),
+       |r AS (SELECT *, ROW_NUMBER() OVER (
+       |        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+       |      FROM fused)
+       |SELECT query_id, rank, doc_id, rrf_score
+       |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Training-batch length audit: power-of-2 token-length buckets
     * (16…2048, open-topped at 4096) with the padding waste a
     * fixed-shape batcher would pay per (source, bucket) — the
@@ -1074,6 +1213,8 @@ object TextQueries {
     "maxsim_top_docs" -> QueryDef(maxsimTopDocs, Some(maxsimTopDocsSql)),
     "maxsim_ann_top_docs" -> QueryDef(maxsimAnnTopDocs,
       OracleGen.sql("maxsim_ann_top_docs")(maxsimAnnTopDocsOracle)),
+    "hybrid_rrf_top_docs" -> QueryDef(hybridRrfTopDocs,
+      OracleGen.sql("hybrid_rrf_top_docs")(hybridRrfOracle)),
     "length_buckets" -> QueryDef(lengthBuckets, Some(lengthBucketsSql)),
     "bpe_merges" -> QueryDef(bpeMerges, None),
     "bpe_token_stats" -> QueryDef(bpeTokenStats,

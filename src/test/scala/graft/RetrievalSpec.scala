@@ -183,6 +183,72 @@ class RetrievalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
   }
 
+  test("hybrid RRF: doc winning both arms is top-1 with exact fusion score") {
+    // doc 8 repeats doc 0's text verbatim: the vector arm must rank it
+    // first (identical pooled vector → cosine 1.0), and the lexical arm
+    // must rank it first too (it is the only corpus doc sharing any
+    // query term), so rrf = 1/61 + 1/61 — asserting the exact fused
+    // value pins the 1/(60+rank) arithmetic end to end
+    val dir = java.nio.file.Files.createTempDirectory("graft_hybrid").toString
+    val txt = (1 to 40).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, txt, "en", "s1", 100L),
+      (8L, txt, "en", "s1", 100L),
+      (9L, (1 to 40).map(i => s"x$i").mkString(" "), "en", "s1", 100L),
+      (10L, "different entirely", "en", "s1", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.hybridRrfTopDocs(spark, dir)
+      .where($"query_id" === 0L).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(2) === 8L, s"expected doc 8 first: ${rows.toSeq}")
+    assert(rows.head.getDouble(3) ===
+      BigDecimal(2.0 / 61.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("hybrid RRF: every result comes from an arm; ranks contiguous; " +
+      "partitioning-independent") {
+    val rows = TextQueries.hybridRrfTopDocs(spark, sf0001).collect().toSeq
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted == (1L to rs.size))
+      val scores = rs.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(rs.size <= 5)
+    }
+    // membership: every fused doc must be in the union of the two arms'
+    // top-20 lists, and its score must equal the recomputed fusion
+    val bmTop = operators.TopNByKey.topN(
+        TextQueries.bm25Scored(spark, sf0001), Seq("query_id"),
+        org.apache.spark.sql.functions.col("score"),
+        org.apache.spark.sql.functions.col("doc_id"), n = 20, asc = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getInt(1)).toMap
+    val pool = TextQueries.maxsimPool(spark, sf0001)
+    val vecTop = operators.MaxSim.rankedCandidatesFromBuckets(
+        TextQueries.maxsimChunks(spark, sf0001).where($"doc_id" < 8)
+          .select($"doc_id".as("query_id"), $"cidx".as("qidx"),
+            $"feat".as("q_feat")),
+        spark.read.parquet(pool._1),
+        operators.LshAnn.hyperplanes(16, pool._2, 42L),
+        dim = 16, perQuery = 20, nProbeBits = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    rows.foreach { r =>
+      val k = (r.getLong(0), r.getLong(2))
+      val exp = bmTop.get(k).map(b => 1.0 / (60 + b)).getOrElse(0.0) +
+        vecTop.get(k).map(v => 1.0 / (60 + v)).getOrElse(0.0)
+      assert(exp > 0.0, s"doc $k in neither arm")
+      assert(r.getDouble(3) ===
+        BigDecimal(exp).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        s"fusion mismatch at $k")
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val at3 = TextQueries.hybridRrfTopDocs(spark, sf0001).collect().toSeq
+      assert(at3 === rows)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+  }
+
   test("length buckets: exact padding accounting on the tiny corpus") {
     // token counts 2, 3, 4, 2 — all in the 16 bucket for source s1
     val rows = TextQueries.lengthBuckets(spark, tinyDir).collect().toSeq
