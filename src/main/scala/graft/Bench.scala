@@ -125,6 +125,14 @@ object Bench {
         System.err.println(s"[bench] bm25_index_build FAILED: ${e.getMessage}")
         -1.0
       }
+    // ... and the DSIR importance-weight LMs (corpus-wide bucket counts)
+    val dsirT0 = System.nanoTime()
+    val dsirTime =
+      try { graft.queries.CurationQueries.dsirLm(spark, sfDir); (System.nanoTime() - dsirT0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] dsir_lm_build FAILED: ${e.getMessage}")
+        -1.0
+      }
     // ONE timing protocol for both passes: each pass rebuilds the query
     // DataFrame (fresh lineage — a second action on the same lineage
     // reuses shuffle files and reads artificially fast), captures
@@ -153,7 +161,8 @@ object Bench {
       "ivfsq_encode" -> sqEncodeTime,
       "minhash_pairs_build" -> pairsTime,
       "maxsim_pool_build" -> poolTime,
-      "bm25_index_build" -> bm25Time) ++ timedPass("pass1")
+      "bm25_index_build" -> bm25Time,
+      "dsir_lm_build" -> dsirTime) ++ timedPass("pass1")
     // SECOND timed pass over the catalog queries (builds stay cached):
     // a driver-box outlier is decidable from this artifact alone —
     // pass2 ≈ pass1 means the cost is the plan; pass2 ≪ pass1 means

@@ -226,4 +226,32 @@ class PlanSpec extends SparkSpec {
         s"query-side doc filter not pushed: ${l.take(200)}")
     }
   }
+
+  test("hybrid RRF: both arms amortized — no corpus-sized scan at query " +
+      "time") {
+    val p = graft.queries.TextQueries.hybridRrfTopDocs(spark, sf001)
+      .queryExecution.executedPlan.toString
+    // lexical arm reads the prebuilt postings, vector arm the prebuilt
+    // bucketed pool — the corpus text is touched only through them
+    assert(p.contains("bm25_tf"),
+      "hybrid plan does not read the prebuilt posting table")
+    assert(p.contains("maxsim_pool"),
+      "hybrid plan does not read the prebuilt pooled bucket table")
+    // every documents scan must be query-side pruned (doc_id < 8):
+    // an unpruned documents scan means an arm re-derived the corpus
+    val docScanLines = p.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("documents"))
+    docScanLines.foreach { l =>
+      assert(l.contains("< 8)"),
+        s"corpus-sized documents scan in the hybrid plan: ${l.take(200)}")
+    }
+    // the pool scan carries the probed-bucket isin restriction so the
+    // bucket-clustered parquet can row-group skip
+    val poolScanLines = p.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("maxsim_pool"))
+    assert(poolScanLines.exists(l =>
+      l.contains("INSET") || l.contains("In(bucket")),
+      s"probed-bucket filter not pushed to the pool scan:\n" +
+        poolScanLines.map(_.take(200)).mkString("\n"))
+  }
 }
