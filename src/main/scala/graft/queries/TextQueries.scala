@@ -1049,7 +1049,10 @@ object TextQueries {
     * r), folded sorted and round(6)ed BEFORE the final ranking, ties by
     * doc_id — bitwise reproducible in DuckDB.
     */
-  def hybridRrfTopDocs(spark: SparkSession, dir: String): DataFrame = {
+  /** The fused (query_id, doc_id, rrf_score) table — shared by the
+    * hybrid top-k and the cross-encoder re-rank's candidate stage.
+    */
+  private[graft] def hybridRrfFused(spark: SparkSession, dir: String): DataFrame = {
     val bmTop = graft.operators.TopNByKey.topN(bm25Scored(spark, dir),
         Seq("query_id"), col("score"), col("doc_id"), n = 20, asc = false)
       .select(col("query_id"), col("id").as("doc_id"), col("rk"))
@@ -1061,15 +1064,17 @@ object TextQueries {
     val contrib = bmTop.unionByName(vecTop)
       .select(col("query_id"), col("doc_id"),
         (lit(1.0) / (lit(60.0) + col("rk"))).as("c"))
-    val fused = contrib.groupBy(col("query_id"), col("doc_id"))
+    contrib.groupBy(col("query_id"), col("doc_id"))
       .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
         (a, x) => a + x), 6).as("rrf_score"))
-    graft.operators.TopNByKey.topN(fused, Seq("query_id"),
-        col("rrf_score"), col("doc_id"), n = 5, asc = false)
+  }
+
+  def hybridRrfTopDocs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.TopNByKey.topN(hybridRrfFused(spark, dir),
+        Seq("query_id"), col("rrf_score"), col("doc_id"), n = 5, asc = false)
       .select(col("query_id"), col("rk").cast("long").as("rank"),
         col("id").as("doc_id"), col("ord").as("rrf_score"))
       .orderBy(col("query_id"), col("rank"))
-  }
 
   /** Hybrid-RRF oracle: only the vector arm's candidate SET is inlined
     * (it depends on seeded LSH buckets); DuckDB independently recomputes
@@ -1079,7 +1084,12 @@ object TextQueries {
     * whole BM25 arm from scratch via the shared [[bm25ScoredCtes]], and
     * the fusion arithmetic.
     */
-  private def hybridRrfOracle(spark: SparkSession, dir: String): String = {
+  /** The generated CTE chain through fused(query_id, doc_id,
+    * rrf_score) — shared by the hybrid-RRF oracle and the
+    * cross-encoder re-rank oracle so the candidate recomputation
+    * cannot drift between them.
+    */
+  private def hybridFusedCtes(spark: SparkSession, dir: String): String = {
     val (path, nBits) = maxsimPool(spark, dir)
     val pairs = graft.operators.MaxSim.candidatesFromBuckets(
         maxsimQueryChunks(spark, dir), spark.read.parquet(path),
@@ -1087,7 +1097,7 @@ object TextQueries {
         dim = 16, perQuery = 20, nProbeBits = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     val vals = OracleGen.lits(pairs.toSeq.map { case (q, d) => s"($q,$d)" })
-    s"""WITH cand(query_id, doc_id) AS (VALUES $vals),
+    s"""cand(query_id, doc_id) AS (VALUES $vals),
        |t AS (
        |  SELECT doc_id,
        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
@@ -1149,13 +1159,103 @@ object TextQueries {
        |fused AS (
        |  SELECT query_id, doc_id,
        |    round(list_reduce(list_sort(list(c)), (a, b) -> a + b), 6) AS rrf_score
-       |  FROM arms GROUP BY 1, 2),
+       |  FROM arms GROUP BY 1, 2)""".stripMargin
+  }
+
+  private def hybridRrfOracle(spark: SparkSession, dir: String): String =
+    s"""WITH ${hybridFusedCtes(spark, dir)},
        |r AS (SELECT *, ROW_NUMBER() OVER (
        |        PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
        |      FROM fused)
        |SELECT query_id, rank, doc_id, rrf_score
        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Cross-encoder re-ranking over the hybrid candidates — the final
+    * stage of the production retrieval stack (retrieve with cheap
+    * arms, re-rank the short list with an expensive pairwise model,
+    * e.g. monoBERT / MiniLM cross-encoders): hybrid-RRF top-20 per
+    * query → score each (query, doc) PAIR jointly → top-5. The
+    * pairwise kernel is a STUB in the repo's multimodal-encoder
+    * convention — a real interaction signal (distinct-token overlap
+    * ratio, the relevance part) plus an md5-derived epsilon ≤ 1e-3
+    * standing in for the learned component — so the Spark-side
+    * plumbing (bounded candidate collect, isin-pruned pair-text scan,
+    * broadcast pair join, round-before-rank) is real and
+    * oracle-checkable end to end; a real model replaces exactly the
+    * `ce` expression.
+    *
+    * Scale shape: the candidate list is driver-sized by contract
+    * (queries × 20, the MaxSim.rerank treatment), so pair texts come
+    * from an isin-PRUNED documents scan joined against the broadcast
+    * pair table — per query batch the corpus contributes only the
+    * candidate docs, never a scan.
+    */
+  def rerankCrossTopDocs(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pairs = graft.operators.TopNByKey.topN(hybridRrfFused(spark, dir),
+        Seq("query_id"), col("rrf_score"), col("doc_id"), n = 20,
+        asc = false)
+      .select(col("query_id"), col("id").as("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val candDocs = pairs.map(_._2).distinct.toSeq
+    val pairDf = pairs.toSeq.toDF("query_id", "doc_id")
+    val qToks = Tables.documents(spark, dir).where(col("doc_id") < 8)
+      .select(col("doc_id").as("query_id"),
+        array_distinct(tokens(lower(col("text")))).as("qts"))
+    val dToks = Tables.documents(spark, dir)
+      .where(col("doc_id").isin(candDocs: _*))
+      .select(col("doc_id"),
+        array_distinct(tokens(lower(col("text")))).as("dts"))
+    val scored = dToks
+      .join(broadcast(pairDf), Seq("doc_id"))
+      .join(broadcast(qToks), Seq("query_id"))
+      .withColumn("ce_score", round(
+        size(array_intersect(col("qts"), col("dts"))).cast("double")
+          / greatest(size(col("qts")), lit(1))
+          + pmod(DedupQueries.md5Long(concat(col("query_id").cast("string"),
+              lit(":"), col("doc_id").cast("string"))), lit(1000000L))
+            .cast("double") / lit(1e9), 6))
+    graft.operators.TopNByKey.topN(scored, Seq("query_id"),
+        col("ce_score"), col("doc_id"), n = 5, asc = false)
+      .select(col("query_id"), col("rk").cast("long").as("rank"),
+        col("id").as("doc_id"), col("ord").as("ce_score"))
+      .orderBy(col("query_id"), col("rank"))
   }
+
+  /** Re-rank oracle: the SAME generated fused-candidate chain as the
+    * hybrid oracle (only the seeded LSH candidate SET inlined), then
+    * DuckDB independently recomputes the top-20 cut, the pair token
+    * sets, the overlap ratio, the md5 epsilon, and the final ranking.
+    */
+  private def rerankCrossOracle(spark: SparkSession, dir: String): String =
+    s"""WITH ${hybridFusedCtes(spark, dir)},
+       |hr AS (
+       |  SELECT query_id, doc_id FROM (
+       |    SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rank
+       |    FROM fused) WHERE rank <= 20),
+       |qt AS (
+       |  SELECT doc_id AS query_id,
+       |    list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x <> '')) AS qts
+       |  FROM documents WHERE doc_id < 8),
+       |dt AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+       |      x -> x <> '')) AS dts
+       |  FROM documents WHERE doc_id IN (SELECT doc_id FROM hr)),
+       |ce AS (
+       |  SELECT h.query_id, h.doc_id,
+       |    round(CAST(len(list_intersect(q.qts, d.dts)) AS DOUBLE)
+       |        / greatest(len(q.qts), 1)
+       |      + (CAST(('0x' || substr(md5(h.query_id || ':' || h.doc_id), 1, 15))
+       |           AS BIGINT) % 1000000) / 1E9, 6) AS ce_score
+       |  FROM hr h JOIN qt q USING (query_id) JOIN dt d USING (doc_id)),
+       |r2 AS (SELECT *, ROW_NUMBER() OVER (
+       |         PARTITION BY query_id ORDER BY ce_score DESC, doc_id) AS rank
+       |       FROM ce)
+       |SELECT query_id, rank, doc_id, ce_score
+       |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   /** Training-batch length audit: power-of-2 token-length buckets
     * (16…2048, open-topped at 4096) with the padding waste a
@@ -1215,6 +1315,8 @@ object TextQueries {
       OracleGen.sql("maxsim_ann_top_docs")(maxsimAnnTopDocsOracle)),
     "hybrid_rrf_top_docs" -> QueryDef(hybridRrfTopDocs,
       OracleGen.sql("hybrid_rrf_top_docs")(hybridRrfOracle)),
+    "rerank_cross_top_docs" -> QueryDef(rerankCrossTopDocs,
+      OracleGen.sql("rerank_cross_top_docs")(rerankCrossOracle)),
     "length_buckets" -> QueryDef(lengthBuckets, Some(lengthBucketsSql)),
     "bpe_merges" -> QueryDef(bpeMerges, None),
     "bpe_token_stats" -> QueryDef(bpeTokenStats,

@@ -249,6 +249,58 @@ class RetrievalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
   }
 
+  test("cross-encoder rerank: full-overlap twin wins; scores bounded and " +
+      "deterministic") {
+    // doc 8 repeats doc 0's text verbatim → overlap ratio exactly 1.0;
+    // docs 9/10 share no token → ratio 0. The md5 epsilon is < 1e-3 so
+    // it can reorder only equal-overlap docs — doc 8 must rank first
+    // with 1.0 <= score < 1.001
+    val dir = java.nio.file.Files.createTempDirectory("graft_rerank").toString
+    val txt = (1 to 40).map(i => s"w$i").mkString(" ")
+    Seq(
+      (0L, txt, "en", "s1", 100L),
+      (8L, txt, "en", "s1", 100L),
+      (9L, (1 to 40).map(i => s"x$i").mkString(" "), "en", "s1", 100L),
+      (10L, "different entirely", "en", "s1", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextQueries.rerankCrossTopDocs(spark, dir)
+      .where($"query_id" === 0L).collect()
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(2) === 8L, s"expected doc 8 first: ${rows.toSeq}")
+    val s = rows.head.getDouble(3)
+    assert(s >= 1.0 && s < 1.001, s"twin score out of band: $s")
+    // every score carries the bounded epsilon: value in [0, 1.001)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0 && r.getDouble(3) < 1.001))
+  }
+
+  test("cross-encoder rerank: results come from the hybrid top-20; " +
+      "partitioning-independent") {
+    val rerank = TextQueries.rerankCrossTopDocs(spark, sf0001).collect().toSeq
+    assert(rerank.nonEmpty)
+    rerank.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getLong(1)).sorted == (1L to rs.size))
+      assert(rs.size <= 5)
+    }
+    // candidate containment: rerank can only reorder the fused top-20,
+    // never introduce a doc outside it
+    val fusedTop20 = operators.TopNByKey.topN(
+        TextQueries.hybridRrfFused(spark, sf0001), Seq("query_id"),
+        org.apache.spark.sql.functions.col("rrf_score"),
+        org.apache.spark.sql.functions.col("doc_id"), n = 20, asc = false)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    rerank.foreach { r =>
+      assert(fusedTop20.contains((r.getLong(0), r.getLong(2))),
+        s"reranked doc outside the hybrid top-20: $r")
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val at3 = TextQueries.rerankCrossTopDocs(spark, sf0001).collect().toSeq
+      assert(at3 === rerank)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+  }
+
   test("length buckets: exact padding accounting on the tiny corpus") {
     // token counts 2, 3, 4, 2 — all in the 16 bucket for source s1
     val rows = TextQueries.lengthBuckets(spark, tinyDir).collect().toSeq
