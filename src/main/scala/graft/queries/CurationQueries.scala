@@ -275,10 +275,16 @@ object CurationQueries {
     * per-doc aggregation. Nothing corpus-sized shuffles except the
     * (doc_id, token-bucket) explode, which map-side combines.
     */
+  /** The hash modulus AND the +1-smoothing vocabulary size — the two
+    * must stay equal (smoothing assumes one pseudo-count per possible
+    * bucket), so there is exactly one definition.
+    */
+  private val DsirBuckets = 1024
+
   private def dsirTokStream(df: DataFrame): DataFrame = df
     .select(col("doc_id"), col("lang"),
       explode(tokens(col("text"))).as("token"))
-    .withColumn("bucket", pmod(md5Long(col("token")), lit(1024)))
+    .withColumn("bucket", pmod(md5Long(col("token")), lit(DsirBuckets)))
 
   private val dsirLmCache =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Double)]]()
@@ -292,8 +298,15 @@ object CurationQueries {
     * driver-side and broadcast to scoring queries.
     */
   def dsirLm(spark: SparkSession, dir: String): Seq[(Long, Double)] =
-    dsirLmCache.computeIfAbsent(dir, { d =>
-      val buckets = 1024
+    dsirLmCache.computeIfAbsent(dir, buildDsirLm(spark, _))
+
+  /** The uncached LM build — separate so CurationSpec can gate the
+    * build's partitioning independence directly (the memoized form
+    * would make a second call a tautology).
+    */
+  private[graft] def buildDsirLm(spark: SparkSession,
+      d: String): Seq[(Long, Double)] = {
+      val buckets = DsirBuckets
       // spread before the explode+md5 map stage — the corpus arrives as
       // one scan split locally and the per-token bucket hashing is the
       // expensive part of this build; identity when already partitioned
@@ -314,9 +327,10 @@ object CurationQueries {
             log((col("cr") + 1).cast("double") /
               (totals + buckets).toDouble)).as("lw"))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .sortBy(_._1) // collect order is partition-dependent; canonicalize
       toks.unpersist()
       lm
-    })
+  }
 
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

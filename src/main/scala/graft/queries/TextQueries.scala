@@ -841,6 +841,17 @@ object TextQueries {
     * (identity at cluster scale — Tables.spread); the query-side
     * doc_id filter still pushes through the exchange.
     */
+  /** ONE definition of the pooled-LSH vector-arm parameters, shared by
+    * the approximate-MaxSim path, the hybrid-RRF vector arm, and their
+    * oracle generators: the engine and the oracle must build the SAME
+    * candidate stage by construction — a drifted seed or probe width
+    * would only surface as an opaque Verify hash failure.
+    */
+  private val MsDim = 16
+  private val MsSeed = 42L
+  private val MsPerQuery = 20
+  private val MsProbeBits = 3
+
   def maxsimChunks(spark: SparkSession, dir: String): DataFrame = {
     val win = 16
     Tables.spread(Tables.documents(spark, dir), col("doc_id"))
@@ -876,26 +887,36 @@ object TextQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The chunk/feature CTE chain (t, c, ch, f) reconstructing
+    * [[maxsimChunks]]'s 16-token chunks + md5 stub features in DuckDB —
+    * ONE definition shared by the exact-MaxSim oracle, the
+    * approximate-MaxSim oracle, and the hybrid/rerank oracle chain, so
+    * the stub-encoder SQL cannot drift between them. `docRestriction`
+    * is appended to the documents scan (e.g. a candidate-id filter).
+    */
+  private def chunkFeatureCtes(docRestriction: String = ""): String =
+    s"""t AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
+       |  FROM documents$docRestriction),
+       |c AS (
+       |  SELECT doc_id, ts, unnest(range(0, CASE WHEN len(ts) <= 16 THEN 1
+       |    ELSE CAST((len(ts) - 16 + 15) // 16 AS INT) + 1 END)) AS cidx
+       |  FROM t),
+       |ch AS (
+       |  SELECT doc_id, cidx,
+       |    coalesce(list_aggregate(list_slice(ts, cidx * 16 + 1,
+       |      least(cidx * 16 + 16, len(ts))), 'string_agg', ' '), '') AS chunk_text
+       |  FROM c),
+       |f AS (
+       |  SELECT doc_id, cidx,
+       |    list_transform(range(0, 16), j ->
+       |      CAST((CAST(('0x' || substr(md5(j || ':' || chunk_text), 1, 15)) AS BIGINT)
+       |            % 1000000) / 1000000.0 AS FLOAT)) AS feat
+       |  FROM ch)""".stripMargin
+
   private val maxsimTopDocsSql =
-    """WITH t AS (
-      |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x <> '') AS ts
-      |  FROM documents),
-      |c AS (
-      |  SELECT doc_id, ts, unnest(range(0, CASE WHEN len(ts) <= 16 THEN 1
-      |    ELSE CAST((len(ts) - 16 + 15) // 16 AS INT) + 1 END)) AS cidx
-      |  FROM t),
-      |ch AS (
-      |  SELECT doc_id, cidx,
-      |    coalesce(list_aggregate(list_slice(ts, cidx * 16 + 1,
-      |      least(cidx * 16 + 16, len(ts))), 'string_agg', ' '), '') AS chunk_text
-      |  FROM c),
-      |f AS (
-      |  SELECT doc_id, cidx,
-      |    list_transform(range(0, 16), j ->
-      |      CAST((CAST(('0x' || substr(md5(j || ':' || chunk_text), 1, 15)) AS BIGINT)
-      |            % 1000000) / 1000000.0 AS FLOAT)) AS feat
-      |  FROM ch),
+    s"""WITH ${chunkFeatureCtes()},
       |p AS (
       |  SELECT q.doc_id AS query_id, q.cidx AS qidx, d.doc_id,
       |    list_reduce(list_transform(list_zip(q.feat, d.feat),
@@ -944,9 +965,9 @@ object TextQueries {
     maxsimPoolCache.computeIfAbsent(dir, { d =>
       val nDocs = Tables.documents(spark, d).where(col("doc_id") >= 8).count()
       val nBits = graft.operators.LshAnn.suggestBits(nDocs)
-      val planes = graft.operators.LshAnn.hyperplanes(16, nBits, 42L)
+      val planes = graft.operators.LshAnn.hyperplanes(MsDim, nBits, MsSeed)
       val pool = graft.operators.MaxSim.pooled(
-        maxsimChunks(spark, d).where(col("doc_id") >= 8), "doc_id", 16)
+        maxsimChunks(spark, d).where(col("doc_id") >= 8), "doc_id", MsDim)
       val path = s"/tmp/graft_index/${Tables.cacheDirName(d)}/maxsim_pool"
       graft.operators.LshAnn.bucketed(pool, "doc_id", "pooled", planes)
         .sortWithinPartitions(col("bucket"))
@@ -967,8 +988,8 @@ object TextQueries {
       maxsimQueryChunks(spark, dir),
       maxsimChunks(spark, dir).where(col("doc_id") >= 8),
       spark.read.parquet(path),
-      graft.operators.LshAnn.hyperplanes(16, nBits, 42L),
-      dim = 16, k = 5, perQuery = 20, nProbeBits = 3)
+      graft.operators.LshAnn.hyperplanes(MsDim, nBits, MsSeed),
+      dim = MsDim, k = 5, perQuery = MsPerQuery, nProbeBits = MsProbeBits)
   }
 
   /** Approximate-MaxSim oracle: the engine's candidate pairs are
@@ -982,30 +1003,12 @@ object TextQueries {
     val pairs = graft.operators.MaxSim.candidatesFromBuckets(
         maxsimQueryChunks(spark, dir),
         spark.read.parquet(path),
-        graft.operators.LshAnn.hyperplanes(16, nBits, 42L),
-        dim = 16, perQuery = 20, nProbeBits = 3)
+        graft.operators.LshAnn.hyperplanes(MsDim, nBits, MsSeed),
+        dim = MsDim, perQuery = MsPerQuery, nProbeBits = MsProbeBits)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     val vals = OracleGen.lits(pairs.toSeq.map { case (q, d) => s"($q,$d)" })
     s"""WITH cand(query_id, doc_id) AS (VALUES $vals),
-       |t AS (
-       |  SELECT doc_id,
-       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
-       |  FROM documents),
-       |c AS (
-       |  SELECT doc_id, ts, unnest(range(0, CASE WHEN len(ts) <= 16 THEN 1
-       |    ELSE CAST((len(ts) - 16 + 15) // 16 AS INT) + 1 END)) AS cidx
-       |  FROM t),
-       |ch AS (
-       |  SELECT doc_id, cidx,
-       |    coalesce(list_aggregate(list_slice(ts, cidx * 16 + 1,
-       |      least(cidx * 16 + 16, len(ts))), 'string_agg', ' '), '') AS chunk_text
-       |  FROM c),
-       |f AS (
-       |  SELECT doc_id, cidx,
-       |    list_transform(range(0, 16), j ->
-       |      CAST((CAST(('0x' || substr(md5(j || ':' || chunk_text), 1, 15)) AS BIGINT)
-       |            % 1000000) / 1000000.0 AS FLOAT)) AS feat
-       |  FROM ch),
+       |${chunkFeatureCtes()},
        |p AS (
        |  SELECT cd.query_id, q.cidx AS qidx, cd.doc_id,
        |    list_reduce(list_transform(list_zip(q.feat, d.feat),
@@ -1059,8 +1062,8 @@ object TextQueries {
     val (path, nBits) = maxsimPool(spark, dir)
     val vecTop = graft.operators.MaxSim.rankedCandidatesFromBuckets(
       maxsimQueryChunks(spark, dir), spark.read.parquet(path),
-      graft.operators.LshAnn.hyperplanes(16, nBits, 42L),
-      dim = 16, perQuery = 20, nProbeBits = 3)
+      graft.operators.LshAnn.hyperplanes(MsDim, nBits, MsSeed),
+      dim = MsDim, perQuery = MsPerQuery, nProbeBits = MsProbeBits)
     val contrib = bmTop.unionByName(vecTop)
       .select(col("query_id"), col("doc_id"),
         (lit(1.0) / (lit(60.0) + col("rk"))).as("c"))
@@ -1093,31 +1096,13 @@ object TextQueries {
     val (path, nBits) = maxsimPool(spark, dir)
     val pairs = graft.operators.MaxSim.candidatesFromBuckets(
         maxsimQueryChunks(spark, dir), spark.read.parquet(path),
-        graft.operators.LshAnn.hyperplanes(16, nBits, 42L),
-        dim = 16, perQuery = 20, nProbeBits = 3)
+        graft.operators.LshAnn.hyperplanes(MsDim, nBits, MsSeed),
+        dim = MsDim, perQuery = MsPerQuery, nProbeBits = MsProbeBits)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     val vals = OracleGen.lits(pairs.toSeq.map { case (q, d) => s"($q,$d)" })
     s"""cand(query_id, doc_id) AS (VALUES $vals),
-       |t AS (
-       |  SELECT doc_id,
-       |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS ts
-       |  FROM documents
-       |  WHERE doc_id < 8 OR doc_id IN (SELECT doc_id FROM cand)),
-       |c AS (
-       |  SELECT doc_id, ts, unnest(range(0, CASE WHEN len(ts) <= 16 THEN 1
-       |    ELSE CAST((len(ts) - 16 + 15) // 16 AS INT) + 1 END)) AS cidx
-       |  FROM t),
-       |ch AS (
-       |  SELECT doc_id, cidx,
-       |    coalesce(list_aggregate(list_slice(ts, cidx * 16 + 1,
-       |      least(cidx * 16 + 16, len(ts))), 'string_agg', ' '), '') AS chunk_text
-       |  FROM c),
-       |f AS (
-       |  SELECT doc_id, cidx,
-       |    list_transform(range(0, 16), j ->
-       |      CAST((CAST(('0x' || substr(md5(j || ':' || chunk_text), 1, 15)) AS BIGINT)
-       |            % 1000000) / 1000000.0 AS FLOAT)) AS feat
-       |  FROM ch),
+       |${chunkFeatureCtes(
+            "\n  WHERE doc_id < 8 OR doc_id IN (SELECT doc_id FROM cand)")},
        |pl AS (
        |  SELECT doc_id, list(feat ORDER BY cidx) AS fl, count(*) AS n
        |  FROM f GROUP BY doc_id),

@@ -110,6 +110,18 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("DSIR LM build is partitioning-independent (uncached)") {
+    // dsirWeights serves the memoized LM, so exercise the BUILD path
+    // directly under two shuffle widths — integer bucket counts make
+    // the log-weights exactly reproducible regardless of partitioning
+    val at8 = CurationQueries.buildDsirLm(spark, sf001)
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try {
+      val at3 = CurationQueries.buildDsirLm(spark, sf001)
+      assert(at3 == at8)
+    } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
+  }
+
   test("token budget cut equals the global-order prefix rule") {
     // driver-compute the textbook rule: sort (q desc, doc_id), keep the
     // prefix with cumulative tokens ≤ 10,000 — the two-phase

@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
 /** Sample user program through the public API (verification drive). */
 object DebugApi {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    val spark = SparkSession.builder()
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false").master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()

@@ -8,6 +8,7 @@ import graft.queries.IndexQueries
 object DebugBatchAmortize {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .master("local[32]").config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

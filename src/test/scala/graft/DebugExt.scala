@@ -2,6 +2,7 @@ package graft
 object DebugExt {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .master("local[4]")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false").getOrCreate()

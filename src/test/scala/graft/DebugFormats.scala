@@ -7,6 +7,7 @@ import graft.sources.VectorFormats
 object DebugFormats {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .master("local[8]").config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

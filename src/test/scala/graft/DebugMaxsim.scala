@@ -10,6 +10,7 @@ object DebugMaxsim {
     val dir = args.head
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = org.apache.spark.sql.SparkSession.builder()
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -8,6 +8,7 @@ object DebugMinhash {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args.head else "/root/testdata/sf0.1"
     val spark = org.apache.spark.sql.SparkSession.builder()
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

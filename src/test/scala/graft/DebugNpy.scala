@@ -6,6 +6,7 @@ import graft.sources.VectorFormats
 object DebugNpy {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val rows = VectorFormats.readNpy(spark, "/tmp/numpy_written.npy", 3)

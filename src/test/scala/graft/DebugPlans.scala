@@ -5,6 +5,7 @@ import graft.queries.{Catalog, IndexQueries, RelationalQueries, VectorQueries}
 object DebugPlans {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

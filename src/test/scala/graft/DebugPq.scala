@@ -8,6 +8,7 @@ object DebugPq {
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args.head else "/root/testdata/sf0.001"
     val spark = org.apache.spark.sql.SparkSession.builder()
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -15,6 +15,7 @@ object DebugRefScale {
     val dim = if (args.length > 1) args(1).toInt else 128
     val nq = if (args.length > 2) args(2).toInt else 200
     val spark = org.apache.spark.sql.SparkSession.builder()
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
