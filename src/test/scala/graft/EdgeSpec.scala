@@ -8,6 +8,16 @@ import java.nio.file.Files
   */
 class EdgeSpec extends SparkSpec {
 
+  test("events.ts reads as TIMESTAMP, not TIMESTAMP_NTZ") {
+    // the driver-generated parquet carries naive timestamps; without
+    // inferTimestampNTZ=false in every session builder Spark 4 infers
+    // NTZ, which breaks withWatermark and unix_millis across the
+    // events/streaming surface (round-6 testdata regen incident)
+    val t = Tables.events(spark, sf0001).schema("ts").dataType
+    assert(t == org.apache.spark.sql.types.TimestampType,
+      s"events.ts inferred as $t — is inferTimestampNTZ disabled?")
+  }
+
   test("dim=1536 training and search") {
     val rng = new scala.util.Random(5L)
     val recs = (0 until 60).map(i =>
