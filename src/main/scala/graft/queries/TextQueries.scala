@@ -697,12 +697,14 @@ object TextQueries {
     *
     * Scale shape: term frequencies come from the build-once posting
     * table ([[bm25Index]] — ONE tokenization pass at build time that
-    * carries dl alongside the explode, no doc-length join); df and the
-    * 1-row (N, avgdl) stats are vocabulary-/constant-sized broadcasts
-    * derived from the postings; the query term set is a broadcast
-    * semi-filter, so the only corpus-sized shuffle is the
-    * (query_id, doc_id) partial aggregation — volume is matched
-    * postings, never the corpus.
+    * carries dl alongside the explode, no doc-length join), written
+    * term-clustered; df and the 1-row (N, avgdl) stats are ALSO index
+    * artifacts (Lucene keeps docFreq in the term dictionary and norms
+    * at index time), read back and broadcast. The query term set —
+    * driver-sized by contract — is pushed into the posting scan as an
+    * isin predicate (row-group skip: the inverted-index seek), so the
+    * only corpus-sized shuffle is the (query_id, doc_id) partial
+    * aggregation — volume is matched postings, never the corpus.
     * Per-term scores fold in sorted order (cross-engine float
     * determinism, same as [[QualityQueries.sourceTokenDivergence]])
     * and round(4) BEFORE ranking; top-5 per query ranks through the
@@ -728,11 +730,29 @@ object TextQueries {
         .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
         .select(col("doc_id"), size(col("ts")).as("dl"),
           explode(col("ts")).as("term"))
-      val path = s"/tmp/graft_index/${Tables.cacheDirName(d)}/bm25_tf"
-      // dl is functionally dependent on doc_id — grouping by it is free
+      val base = s"/tmp/graft_index/${Tables.cacheDirName(d)}"
+      val path = s"$base/bm25_tf"
+      // dl is functionally dependent on doc_id — grouping by it is free.
+      // Written TERM-CLUSTERED (range-partitioned + sorted): queries
+      // push their term set into the scan, so parquet row-group min/max
+      // skip makes the posting read behave like an inverted-index seek
+      // instead of a full posting scan.
       corpusToks.groupBy(col("doc_id"), col("dl"), col("term"))
         .agg(count(lit(1)).as("tf"))
+        .repartitionByRange(col("term"))
+        .sortWithinPartitions(col("term"))
         .write.mode("overwrite").parquet(path)
+      // df per term and the 1-row (N, avgdl) corpus stats are INDEX
+      // artifacts (Lucene keeps docFreq in the term dictionary and
+      // norms at index time) — built once here so a query batch never
+      // re-aggregates the full posting table
+      val tf = spark.read.parquet(path)
+      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .write.mode("overwrite").parquet(s"$base/bm25_df")
+      tf.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+        .write.mode("overwrite").parquet(s"$base/bm25_stats")
       path
     })
 
@@ -743,17 +763,30 @@ object TextQueries {
     */
   def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val tf = spark.read.parquet(bm25Index(spark, dir))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val stats = tf.select(col("doc_id"), col("dl")).distinct()
-      .agg(count(lit(1)).as("n_docs"),
-        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tfPath = bm25Index(spark, dir)
+    val tfAll = spark.read.parquet(tfPath)
+    val base = tfPath.stripSuffix("/bm25_tf")
+    // df and the (N, avgdl) stats are read back from the index build —
+    // vocabulary-sized and 1-row respectively, both broadcast below;
+    // the query never re-aggregates the posting table. The df scan
+    // also carries the pushed term set: only matched term rows load.
+    val dfreq = spark.read.parquet(s"$base/bm25_df")
+    val stats = spark.read.parquet(s"$base/bm25_stats")
     val qterms = docs.where(col("doc_id") < 8)
       .select(col("doc_id").as("query_id"),
         explode(array_distinct(tokens(lower(col("text"))))).as("term"))
-    tf
+    // the query TERM SET is driver-sized by contract (query docs are
+    // the bounded side); carrying it as an isin PREDICATE — not just a
+    // join — pushes it into the term-clustered posting scan, so the
+    // scoring pass reads matched row groups only (the inverted-index
+    // seek; the semantics are unchanged, the join already dropped
+    // non-query terms)
+    val qtermSet = qterms.select(col("term")).distinct()
+      .collect().map(_.getString(0)).toSeq
+    tfAll
+      .where(col("term").isin(qtermSet: _*))
       .join(broadcast(qterms), "term")
-      .join(broadcast(dfreq), "term")
+      .join(broadcast(dfreq.where(col("term").isin(qtermSet: _*))), "term")
       .crossJoin(broadcast(stats))
       .withColumn("s",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))

@@ -217,6 +217,15 @@ class PlanSpec extends SparkSpec {
     // postings parquet present (the build-once inverted index) …
     assert(p.contains("bm25_tf"),
       "query plan does not read the prebuilt posting table")
+    // … the SCORING posting scan carries the pushed query-term set so
+    // the term-clustered parquet row-group skips (inverted-index seek);
+    // the df/stats aggregates legitimately scan the full postings
+    val tfScanLines = p.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("bm25_tf"))
+    assert(tfScanLines.exists(l =>
+      l.contains("INSET") || l.contains("In(term")),
+      s"query-term set not pushed to any posting scan:\n" +
+        tfScanLines.map(_.take(300)).mkString("\n"))
     // … and every documents scan is the pruned doc_id<8 query side
     val docScanLines = p.split("\n")
       .filter(l => l.contains("FileScan") && l.contains("documents"))

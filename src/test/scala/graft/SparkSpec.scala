@@ -11,6 +11,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+    .config("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
