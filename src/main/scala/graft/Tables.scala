@@ -37,6 +37,23 @@ object Tables {
       s"_p${ProcessHandle.current().pid()}"
   }
 
+  /** Key for the per-JVM memo maps guarding build-once artifacts
+    * (IVF index, posting tables, PQ/OPQ models, MinHash pair sets,
+    * DSIR LMs…): the dir plus a cheap data fingerprint (length + mtime
+    * of each table file — a directory listing, no data read), so a
+    * mid-JVM regeneration of the same path invalidates every derived
+    * artifact instead of serving a stale model. Disk artifact paths
+    * ([[cacheDirName]]) stay fingerprint-free: rebuilds overwrite in
+    * place, and the per-pid suffix already isolates processes.
+    */
+  def dataKey(dir: String): String = {
+    val fp = names.map { n =>
+      val f = new java.io.File(s"$dir/$n.parquet")
+      s"${f.length}:${f.lastModified}"
+    }.mkString(",")
+    s"$dir@${fp.hashCode.toHexString}"
+  }
+
   /** /tmp roots that hold per-pid cache dirs named by [[cacheDirName]]. */
   private val CacheRoots =
     Seq("/tmp/graft_index", "/tmp/graft_pairs", "/tmp/graft_stream_ann")

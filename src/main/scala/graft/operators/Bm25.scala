@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** BM25 ranked retrieval over a build-once inverted index — the public,
+  * parameterized form of the engine's lexical-retrieval path (the
+  * catalog queries `bm25_top_docs` / `hybrid_rrf_top_docs` are thin
+  * slice-contract wrappers over this operator).
+  *
+  * Lucene-shape BM25: idf = ln(1 + (N−df+0.5)/(df+0.5)), per-term score
+  * idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)). N and avgdl are
+  * derived from docs with ≥1 term — the only docs an inverted index
+  * ever sees.
+  *
+  * Scale shape: [[build]] is the ONE corpus tokenization pass — the
+  * posting table is written term-clustered so a query batch's term set,
+  * pushed as an `isin` predicate, turns the posting read into parquet
+  * row-group seeks (the inverted-index seek); df and the 1-row
+  * (N, avgdl) stats are index artifacts (Lucene keeps docFreq in the
+  * term dictionary and norms at index time), read back vocabulary-sized
+  * and broadcast. The only corpus-sized shuffle at query time is the
+  * (query_id, doc_id) partial aggregation over MATCHED postings.
+  */
+object Bm25 {
+
+  /** Handle to a built index: posting table, term dictionary (df), and
+    * 1-row corpus stats, all parquet under `base`.
+    */
+  final case class Index(base: String) {
+    def tfPath: String = s"$base/bm25_tf"
+    def dfPath: String = s"$base/bm25_df"
+    def statsPath: String = s"$base/bm25_stats"
+  }
+
+  /** Build the inverted index from a (doc_id: long, terms:
+    * array<string>) corpus — tokenization is the caller's contract (it
+    * decides casing/splitting), the build owns everything after it.
+    *
+    * The posting write range-partitions on (term, doc_id), NOT term
+    * alone: a hot term ("the"-grade stopwords at corpus scale) would
+    * otherwise concentrate its entire corpus-wide posting list in one
+    * range partition — a straggler writer task. With doc_id in the
+    * range key a hot term's postings span as many partitions as its
+    * volume demands, while each partition still covers a contiguous
+    * (term, doc_id) interval, so `sortWithinPartitions(term, doc_id)`
+    * keeps every row group's term min/max tight and the query-time
+    * row-group skip behavior is unchanged.
+    */
+  def build(corpus: DataFrame, base: String): Index = {
+    val spark = corpus.sparkSession
+    val idx = Index(base)
+    // dl is functionally dependent on doc_id — grouping by it is free
+    // and saves a doc-length join at scoring time
+    corpus
+      .select(col("doc_id"), size(col("terms")).as("dl"),
+        explode(col("terms")).as("term"))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .repartitionByRange(col("term"), col("doc_id"))
+      .sortWithinPartitions(col("term"), col("doc_id"))
+      .write.mode("overwrite").parquet(idx.tfPath)
+    val tf = spark.read.parquet(idx.tfPath)
+    tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(idx.dfPath)
+    tf.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      .write.mode("overwrite").parquet(idx.statsPath)
+    idx
+  }
+
+  /** Scored (query_id, doc_id, score) from already-collected DISTINCT
+    * (query_id, term) pairs — the form for callers that amortize the
+    * query-side tokenization (one collect per query batch, reused
+    * across scoring calls). Per-term scores fold in sorted order and
+    * round(4) BEFORE any ranking (the repo-wide cross-engine float
+    * determinism contract).
+    */
+  def scoredFromPairs(spark: SparkSession, index: Index,
+      queryPairs: Array[(Long, String)],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    val qtermSet = queryPairs.map(_._2).distinct.toSeq
+    // the row-group seek claim depends on the isin set reaching the
+    // parquet scan as a pushed filter; past the in-filter threshold
+    // Spark silently drops it — make that observable, not silent
+    val pushLimit = scala.util.Try(spark.conf.get(
+      "spark.sql.parquet.pushdown.inFilterThreshold").toInt).getOrElse(10)
+    if (qtermSet.size > pushLimit)
+      System.err.println(s"[graft] Bm25.scored: query term set " +
+        s"(${qtermSet.size}) exceeds parquet in-filter pushdown " +
+        s"threshold ($pushLimit) — posting scan loses row-group skip")
+    val qterms = queryPairs.toSeq.toDF("query_id", "term")
+    val tfAll = spark.read.parquet(index.tfPath)
+    val dfreq = spark.read.parquet(index.dfPath)
+    val stats = spark.read.parquet(index.statsPath)
+    // the term set is carried as an isin PREDICATE on both the posting
+    // and df scans — semantically redundant with the join, but it is
+    // what pushes into the scans (row-group skip); the join itself is
+    // against the broadcast driver-sized pair table
+    tfAll
+      .where(col("term").isin(qtermSet: _*))
+      .join(broadcast(qterms), "term")
+      .join(broadcast(dfreq.where(col("term").isin(qtermSet: _*))), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("s",
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
+            / (col("df") + lit(0.5)))
+          * (col("tf") * lit(k1 + 1.0))
+          / (col("tf") + lit(k1)
+            * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(aggregate(sort_array(collect_list(col("s"))), lit(0.0),
+        (a, x) => a + x), 4).as("score"))
+  }
+
+  /** Scored (query_id, doc_id, score) for a (query_id: long, terms:
+    * array<string>) query batch. The query side is driver-sized by
+    * contract (a query batch, not a corpus) — its distinct (query_id,
+    * term) pairs are collected once and broadcast.
+    */
+  def scored(spark: SparkSession, index: Index, queries: DataFrame,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    scoredFromPairs(spark, index,
+      queries.select(col("query_id"),
+          explode(array_distinct(col("terms"))).as("term"))
+        .collect().map(r => (r.getLong(0), r.getString(1))),
+      k1, b)
+
+  /** Top-k docs per query: (query_id, rank, doc_id, score), rank 1..k,
+    * score DESC, ties by doc_id — via the bounded-state [[TopNByKey]]
+    * aggregate (≤k rows per query per map task).
+    */
+  def topDocs(scoredDf: DataFrame, k: Int): DataFrame =
+    TopNByKey.topN(scoredDf, Seq("query_id"), col("score"), col("doc_id"),
+        n = k, asc = false)
+      .select(col("query_id"), col("rk").cast("long").as("rank"),
+        col("id").as("doc_id"), col("ord").as("score"))
+      .orderBy(col("query_id"), col("rank"))
+}

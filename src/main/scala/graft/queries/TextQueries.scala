@@ -723,88 +723,44 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def bm25Index(spark: SparkSession, dir: String): String =
-    bm25Cache.computeIfAbsent(dir, { d =>
-      val corpusToks =
-        Tables.spread(Tables.documents(spark, d).where(col("doc_id") >= 8),
-          col("doc_id"))
-        .select(col("doc_id"), tokens(lower(col("text"))).as("ts"))
-        .select(col("doc_id"), size(col("ts")).as("dl"),
-          explode(col("ts")).as("term"))
-      val base = s"/tmp/graft_index/${Tables.cacheDirName(d)}"
-      val path = s"$base/bm25_tf"
-      // dl is functionally dependent on doc_id — grouping by it is free.
-      // Written TERM-CLUSTERED (range-partitioned + sorted): queries
-      // push their term set into the scan, so parquet row-group min/max
-      // skip makes the posting read behave like an inverted-index seek
-      // instead of a full posting scan.
-      corpusToks.groupBy(col("doc_id"), col("dl"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-        .repartitionByRange(col("term"))
-        .sortWithinPartitions(col("term"))
-        .write.mode("overwrite").parquet(path)
-      // df per term and the 1-row (N, avgdl) corpus stats are INDEX
-      // artifacts (Lucene keeps docFreq in the term dictionary and
-      // norms at index time) — built once here so a query batch never
-      // re-aggregates the full posting table
-      val tf = spark.read.parquet(path)
-      tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-        .write.mode("overwrite").parquet(s"$base/bm25_df")
-      tf.select(col("doc_id"), col("dl")).distinct()
-        .agg(count(lit(1)).as("n_docs"),
-          (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-        .write.mode("overwrite").parquet(s"$base/bm25_stats")
-      path
+    bm25Cache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+      graft.operators.Bm25.build(
+        Tables.spread(Tables.documents(spark, dir)
+            .where(col("doc_id") >= 8), col("doc_id"))
+          .select(col("doc_id"), tokens(lower(col("text"))).as("terms")),
+        s"/tmp/graft_index/${Tables.cacheDirName(dir)}").tfPath
+    })
+
+  /** The query batch's DISTINCT (query_id, term) pairs, collected once
+    * per (JVM, data version) — driver-sized by contract (query docs are
+    * the bounded side). Memoized so the two consumers per hybrid query
+    * (BM25 arm construction + its isin pushdown) don't re-run the
+    * tokenize-and-collect driver job on every call.
+    */
+  private val bm25QueryCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, String)]]()
+
+  private def bm25QueryPairs(spark: SparkSession, dir: String): Array[(Long, String)] =
+    bm25QueryCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+      Tables.documents(spark, dir).where(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(tokens(lower(col("text"))))).as("term"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
     })
 
   /** BM25 (query_id, doc_id, score) over the posting table — the shared
     * scoring stage behind [[bm25TopDocs]] and the lexical arm of
-    * [[hybridRrfTopDocs]]. Scores fold sorted and round(4) BEFORE any
-    * ranking (cross-engine float determinism).
+    * [[hybridRrfTopDocs]], as a thin slice-contract wrapper over the
+    * public parameterized operator ([[graft.operators.Bm25]]).
     */
   def bm25Scored(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-    val tfPath = bm25Index(spark, dir)
-    val tfAll = spark.read.parquet(tfPath)
-    val base = tfPath.stripSuffix("/bm25_tf")
-    // df and the (N, avgdl) stats are read back from the index build —
-    // vocabulary-sized and 1-row respectively, both broadcast below;
-    // the query never re-aggregates the posting table. The df scan
-    // also carries the pushed term set: only matched term rows load.
-    val dfreq = spark.read.parquet(s"$base/bm25_df")
-    val stats = spark.read.parquet(s"$base/bm25_stats")
-    val qterms = docs.where(col("doc_id") < 8)
-      .select(col("doc_id").as("query_id"),
-        explode(array_distinct(tokens(lower(col("text"))))).as("term"))
-    // the query TERM SET is driver-sized by contract (query docs are
-    // the bounded side); carrying it as an isin PREDICATE — not just a
-    // join — pushes it into the term-clustered posting scan, so the
-    // scoring pass reads matched row groups only (the inverted-index
-    // seek; the semantics are unchanged, the join already dropped
-    // non-query terms)
-    val qtermSet = qterms.select(col("term")).distinct()
-      .collect().map(_.getString(0)).toSeq
-    tfAll
-      .where(col("term").isin(qtermSet: _*))
-      .join(broadcast(qterms), "term")
-      .join(broadcast(dfreq.where(col("term").isin(qtermSet: _*))), "term")
-      .crossJoin(broadcast(stats))
-      .withColumn("s",
-        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))
-            / (col("df") + lit(0.5)))
-          * (col("tf") * lit(2.2))
-          / (col("tf") + lit(1.2)
-            * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-      .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(aggregate(sort_array(collect_list(col("s"))), lit(0.0),
-        (a, x) => a + x), 4).as("score"))
+    val base = bm25Index(spark, dir).stripSuffix("/bm25_tf")
+    graft.operators.Bm25.scoredFromPairs(spark,
+      graft.operators.Bm25.Index(base), bm25QueryPairs(spark, dir))
   }
 
   def bm25TopDocs(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.TopNByKey.topN(bm25Scored(spark, dir),
-        Seq("query_id"), col("score"), col("doc_id"), n = 5, asc = false)
-      .select(col("query_id"), col("rk").cast("long").as("rank"),
-        col("id").as("doc_id"), col("ord").as("score"))
-      .orderBy(col("query_id"), col("rank"))
+    graft.operators.Bm25.topDocs(bm25Scored(spark, dir), k = 5)
 
   /** The BM25 CTE chain ending in scored(query_id, doc_id, score) —
     * shared by the bm25_top_docs oracle (rank ≤ 5) and the hybrid-RRF

@@ -66,6 +66,73 @@ class RetrievalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
   }
 
+  test("bm25 public operator: caller-tokenized build + scored match the formula") {
+    // the public form owns nothing about the slice contract: caller
+    // tokenizes (here: uppercase-preserving split, unlike the catalog's
+    // lower()), picks ids, and passes its own query batch
+    import org.apache.spark.sql.functions.{col, split}
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_pub").toString
+    val corpus = Seq(
+      (8L, "Apple Apple cherry"), (9L, "banana cherry date fig"),
+      (10L, "cherry date"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("terms"))
+    val idx = graft.operators.Bm25.build(corpus, base)
+    val queries = Seq((7L, "Apple banana")).toDF("query_id", "text")
+      .select(col("query_id"), split(col("text"), " ").as("terms"))
+    val rows = graft.operators.Bm25.topDocs(
+      graft.operators.Bm25.scored(spark, idx, queries), k = 5).collect().toSeq
+    val idf = math.log(1.0 + 2.5 / 1.5)
+    val exp8 = round4(idf * (2.0 * 2.2) / (2.0 + 1.2 * (0.25 + 0.75 * 3.0 / 3.0)))
+    val exp9 = round4(idf * 2.2 / (1.0 + 1.2 * (0.25 + 0.75 * 4.0 / 3.0)))
+    assert(rows === Seq(Row(7L, 1L, 8L, exp8), Row(7L, 2L, 9L, exp9)))
+    // non-default k1/b change scores (the parameters are live)
+    val loose = graft.operators.Bm25.topDocs(
+      graft.operators.Bm25.scored(spark, idx, queries, k1 = 0.5, b = 0.0),
+      k = 5).collect().toSeq
+    assert(loose.map(_.getLong(2)).toSet === Set(8L, 9L))
+    assert(loose.map(_.getDouble(3)) !== rows.map(_.getDouble(3)))
+  }
+
+  test("bm25 posting write spreads a hot term across partitions, volume bounded") {
+    // 2000 docs all containing the stopword-grade term "the" (50% of
+    // all postings) + one unique term each: range-partitioning on term
+    // alone would put every "the" posting in ONE writer partition (the
+    // build-time straggler); the (term, doc_id) range key must spread
+    // it while keeping each output file a contiguous term range
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_skew").toString
+    val corpus = spark.range(2000)
+      .selectExpr("id AS doc_id", "array('the', concat('t', id)) AS terms")
+    // AQE correctly coalesces this tiny shuffle to one partition; the
+    // property under test is the RANGE KEY at production volume, so pin
+    // the partition count for the build only
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    val idx =
+      try graft.operators.Bm25.build(corpus, base)
+      finally spark.conf.set(
+        "spark.sql.adaptive.coalescePartitions.enabled", "true")
+    val byFile = spark.read.parquet(idx.tfPath)
+      .groupBy(input_file_name().as("f"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(byFile.length > 1, "skew corpus should write multiple partitions")
+    val hotFiles = spark.read.parquet(idx.tfPath)
+      .where(col("term") === "the")
+      .select(input_file_name()).distinct().count()
+    assert(hotFiles > 1,
+      s"hot term confined to $hotFiles file(s) — write-time skew not spread")
+    val counts = byFile.map(_._2.toDouble)
+    val mean = counts.sum / counts.length
+    assert(counts.max <= 4.0 * mean,
+      s"max partition volume ${counts.max} exceeds 4x mean $mean")
+    // scoring over the de-skewed layout is unchanged
+    val q = Seq((0L, Seq("the"))).toDF("query_id", "terms")
+    val scored = graft.operators.Bm25.scored(spark, idx, q)
+    assert(scored.count() === 2000)
+  }
+
   test("maxsim: identical-text corpus doc ranks first for its query twin") {
     // doc 8 repeats doc 0's text verbatim: every query chunk's best
     // cosine against doc 8 is 1.0 (the identical chunk), so no corpus
