@@ -145,25 +145,36 @@ object TextQueries {
     * top-20 cut is stable across engines.
     *
     * Scale shape: the shuffle key is the token (inverted index); pair
-    * cost is Σ_t df(t)² over shared terms, not n². At 100 TB the
-    * standard prefix/df filter (drop the most-common terms from the
-    * index, bounding df(t)) caps the hot-token skew — noted, not
-    * applied here, to keep the similarity exact for the oracle.
+    * cost is Σ_t df(t)² over shared terms, not n² — but a hot token
+    * (stopword-grade df) makes that quadratic in practice. The
+    * standard Bayardo-style guard is applied: tokens with df > `maxDf`
+    * are dropped from the INDEX side only (index pruning — norms keep
+    * every token), bounding any one token's pair contribution at
+    * maxDf·(maxDf−1)/2. The similarity is EXACT whenever maxDf ≥ the
+    * corpus max df — the catalog query passes maxDf = the slice size,
+    * so its results are bit-identical to the uncapped form and the
+    * oracle mirrors the same ceiling.
     */
-  def sparseCosinePairs(spark: SparkSession, dir: String): DataFrame = {
-    // persist: tf feeds the norms aggregate and both inverted-index
-    // join sides — one tokenization+count, not three
-    val tf = Tables.documents(spark, dir)
-      .where(col("doc_id") < 100)
-      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+  def sparseCosineTopPairs(docs: DataFrame, maxDf: Long,
+      topK: Int): DataFrame = {
+    // persist: tf feeds the norms aggregate, the df filter, and both
+    // inverted-index join sides — one tokenization+count
+    val tf = docs
+      .select(col("doc_id"), explode(col("terms")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
       .persist()
     val norms = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
-    val a = tf.select(col("token"), col("doc_id").as("a_id"),
+    // df ceiling on the index side: the keep-set join shuffles on the
+    // SAME token key as the pair join below, so it co-partitions with
+    // the work it is protecting
+    val keep = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("token"))
+    val idx = tf.join(keep, Seq("token"))
+    val a = idx.select(col("token"), col("doc_id").as("a_id"),
       col("tf").as("a_tf"))
-    val b = tf.select(col("token"), col("doc_id").as("b_id"),
+    val b = idx.select(col("token"), col("doc_id").as("b_id"),
       col("tf").as("b_tf"))
     a.join(b, "token").where(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
@@ -176,8 +187,18 @@ object TextQueries {
         / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6))
       .select(col("a_id"), col("b_id"), col("cos_sim"))
       .orderBy(col("cos_sim").desc, col("a_id"), col("b_id"))
-      .limit(20)
+      .limit(topK)
   }
+
+  /** Catalog form: doc_id < 100 slice, maxDf = 100 (= the slice size,
+    * which no df can exceed — the cap is provably a no-op here, and the
+    * oracle carries the same ceiling).
+    */
+  def sparseCosinePairs(spark: SparkSession, dir: String): DataFrame =
+    sparseCosineTopPairs(
+      Tables.documents(spark, dir).where(col("doc_id") < 100)
+        .select(col("doc_id"), tokens(col("text")).as("terms")),
+      maxDf = 100, topK = 20)
 
   private val sparseCosinePairsSql =
     """WITH tf AS (
@@ -188,10 +209,13 @@ object TextQueries {
       |  GROUP BY 1, 2),
       |norms AS (
       |  SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS n2 FROM tf GROUP BY 1),
+      |keep AS (
+      |  SELECT token FROM tf GROUP BY 1 HAVING count(*) <= 100),
+      |idx AS (SELECT tf.* FROM tf JOIN keep USING (token)),
       |dots AS (
       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
       |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
-      |  FROM tf a JOIN tf b ON a.token = b.token AND a.doc_id < b.doc_id
+      |  FROM idx a JOIN idx b ON a.token = b.token AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)
       |SELECT a_id, b_id,
       |  round(CAST(dot AS DOUBLE)

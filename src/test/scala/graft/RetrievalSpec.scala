@@ -133,6 +133,45 @@ class RetrievalSpec extends SparkSpec {
     assert(scored.count() === 2000)
   }
 
+  test("sparse cosine: df cap is a no-op at/above the corpus max df") {
+    import org.apache.spark.sql.functions.col
+    val slice = Tables.documents(spark, sf0001).where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        queries.TextQueries.tokens(col("text")).as("terms"))
+    val capped = queries.TextQueries
+      .sparseCosineTopPairs(slice, maxDf = 100, topK = 20).collect().toSeq
+    val uncapped = queries.TextQueries
+      .sparseCosineTopPairs(slice, maxDf = Long.MaxValue, topK = 20)
+      .collect().toSeq
+    assert(capped.nonEmpty)
+    assert(capped === uncapped)
+  }
+
+  test("sparse cosine: a binding df cap drops the hot token's quadratic pairs") {
+    // 30 docs share ONE hot token (df=30) and carry a unique token each:
+    // uncapped, the hot token alone contributes C(30,2)=435 pairs; with
+    // maxDf=10 it leaves the index and NO pair survives — any token's
+    // pair contribution is bounded by maxDf*(maxDf-1)/2
+    val docs = spark.range(30)
+      .selectExpr("id AS doc_id", "array('hot', concat('u', id)) AS terms")
+    val uncapped = queries.TextQueries
+      .sparseCosineTopPairs(docs, maxDf = Long.MaxValue, topK = 1000)
+    assert(uncapped.count() === 435L)
+    val capped = queries.TextQueries
+      .sparseCosineTopPairs(docs, maxDf = 10, topK = 1000)
+    assert(capped.count() === 0L,
+      "df<=10 cap must drop every pair of the df=30 hot token")
+    // norms keep the dropped token (index pruning, not doc rewriting):
+    // two docs sharing a SURVIVING token still divide by full norms
+    val docs2 = docs.unionByName(spark.range(30, 32)
+      .selectExpr("id AS doc_id", "array('hot', 'shared') AS terms"))
+    val pair = queries.TextQueries
+      .sparseCosineTopPairs(docs2, maxDf = 10, topK = 1000).collect()
+    assert(pair.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((30L, 31L)))
+    // dot = 1 (shared only), norms = sqrt(2)*sqrt(2) = 2 → 0.5 exactly
+    assert(pair.head.getDouble(2) === 0.5)
+  }
+
   test("maxsim: identical-text corpus doc ranks first for its query twin") {
     // doc 8 repeats doc 0's text verbatim: every query chunk's best
     // cosine against doc 8 is 1.0 (the identical chunk), so no corpus
