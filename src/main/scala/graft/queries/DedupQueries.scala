@@ -147,22 +147,10 @@ object DedupQueries {
       |FROM t a JOIN t b ON a.doc_id < b.doc_id
       |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
 
-  /** MinHash signature columns: sig_i = min over shingles of
-    * xxhash64(i, shingle), i = 0..7. xxhash64 is Spark's codegen'd
-    * 64-bit hash — an order of magnitude cheaper than md5, fine here
-    * because this pipeline has no SQL oracle (its gate is the ScalaTest
-    * recall comparison against brute-force Jaccard).
-    */
-  private def withMinhashSig(df: DataFrame, nHashes: Int): DataFrame =
-    (0 until nHashes).foldLeft(df) { (d, i) =>
-      d.withColumn(s"sig_$i",
-        array_min(transform(col("sh"), s => xxhash64(lit(i), s))))
-    }
-
   /** Band projection of an already-signed DF (sig_0..sig_{n-1} columns):
     * (doc_id, band_idx, band_val) with 2 hashes per band. The ONE
     * definition of the banding scheme — batch pipelines apply it to
-    * their persisted signed DF, [[bandedSignatures]] composes it for
+    * their persisted signed DF, [[bandedSignaturesMd5]] composes it for
     * callers starting from raw documents.
     */
   def bandsOf(signed: DataFrame, nHashes: Int): DataFrame =
@@ -171,46 +159,43 @@ object DedupQueries {
         concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))): _*))
         .as(Seq("band_idx", "band_val")))
 
-  /** (doc_id, band_idx, band_val) banded MinHash signatures — the
-    * map-side half of the LSH pipeline (xxhash64 fast path), shared by
-    * the batch candidate join and the streaming stateful-bucket form
+  /** (doc_id, band_idx, band_val) banded md5 MinHash signatures from a
+    * raw (doc_id, text) frame — the map-side half of the LSH pipeline,
+    * shared by the batch candidate join and the streaming
+    * stateful-bucket form
     * ([[graft.streaming.DocsStreaming.lshCandidates]]). Pure column
-    * expressions, so it applies to batch and streaming DataFrames alike.
+    * expressions, so it applies to batch and streaming DataFrames
+    * alike. The hash family is md5 ([[md5Long]], native codegen) so the
+    * candidate set is recomputable by the DuckDB oracle; a production
+    * pipeline that doesn't need cross-engine reproducibility can swap
+    * the per-shingle expression for xxhash64 — banding, bucketing, and
+    * every consumer are hash-agnostic.
     */
-  def bandedSignatures(docs: DataFrame, nHashes: Int = 8): DataFrame =
-    bandsOf(withMinhashSig(shingledDocs(docs), nHashes), nHashes)
+  def bandedSignaturesMd5(docs: DataFrame,
+      nHashes: Int = Md5Hashes): DataFrame =
+    bandsOf(withMd5Sig(shingledDocs(docs), nHashes), nHashes)
 
-  /** MinHash + LSH banding near-dup pipeline, full corpus. 8 hashes in 4
-    * bands of 2 → candidate pairs = same band value; candidates verified
-    * with exact shingle Jaccard. Returns corpus-level stats (pair detail
-    * is covered by the ScalaTest recall gate vs the brute-force oracle).
-    *
-    * The banded signature table is persisted before the self-join —
-    * otherwise Catalyst recomputes shingling + 8 hash passes for BOTH
-    * join sides (measured 40 s → 3 s at sf0.1).
+  /** MinHash + LSH banding near-dup pipeline stats, full corpus. 8
+    * hashes in 4 bands of 2 → candidate pairs = same band value;
+    * candidates verified with exact shingle Jaccard. Served from the
+    * build-once md5-signed table ([[signedDocsPath]] — the
+    * `minhash_pairs_build` bench entry), so the stats query measures
+    * the band self-join + verification, not a repeated signature pass,
+    * and the whole pipeline is DuckDB-recomputable end to end (the
+    * md5 family, same as the oracled [[minhashLshPairs]]).
     */
   def minhashLshStats(spark: SparkSession, dir: String): DataFrame = {
-    val nHashes = 8
-    // spread BEFORE the signature pass: locally the corpus is one scan
-    // split and the 8-hash-per-shingle map stage would run on one core;
-    // Tables.spread is the identity when the source already arrives
-    // well-partitioned (the cluster case), so no corpus shuffle is
-    // baked into the plan
-    val docs = withMinhashSig(
-      shingledDocs(Tables.spread(Tables.documents(spark, dir),
-        col("doc_id"))),
-      nHashes)
-      .persist()
+    val docs = spark.read.parquet(signedDocsPath(spark, dir))
     // banding carries only (band, doc_id) — shingle arrays stay out of
     // the self-join shuffle
-    val banded = bandsOf(docs, nHashes)
+    val banded = bandsOf(docs, Md5Hashes)
     val cand = banded.as("l")
       .join(banded.as("r"), Seq("band_idx", "band_val"))
       .where(col("l.doc_id") < col("r.doc_id"))
       .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
     // verification: candidate set is small → broadcast it against the
-    // persisted doc shingles (two map-side joins, no O(corpus) shuffle)
+    // signed table's shingles (two map-side joins, no O(corpus) shuffle)
     val verified = broadcast(cand)
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -224,32 +209,62 @@ object DedupQueries {
       .select(col("n_docs"), col("n_candidate_pairs"), col("n_near_dups"))
   }
 
-  /** MinHash+LSH near-dup PAIRS with md5-based signatures — the
-    * oracle-checked variant: both engines derive identical signatures
-    * from md5("i:" || shingle), so candidate sets and verified pairs
-    * match exactly. The xxhash64 variant above is the fast path for the
-    * bench; this one proves the pipeline against DuckDB end to end.
+  private val minhashLshStatsSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id, s,
+      |    list_transform(range(0, 8), h ->
+      |      list_aggregate(list_transform(s, x ->
+      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b AS band_idx,
+      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
+      |  FROM sig, unnest(range(0, 4)) AS u(b)),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      |  FROM banded l JOIN banded r
+      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+      |   AND l.doc_id < r.doc_id),
+      |ver AS (
+      |  SELECT CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      |        / len(list_distinct(sa.s || sb.s)) AS j
+      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+      |              JOIN sh sb ON sb.doc_id = c.b_id)
+      |SELECT (SELECT count(*) FROM documents) AS n_docs,
+      |  count(*) AS n_candidate_pairs,
+      |  CAST(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups
+      |FROM ver""".stripMargin
+
+  /** The ONE definition of the md5 MinHash signature scheme:
+    * sig_i = min over shingles of md5Long("i:" || shingle) — both
+    * engines derive identical signatures, so candidate sets and
+    * verified pairs match the DuckDB oracle exactly. Shared by the
+    * batch pair pipeline, the stats query, the streaming bucket path,
+    * and the incremental screen so none can desynchronize.
     */
-  /** The verified near-dup pair set behind `minhash_lsh_pairs` and
-    * `dedup_clusters`: (a_id, b_id, jaccard ≥ 0.7), unsorted.
-    */
-  /** The ONE definition of the md5 MinHash signature scheme (the
-    * oracle-reproducible sibling of [[withMinhashSig]]'s xxhash64 fast
-    * path): sig_i = min over shingles of md5Long("i:" || shingle).
-    * Shared by the batch pair pipeline and the incremental screen so
-    * the two can never desynchronize.
-    */
-  private def md5SignedDocs(spark: SparkSession, dir: String,
-      nHashes: Int): DataFrame =
-    // spread first — same single-scan-split reasoning as
-    // [[minhashLshStats]], and md5 is ~10x xxhash64 so the
-    // one-core signature stage dominated the pairs build without it
-    (0 until nHashes).foldLeft(
-      shingledDocs(Tables.spread(Tables.documents(spark, dir),
-        col("doc_id")))) { (d, i) =>
+  private def withMd5Sig(df: DataFrame, nHashes: Int): DataFrame =
+    (0 until nHashes).foldLeft(df) { (d, i) =>
       d.withColumn(s"sig_$i",
         array_min(transform(col("sh"), s => md5Long(concat(lit(s"$i:"), s)))))
     }
+
+  private def md5SignedDocs(spark: SparkSession, dir: String,
+      nHashes: Int): DataFrame =
+    // spread first — the corpus arrives locally as one scan split and
+    // the 8-pass signature stage is the expensive part of the build
+    // (identity at cluster scale)
+    withMd5Sig(
+      shingledDocs(Tables.spread(Tables.documents(spark, dir),
+        col("doc_id"))), nHashes)
 
   /** The one signature-count constant for the md5 pipeline: the signed
     * parquet, its banding consumers, and the oracle SQL (8 hashes in 4
@@ -1132,7 +1147,7 @@ object DedupQueries {
     "dedup_exact_stats" -> QueryDef(exactStats, Some(exactStatsSql)),
     "dedup_exact_pairs" -> QueryDef(exactPairs, Some(exactPairsSql)),
     "ngram_jaccard_top_pairs" -> QueryDef(ngramJaccardTopPairs, Some(ngramJaccardTopPairsSql)),
-    "minhash_lsh_stats" -> QueryDef(minhashLshStats, None),
+    "minhash_lsh_stats" -> QueryDef(minhashLshStats, Some(minhashLshStatsSql)),
     "minhash_lsh_pairs" -> QueryDef(minhashLshPairs, Some(minhashLshPairsSql)),
     "dedup_clusters" -> QueryDef(dedupClusters, Some(dedupClustersSql)),
     "split_leakage_audit" -> QueryDef(splitLeakageAudit, Some(splitLeakageAuditSql)),

@@ -66,6 +66,38 @@ object StreamQueries {
       |  CAST(len(range(0, greatest(n_frames - 1, 0) + 1, 4)) AS INT) AS n_sampled
       |FROM a ORDER BY asset_id""".stripMargin
 
+  /** The streamed LSH candidate set equals the batch band self-join
+    * over the SAME md5 MinHash banding (the stateful bucket emits
+    * exactly the pairs the join would — StreamingSpec's equality gate),
+    * so DuckDB recomputes it from scratch: shingles → 8 md5 min-hashes
+    * → 4 bands of 2 → distinct same-band pairs.
+    */
+  private val streamLshCandidatesSql =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
+      |  FROM toks),
+      |sig AS (
+      |  SELECT doc_id,
+      |    list_transform(range(0, 8), h ->
+      |      list_aggregate(list_transform(s, x ->
+      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+      |  FROM sh),
+      |banded AS (
+      |  SELECT doc_id, b AS band_idx,
+      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
+      |  FROM sig, unnest(range(0, 4)) AS u(b))
+      |SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      |FROM banded l JOIN banded r
+      |  ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+      | AND l.doc_id < r.doc_id
+      |ORDER BY a_id, b_id""".stripMargin
+
   private val cmsCellsSql =
     """WITH toks AS (
       |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
@@ -94,11 +126,13 @@ object StreamQueries {
       EventsStreaming.intervalJoinQuery, Some(intervalJoinSql), bench = false),
     "stream_enriched" -> QueryDef(
       EventsStreaming.enrichedQuery, Some(enrichedSql), bench = false),
-    // xxhash64 signatures are not DuckDB-reproducible → rows-only here;
-    // correctness is the StreamingSpec equality gate vs the batch
-    // band-join candidate set
+    // md5 band signatures → DuckDB recomputes the same candidate set
+    // (the banded self-join form of the stateful bucket emission; the
+    // StreamingSpec equality gate vs the batch band-join additionally
+    // pins the stateful path across micro-batch splits)
     "stream_lsh_candidates" -> QueryDef(
-      graft.streaming.DocsStreaming.lshCandidatesQuery, None, bench = false),
+      graft.streaming.DocsStreaming.lshCandidatesQuery,
+      Some(streamLshCandidatesSql), bench = false),
     // probe-all streamed ANN is exact and stateless per query, so it
     // shares the batch annJoin oracle verbatim
     "stream_ann_search" -> QueryDef(

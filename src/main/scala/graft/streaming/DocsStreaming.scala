@@ -8,7 +8,7 @@ import graft.queries.DedupQueries
 /** Streaming near-duplicate detection over a document stream: the
   * stateful form of the batch MinHash+LSH pipeline. Band signatures are
   * the SAME map-side expressions as the batch path
-  * ([[DedupQueries.bandedSignatures]]); the batch self-join on
+  * ([[DedupQueries.bandedSignaturesMd5]]); the batch self-join on
   * (band_idx, band_val) becomes a `flatMapGroupsWithState` keyed by the
   * band bucket, whose state is the set of document ids previously seen
   * in that bucket — each arriving document emits a candidate pair per
@@ -52,7 +52,7 @@ object DocsStreaming {
   def lshCandidates(docs: DataFrame): Dataset[CandPair] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    DedupQueries.bandedSignatures(docs)
+    DedupQueries.bandedSignaturesMd5(docs)
       .select(col("band_idx"), col("band_val"), col("doc_id"))
       .as[BandRow]
       .groupByKey(r => (r.band_idx, r.band_val))

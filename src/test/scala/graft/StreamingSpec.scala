@@ -146,7 +146,7 @@ class StreamingSpec extends SparkSpec {
   private def batchLshCandidates(): Set[(Long, Long)] = {
     import graft.queries.DedupQueries
     val banded = DedupQueries
-      .bandedSignatures(Tables.documents(spark, sf001)).persist()
+      .bandedSignaturesMd5(Tables.documents(spark, sf001)).persist()
     val batch = banded.as("l")
       .join(banded.as("r"), Seq("band_idx", "band_val"))
       .where(col("l.doc_id") < col("r.doc_id"))
