@@ -155,6 +155,7 @@ object Bench {
           spark.catalog.clearCache() // builders' persist()s don't accumulate
           name -> (if (ok) elapsed else -1.0)
         }
+    val pass1 = timedPass("pass1")
     val results = Map("ivf_build" -> buildTime, "pq_train" -> pqTrainTime,
       "opq_train" -> opqTrainTime,
       "ivfpq_encode" -> pqEncodeTime,
@@ -163,7 +164,7 @@ object Bench {
       "minhash_pairs_build" -> pairsTime,
       "maxsim_pool_build" -> poolTime,
       "bm25_index_build" -> bm25Time,
-      "dsir_lm_build" -> dsirTime) ++ timedPass("pass1")
+      "dsir_lm_build" -> dsirTime) ++ pass1
     // SECOND timed pass over the catalog queries (builds stay cached):
     // a driver-box outlier is decidable from this artifact alone —
     // pass2 ≈ pass1 means the cost is the plan; pass2 ≪ pass1 means
@@ -171,6 +172,11 @@ object Bench {
     // rule, VERDICT r5 next-round #4).
     val secondPass = timedPass("pass2")
     val total = results.values.filter(_ >= 0).sum
+    // t1 = catalog-only pass-1 total (same query set as t2, so the two
+    // passes compare like-for-like; `value` keeps builds+pass1 for
+    // cross-round continuity). t2 — the steady-state serving cost — is
+    // the headline series rounds compare (VERDICT r6 #6).
+    val total1 = pass1.values.filter(_ >= 0).sum
     val total2 = secondPass.values.filter(_ >= 0).sum
     def ms(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
@@ -187,7 +193,7 @@ object Bench {
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
-      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"value2":${ms(total2)},"sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"value1":${ms(total1)},"value2":${ms(total2)},"sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // compact line: failed queries always included, then most-expensive
@@ -203,6 +209,6 @@ object Bench {
     }
     val nFail = results.values.count(_ < 0)
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t2":${ms(total2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t1":${ms(total1)},"t2":${ms(total2)},"sf":"$sfDir"}""")
   }
 }

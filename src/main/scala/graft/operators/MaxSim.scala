@@ -56,11 +56,14 @@ object MaxSim {
       perQuery: Int, nProbeBits: Int, seed: Long,
       nDocsHint: Option[Long] = None): DataFrame = {
     val corpusPooled = pooled(corpusChunks, "doc_id", dim)
-    // signature width needs only the corpus DOC count — callers that
-    // know it (a plain filtered count on the source table) save a full
-    // chunk-featurize + pooling pass here
+    // signature width needs only the corpus DOC count. Hintless callers
+    // pay a distinct-count on the chunk frame's doc_id alone — column
+    // pruning drops the feature projection from that plan, so this is a
+    // scan + distinct, never the featurize+pool pass (which would
+    // otherwise run twice: once here, once for the bucketing below)
     val nBits = LshAnn.suggestBits(
-      nDocsHint.getOrElse(corpusPooled.count()))
+      nDocsHint.getOrElse(
+        corpusChunks.select(col("doc_id")).distinct().count()))
     val planes = LshAnn.hyperplanes(dim, nBits, seed)
     candidatesFromBuckets(qChunks,
       LshAnn.bucketed(corpusPooled, "doc_id", "pooled", planes),
