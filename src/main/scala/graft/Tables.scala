@@ -153,9 +153,33 @@ object Tables {
         df.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // the testdata parquet lacks isAdjustedToUTC, so a session that
+        // hasn't disabled inferTimestampNTZ infers NTZ — which breaks
+        // withWatermark/unix_millis downstream. Enforce TIMESTAMP at
+        // the read site by re-reading with an explicit schema: a
+        // schema-level coercion, NOT a cast above the scan, so ts
+        // predicate pushdown is preserved (a library user's default
+        // session gets correct behavior without a session config)
+        spark.read.schema(tsAsLtz(df.schema))
+          .parquet(s"$dir/events.parquet")
       case _ => df
     }
   }
+
+  /** Every TIMESTAMP_NTZ field of `schema` switched to TIMESTAMP (LTZ)
+    * — the explicit read schema for parquet written without
+    * isAdjustedToUTC metadata. Under the repo's UTC session-timezone
+    * contract the stored micros are identical either way.
+    */
+  private[graft] def tsAsLtz(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(schema.map {
+      case f if f.dataType
+          .isInstanceOf[org.apache.spark.sql.types.TimestampNTZType] =>
+        f.copy(dataType = org.apache.spark.sql.types.TimestampType)
+      case f => f
+    })
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
 }

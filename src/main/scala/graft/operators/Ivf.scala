@@ -46,7 +46,13 @@ object Ivf {
       // seed: for k > the hierarchical threshold the assigner re-derives
       // its meta-clustering from (seed·17+42), so a different seed routes
       // identical vectors to different centroids than build time.
-      seed: Long = 42L) {
+      seed: Long = 42L,
+      // Centroid count above which probe routing goes hierarchical
+      // (approximate). The default is the measured crossover
+      // ([[KMeans.ApproxRoutingThreshold]]); tests and recall harnesses
+      // force it low via copy() to drive REAL searches through the
+      // approximate path at test-scale k.
+      approxRouting: Int = KMeans.ApproxRoutingThreshold) {
     def k: Int = centroids.length
     def numShards: Int = centroidToShard.distinct.length
     /** Probe router shared by every search path (single, batch, join,
@@ -57,7 +63,7 @@ object Ivf {
       * never serialized with the case class.
       */
     @transient lazy val router: KMeans.ProbeRouter =
-      new KMeans.ProbeRouter(centroids, seed)
+      new KMeans.ProbeRouter(centroids, seed, approxRouting)
   }
 
   /** The ONE clustered-write shape, shared by build/append/compact:

@@ -22,7 +22,12 @@ object EventsStreaming {
     * exactly like Tables.events).
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // tsAsLtz: a session without inferTimestampNTZ disabled would infer
+    // NTZ for ts (no isAdjustedToUTC in the testdata parquet) and
+    // withWatermark below would reject it — coerce in the supplied
+    // schema, same as the batch reader
+    val schema = graft.Tables.tsAsLtz(
+      spark.read.parquet(s"$dir/events.parquet").schema)
     // file-source streams take a directory; glob-filter to the one table
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")

@@ -18,6 +18,32 @@ class EdgeSpec extends SparkSpec {
       s"events.ts inferred as $t — is inferTimestampNTZ disabled?")
   }
 
+  test("events.ts stays TIMESTAMP even in a session that infers NTZ") {
+    // a library user's DEFAULT session doesn't carry the repo's
+    // inferTimestampNTZ=false config — the read-site schema coercion
+    // (Tables.tsAsLtz) must keep the events surface working anyway
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    val df = Tables.events(s2, sf0001)
+    assert(df.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType,
+      s"read-site coercion failed: ${df.schema("ts").dataType}")
+    // same instants as the configured session (UTC contract): the
+    // coercion relabels the stored micros, it must not shift them
+    import org.apache.spark.sql.functions.{min, max, unix_millis, count}
+    def sig(d: org.apache.spark.sql.DataFrame) =
+      d.agg(count(org.apache.spark.sql.functions.lit(1)),
+        min(unix_millis(org.apache.spark.sql.functions.col("ts"))),
+        max(unix_millis(org.apache.spark.sql.functions.col("ts"))))
+        .head().toSeq
+    assert(sig(df) === sig(Tables.events(spark, sf0001)))
+    // and the watermark path accepts it (the exact failure mode of the
+    // round-6 incident was EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE)
+    val ws = graft.streaming.EventsStreaming.readEvents(s2, sf0001)
+    assert(ws.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("dim=1536 training and search") {
     val rng = new scala.util.Random(5L)
     val recs = (0 until 60).map(i =>

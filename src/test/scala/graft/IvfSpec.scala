@@ -217,6 +217,57 @@ class IvfSpec extends SparkSpec {
       swept.map(s => (s.nProbe, s.recalls)))
   }
 
+  test("approximate routing regime: end-to-end recall pinned vs exact") {
+    // the k > ApproxRoutingThreshold hierarchical router, driven by a
+    // REAL search path (recallsOneScan routes through the same router
+    // as searchBatch) on the DebugApproxRoute workload: N=50k, dim=32,
+    // seed 42 → k=448, forced approximate via approxRouting=2. Floors
+    // are the committed measurement (SCALE.md round-7 table) minus a
+    // 0.03 margin; every stage of the pipeline is seed-deterministic,
+    // so drift here means the routing behavior CHANGED.
+    val dataDir = "/tmp/graft_ref_scale_50000_32"
+    val vecPath = s"$dataDir/embeddings.parquet"
+    if (!new java.io.File(vecPath).exists())
+      graft.sources.VectorFormats.generate(spark, 50000L, 32, 42L)
+        .write.mode("overwrite").parquet(vecPath)
+    val emb = spark.read.parquet(vecPath)
+    val exactIdx = Ivf.build(emb, "vec_id", "embedding",
+      Files.createTempDirectory("graft_approx_route").toString)
+    val approxIdx = exactIdx.copy(approxRouting = 2)
+    val qs = graft.operators.RecallEval.perturbedQueries(
+      emb.where(col("vec_id") < 150).select("vec_id", "embedding")
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+      0.5f)
+    val probe32 = emb.select("embedding").head().getSeq[Float](0).toArray
+    // the approximate path actually engages: routed distance work is a
+    // fraction of k at small n_probe, and the exact router pays k
+    assert(exactIdx.router.routedWork(probe32, 4) == exactIdx.k)
+    val w4 = approxIdx.router.routedWork(probe32, 4)
+    assert(w4 < exactIdx.k / 2,
+      s"approx router routed $w4 of k=${exactIdx.k} distances")
+    val nps = Seq(4, 8, 16, 32)
+    val ex = graft.operators.RecallEval.recallsOneScan(
+        spark, exactIdx, qs, k = 10, nProbes = nps, ranks = Seq(1, 10))
+      .map(s => s.nProbe -> s.recalls(10)).toMap
+    val ap = graft.operators.RecallEval.recallsOneScan(
+        spark, approxIdx, qs, k = 10, nProbes = nps, ranks = Seq(1, 10))
+      .map(s => s.nProbe -> s.recalls(10)).toMap
+    // measured floors (0.76 / 0.8867 / 0.98 / 1.0 − 0.03 margin)
+    assert(ap(4) >= 0.73 && ap(8) >= 0.85 && ap(16) >= 0.95 &&
+      ap(32) >= 0.97, s"approx recall fell: $ap")
+    // monotone in n_probe, and never far under exact at the same setting
+    nps.zip(nps.tail).foreach { case (a, b) =>
+      assert(ap(a) <= ap(b) + 1e-9, s"non-monotone at $a→$b: $ap") }
+    nps.foreach { np =>
+      assert(ap(np) >= ex(np) - 0.06,
+        s"approx recall at n_probe=$np (${ap(np)}) too far under " +
+          s"exact (${ex(np)})") }
+    // once the 16n pool covers k the router falls back to exact — the
+    // two regimes must agree bitwise there
+    assert(approxIdx.router.routedWork(probe32, 32) == exactIdx.k)
+    assert(ap(32) == ex(32))
+  }
+
   test("range search: probe-all equals brute force; pruned is a subset") {
     val q = embAll.find(_._1 == 0L).get._2
     val radius = 1.8
