@@ -43,6 +43,13 @@ case class Md5Long60(child: Expression) extends UnaryExpression {
 
 object Md5Long60 {
 
+  /** Column form of the expression — the one wrapper every consumer
+    * (queries, operators) routes through.
+    */
+  def col(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      Md5Long60(org.apache.spark.sql.GraftSqlBridge.expression(c)))
+
   /** One digest instance per thread — `MessageDigest.getInstance` walks
     * the provider registry per call; `digest()` resets the instance, so
     * reuse is safe.

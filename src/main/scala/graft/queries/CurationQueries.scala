@@ -298,7 +298,7 @@ object CurationQueries {
     * driver-side and broadcast to scoring queries.
     */
   def dsirLm(spark: SparkSession, dir: String): Seq[(Long, Double)] =
-    dsirLmCache.computeIfAbsent(dir, buildDsirLm(spark, _))
+    dsirLmCache.computeIfAbsent(Tables.dataKey(dir), _ => buildDsirLm(spark, dir))
 
   /** The uncached LM build — separate so CurationSpec can gate the
     * build's partitioning independence directly (the memoized form
@@ -403,7 +403,7 @@ object CurationQueries {
     */
   def classifierModel(spark: SparkSession,
       dir: String): graft.operators.LinearClassifier.Model =
-    clfModels.getOrElseUpdate(dir, {
+    clfModels.getOrElseUpdate(Tables.dataKey(dir), {
       val docs = Tables.documents(spark, dir)
       val cap = 2000.0
       val n = docs.count()

@@ -27,10 +27,7 @@ object DedupQueries {
     * [[graft.functions.Md5Long60]] (digest → bit ops, no hex-string
     * round-trip; DedupSpec asserts bitwise parity with [[md5LongSql]]).
     */
-  def md5Long(c: Column): Column =
-    org.apache.spark.sql.GraftSqlBridge.column(
-      graft.functions.Md5Long60(
-        org.apache.spark.sql.GraftSqlBridge.expression(c)))
+  def md5Long(c: Column): Column = graft.functions.Md5Long60.col(c)
 
   /** Composed built-in form of [[md5Long]] — the SQL-expressible parity
     * baseline (kept for the DedupSpec equivalence gate; the oracle's
@@ -284,7 +281,8 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def signedDocsPath(spark: SparkSession, dir: String): String =
-    signedCache.computeIfAbsent(dir, { d =>
+    signedCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+      val d = dir
       val path =
         s"/tmp/graft_pairs/${graft.Tables.cacheDirName(d)}_signed"
       md5SignedDocs(spark, d, Md5Hashes).write.mode("overwrite").parquet(path)
@@ -323,7 +321,8 @@ object DedupQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def verifiedPairsPath(spark: SparkSession, dir: String): String =
-    pairsCache.computeIfAbsent(dir, { d =>
+    pairsCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+      val d = dir
       val path =
         s"/tmp/graft_pairs/${graft.Tables.cacheDirName(d)}"
       minhashVerifiedPairs(spark, d)

@@ -20,7 +20,8 @@ object IndexQueries {
   private val cache = new java.util.concurrent.ConcurrentHashMap[String, Ivf.Index]()
 
   def index(spark: SparkSession, dir: String): Ivf.Index =
-    cache.computeIfAbsent(dir, { d =>
+    cache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+      val d = dir
       val emb = Tables.embeddings(spark, d)
       val indexDir = s"/tmp/graft_index/${Tables.cacheDirName(d)}"
       Ivf.build(emb, "vec_id", "embedding", indexDir)
@@ -406,7 +407,8 @@ object IndexQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def pqCodesPath(spark: SparkSession, dir: String): String =
-    pqCodesCache.computeIfAbsent(dir, { d =>
+    pqCodesCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+      val d = dir
       val idx = index(spark, d)
       val model = VectorQueries.pqModel(spark, d)
       val path =
@@ -423,7 +425,8 @@ object IndexQueries {
 
   def residualModelAndCodes(spark: SparkSession,
       dir: String): (graft.operators.Pq.Model, String) =
-    residualCache.computeIfAbsent(dir, { d =>
+    residualCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+      val d = dir
       val idx = index(spark, d)
       val model = graft.operators.IvfPq.trainResidual(spark, idx)
       val path =
@@ -437,7 +440,8 @@ object IndexQueries {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   def sqCodesPath(spark: SparkSession, dir: String): String =
-    sqCodesCache.computeIfAbsent(dir, { d =>
+    sqCodesCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+      val d = dir
       val idx = index(spark, d)
       val path = s"/tmp/graft_index/${Tables.cacheDirName(d)}/sq8_codes"
       graft.operators.IvfSq.buildCodes(spark, idx, path)

@@ -43,7 +43,7 @@ object OracleGen {
     ctx match {
       case None => None
       case Some((spark, dir)) =>
-        cache.computeIfAbsent(s"$name@$dir", _ =>
+        cache.computeIfAbsent(s"$name@${graft.Tables.dataKey(dir)}", _ =>
           try Some(gen(spark, dir))
           catch {
             case e: Throwable =>

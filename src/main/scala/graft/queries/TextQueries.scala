@@ -643,7 +643,7 @@ object TextQueries {
     scala.collection.concurrent.TrieMap.empty[String, Seq[graft.operators.Bpe.Merge]]
 
   def bpeModel(spark: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] =
-    bpeModels.getOrElseUpdate(dir, {
+    bpeModels.getOrElseUpdate(Tables.dataKey(dir), {
       val docs = Tables.documents(spark, dir)
         .withColumn("toks", tokens(col("text")))
       graft.operators.Bpe.train(docs, "toks", numMerges = 20)
@@ -975,7 +975,8 @@ object TextQueries {
     new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
 
   def maxsimPool(spark: SparkSession, dir: String): (String, Int) =
-    maxsimPoolCache.computeIfAbsent(dir, { d =>
+    maxsimPoolCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+      val d = dir
       val nDocs = Tables.documents(spark, d).where(col("doc_id") >= 8).count()
       val nBits = graft.operators.LshAnn.suggestBits(nDocs)
       val planes = graft.operators.LshAnn.hyperplanes(MsDim, nBits, MsSeed)
@@ -1077,20 +1078,11 @@ object TextQueries {
       maxsimQueryChunks(spark, dir), spark.read.parquet(path),
       graft.operators.LshAnn.hyperplanes(MsDim, nBits, MsSeed),
       dim = MsDim, perQuery = MsPerQuery, nProbeBits = MsProbeBits)
-    val contrib = bmTop.unionByName(vecTop)
-      .select(col("query_id"), col("doc_id"),
-        (lit(1.0) / (lit(60.0) + col("rk"))).as("c"))
-    contrib.groupBy(col("query_id"), col("doc_id"))
-      .agg(round(aggregate(sort_array(collect_list(col("c"))), lit(0.0),
-        (a, x) => a + x), 6).as("rrf_score"))
+    graft.operators.Rrf.fuse(Seq(bmTop, vecTop))
   }
 
   def hybridRrfTopDocs(spark: SparkSession, dir: String): DataFrame =
-    graft.operators.TopNByKey.topN(hybridRrfFused(spark, dir),
-        Seq("query_id"), col("rrf_score"), col("doc_id"), n = 5, asc = false)
-      .select(col("query_id"), col("rk").cast("long").as("rank"),
-        col("id").as("doc_id"), col("ord").as("rrf_score"))
-      .orderBy(col("query_id"), col("rank"))
+    graft.operators.Rrf.topDocs(hybridRrfFused(spark, dir), k = 5)
 
   /** Hybrid-RRF oracle: only the vector arm's candidate SET is inlined
     * (it depends on seeded LSH buckets); DuckDB independently recomputes
@@ -1189,35 +1181,18 @@ object TextQueries {
     * candidate docs, never a scan.
     */
   def rerankCrossTopDocs(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val pairs = graft.operators.TopNByKey.topN(hybridRrfFused(spark, dir),
         Seq("query_id"), col("rrf_score"), col("doc_id"), n = 20,
         asc = false)
       .select(col("query_id"), col("id").as("doc_id"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
-    val candDocs = pairs.map(_._2).distinct.toSeq
-    val pairDf = pairs.toSeq.toDF("query_id", "doc_id")
-    val qToks = Tables.documents(spark, dir).where(col("doc_id") < 8)
-      .select(col("doc_id").as("query_id"),
-        array_distinct(tokens(lower(col("text")))).as("qts"))
-    val dToks = Tables.documents(spark, dir)
-      .where(col("doc_id").isin(candDocs: _*))
-      .select(col("doc_id"),
-        array_distinct(tokens(lower(col("text")))).as("dts"))
-    val scored = dToks
-      .join(broadcast(pairDf), Seq("doc_id"))
-      .join(broadcast(qToks), Seq("query_id"))
-      .withColumn("ce_score", round(
-        size(array_intersect(col("qts"), col("dts"))).cast("double")
-          / greatest(size(col("qts")), lit(1))
-          + pmod(DedupQueries.md5Long(concat(col("query_id").cast("string"),
-              lit(":"), col("doc_id").cast("string"))), lit(1000000L))
-            .cast("double") / lit(1e9), 6))
-    graft.operators.TopNByKey.topN(scored, Seq("query_id"),
-        col("ce_score"), col("doc_id"), n = 5, asc = false)
-      .select(col("query_id"), col("rk").cast("long").as("rank"),
-        col("id").as("doc_id"), col("ord").as("ce_score"))
-      .orderBy(col("query_id"), col("rank"))
+    graft.operators.CrossEncoder.rerank(spark,
+      Tables.documents(spark, dir).where(col("doc_id") < 8)
+        .select(col("doc_id").as("query_id"),
+          tokens(lower(col("text"))).as("terms")),
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), tokens(lower(col("text"))).as("terms")),
+      pairs, k = 5)
   }
 
   /** Re-rank oracle: the SAME generated fused-candidate chain as the

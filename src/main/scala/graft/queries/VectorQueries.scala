@@ -247,7 +247,7 @@ object VectorQueries {
     * measures encode + ADC scan.
     */
   def pqModel(spark: SparkSession, dir: String): graft.operators.Pq.Model =
-    pqModels.getOrElseUpdate(dir, {
+    pqModels.getOrElseUpdate(Tables.dataKey(dir), {
       val emb = Tables.embeddings(spark, dir)
       val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
       graft.operators.Pq.train(emb, "embedding", dim, m = 8, ksub = 256,
@@ -270,7 +270,7 @@ object VectorQueries {
   /** OPQ rotation + codebooks, trained once per (JVM, sfDir). */
   def opqModel(spark: SparkSession,
       dir: String): (graft.operators.Opq.Rotation, graft.operators.Pq.Model) =
-    opqModels.getOrElseUpdate(dir, {
+    opqModels.getOrElseUpdate(Tables.dataKey(dir), {
       val emb = Tables.embeddings(spark, dir)
       val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
       val rot = graft.operators.Opq.fit(emb, "embedding", m = 8)
@@ -320,7 +320,7 @@ object VectorQueries {
     * pass; reused by the stats query and the two-stage ANN.
     */
   def pcaModel(spark: SparkSession, dir: String): graft.operators.Pca.Model =
-    pcaModels.getOrElseUpdate(dir,
+    pcaModels.getOrElseUpdate(Tables.dataKey(dir),
       graft.operators.Pca.fit(Tables.embeddings(spark, dir), "embedding", 16))
 
   /** Two-stage ANN: candidate top-50 in the PCA(16) space (4× fewer

@@ -133,6 +133,45 @@ class RetrievalSpec extends SparkSpec {
     assert(scored.count() === 2000)
   }
 
+  test("Rrf public operator: fusion matches the hand-computed formula") {
+    // arm A ranks docs (1,2), arm B ranks (2,3): doc 2 gets
+    // 1/62 + 1/61, docs 1 and 3 get 1/61 and 1/62 — fused order 2,1,3
+    val armA = Seq((0L, 1L, 1), (0L, 2L, 2)).toDF("query_id", "doc_id", "rk")
+    val armB = Seq((0L, 2L, 1), (0L, 3L, 2)).toDF("query_id", "doc_id", "rk")
+    val rows = graft.operators.Rrf.topDocs(
+      graft.operators.Rrf.fuse(Seq(armA, armB)), k = 3).collect().toSeq
+    def r6(v: Double) =
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows === Seq(
+      Row(0L, 1L, 2L, r6(1.0 / 62 + 1.0 / 61)),
+      Row(0L, 2L, 1L, r6(1.0 / 61)),
+      Row(0L, 3L, 3L, r6(1.0 / 62))))
+    // k0 is live: a huge k0 flattens contributions toward arm count
+    val flat = graft.operators.Rrf.topDocs(
+      graft.operators.Rrf.fuse(Seq(armA, armB), k0 = 1000000), k = 1)
+      .collect().head
+    assert(flat.getLong(2) === 2L)
+  }
+
+  test("CrossEncoder public operator: overlap kernel on caller frames") {
+    // query 100's terms fully overlap doc 5 (ratio 1.0) and half-overlap
+    // doc 6 (ratio 0.5); the md5 epsilon is < 1e-3 so it cannot reorder
+    val q = Seq((100L, Seq("alpha", "beta"))).toDF("query_id", "terms")
+    val d = Seq(
+      (5L, Seq("alpha", "beta", "gamma")),
+      (6L, Seq("beta", "delta")),
+      (7L, Seq("unrelated"))).toDF("doc_id", "terms")
+    val rows = graft.operators.CrossEncoder.rerank(spark, q, d,
+      pairs = Array((100L, 5L), (100L, 6L)), k = 5).collect().toSeq
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))) ===
+      Seq((100L, 1L, 5L), (100L, 2L, 6L)))
+    val s = rows.map(_.getDouble(3))
+    assert(s(0) >= 1.0 && s(0) < 1.001 && s(1) >= 0.5 && s(1) < 0.501)
+    // doc 7 was not a candidate pair — it must not appear even though
+    // it is in the corpus frame
+    assert(!rows.exists(_.getLong(2) == 7L))
+  }
+
   test("sparse cosine: df cap is a no-op at/above the corpus max df") {
     import org.apache.spark.sql.functions.col
     val slice = Tables.documents(spark, sf0001).where(col("doc_id") < 100)
