@@ -122,6 +122,30 @@ class CurationSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", "8")
   }
 
+  test("memoized LM rebuilds when the data under the same path changes") {
+    // the per-(JVM, dir) caches key on Tables.dataKey (dir + file
+    // length/mtime fingerprint): regenerating testdata mid-JVM must
+    // serve a FRESH model, not the stale memo (round-6 ADVICE #4)
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_datakey").toString
+    def write(docs: Seq[(Long, String, String)]): Unit =
+      docs.map { case (id, text, lang) => (id, text, lang, "s1", 10L) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    write(Seq((0L, "alpha beta gamma", "en"), (1L, "delta epsilon", "xx")))
+    val k1 = Tables.dataKey(dir)
+    val lm1 = CurationQueries.dsirLm(spark, dir)
+    // different content AND different byte length → fingerprint differs
+    // even on coarse mtime granularity
+    write(Seq((0L, "alpha", "en"),
+      (1L, "delta epsilon zeta eta theta iota kappa", "xx"),
+      (2L, "mu nu xi omicron pi rho", "xx")))
+    assert(Tables.dataKey(dir) != k1, "fingerprint did not change")
+    val lm2 = CurationQueries.dsirLm(spark, dir)
+    assert(lm1 != lm2, "stale LM served after data regeneration")
+  }
+
   test("token budget cut equals the global-order prefix rule") {
     // driver-compute the textbook rule: sort (q desc, doc_id), keep the
     // prefix with cumulative tokens ≤ 10,000 — the two-phase
