@@ -186,11 +186,7 @@ object DedupQueries {
     // banding carries only (band, doc_id) — shingle arrays stay out of
     // the self-join shuffle
     val banded = bandsOf(docs, Md5Hashes)
-    val cand = banded.as("l")
-      .join(banded.as("r"), Seq("band_idx", "band_val"))
-      .where(col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
+    val cand = bandCandidates(banded)
     // verification: candidate set is small → broadcast it against the
     // signed table's shingles (two map-side joins, no O(corpus) shuffle)
     val verified = broadcast(cand)
@@ -228,7 +224,12 @@ object DedupQueries {
       |  FROM sig, unnest(range(0, 4)) AS u(b)),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM banded l JOIN banded r
+      |  FROM (SELECT doc_id, band_idx, band_val FROM (
+      |          SELECT doc_id, band_idx, band_val,
+      |            row_number() OVER (PARTITION BY band_idx, band_val
+      |                               ORDER BY doc_id) AS rn
+      |          FROM banded) WHERE rn <= 64) l
+      |  JOIN banded r
       |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
       |   AND l.doc_id < r.doc_id),
       |ver AS (
@@ -271,6 +272,42 @@ object DedupQueries {
     */
   private val Md5Hashes = 8
 
+  /** Per-bucket cap on the band self-join's LEFT side — the batch
+    * analogue of the streaming path's bounded bucket state
+    * ([[graft.streaming.DocsStreaming.MaxBucketState]] references this
+    * one constant). A band bucket of m members generates C(m,2)
+    * candidate pairs; a degenerate near-dup mega-cluster (thousands of
+    * identical docs sharing every bucket at corpus scale) makes that
+    * quadratic — the classic LSH blowup. Capping the l side at the B
+    * smallest doc_ids bounds the bucket's pair count at B·m while
+    * keeping EVERY member paired with the bucket's rank-1 member, so
+    * connected components, keep-best, and the split audit see the same
+    * clusters. Exact (a no-op) whenever every bucket has ≤ B members —
+    * true at every test SF, and mirrored in all the generated/static
+    * oracles so engine and DuckDB stay in lockstep even on data where
+    * the cap binds.
+    */
+  val MaxBandBucket = 64
+
+  /** Candidate (a_id, b_id) pairs from a banded signature table, with
+    * the [[MaxBandBucket]] l-side cap — the ONE band self-join, shared
+    * by the pairs build and the stats query.
+    */
+  private def bandCandidates(banded: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_val"))
+      .orderBy(col("doc_id"))
+    val lcap = banded
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= MaxBandBucket)
+      .select(col("band_idx"), col("band_val"), col("doc_id"))
+    lcap.as("l")
+      .join(banded.as("r"), Seq("band_idx", "band_val"))
+      .where(col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
+  }
+
   /** The signed-docs table materialized once per (JVM, sfDir) — both
     * the batch pair pipeline and the incremental screen consume it, and
     * the 8-pass md5 signature computation is the expensive part of
@@ -293,11 +330,7 @@ object DedupQueries {
     val nHashes = Md5Hashes
     val docs = spark.read.parquet(signedDocsPath(spark, dir))
     val banded = bandsOf(docs, nHashes)
-    val cand = banded.as("l")
-      .join(banded.as("r"), Seq("band_idx", "band_val"))
-      .where(col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
+    val cand = bandCandidates(banded)
     broadcast(cand)
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
@@ -376,7 +409,12 @@ object DedupQueries {
       |  FROM sig, unnest(range(0, 4)) AS u(b)),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM banded l JOIN banded r
+      |  FROM (SELECT doc_id, band_idx, band_val FROM (
+      |          SELECT doc_id, band_idx, band_val,
+      |            row_number() OVER (PARTITION BY band_idx, band_val
+      |                               ORDER BY doc_id) AS rn
+      |          FROM banded) WHERE rn <= 64) l
+      |  JOIN banded r
       |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
       |   AND l.doc_id < r.doc_id),
       |ver AS (
@@ -472,7 +510,12 @@ object DedupQueries {
       |  FROM sig, unnest(range(0, 4)) AS u(b)),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM banded l JOIN banded r
+      |  FROM (SELECT doc_id, band_idx, band_val FROM (
+      |          SELECT doc_id, band_idx, band_val,
+      |            row_number() OVER (PARTITION BY band_idx, band_val
+      |                               ORDER BY doc_id) AS rn
+      |          FROM banded) WHERE rn <= 64) l
+      |  JOIN banded r
       |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
       |   AND l.doc_id < r.doc_id),
       |ver AS (
@@ -655,7 +698,12 @@ object DedupQueries {
       |  FROM sig, unnest(range(0, 4)) AS u(b)),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM banded l JOIN banded r
+      |  FROM (SELECT doc_id, band_idx, band_val FROM (
+      |          SELECT doc_id, band_idx, band_val,
+      |            row_number() OVER (PARTITION BY band_idx, band_val
+      |                               ORDER BY doc_id) AS rn
+      |          FROM banded) WHERE rn <= 64) l
+      |  JOIN banded r
       |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
       |   AND l.doc_id < r.doc_id),
       |ver AS (
@@ -704,7 +752,12 @@ object DedupQueries {
       |  FROM sig, unnest(range(0, 4)) AS u(b)),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM banded l JOIN banded r
+      |  FROM (SELECT doc_id, band_idx, band_val FROM (
+      |          SELECT doc_id, band_idx, band_val,
+      |            row_number() OVER (PARTITION BY band_idx, band_val
+      |                               ORDER BY doc_id) AS rn
+      |          FROM banded) WHERE rn <= 64) l
+      |  JOIN banded r
       |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
       |   AND l.doc_id < r.doc_id),
       |ver AS (
@@ -873,7 +926,12 @@ object DedupQueries {
       |  FROM sig, unnest(range(0, 4)) AS u(b)),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM banded l JOIN banded r
+      |  FROM (SELECT doc_id, band_idx, band_val FROM (
+      |          SELECT doc_id, band_idx, band_val,
+      |            row_number() OVER (PARTITION BY band_idx, band_val
+      |                               ORDER BY doc_id) AS rn
+      |          FROM banded) WHERE rn <= 64) l
+      |  JOIN banded r
       |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
       |   AND l.doc_id < r.doc_id),
       |ver AS (
@@ -927,7 +985,12 @@ object DedupQueries {
       |  FROM sig, unnest(range(0, 4)) AS u(b)),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM banded l JOIN banded r
+      |  FROM (SELECT doc_id, band_idx, band_val FROM (
+      |          SELECT doc_id, band_idx, band_val,
+      |            row_number() OVER (PARTITION BY band_idx, band_val
+      |                               ORDER BY doc_id) AS rn
+      |          FROM banded) WHERE rn <= 64) l
+      |  JOIN banded r
       |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
       |   AND l.doc_id < r.doc_id),
       |ver AS (

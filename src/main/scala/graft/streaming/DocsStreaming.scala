@@ -31,8 +31,15 @@ object DocsStreaming {
   final case class BucketState(ids: List[Long])
   final case class CandPair(a_id: Long, b_id: Long)
 
-  /** Per-bucket cap on remembered members. */
-  val MaxBucketState = 64
+  /** Per-bucket cap on remembered members — the ONE bucket-cap
+    * constant, shared with the batch band join's l-side cap
+    * ([[DedupQueries.MaxBandBucket]]) so stream and batch bound the
+    * same degenerate bucket identically. (Eviction ORDER differs by
+    * construction: the stream keeps the newest arrivals, the batch
+    * keeps the smallest doc_ids — both are no-ops while buckets stay
+    * within the cap, which the StreamingSpec equality gate verifies.)
+    */
+  val MaxBucketState: Int = DedupQueries.MaxBandBucket
 
   /** Streaming read of the documents parquet (test stand-in for a
     * Kafka/file crawl feed).

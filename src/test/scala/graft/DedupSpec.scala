@@ -11,6 +11,41 @@ import graft.functions.Vec
   */
 class DedupSpec extends SparkSpec {
 
+  test("band bucket cap bounds a mega-cluster's pairs; cluster stays connected") {
+    // 200 identical docs share every band bucket: uncapped, that ONE
+    // bucket emits C(200,2)=19900 candidate pairs (the quadratic LSH
+    // blowup a 100 TB corpus hits on boilerplate text); the l-side cap
+    // bounds it at <= MaxBandBucket*m while every member still pairs
+    // with the bucket's rank-1 doc, so the near-dup CLUSTER is intact
+    import spark.implicits._
+    // the generated/static oracles hard-code the same ceiling in SQL —
+    // if this constant moves, move them together
+    assert(DedupQueries.MaxBandBucket == 64)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_megacluster").toString
+    val boiler = "quick brown fox jumps over the lazy dog again and again"
+    val docs = (0 until 200).map(i => (i.toLong, boiler, "en", "s1", 10L)) ++
+      Seq((900L, "an unrelated document entirely alone here", "en", "s1", 10L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = DedupQueries.minhashVerifiedPairs(spark, dir).collect()
+    assert(pairs.length < 19900,
+      s"cap did not bind: ${pairs.length} pairs")
+    assert(pairs.length >= 199, "cluster must stay connected")
+    assert(pairs.forall(_.getDouble(2) == 1.0)) // identical docs
+    // doc 0 (rank 1 in the bucket) anchors every other member
+    val fromZero = pairs.filter(_.getLong(0) == 0L).map(_.getLong(1)).toSet
+    assert(fromZero == (1L until 200L).toSet)
+    val comp = graft.operators.ConnectedComponents.resolve(
+      pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq
+        .toDF("a_id", "b_id"), "a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val clusters = comp.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(clusters == Map(0L -> 200),
+      s"expected one 200-member cluster at id 0: $clusters")
+  }
+
   test("minhash LSH finds every true near-dup pair (recall vs brute force)") {
     // brute-force truth: all pairs with shingle-Jaccard >= 0.7
     val docs = DedupQueries.shingledDocs(Tables.documents(spark, sf001))
