@@ -133,6 +133,80 @@ class RetrievalSpec extends SparkSpec {
     assert(scored.count() === 2000)
   }
 
+  test("bm25 public operator matches a driver-computed reference on random corpora") {
+    // an independent scala implementation of the whole contract —
+    // Lucene formula, distinct query terms, SORTED float fold, round(4)
+    // — checked exactly against the operator on seeded random corpora
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+    (0 until 3).foreach { trial =>
+      val corpus = (0 until 5 + rnd.nextInt(8)).map { i =>
+        (100L + i,
+          Seq.fill(3 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))))
+      }
+      val queries = (0 until 2).map { i =>
+        (i.toLong, Seq.fill(2 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size))))
+      }
+      val base = java.nio.file.Files
+        .createTempDirectory(s"graft_bm25_prop$trial").toString
+      val idx = graft.operators.Bm25.build(
+        corpus.toDF("doc_id", "terms"), base)
+      val got = graft.operators.Bm25.scored(spark, idx,
+          queries.toDF("query_id", "terms"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // reference: driver-side, from first principles
+      val dl = corpus.map { case (id, ts) => id -> ts.length }.toMap
+      val n = corpus.size
+      val avgdl = corpus.map(_._2.length).sum.toDouble / n
+      val df = corpus.flatMap { case (_, ts) => ts.distinct }
+        .groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val tf = corpus.flatMap { case (id, ts) =>
+        ts.groupBy(identity).map { case (t, xs) => (id, t) -> xs.size }
+      }.toMap
+      val want = (for {
+        (qid, qts) <- queries
+        (did, _) <- corpus
+        perTerm = qts.distinct.flatMap { t =>
+          tf.get((did, t)).map { f =>
+            math.log(1.0 + (n - df(t) + 0.5) / (df(t) + 0.5)) *
+              (f * 2.2) /
+              (f + 1.2 * (0.25 + 0.75 * dl(did) / avgdl))
+          }
+        }
+        if perTerm.nonEmpty
+      } yield (qid, did) -> round4(perTerm.sorted.foldLeft(0.0)(_ + _)))
+        .toMap
+      assert(got === want, s"trial $trial")
+    }
+  }
+
+  test("Rrf fusion matches a driver-computed reference on random arms") {
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { trial =>
+      val nArms = 2 + rnd.nextInt(2)
+      val arms = (0 until nArms).map { _ =>
+        (0L until 3L).flatMap { q =>
+          rnd.shuffle((10L until 20L).toList).take(3 + rnd.nextInt(5))
+            .zipWithIndex.map { case (d, i) => (q, d, i + 1) }
+        }
+      }
+      val got = graft.operators.Rrf.fuse(
+          arms.map(_.toDF("query_id", "doc_id", "rk")))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val want = arms.flatten
+        .groupBy { case (q, d, _) => (q, d) }
+        .map { case (k, xs) =>
+          val cs = xs.map { case (_, _, rk) => 1.0 / (60.0 + rk) }.sorted
+          k -> BigDecimal(cs.foldLeft(0.0)(_ + _))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
+      assert(got === want, s"trial $trial")
+    }
+  }
+
   test("Rrf public operator: fusion matches the hand-computed formula") {
     // arm A ranks docs (1,2), arm B ranks (2,3): doc 2 gets
     // 1/62 + 1/61, docs 1 and 3 get 1/61 and 1/62 — fused order 2,1,3
