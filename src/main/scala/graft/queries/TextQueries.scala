@@ -176,13 +176,17 @@ object TextQueries {
       col("tf").as("a_tf"))
     val b = idx.select(col("token"), col("doc_id").as("b_id"),
       col("tf").as("b_tf"))
+    // no broadcast HINT on the norms joins: norms is doc-count-sized,
+    // which a public caller may bring at corpus scale — AQE broadcasts
+    // it when it is actually small (the slice case) and falls back to
+    // a co-keyed shuffle join when it is not
     a.join(b, "token").where(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(sum(col("a_tf") * col("b_tf")).as("dot"))
-      .join(broadcast(norms.select(col("doc_id").as("a_id"),
-        col("n2").as("na2"))), "a_id")
-      .join(broadcast(norms.select(col("doc_id").as("b_id"),
-        col("n2").as("nb2"))), "b_id")
+      .join(norms.select(col("doc_id").as("a_id"),
+        col("n2").as("na2")), "a_id")
+      .join(norms.select(col("doc_id").as("b_id"),
+        col("n2").as("nb2")), "b_id")
       .withColumn("cos_sim", round(col("dot").cast("double")
         / (sqrt(col("na2").cast("double")) * sqrt(col("nb2").cast("double"))), 6))
       .select(col("a_id"), col("b_id"), col("cos_sim"))
