@@ -187,9 +187,12 @@ object DedupQueries {
     // the self-join shuffle
     val banded = bandsOf(docs, Md5Hashes)
     val cand = bandCandidates(banded)
-    // verification: candidate set is small → broadcast it against the
-    // signed table's shingles (two map-side joins, no O(corpus) shuffle)
-    val verified = broadcast(cand)
+    // verification joins carry no broadcast HINT: at test SF the
+    // candidate set is tiny and AQE broadcasts it (two map-side joins,
+    // no shingle shuffle); at corpus scale the pair graph can be
+    // edge-graph-sized, where a forced broadcast would OOM — AQE falls
+    // back to doc_id-keyed shuffle joins, the only plan that works there
+    val verified = cand
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard",
@@ -331,7 +334,9 @@ object DedupQueries {
     val docs = spark.read.parquet(signedDocsPath(spark, dir))
     val banded = bandsOf(docs, nHashes)
     val cand = bandCandidates(banded)
-    broadcast(cand)
+    // no broadcast hint — same AQE-decided strategy as the stats
+    // query's verification joins (see minhashLshStats)
+    cand
       .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
       .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
       .withColumn("jaccard",
