@@ -294,16 +294,21 @@ object DedupQueries {
 
   /** Candidate (a_id, b_id) pairs from a banded signature table, with
     * the [[MaxBandBucket]] l-side cap — the ONE band self-join, shared
-    * by the pairs build and the stats query.
+    * by the pairs build and the stats query. The cap itself is the
+    * bounded-state [[graft.operators.TopNByKey]] aggregate, NOT a
+    * row_number window: the window form would sort every bucket in one
+    * reducer (the mega bucket being capped is exactly the one that
+    * straggles), while the aggregate's map-side partials carry ≤ cap
+    * rows per bucket per task. The DuckDB oracles express the same cap
+    * as `row_number() ... <= 64` — identical result (smallest cap
+    * doc_ids per bucket), different physical plan.
     */
   private def bandCandidates(banded: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band_idx"), col("band_val"))
-      .orderBy(col("doc_id"))
-    val lcap = banded
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") <= MaxBandBucket)
-      .select(col("band_idx"), col("band_val"), col("doc_id"))
+    val lcap = graft.operators.TopNByKey.topN(
+        banded.select(col("band_idx"), col("band_val"), col("doc_id")),
+        Seq("band_idx", "band_val"), col("doc_id"), col("doc_id"),
+        n = MaxBandBucket, asc = true)
+      .select(col("band_idx"), col("band_val"), col("id").as("doc_id"))
     lcap.as("l")
       .join(banded.as("r"), Seq("band_idx", "band_val"))
       .where(col("l.doc_id") < col("r.doc_id"))
