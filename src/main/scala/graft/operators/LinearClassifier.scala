@@ -26,13 +26,19 @@ object LinearClassifier {
     def dim: Int = weights.length
   }
 
-  /** Feature index of a token: stable across JVMs and runs (MurmurHash3
-    * with Scala's fixed seed), non-negative mod dim.
+  /** Feature index of a token: the engine's md5-derived 60-bit hash
+    * ([[graft.functions.Md5Long60]]) mod dim — stable across JVMs and
+    * runs, non-negative, and expressible in the DuckDB oracle as
+    * `CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % dim`, which
+    * is what lets the trained model's corpus-wide scores be
+    * hash-compared end-to-end (the same recipe the MinHash family
+    * uses). md5 costs a few× MurmurHash3 per token, but scoring stays a
+    * map-side pass and feature extraction is not the bottleneck (the
+    * GD passes over the cached sparse features are).
     */
-  private def bucket(token: String, dim: Int): Int = {
-    val h = scala.util.hashing.MurmurHash3.stringHash(token) % dim
-    if (h < 0) h + dim else h
-  }
+  private def bucket(token: String, dim: Int): Int =
+    (graft.functions.Md5Long60.compute(
+      token.getBytes(java.nio.charset.StandardCharsets.UTF_8)) % dim).toInt
 
   /** Sparse L1-normalized hashed term frequencies: (indices, values).
     * Normalizing by token count keeps long documents from dominating

@@ -380,10 +380,15 @@ object CurationQueries {
     * fraction-kept at the 0.5 threshold — the table a pipeline owner
     * reads to set the filter threshold.
     *
-    * Gate: rows-only (50 float GD iterations are not SQL-expressible);
-    * the learning itself — separable data → AUC 1, target ranks above
-    * non-target on the corpus, boundary stability across partitionings
-    * — is gated in ClassifierSpec.
+    * Gate: fully oracled via [[OracleGen]] — the 50 float GD iterations
+    * are not SQL-expressible, but the trained model is just `dim`
+    * doubles + a bias, so the generator inlines the weights the engine
+    * trained and DuckDB independently recomputes the SCORING of every
+    * document (md5 feature bucketing, L1 tf normalization, the exact
+    * ascending-bucket dot-product fold, sigmoid) plus the per-lang
+    * rollup. The learning itself — separable data → AUC 1, target ranks
+    * above non-target on the corpus, boundary stability across
+    * partitionings — is gated in ClassifierSpec.
     */
   /** Classifier trained once per (JVM, sfDir) — shared by the batch
     * stats query and the streaming scoring path (the production shape:
@@ -431,6 +436,58 @@ object CurationQueries {
       .orderBy(col("lang"))
   }
 
+  /** DuckDB CTE chain ending in `clf_scored(doc_id, lang, p)` — an
+    * independent recomputation of [[graft.operators.LinearClassifier]]
+    * scoring under the inlined trained model: tokenize (the shared
+    * whitespace contract), bucket each token by the md5 60-bit hash mod
+    * dim, L1-normalize counts by the doc's token total, then fold
+    * bias + Σ w[bk]·v in ASCENDING bucket order — `list_prepend(bias,
+    * list(term ORDER BY bk))` reduced left-to-right is associatively
+    * identical to the Scala loop `z = bias; z += w(idx(i))*v(i)` over
+    * the sorted index array, so z (and p before rounding) matches
+    * bit-for-bit up to libm-exp ulp. Empty/whitespace-only docs score
+    * sigmoid(bias), mirroring scoreCol's degraded-row contract.
+    * Shared by the batch stats oracle and the streaming per-doc oracle.
+    */
+  private[queries] def classifierScoredCtes(
+      m: graft.operators.LinearClassifier.Model): String = {
+    import OracleGen.{dbl, dblList}
+    s"""clf_w AS (SELECT ${dblList(m.weights.toSeq)} AS wt),
+       |clf_t AS (
+       |  SELECT doc_id, lang,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS t
+       |  FROM documents),
+       |clf_tk AS (
+       |  SELECT doc_id, len(t) AS n, unnest(t) AS token
+       |  FROM clf_t WHERE len(t) > 0),
+       |clf_terms AS (
+       |  SELECT doc_id,
+       |    CAST(('0x' || substr(md5(token), 1, 15)) AS BIGINT) % ${m.dim} AS bk,
+       |    count(*) / any_value(n) AS v
+       |  FROM clf_tk GROUP BY doc_id, bk),
+       |clf_z AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(${dbl(m.bias)},
+       |        list(wt[CAST(bk AS INTEGER) + 1] * v ORDER BY bk)),
+       |      (a, b) -> a + b) AS z
+       |  FROM clf_terms CROSS JOIN clf_w GROUP BY doc_id),
+       |clf_scored AS (
+       |  SELECT d.doc_id, d.lang,
+       |    1.0 / (1.0 + exp(-(COALESCE(z.z, ${dbl(m.bias)})))) AS p
+       |  FROM clf_t d LEFT JOIN clf_z z USING (doc_id))""".stripMargin
+  }
+
+  private def qualityClassifierStatsOracle(
+      spark: SparkSession, dir: String): String = {
+    val m = classifierModel(spark, dir)
+    s"""WITH ${classifierScoredCtes(m)}
+       |SELECT lang, count(*) AS n_docs,
+       |  round(avg(p), 3) AS mean_p,
+       |  round(avg(CASE WHEN p >= 0.5 THEN 1.0 ELSE 0.0 END), 3) AS frac_kept
+       |FROM clf_scored GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   // ---------------------------------------------------- per-domain caps
 
   /** Per-domain document caps (the C4/CCNet anti-domination step: no
@@ -474,6 +531,7 @@ object CurationQueries {
     "rule_filter_stats" -> QueryDef(ruleFilterStats, Some(ruleFilterStatsSql)),
     "dsir_weights" -> QueryDef(dsirWeights, Some(dsirWeightsSql)),
     "domain_cap_sample" -> QueryDef(domainCapSample, Some(domainCapSampleSql)),
-    "quality_classifier_stats" -> QueryDef(qualityClassifierStats, None)
+    "quality_classifier_stats" -> QueryDef(qualityClassifierStats,
+      OracleGen.sql("quality_classifier_stats")(qualityClassifierStatsOracle))
   )
 }

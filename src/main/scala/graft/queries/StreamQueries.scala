@@ -98,6 +98,18 @@ object StreamQueries {
       | AND l.doc_id < r.doc_id
       |ORDER BY a_id, b_id""".stripMargin
 
+  /** Per-doc classifier scores under the inlined trained model —
+    * the streaming twin of the quality_classifier_stats oracle, at
+    * doc granularity (round 6) rather than per-lang rollup.
+    */
+  private def streamQualityScoresOracle(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val m = CurationQueries.classifierModel(spark, dir)
+    s"""WITH ${CurationQueries.classifierScoredCtes(m)}
+       |SELECT doc_id, lang, round(p, 6) AS p
+       |FROM clf_scored ORDER BY doc_id""".stripMargin
+  }
+
   private val cmsCellsSql =
     """WITH toks AS (
       |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
@@ -138,10 +150,14 @@ object StreamQueries {
     "stream_ann_search" -> QueryDef(
       graft.streaming.VectorsStreaming.annSearchQuery,
       Some(IndexQueries.annJoinTopKSql), bench = false),
-    // trained-model scores are not SQL-expressible → rows-only; the
-    // StreamingSpec gate asserts stream == batch scoring exactly
+    // the trained model is dim doubles + bias: the generator inlines
+    // the engine-trained weights and DuckDB recomputes every per-doc
+    // score (md5 bucketing, ascending-bucket fold, sigmoid) — see
+    // CurationQueries.classifierScoredCtes; the StreamingSpec gate
+    // additionally asserts stream == batch scoring exactly
     "stream_quality_scores" -> QueryDef(
-      graft.streaming.DocsStreaming.qualityScoresQuery, None,
+      graft.streaming.DocsStreaming.qualityScoresQuery,
+      OracleGen.sql("stream_quality_scores")(streamQualityScoresOracle),
       bench = false),
     // the running Complete-mode aggregation IS the sketch (integer
     // cells → micro-batching cannot change any value), so the stream
