@@ -81,28 +81,33 @@ object Bm25 {
       queryPairs: Array[(Long, String)],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
-    val qtermSet = queryPairs.map(_._2).distinct.toSeq
-    // the row-group seek claim depends on the isin set reaching the
-    // parquet scan as a pushed filter; past the in-filter threshold
-    // Spark silently drops it — make that observable, not silent
-    val pushLimit = scala.util.Try(spark.conf.get(
-      "spark.sql.parquet.pushdown.inFilterThreshold").toInt).getOrElse(10)
-    if (qtermSet.size > pushLimit)
-      System.err.println(s"[graft] Bm25.scored: query term set " +
-        s"(${qtermSet.size}) exceeds parquet in-filter pushdown " +
-        s"threshold ($pushLimit) — posting scan loses row-group skip")
+    // the row-group seek depends on the isin set reaching the parquet
+    // scan as an IN pushdown; past the in-filter threshold Spark
+    // rewrites it to a min/max RANGE filter on the sorted term column —
+    // still a predicate, but one whose [min(term), max(term)] interval
+    // spans nearly the whole term-clustered file for any realistic
+    // batch, so row-group skipping degrades to a full index scan. So:
+    // chunk the SORTED distinct term set into ≤ threshold groups and
+    // union the per-chunk pruned scans — every scan keeps a true IN
+    // pushdown (tight per-chunk row-group seeks over a contiguous term
+    // interval, since terms are sorted before chunking) for ANY query
+    // batch size, at the cost of one scan node per chunk.
+    val qtermSorted = queryPairs.map(_._2).distinct.sorted.toSeq
+    val pushLimit = math.max(1, scala.util.Try(spark.conf.get(
+      "spark.sql.parquet.pushdown.inFilterThreshold").toInt).getOrElse(10))
+    val termChunks = qtermSorted.grouped(pushLimit).toList
+    def prunedScan(path: String): DataFrame = termChunks
+      .map(c => spark.read.parquet(path).where(col("term").isin(c: _*)))
+      .reduce(_ union _)
     val qterms = queryPairs.toSeq.toDF("query_id", "term")
-    val tfAll = spark.read.parquet(index.tfPath)
-    val dfreq = spark.read.parquet(index.dfPath)
     val stats = spark.read.parquet(index.statsPath)
-    // the term set is carried as an isin PREDICATE on both the posting
-    // and df scans — semantically redundant with the join, but it is
-    // what pushes into the scans (row-group skip); the join itself is
-    // against the broadcast driver-sized pair table
-    tfAll
-      .where(col("term").isin(qtermSet: _*))
+    // the chunked term set is carried as isin PREDICATES on both the
+    // posting and df scans — semantically redundant with the join, but
+    // it is what pushes into the scans (row-group skip); the join
+    // itself is against the broadcast driver-sized pair table
+    prunedScan(index.tfPath)
       .join(broadcast(qterms), "term")
-      .join(broadcast(dfreq.where(col("term").isin(qtermSet: _*))), "term")
+      .join(broadcast(prunedScan(index.dfPath)), "term")
       .crossJoin(broadcast(stats))
       .withColumn("s",
         log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5))

@@ -94,6 +94,47 @@ class RetrievalSpec extends SparkSpec {
     assert(loose.map(_.getDouble(3)) !== rows.map(_.getDouble(3)))
   }
 
+  test("bm25 chunked pushdown: over-threshold term set keeps a true IN " +
+      "pushdown on every posting scan, results unchanged") {
+    // 20 distinct query terms against a 6-term in-filter threshold →
+    // scoredFromPairs must split into ceil(20/6)=4 pruned scans, each
+    // under the threshold (true IN pushdown, no min/max range
+    // degradation), and the union must score identically to the
+    // single-scan form at a high threshold
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_chunk").toString
+    val corpus = spark.range(40).selectExpr("id AS doc_id",
+      "array(concat('t', id), concat('t', (id + 1) % 40), 'common') AS terms")
+    val idx = graft.operators.Bm25.build(corpus, base)
+    val pairs = (0 until 20).map(i => (5L, s"t$i")).toArray
+    val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
+    val prev = spark.conf.getOption(confKey)
+    def run(): Seq[Row] = graft.operators.Bm25.topDocs(
+      graft.operators.Bm25.scoredFromPairs(spark, idx, pairs), k = 25)
+      .collect().toSeq
+    try {
+      spark.conf.set(confKey, "10000")
+      val single = run()
+      spark.conf.set(confKey, "6")
+      val chunkedDf = graft.operators.Bm25.topDocs(
+        graft.operators.Bm25.scoredFromPairs(spark, idx, pairs), k = 25)
+      val p = chunkedDf.queryExecution.executedPlan.toString
+      val tfScans = p.split("\n")
+        .filter(l => l.contains("FileScan") && l.contains("bm25_tf"))
+      assert(tfScans.length >= 4,
+        s"expected >= 4 chunked posting scans, got ${tfScans.length}")
+      tfScans.foreach { l =>
+        assert(l.contains("INSET") || l.contains("In(term"),
+          s"chunk scan without IN pushdown: ${l.take(300)}")
+      }
+      assert(chunkedDf.collect().toSeq === single,
+        "chunked scoring diverged from the single-scan form")
+    } finally prev match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
+    }
+  }
+
   test("bm25 posting write spreads a hot term across partitions, volume bounded") {
     // 2000 docs all containing the stopword-grade term "the" (50% of
     // all postings) + one unique term each: range-partitioning on term
