@@ -48,10 +48,20 @@ object Tables {
     */
   def dataKey(dir: String): String = {
     val fp = names.map { n =>
-      val f = new java.io.File(s"$dir/$n.parquet")
-      s"${f.length}:${f.lastModified}"
+      val p = java.nio.file.Paths.get(dir, s"$n.parquet")
+      // full-resolution mtime (nanos where the FS provides them) and
+      // the FULL fingerprint string as the key — a 32-bit hashCode of
+      // the fingerprint could collide, and millisecond mtime could
+      // miss a same-length regeneration within the granularity window,
+      // either of which would serve a stale cached model/index
+      val mt = try java.nio.file.Files.getLastModifiedTime(p)
+        .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+        catch { case _: java.io.IOException => -1L }
+      val len = try java.nio.file.Files.size(p)
+        catch { case _: java.io.IOException => -1L }
+      s"$len:$mt"
     }.mkString(",")
-    s"$dir@${fp.hashCode.toHexString}"
+    s"$dir@$fp"
   }
 
   /** /tmp roots that hold per-pid cache dirs named by [[cacheDirName]]. */

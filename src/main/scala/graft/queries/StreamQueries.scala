@@ -71,6 +71,18 @@ object StreamQueries {
     * exactly the pairs the join would — StreamingSpec's equality gate),
     * so DuckDB recomputes it from scratch: shingles → 8 md5 min-hashes
     * → 4 bands of 2 → distinct same-band pairs.
+    *
+    * VALIDITY PRECONDITION: this SQL is uncapped, so it matches the
+    * engine only while every band bucket has ≤
+    * [[graft.queries.DedupQueries.MaxBandBucket]] (64) members — true
+    * at every test SF. Past the cap the three paths diverge BY DESIGN
+    * and no single oracle can cover both: the stream's bounded state
+    * keeps the newest 64 arrivals (an append-mode stream cannot
+    * retro-emit pairs against evicted members), while the batch join
+    * keeps the smallest 64 doc_ids (mirrored in the dedup oracles'
+    * `row_number() <= 64` CTEs). On cap-binding data the batch
+    * `minhash_lsh_pairs` family remains the oracled surface; this
+    * entry's contract is stream==batch==oracle below the cap.
     */
   private val streamLshCandidatesSql =
     """WITH toks AS (

@@ -36,6 +36,34 @@ object VectorFormats {
              |        / 8388608.0 - 1.0) AS FLOAT))""".stripMargin)
           .as("embedding"))
 
+  /** Bump whenever [[generate]]'s output for a given (n, dim, seed)
+    * changes — [[generatedPath]] keys its on-disk cache on this, so
+    * recall gates and Debug harnesses can never silently keep testing
+    * against vectors an older generator wrote.
+    */
+  val GeneratorVersion = 1
+
+  /** Cached [[generate]]: writes the dataset under /tmp once and
+    * revalidates via a marker file carrying (version, n, dim, seed) —
+    * absent or mismatched marker regenerates. Returns the parquet path.
+    */
+  def generatedPath(spark: SparkSession, n: Long, dim: Int,
+      seed: Long = 42L): String = {
+    val dataDir = s"/tmp/graft_ref_scale_${n}_$dim"
+    val vecPath = s"$dataDir/embeddings.parquet"
+    val marker = java.nio.file.Paths.get(dataDir, "GENERATOR")
+    val want = s"v$GeneratorVersion n=$n dim=$dim seed=$seed"
+    val have =
+      try new String(java.nio.file.Files.readAllBytes(marker), "UTF-8")
+      catch { case _: java.io.IOException => "" }
+    if (have != want || !new java.io.File(vecPath).exists()) {
+      generate(spark, n, dim, seed).write.mode("overwrite").parquet(vecPath)
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.write(marker, want.getBytes("UTF-8"))
+    }
+    vecPath
+  }
+
   // ------------------------------------------------------------- fvecs
 
   /** Distributed `.fvecs` read: `[int32 dim][float32 × dim]` repeated.

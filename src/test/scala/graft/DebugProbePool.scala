@@ -19,9 +19,17 @@ object DebugProbePool {
       .master("local[32]").config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dataDir = "/tmp/graft_ref_scale_100000_128"
-    val idx = Ivf.load(spark, s"$dataDir/index")
-    val emb = spark.read.parquet(s"$dataDir/embeddings.parquet")
+    // version-keyed cache: regenerating here (rather than Ivf.load of a
+    // possibly stale index) keeps the probed pool in sync with the
+    // current generator
+    val vecPath =
+      graft.sources.VectorFormats.generatedPath(spark, 100000L, 128, 42L)
+    val dataDir = new java.io.File(vecPath).getParent
+    val emb = spark.read.parquet(vecPath)
+    val idx =
+      if (new java.io.File(s"$dataDir/index").exists())
+        Ivf.load(spark, s"$dataDir/index")
+      else Ivf.build(emb, "vec_id", "embedding", s"$dataDir/index")
     val queries = RecallEval.perturbedQueries(
       emb.where(col("vec_id") < 100).select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), 0.5f)

@@ -22,12 +22,8 @@ object DebugRefScale {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dataDir = s"/tmp/graft_ref_scale_${n}_$dim"
-    val vecPath = s"$dataDir/embeddings.parquet"
-    if (!new java.io.File(vecPath).exists()) {
-      VectorFormats.generate(spark, n, dim, 42L)
-        .write.mode("overwrite").parquet(vecPath)
-    }
+    val vecPath = VectorFormats.generatedPath(spark, n, dim, 42L)
+    val dataDir = new java.io.File(vecPath).getParent
     val emb = spark.read.parquet(vecPath)
 
     val t0 = System.nanoTime()

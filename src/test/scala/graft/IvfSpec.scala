@@ -225,11 +225,8 @@ class IvfSpec extends SparkSpec {
     // are the committed measurement (SCALE.md round-7 table) minus a
     // 0.03 margin; every stage of the pipeline is seed-deterministic,
     // so drift here means the routing behavior CHANGED.
-    val dataDir = "/tmp/graft_ref_scale_50000_32"
-    val vecPath = s"$dataDir/embeddings.parquet"
-    if (!new java.io.File(vecPath).exists())
-      graft.sources.VectorFormats.generate(spark, 50000L, 32, 42L)
-        .write.mode("overwrite").parquet(vecPath)
+    val vecPath =
+      graft.sources.VectorFormats.generatedPath(spark, 50000L, 32, 42L)
     val emb = spark.read.parquet(vecPath)
     val exactIdx = Ivf.build(emb, "vec_id", "embedding",
       Files.createTempDirectory("graft_approx_route").toString)
