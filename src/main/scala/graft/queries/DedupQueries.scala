@@ -44,12 +44,7 @@ object DedupQueries {
     * <1 s over 5000 docs at sf0.1).
     */
   def shinglesFromTokens(toks: Column): Column =
-    array_distinct(
-      when(size(toks) >= 3,
-        transform(sequence(lit(1), size(toks) - 2),
-          i => concat_ws(" ", element_at(toks, i),
-            element_at(toks, i + 1), element_at(toks, i + 2))))
-        .otherwise(array(array_join(toks, " "))))
+    graft.operators.MinHashLsh.shingles(toks, 3)
 
   /** Shingled view of documents: (doc_id, sh) with staged tokenization. */
   def shingledDocs(df: DataFrame): DataFrame =
@@ -145,16 +140,17 @@ object DedupQueries {
       |ORDER BY jaccard DESC, a_id, b_id LIMIT 20""".stripMargin
 
   /** Band projection of an already-signed DF (sig_0..sig_{n-1} columns):
-    * (doc_id, band_idx, band_val) with 2 hashes per band. The ONE
-    * definition of the banding scheme — batch pipelines apply it to
-    * their persisted signed DF, [[bandedSignaturesMd5]] composes it for
-    * callers starting from raw documents.
+    * (doc_id, band_idx, band_val) with 2 hashes per band — the catalog
+    * instantiation of [[graft.operators.MinHashLsh.band]] (batch
+    * pipelines apply it to their persisted signed DF,
+    * [[bandedSignaturesMd5]] composes it for callers starting from raw
+    * documents).
     */
   def bandsOf(signed: DataFrame, nHashes: Int): DataFrame =
-    signed.select(col("doc_id"),
-      posexplode(array((0 until nHashes / 2).map(b =>
-        concat_ws("_", col(s"sig_${2 * b}"), col(s"sig_${2 * b + 1}"))): _*))
-        .as(Seq("band_idx", "band_val")))
+    graft.operators.MinHashLsh.band(
+        signed.withColumnRenamed("doc_id", "id"),
+        catalogParams.copy(numHashes = nHashes, bands = nHashes / 2))
+      .withColumnRenamed("id", "doc_id")
 
   /** (doc_id, band_idx, band_val) banded md5 MinHash signatures from a
     * raw (doc_id, text) frame — the map-side half of the LSH pipeline,
@@ -187,17 +183,8 @@ object DedupQueries {
     // the self-join shuffle
     val banded = bandsOf(docs, Md5Hashes)
     val cand = bandCandidates(banded)
-    // verification joins carry no broadcast HINT: at test SF the
-    // candidate set is tiny and AQE broadcasts it (two map-side joins,
-    // no shingle shuffle); at corpus scale the pair graph can be
-    // edge-graph-sized, where a forced broadcast would OOM — AQE falls
-    // back to doc_id-keyed shuffle joins, the only plan that works there
-    val verified = cand
-      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))))
+    val verified = graft.operators.MinHashLsh.scoredPairs(cand,
+      docs.withColumnRenamed("doc_id", "id"))
     verified.agg(
       count(lit(1)).as("n_candidate_pairs"),
       sum(when(col("jaccard") >= 0.7, 1).otherwise(0)).as("n_near_dups"))
@@ -253,10 +240,8 @@ object DedupQueries {
     * and the incremental screen so none can desynchronize.
     */
   private def withMd5Sig(df: DataFrame, nHashes: Int): DataFrame =
-    (0 until nHashes).foldLeft(df) { (d, i) =>
-      d.withColumn(s"sig_$i",
-        array_min(transform(col("sh"), s => md5Long(concat(lit(s"$i:"), s)))))
-    }
+    graft.operators.MinHashLsh.signShingled(df,
+      catalogParams.copy(numHashes = nHashes, bands = nHashes / 2))
 
   private def md5SignedDocs(spark: SparkSession, dir: String,
       nHashes: Int): DataFrame =
@@ -275,6 +260,14 @@ object DedupQueries {
     */
   private val Md5Hashes = 8
 
+  /** The catalog's operator parameterization — defaults of the public
+    * [[graft.operators.MinHashLsh]] operator (3-shingles, 8 hashes in 4
+    * bands of 2, Jaccard ≥ 0.7, band-bucket cap 64), which every dedup
+    * oracle CTE mirrors. The catalog queries are thin slice-contract
+    * wrappers over the operator with exactly these params.
+    */
+  private val catalogParams = graft.operators.MinHashLsh.Params()
+
   /** Per-bucket cap on the band self-join's LEFT side — the batch
     * analogue of the streaming path's bounded bucket state
     * ([[graft.streaming.DocsStreaming.MaxBucketState]] references this
@@ -290,31 +283,19 @@ object DedupQueries {
     * oracles so engine and DuckDB stay in lockstep even on data where
     * the cap binds.
     */
-  val MaxBandBucket = 64
+  val MaxBandBucket = catalogParams.maxBandBucket
 
-  /** Candidate (a_id, b_id) pairs from a banded signature table, with
-    * the [[MaxBandBucket]] l-side cap — the ONE band self-join, shared
-    * by the pairs build and the stats query. The cap itself is the
-    * bounded-state [[graft.operators.TopNByKey]] aggregate, NOT a
-    * row_number window: the window form would sort every bucket in one
-    * reducer (the mega bucket being capped is exactly the one that
-    * straggles), while the aggregate's map-side partials carry ≤ cap
-    * rows per bucket per task. The DuckDB oracles express the same cap
-    * as `row_number() ... <= 64` — identical result (smallest cap
-    * doc_ids per bucket), different physical plan.
+  /** Candidate (a_id, b_id) pairs from a banded signature table —
+    * [[graft.operators.MinHashLsh.candidates]] with the catalog's
+    * [[MaxBandBucket]] l-side cap, shared by the pairs build and the
+    * stats query. The DuckDB oracles express the same cap as
+    * `row_number() ... <= 64` — identical result (smallest cap doc_ids
+    * per bucket), different physical plan (the operator's bounded-state
+    * TopNByKey aggregate, see its Scaladoc).
     */
-  private def bandCandidates(banded: DataFrame): DataFrame = {
-    val lcap = graft.operators.TopNByKey.topN(
-        banded.select(col("band_idx"), col("band_val"), col("doc_id")),
-        Seq("band_idx", "band_val"), col("doc_id"), col("doc_id"),
-        n = MaxBandBucket, asc = true)
-      .select(col("band_idx"), col("band_val"), col("id").as("doc_id"))
-    lcap.as("l")
-      .join(banded.as("r"), Seq("band_idx", "band_val"))
-      .where(col("l.doc_id") < col("r.doc_id"))
-      .select(col("l.doc_id").as("a_id"), col("r.doc_id").as("b_id"))
-      .dropDuplicates("a_id", "b_id")
-  }
+  private def bandCandidates(banded: DataFrame): DataFrame =
+    graft.operators.MinHashLsh.candidates(
+      banded.withColumnRenamed("doc_id", "id"), catalogParams)
 
   /** The signed-docs table materialized once per (JVM, sfDir) — both
     * the batch pair pipeline and the incremental screen consume it, and
@@ -335,20 +316,10 @@ object DedupQueries {
     })
 
   def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
-    val nHashes = Md5Hashes
     val docs = spark.read.parquet(signedDocsPath(spark, dir))
-    val banded = bandsOf(docs, nHashes)
-    val cand = bandCandidates(banded)
-    // no broadcast hint — same AQE-decided strategy as the stats
-    // query's verification joins (see minhashLshStats)
-    cand
-      .join(docs.select(col("doc_id").as("a_id"), col("sh").as("a_sh")), "a_id")
-      .join(docs.select(col("doc_id").as("b_id"), col("sh").as("b_sh")), "b_id")
-      .withColumn("jaccard",
-        size(array_intersect(col("a_sh"), col("b_sh"))).cast("double") /
-          size(array_union(col("a_sh"), col("b_sh"))))
-      .where(col("jaccard") >= 0.7)
-      .select(col("a_id"), col("b_id"), col("jaccard"))
+    val banded = bandsOf(docs, Md5Hashes)
+    graft.operators.MinHashLsh.verify(bandCandidates(banded),
+      docs.withColumnRenamed("doc_id", "id"), catalogParams)
   }
 
   /** Materialized verified pair set, one per (JVM, sfDir) — the same
@@ -385,17 +356,11 @@ object DedupQueries {
     * canonical survivor. Oracle = the same LSH pipeline + a recursive
     * CTE computing min-reachable-id in DuckDB.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    val comp = graft.operators.ConnectedComponents.resolve(
-      spark.read.parquet(verifiedPairsPath(spark, dir)), "a_id", "b_id")
-    val sizes = comp.groupBy(col("cluster_id"))
-      .agg(count(lit(1)).as("cluster_size"))
-    comp.join(sizes, "cluster_id")
-      .select(col("id").as("doc_id"), col("cluster_id"),
-        (col("id") === col("cluster_id")).as("is_canonical"),
-        col("cluster_size"))
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.MinHashLsh.clusters(
+        spark.read.parquet(verifiedPairsPath(spark, dir)))
+      .withColumnRenamed("id", "doc_id")
       .orderBy(col("doc_id"))
-  }
 
   private val dedupClustersSql =
     """WITH RECURSIVE toks AS (
