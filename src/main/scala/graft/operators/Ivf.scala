@@ -52,7 +52,10 @@ object Ivf {
       // ([[KMeans.ApproxRoutingThreshold]]); tests and recall harnesses
       // force it low via copy() to drive REAL searches through the
       // approximate path at test-scale k.
-      approxRouting: Int = KMeans.ApproxRoutingThreshold) {
+      approxRouting: Int = KMeans.ApproxRoutingThreshold,
+      // Meta-cell expansion floor on the approximate path — the sweep
+      // hook behind the [[KMeans.DefaultMetaProbe]] default.
+      metaProbe: Int = KMeans.DefaultMetaProbe) {
     def k: Int = centroids.length
     def numShards: Int = centroidToShard.distinct.length
     /** Probe router shared by every search path (single, batch, join,
@@ -63,7 +66,7 @@ object Ivf {
       * never serialized with the case class.
       */
     @transient lazy val router: KMeans.ProbeRouter =
-      new KMeans.ProbeRouter(centroids, seed, approxRouting)
+      new KMeans.ProbeRouter(centroids, seed, approxRouting, metaProbe)
   }
 
   /** The ONE clustered-write shape, shared by build/append/compact:

@@ -281,6 +281,24 @@ object KMeans {
     */
   val ApproxRoutingThreshold = 8192
 
+  /** Meta-cells expanded per routed row on the hierarchical PROBE
+    * ROUTING path — the FLOOR on pool expansion
+    * ([[HierarchicalAssigner.topNProbe]] keeps adding cells until both
+    * this floor and the 16n pool target are met). 8, from the round-8
+    * m ∈ {3, 5, 8} sweep (SCALE.md): at FIXED n_probe — the scan-cost
+    * driver at corpus scale, where probing a cell means reading its
+    * rows — m=8 recovers nearly all of exact routing's recall where
+    * m=3 collapses (N=1M/k=3998, recall@1 at n_probe=8: 0.67 vs
+    * exact 0.69 vs m=3's 0.465) while routing stays O(√k)
+    * (~37% of exact's k distances there, asymptotically √k·m).
+    * Comparing at equal ROUTED distances m=3-with-larger-n_probe looks
+    * similar, but that spends 2-8× the dominant scan term. ASSIGNMENT
+    * (J3) keeps the reference's fixed top-3 gather
+    * (src/kmeans.rs:474-581) via [[HierarchicalAssigner]]'s own
+    * default — this constant parameterizes only the search router.
+    */
+  val DefaultMetaProbe = 8
+
   /** Probe routing for the IVF search paths: top-nProbe nearest
     * centroids per query, ascending by (distance, id).
     *
@@ -300,10 +318,12 @@ object KMeans {
     * (searchBatch, probe-literal oracles).
     */
   final class ProbeRouter(val centroids: Array[Array[Float]], val seed: Long,
-      val approxThreshold: Int = ApproxRoutingThreshold)
+      val approxThreshold: Int = ApproxRoutingThreshold,
+      val metaProbe: Int = DefaultMetaProbe)
       extends Serializable {
     def k: Int = centroids.length
-    @transient private lazy val hier = new HierarchicalAssigner(centroids, seed)
+    @transient private lazy val hier =
+      new HierarchicalAssigner(centroids, seed, metaProbe)
 
     /** Exact top-n by (distance, id): allocation-light bounded
       * insertion (the [[HierarchicalAssigner.assign]] selection loop,

@@ -29,12 +29,8 @@ object DebugApproxRoute {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val dataDir = s"/tmp/graft_ref_scale_${n}_$dim"
-    val vecPath = s"$dataDir/embeddings.parquet"
-    if (!new java.io.File(vecPath).exists()) {
-      VectorFormats.generate(spark, n, dim, 42L)
-        .write.mode("overwrite").parquet(vecPath)
-    }
+    val vecPath = VectorFormats.generatedPath(spark, n, dim, 42L)
+    val dataDir = new java.io.File(vecPath).getParent
     val emb = spark.read.parquet(vecPath)
     val exactIdx = Ivf.build(emb, "vec_id", "embedding", s"$dataDir/index")
     // force the hierarchical router for every routed search; probe-all
@@ -46,16 +42,24 @@ object DebugApproxRoute {
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
       scale = 0.5f)
     val nProbes = Seq(1, 2, 4, 8, 16, 32, 64)
-    Seq("exact" -> exactIdx, "hierarchical" -> approxIdx).foreach {
-      case (label, idx) =>
-        val settings = RecallEval.recallsOneScan(spark, idx, queries,
-          k = 100, nProbes = nProbes, ranks = Seq(1, 10, 100))
-        val work = nProbes.map(np =>
-          np -> idx.router.routedWork(queries.head._2, np)).toMap
-        val js = settings.map { s =>
-          f"""{"n_probe":${s.nProbe},"recall_1":${s.recalls(1)}%.4f,"recall_10":${s.recalls(10)}%.4f,"recall_100":${s.recalls(100)}%.4f,"routed_dists":${work(s.nProbe)}}"""
-        }.mkString("[", ",", "]")
-        println(s"""{"metric":"approx_route","router":"$label","n":$n,"dim":$dim,"k_clusters":${idx.k},"nq":${queries.length},"settings":$js}""")
+    // meta-probe sweep (VERDICT r7 #5): m is the meta-cell expansion
+    // FLOOR — the recall-vs-routed-work Pareto curve per m decides the
+    // default the 100×-scale story wants
+    val routers = ("exact" -> exactIdx) +: Seq(3, 5, 8).map(m =>
+      s"hier_m$m" -> approxIdx.copy(metaProbe = m))
+    routers.foreach { case (label, idx) =>
+      val settings = RecallEval.recallsOneScan(spark, idx, queries,
+        k = 100, nProbes = nProbes, ranks = Seq(1, 10, 100))
+      // routed work averaged over the query batch — a single query's
+      // pool size varies with its cell's member counts
+      val work = nProbes.map { np =>
+        np -> queries.map(q => idx.router.routedWork(q._2, np).toLong)
+          .sum / queries.length
+      }.toMap
+      val js = settings.map { s =>
+        f"""{"n_probe":${s.nProbe},"recall_1":${s.recalls(1)}%.4f,"recall_10":${s.recalls(10)}%.4f,"recall_100":${s.recalls(100)}%.4f,"routed_dists":${work(s.nProbe)}}"""
+      }.mkString("[", ",", "]")
+      println(s"""{"metric":"approx_route","router":"$label","n":$n,"dim":$dim,"k_clusters":${idx.k},"nq":${queries.length},"settings":$js}""")
     }
     spark.stop()
   }

@@ -240,7 +240,10 @@ class IvfSpec extends SparkSpec {
     // fraction of k at small n_probe, and the exact router pays k
     assert(exactIdx.router.routedWork(probe32, 4) == exactIdx.k)
     val w4 = approxIdx.router.routedWork(probe32, 4)
-    assert(w4 < exactIdx.k / 2,
+    // m=8 expands ~8 cells of ~√k members: ~0.44k here (asymptotically
+    // m·√k ≪ k; the 0.6 bound leaves headroom for per-query cell-size
+    // variance while still pinning sub-k routing)
+    assert(w4 < exactIdx.k * 6 / 10,
       s"approx router routed $w4 of k=${exactIdx.k} distances")
     val nps = Seq(4, 8, 16, 32)
     val ex = graft.operators.RecallEval.recallsOneScan(
@@ -249,8 +252,9 @@ class IvfSpec extends SparkSpec {
     val ap = graft.operators.RecallEval.recallsOneScan(
         spark, approxIdx, qs, k = 10, nProbes = nps, ranks = Seq(1, 10))
       .map(s => s.nProbe -> s.recalls(10)).toMap
-    // measured floors (0.76 / 0.8867 / 0.98 / 1.0 − 0.03 margin)
-    assert(ap(4) >= 0.73 && ap(8) >= 0.85 && ap(16) >= 0.95 &&
+    // measured floors at the metaProbe=8 default (round-8 sweep:
+    // 0.82 / 0.9267 / 0.98 / 1.0 − 0.03 margin)
+    assert(ap(4) >= 0.79 && ap(8) >= 0.89 && ap(16) >= 0.95 &&
       ap(32) >= 0.97, s"approx recall fell: $ap")
     // monotone in n_probe, and never far under exact at the same setting
     nps.zip(nps.tail).foreach { case (a, b) =>

@@ -92,8 +92,9 @@ class ProbeRouterSpec extends AnyFunSuite {
     val works = queries.map(q => approx.routedWork(q, 20))
     assert(works.max < bigK / 2,
       s"routed work ${works.max} not sub-linear in k=$bigK")
-    assert(works.max <= 16 * 20 + 8 * math.sqrt(bigK).toInt,
-      s"routed work ${works.max} not O(√k + 16n)")
+    assert(works.max <= 16 * 20 +
+        (KMeans.DefaultMetaProbe + 3) * math.sqrt(bigK).toInt,
+      s"routed work ${works.max} not O(m√k + 16n)")
     // the default exact router reports k distances
     assert(router.routedWork(queries(0), 20) == bigK)
   }
