@@ -48,13 +48,23 @@ object MinHashLsh {
     * @param maxBandBucket per-bucket cap on the band self-join's left
     *                      side (see scale note above); a no-op whenever
     *                      every bucket has ≤ cap members
+    * @param hashFn        the per-shingle hash family (a deterministic
+    *                      Column→Column expression over the salted
+    *                      shingle string). Default md5
+    *                      ([[graft.functions.Md5Long60]]) for
+    *                      cross-engine reproducibility — the DuckDB
+    *                      oracles recompute it; a production run that
+    *                      doesn't need that swaps in `xxhash64` (see
+    *                      the scale note and the DebugLshScale
+    *                      measurement in SCALE.md)
     */
   final case class Params(
       shingleK: Int = 3,
       numHashes: Int = 8,
       bands: Int = 4,
       threshold: Double = 0.7,
-      maxBandBucket: Int = 64) {
+      maxBandBucket: Int = 64,
+      hashFn: Column => Column = graft.functions.Md5Long60.col) {
     require(shingleK >= 1, s"shingleK must be >= 1, got $shingleK")
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
@@ -87,7 +97,7 @@ object MinHashLsh {
   def signShingled(shingled: DataFrame, p: Params = Params()): DataFrame =
     (0 until p.numHashes).foldLeft(shingled) { (d, i) =>
       d.withColumn(s"sig_$i", array_min(transform(col("sh"),
-        s => graft.functions.Md5Long60.col(concat(lit(s"$i:"), s)))))
+        s => p.hashFn(concat(lit(s"$i:"), s)))))
     }
 
   /** (id, sh, sig_0 … sig_{numHashes−1}) from a (idCol, termsCol:

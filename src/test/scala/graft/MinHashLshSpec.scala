@@ -44,6 +44,25 @@ class MinHashLshSpec extends SparkSpec {
     assert(p3.count() == 0L, "k=3: permuted docs share no shingle")
   }
 
+  test("hashFn is live: xxhash64 family finds the same planted near-dup") {
+    import spark.implicits._
+    val base = "one two three four five six seven eight nine ten eleven twelve".split(" ").toSeq
+    val nearDup = base.updated(11, "thirteen")
+    val unrelated = "apple banana cherry date elderberry fig grape honeydew".split(" ").toSeq
+    val df = Seq((1L, base), (2L, nearDup), (3L, unrelated))
+      .toDF("id", "toks")
+    // swap the md5 parity default for xxhash64 (the production fast
+    // path, DebugLshScale's measured ~2x saving on the sign pass) —
+    // banding/verify are hash-agnostic, so the planted pair survives
+    val p = Params(numHashes = 16, bands = 8, threshold = 0.5,
+      hashFn = c => xxhash64(c))
+    val pairs = MinHashLsh.verifiedPairs(df, "id", "toks", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair must be found")
+    assert(!pairs.exists(t => t._1 == 3L || t._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
   test("parameter validation") {
     intercept[IllegalArgumentException](Params(shingleK = 0))
     intercept[IllegalArgumentException](Params(numHashes = 8, bands = 3))
