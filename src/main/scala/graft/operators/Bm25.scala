@@ -14,15 +14,49 @@ import org.apache.spark.sql.functions._
   * ever sees.
   *
   * Scale shape: [[build]] is the ONE corpus tokenization pass — the
-  * posting table is written term-clustered so a query batch's term set,
-  * pushed as an `isin` predicate, turns the posting read into parquet
-  * row-group seeks (the inverted-index seek); df and the 1-row
-  * (N, avgdl) stats are index artifacts (Lucene keeps docFreq in the
-  * term dictionary and norms at index time), read back vocabulary-sized
-  * and broadcast. The only corpus-sized shuffle at query time is the
-  * (query_id, doc_id) partial aggregation over MATCHED postings.
+  * posting table is written term-clustered so a SELECTIVE query
+  * batch's term set, pushed as chunked `isin` predicates
+  * ([[Pushdown]]), turns the posting read into parquet row-group seeks
+  * (the inverted-index seek); a DENSE batch (term set above
+  * [[SeekSelectivityCeiling]] of the vocabulary) matches ~every row
+  * group, so scoring serves from the plain posting scan + broadcast
+  * pair join instead — the measured-faster plan in that regime. df and
+  * the 1-row (N, avgdl) stats are index artifacts (Lucene keeps
+  * docFreq in the term dictionary and norms at index time), read back
+  * vocabulary-sized and broadcast. The only corpus-sized shuffle at
+  * query time is the (query_id, doc_id) partial aggregation over
+  * MATCHED postings.
   */
 object Bm25 {
+
+  /** Batch-term-set-to-vocabulary ratio above which scoring skips the
+    * isin seek and reads the plain posting scan. The seek wins only
+    * while most row groups contain NO batch term; DebugBm25Scale
+    * measured the dense regime (28% of a 20k vocab, 20M postings)
+    * reading 1.7× slower chunk-pruned than full-scanned. 0.05 is
+    * conservatively inside the win region: real retrieval batches
+    * against real vocabularies (100k+) sit orders of magnitude below
+    * it, while analytics-style dense scoring flips to the scan plan.
+    */
+  val SeekSelectivityCeiling = 0.05
+
+  private val vocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  /** Vocabulary size (df-table row count — parquet metadata only, no
+    * data read), cached per (df dir, file fingerprint) so index
+    * rebuilds at the same base invalidate the entry.
+    */
+  private def vocabSize(spark: SparkSession, index: Index): Long = {
+    val key = try {
+      val fs = Option(new java.io.File(index.dfPath).listFiles())
+        .getOrElse(Array.empty)
+      s"${index.dfPath}:${fs.map(_.length).sum}:" +
+        fs.map(_.lastModified).foldLeft(0L)(math.max)
+    } catch { case _: Throwable => index.dfPath }
+    vocabCache.computeIfAbsent(key,
+      _ => spark.read.parquet(index.dfPath).count())
+  }
 
   /** Handle to a built index: posting table, term dictionary (df), and
     * 1-row corpus stats, all parquet under `base`.
@@ -79,7 +113,8 @@ object Bm25 {
     */
   def scoredFromPairs(spark: SparkSession, index: Index,
       queryPairs: Array[(Long, String)],
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+      k1: Double = 1.2, b: Double = 0.75,
+      seekCeiling: Double = SeekSelectivityCeiling): DataFrame = {
     import spark.implicits._
     // the row-group seek depends on the isin set reaching the parquet
     // scan as an IN pushdown; past the in-filter threshold Spark
@@ -93,12 +128,27 @@ object Bm25 {
     // interval, since terms are sorted before chunking) for ANY query
     // batch size, at the cost of one scan node per chunk.
     val qtermSorted = queryPairs.map(_._2).distinct.sorted.toSeq
-    val pushLimit = math.max(1, scala.util.Try(spark.conf.get(
-      "spark.sql.parquet.pushdown.inFilterThreshold").toInt).getOrElse(10))
-    val termChunks = qtermSorted.grouped(pushLimit).toList
-    def prunedScan(path: String): DataFrame = termChunks
-      .map(c => spark.read.parquet(path).where(col("term").isin(c: _*)))
-      .reduce(_ union _)
+    // chunk bound = min(session in-filter threshold, the global
+    // Or-tree depth cap): past the threshold Spark degrades IN to a
+    // range filter (no seek), and past ~5.9k literals the pushed
+    // left-deep Or tree overflows the executor stack fatally — see
+    // [[Pushdown]], which owns the second bound
+    val pushLimit = math.max(1, math.min(Pushdown.MaxInLiterals,
+      scala.util.Try(spark.conf.get(
+        "spark.sql.parquet.pushdown.inFilterThreshold").toInt).getOrElse(10)))
+    // seek-vs-scan: the isin seek only pays when the batch's term set
+    // is SELECTIVE relative to the vocabulary — a dense batch matches
+    // something in ~every row group, so the pushed set skips nothing
+    // and the chunked scans are pure overhead (measured at 20M
+    // postings: 28%-of-vocab batch reads 1.7× SLOWER chunked than a
+    // full scan + broadcast join; DebugBm25Scale, SCALE.md round 8).
+    // Vocabulary size = one cached metadata-only count of the df table.
+    val seek = qtermSorted.size <= math.max(1L,
+      (vocabSize(spark, index) * seekCeiling).toLong)
+    def prunedScan(path: String): DataFrame =
+      if (!seek) spark.read.parquet(path)
+      else Pushdown.inChunks(qtermSorted, pushLimit)(
+        c => spark.read.parquet(path).where(col("term").isin(c: _*)))
     val qterms = queryPairs.toSeq.toDF("query_id", "term")
     val stats = spark.read.parquet(index.statsPath)
     // the chunked term set is carried as isin PREDICATES on both the

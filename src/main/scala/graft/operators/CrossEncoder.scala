@@ -34,8 +34,10 @@ object CrossEncoder {
     import spark.implicits._
     val candDocs = pairs.map(_._2).distinct.toSeq
     val pairDf = pairs.toSeq.toDF("query_id", "doc_id")
-    val scored = dTerms
-      .where(col("doc_id").isin(candDocs: _*))
+    // candidate docs are batch-scaled (queries × candidates) — chunked
+    // ([[Pushdown]]) so the pushed filter tree stays shallow
+    val scored = Pushdown.inChunks(candDocs)(cs =>
+        dTerms.where(col("doc_id").isin(cs: _*)))
       .select(col("doc_id"), array_distinct(col("terms")).as("dts"))
       .join(broadcast(pairDf), Seq("doc_id"))
       .join(broadcast(qTerms.select(col("query_id"),

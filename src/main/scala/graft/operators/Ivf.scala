@@ -406,11 +406,16 @@ object Ivf {
 
     // pruned scan: directory pruning on shard_id + row-group skipping on
     // centroid_id (replaces S8 selective reads), then distance + top-k via
-    // TakeOrderedAndProject (J6/T2)
+    // TakeOrderedAndProject (J6/T2). The centroid set is chunked
+    // ([[Pushdown]]): probe-all at corpus-scale k would otherwise push
+    // a fatally deep Or tree; shard_id is a partition column (pruned
+    // driver-side, no tree)
     val qLit = lit(query)
     val pruned = liveRows(spark, index,
-      spark.read.parquet(index.vectorsPath)
-        .where(col("shard_id").isin(shards: _*) && col("centroid_id").isin(probes: _*)),
+      Pushdown.inChunks(probes)(ps =>
+        spark.read.parquet(index.vectorsPath)
+          .where(col("shard_id").isin(shards: _*) &&
+            col("centroid_id").isin(ps: _*))),
       idCol)
     val base = filter.map(pruned.where).getOrElse(pruned)
       .withColumn("distance", Vec.squaredL2(col(embCol), qLit))
@@ -445,8 +450,10 @@ object Ivf {
     val (probes, shards) = probeSelection(index, query, nProbe)
     val qLit = lit(query)
     val pruned = liveRows(spark, index,
-      spark.read.parquet(index.vectorsPath)
-        .where(col("shard_id").isin(shards: _*) && col("centroid_id").isin(probes: _*)),
+      Pushdown.inChunks(probes)(ps =>
+        spark.read.parquet(index.vectorsPath)
+          .where(col("shard_id").isin(shards: _*) &&
+            col("centroid_id").isin(ps: _*))),
       idCol)
     filter.map(pruned.where).getOrElse(pruned)
       .withColumn("distance", Vec.squaredL2(col(embCol), qLit))

@@ -125,10 +125,13 @@ object IvfPq {
     }.toDF("centroid_id", "lut")
     // centroid_id must ALSO be a scan predicate (not just the join key):
     // the join discards non-probed rows after decode, the pushed filter
-    // skips their row groups at the reader
-    Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
-      .where(col("shard_id").isin(shards: _*) &&
-        col("centroid_id").isin(probes: _*))
+    // skips their row groups at the reader. Probe set chunked
+    // ([[Pushdown]]) — probe-all at corpus-scale k would otherwise
+    // push a fatally deep Or tree
+    Pushdown.inChunks(probes.toSeq)(ps =>
+        Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
+          .where(col("shard_id").isin(shards: _*) &&
+            col("centroid_id").isin(ps: _*)))
       .join(broadcast(lutDf), Seq("centroid_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
       .orderBy(col("distance").asc_nulls_last, col(idCol))
@@ -164,10 +167,11 @@ object IvfPq {
     // is a pushed scan predicate, the join only fans rows out per query.
     // Per-query top-k is the bounded-state aggregate (TopNByKey), so
     // each map task emits ≤ k rows per query before the exchange.
-    val candidates = Ivf.liveRows(spark, ivf,
-        spark.read.parquet(codesPath), idCol)
-      .where(col("shard_id").isin(shards: _*) &&
-        col("centroid_id").isin(probedCentroids: _*))
+    val candidates = Pushdown.inChunks(probedCentroids.toSeq)(ps =>
+        Ivf.liveRows(spark, ivf,
+            spark.read.parquet(codesPath), idCol)
+          .where(col("shard_id").isin(shards: _*) &&
+            col("centroid_id").isin(ps: _*)))
       .join(broadcast(lutDf), Seq("centroid_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
     TopNByKey.topN(candidates, Seq("query_id"), col("distance"), col(idCol), k)
@@ -200,9 +204,10 @@ object IvfPq {
     // reads probed bytes ∩ shortlist — never the whole float dataset
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
-    spark.read.parquet(ivf.vectorsPath)
-      .where(col("shard_id").isin(shards: _*) &&
-        col("centroid_id").isin(probes: _*))
+    Pushdown.inChunks(probes)(ps =>
+        spark.read.parquet(ivf.vectorsPath)
+          .where(col("shard_id").isin(shards: _*) &&
+            col("centroid_id").isin(ps: _*)))
       .join(broadcast(shortlist), Seq(idCol), "left_semi")
       .withColumn("distance",
         graft.functions.Vec.squaredL2(col(embCol), lit(query)))
@@ -262,9 +267,10 @@ object IvfPq {
     require(k > 0, "k must be > 0")
     require(nProbe > 0, "n_probe must be > 0")
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
-    Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
-      .where(col("shard_id").isin(shards: _*) &&
-        col("centroid_id").isin(probes: _*))
+    Pushdown.inChunks(probes)(ps =>
+        Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
+          .where(col("shard_id").isin(shards: _*) &&
+            col("centroid_id").isin(ps: _*)))
       .withColumn("distance", Pq.adc(col("pq_code"), Pq.lutFor(query, model)))
       .orderBy(col("distance").asc_nulls_last, col(idCol))
       .limit(k)

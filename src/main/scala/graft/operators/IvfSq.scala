@@ -53,9 +53,12 @@ object IvfSq {
     require(query.length == ivf.centroids(0).length,
       s"query dimension ${query.length} != index dimension ${ivf.centroids(0).length}")
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
-    Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
-      .where(col("shard_id").isin(shards: _*) &&
-        col("centroid_id").isin(probes: _*))
+    // probe set chunked ([[Pushdown]]): probe-all at corpus-scale k
+    // would otherwise push a fatally deep Or tree
+    Pushdown.inChunks(probes)(ps =>
+        Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
+          .where(col("shard_id").isin(shards: _*) &&
+            col("centroid_id").isin(ps: _*)))
       .withColumn("distance",
         Vec.squaredL2(Quantize.dequantize(col("q_emb"), col("q_scale")),
           lit(query)))

@@ -113,8 +113,10 @@ object MaxSim {
       .toDF("query_id", "q_pooled")
       .select(col("query_id"),
         col("q_pooled").cast("array<float>").as("q_pooled"))
-    val cand = buckets
-      .where(col("bucket").isin(probedBuckets: _*))
+    // bucket set is batch-scaled (nq × multi-probe combos) — chunked
+    // ([[Pushdown]]) so the pushed filter tree stays shallow
+    val cand = Pushdown.inChunks(probedBuckets)(bs =>
+        buckets.where(col("bucket").isin(bs: _*)))
       .join(broadcast(probeDf), Seq("bucket"))
       .join(broadcast(qDf), Seq("query_id"))
       .withColumn("pc",
@@ -165,8 +167,10 @@ object MaxSim {
     import spark.implicits._
     val candDocs = candPairs.map(_._2).distinct.toSeq
     val candDf = candPairs.toSeq.toDF("query_id", "doc_id")
-    val mx = corpusChunks
-      .where(col("doc_id").isin(candDocs: _*))
+    // candidate docs are batch-scaled (nq × perQuery) — chunked
+    // ([[Pushdown]]) so the pushed filter tree stays shallow
+    val mx = Pushdown.inChunks(candDocs)(cs =>
+        corpusChunks.where(col("doc_id").isin(cs: _*)))
       .join(broadcast(candDf), Seq("doc_id"))
       .join(broadcast(qChunks), Seq("query_id"))
       .groupBy(col("query_id"), col("qidx"), col("doc_id"))

@@ -217,14 +217,18 @@ class PlanSpec extends SparkSpec {
     // postings parquet present (the build-once inverted index) …
     assert(p.contains("bm25_tf"),
       "query plan does not read the prebuilt posting table")
-    // … the SCORING posting scan carries the pushed query-term set so
-    // the term-clustered parquet row-group skips (inverted-index seek);
-    // the df/stats aggregates legitimately scan the full postings
+    // … the catalog batch is DENSE (30 of the synthetic table's 31
+    // vocabulary terms — far above SeekSelectivityCeiling), so the
+    // adaptive seek-vs-scan rule must pick the plain posting scan: no
+    // In(term)/INSET anywhere (pushing a ~whole-vocabulary set skips
+    // no row group and is pure overhead — DebugBm25Scale). The seek
+    // regime's pushed-chunk shape is gated in RetrievalSpec on a
+    // selective batch.
     val tfScanLines = p.split("\n")
       .filter(l => l.contains("FileScan") && l.contains("bm25_tf"))
-    assert(tfScanLines.exists(l =>
-      l.contains("INSET") || l.contains("In(term")),
-      s"query-term set not pushed to any posting scan:\n" +
+    assert(tfScanLines.nonEmpty && tfScanLines.forall(l =>
+      !l.contains("INSET") && !l.contains("In(term")),
+      s"dense catalog batch must not push the term set:\n" +
         tfScanLines.map(_.take(300)).mkString("\n"))
     // … and the query side never scans documents at query time: the
     // driver-sized (query_id, term) pairs are collected once per data

@@ -103,8 +103,11 @@ class RetrievalSpec extends SparkSpec {
     // single-scan form at a high threshold
     import org.apache.spark.sql.functions.col
     val base = java.nio.file.Files.createTempDirectory("graft_bm25_chunk").toString
-    val corpus = spark.range(40).selectExpr("id AS doc_id",
-      "array(concat('t', id), concat('t', (id + 1) % 40), 'common') AS terms")
+    // 1001-term vocabulary so the 20-term batch is SELECTIVE (2% <<
+    // SeekSelectivityCeiling) — the seek path must engage; the dense
+    // regime has its own gate below
+    val corpus = spark.range(1000).selectExpr("id AS doc_id",
+      "array(concat('t', id), concat('t', (id + 1) % 1000), 'common') AS terms")
     val idx = graft.operators.Bm25.build(corpus, base)
     val pairs = (0 until 20).map(i => (5L, s"t$i")).toArray
     val confKey = "spark.sql.parquet.pushdown.inFilterThreshold"
@@ -133,6 +136,41 @@ class RetrievalSpec extends SparkSpec {
       case Some(v) => spark.conf.set(confKey, v)
       case None => spark.conf.unset(confKey)
     }
+  }
+
+  test("bm25 seek-vs-scan: a dense term set skips the isin seek, " +
+      "scores identically") {
+    // 20 of 41 vocabulary terms (49% >> SeekSelectivityCeiling): the
+    // pushed-set seek cannot skip any row group, so scoring must serve
+    // from the plain posting scan — no In(term)/INSET on any tf scan —
+    // and match the seek form's scores exactly (same aggregation, same
+    // fold order)
+    val base = java.nio.file.Files.createTempDirectory("graft_bm25_dense").toString
+    val corpus = spark.range(40).selectExpr("id AS doc_id",
+      "array(concat('t', id), concat('t', (id + 1) % 40), 'common') AS terms")
+    val idx = graft.operators.Bm25.build(corpus, base)
+    val pairs = (0 until 20).map(i => (5L, s"t$i")).toArray
+    val denseDf = graft.operators.Bm25.topDocs(
+      graft.operators.Bm25.scoredFromPairs(spark, idx, pairs), k = 25)
+    val p = denseDf.queryExecution.executedPlan.toString
+    val tfScans = p.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("bm25_tf"))
+    assert(tfScans.nonEmpty && tfScans.forall(l =>
+      !l.contains("INSET") && !l.contains("In(term")),
+      s"dense batch must not push the term set:\n" +
+        tfScans.map(_.take(300)).mkString("\n"))
+    // exact parity with the seek path forced on the SAME (corpus,
+    // batch) via the seekCeiling knob: both regimes are pure plan
+    // choices over identical scoring math
+    val seekDf = graft.operators.Bm25.topDocs(
+      graft.operators.Bm25.scoredFromPairs(spark, idx, pairs,
+        seekCeiling = 1.0), k = 25)
+    val ps = seekDf.queryExecution.executedPlan.toString
+    assert(ps.split("\n").exists(l => l.contains("FileScan") &&
+        l.contains("bm25_tf") && (l.contains("INSET") || l.contains("In(term"))),
+      "forced-seek form must push the term set")
+    assert(denseDf.collect().toSeq === seekDf.collect().toSeq,
+      "dense scan plan diverged from the seek plan")
   }
 
   test("bm25 posting write spreads a hot term across partitions, volume bounded") {
