@@ -204,8 +204,11 @@ object Bench {
     // the plan; p2 ≪ p1 means pass 1 absorbed one-time/contended cost
     // (the SCALE.md box-variance rule).
     val ordered = results.toSeq.sortBy { case (k, v) =>
-      val v2 = secondPass.getOrElse(k, -1.0)
-      (v >= 0 && v2 >= 0, -math.max(v, v2))
+      // failed = pass 1 failed, or a RUN pass 2 failed (build-phase
+      // entries have no pass 2 and are healthy when pass 1 succeeded);
+      // failures sort strictly first, then by max-pass cost
+      val failed = v < 0 || secondPass.get(k).exists(_ < 0)
+      (!failed, -math.max(v, secondPass.getOrElse(k, -1.0)))
     }
     val budget = 1500
     val kept = new scala.collection.mutable.ArrayBuffer[String]()

@@ -51,11 +51,17 @@ object Bm25 {
     val key = try {
       val fs = Option(new java.io.File(index.dfPath).listFiles())
         .getOrElse(Array.empty)
-      s"${index.dfPath}:${fs.map(_.length).sum}:" +
-        fs.map(_.lastModified).foldLeft(0L)(math.max)
-    } catch { case _: Throwable => index.dfPath }
-    vocabCache.computeIfAbsent(key,
-      _ => spark.read.parquet(index.dfPath).count())
+      Some(s"${index.dfPath}:${fs.map(_.length).sum}:" +
+        fs.map(_.lastModified).foldLeft(0L)(math.max))
+    } catch { case _: Throwable => None }
+    key match {
+      case Some(k) => vocabCache.computeIfAbsent(k,
+        _ => spark.read.parquet(index.dfPath).count())
+      // fingerprint unavailable (e.g. non-local filesystem): a bare
+      // path key could outlive an in-place rebuild and flip the
+      // seek-vs-scan rule on stale data — recount instead of caching
+      case None => spark.read.parquet(index.dfPath).count()
+    }
   }
 
   /** Handle to a built index: posting table, term dictionary (df), and
@@ -132,10 +138,8 @@ object Bm25 {
     // Or-tree depth cap): past the threshold Spark degrades IN to a
     // range filter (no seek), and past ~5.9k literals the pushed
     // left-deep Or tree overflows the executor stack fatally — see
-    // [[Pushdown]], which owns the second bound
-    val pushLimit = math.max(1, math.min(Pushdown.MaxInLiterals,
-      scala.util.Try(spark.conf.get(
-        "spark.sql.parquet.pushdown.inFilterThreshold").toInt).getOrElse(10)))
+    // [[Pushdown]], which owns both bounds
+    val pushLimit = Pushdown.sessionChunk(spark)
     // seek-vs-scan: the isin seek only pays when the batch's term set
     // is SELECTIVE relative to the vocabulary — a dense batch matches
     // something in ~every row group, so the pushed set skips nothing

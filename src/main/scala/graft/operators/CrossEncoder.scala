@@ -36,7 +36,7 @@ object CrossEncoder {
     val pairDf = pairs.toSeq.toDF("query_id", "doc_id")
     // candidate docs are batch-scaled (queries × candidates) — chunked
     // ([[Pushdown]]) so the pushed filter tree stays shallow
-    val scored = Pushdown.inChunks(candDocs)(cs =>
+    val scored = Pushdown.inChunks(spark, candDocs)(cs =>
         dTerms.where(col("doc_id").isin(cs: _*)))
       .select(col("doc_id"), array_distinct(col("terms")).as("dts"))
       .join(broadcast(pairDf), Seq("doc_id"))

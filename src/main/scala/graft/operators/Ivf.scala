@@ -412,7 +412,7 @@ object Ivf {
     // driver-side, no tree)
     val qLit = lit(query)
     val pruned = liveRows(spark, index,
-      Pushdown.inChunks(probes)(ps =>
+      Pushdown.inChunks(spark, probes)(ps =>
         spark.read.parquet(index.vectorsPath)
           .where(col("shard_id").isin(shards: _*) &&
             col("centroid_id").isin(ps: _*))),
@@ -450,7 +450,7 @@ object Ivf {
     val (probes, shards) = probeSelection(index, query, nProbe)
     val qLit = lit(query)
     val pruned = liveRows(spark, index,
-      Pushdown.inChunks(probes)(ps =>
+      Pushdown.inChunks(spark, probes)(ps =>
         spark.read.parquet(index.vectorsPath)
           .where(col("shard_id").isin(shards: _*) &&
             col("centroid_id").isin(ps: _*))),

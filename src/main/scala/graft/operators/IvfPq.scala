@@ -128,10 +128,12 @@ object IvfPq {
     // skips their row groups at the reader. Probe set chunked
     // ([[Pushdown]]) — probe-all at corpus-scale k would otherwise
     // push a fatally deep Or tree
-    Pushdown.inChunks(probes.toSeq)(ps =>
-        Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
-          .where(col("shard_id").isin(shards: _*) &&
-            col("centroid_id").isin(ps: _*)))
+    Ivf.liveRows(spark, ivf,
+        Pushdown.inChunks(spark, probes.toSeq)(ps =>
+          spark.read.parquet(codesPath)
+            .where(col("shard_id").isin(shards: _*) &&
+              col("centroid_id").isin(ps: _*))),
+        idCol)
       .join(broadcast(lutDf), Seq("centroid_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
       .orderBy(col("distance").asc_nulls_last, col(idCol))
@@ -167,11 +169,12 @@ object IvfPq {
     // is a pushed scan predicate, the join only fans rows out per query.
     // Per-query top-k is the bounded-state aggregate (TopNByKey), so
     // each map task emits ≤ k rows per query before the exchange.
-    val candidates = Pushdown.inChunks(probedCentroids.toSeq)(ps =>
-        Ivf.liveRows(spark, ivf,
-            spark.read.parquet(codesPath), idCol)
-          .where(col("shard_id").isin(shards: _*) &&
-            col("centroid_id").isin(ps: _*)))
+    val candidates = Ivf.liveRows(spark, ivf,
+        Pushdown.inChunks(spark, probedCentroids.toSeq)(ps =>
+          spark.read.parquet(codesPath)
+            .where(col("shard_id").isin(shards: _*) &&
+              col("centroid_id").isin(ps: _*))),
+        idCol)
       .join(broadcast(lutDf), Seq("centroid_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
     TopNByKey.topN(candidates, Seq("query_id"), col("distance"), col(idCol), k)
@@ -204,7 +207,7 @@ object IvfPq {
     // reads probed bytes ∩ shortlist — never the whole float dataset
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
-    Pushdown.inChunks(probes)(ps =>
+    Pushdown.inChunks(spark, probes)(ps =>
         spark.read.parquet(ivf.vectorsPath)
           .where(col("shard_id").isin(shards: _*) &&
             col("centroid_id").isin(ps: _*)))
@@ -267,10 +270,12 @@ object IvfPq {
     require(k > 0, "k must be > 0")
     require(nProbe > 0, "n_probe must be > 0")
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
-    Pushdown.inChunks(probes)(ps =>
-        Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
-          .where(col("shard_id").isin(shards: _*) &&
-            col("centroid_id").isin(ps: _*)))
+    Ivf.liveRows(spark, ivf,
+        Pushdown.inChunks(spark, probes)(ps =>
+          spark.read.parquet(codesPath)
+            .where(col("shard_id").isin(shards: _*) &&
+              col("centroid_id").isin(ps: _*))),
+        idCol)
       .withColumn("distance", Pq.adc(col("pq_code"), Pq.lutFor(query, model)))
       .orderBy(col("distance").asc_nulls_last, col(idCol))
       .limit(k)

@@ -55,10 +55,12 @@ object IvfSq {
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
     // probe set chunked ([[Pushdown]]): probe-all at corpus-scale k
     // would otherwise push a fatally deep Or tree
-    Pushdown.inChunks(probes)(ps =>
-        Ivf.liveRows(spark, ivf, spark.read.parquet(codesPath), idCol)
-          .where(col("shard_id").isin(shards: _*) &&
-            col("centroid_id").isin(ps: _*)))
+    Ivf.liveRows(spark, ivf,
+        Pushdown.inChunks(spark, probes)(ps =>
+          spark.read.parquet(codesPath)
+            .where(col("shard_id").isin(shards: _*) &&
+              col("centroid_id").isin(ps: _*))),
+        idCol)
       .withColumn("distance",
         Vec.squaredL2(Quantize.dequantize(col("q_emb"), col("q_scale")),
           lit(query)))

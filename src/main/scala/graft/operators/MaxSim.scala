@@ -115,7 +115,7 @@ object MaxSim {
         col("q_pooled").cast("array<float>").as("q_pooled"))
     // bucket set is batch-scaled (nq × multi-probe combos) — chunked
     // ([[Pushdown]]) so the pushed filter tree stays shallow
-    val cand = Pushdown.inChunks(probedBuckets)(bs =>
+    val cand = Pushdown.inChunks(buckets.sparkSession, probedBuckets)(bs =>
         buckets.where(col("bucket").isin(bs: _*)))
       .join(broadcast(probeDf), Seq("bucket"))
       .join(broadcast(qDf), Seq("query_id"))
@@ -169,7 +169,7 @@ object MaxSim {
     val candDf = candPairs.toSeq.toDF("query_id", "doc_id")
     // candidate docs are batch-scaled (nq × perQuery) — chunked
     // ([[Pushdown]]) so the pushed filter tree stays shallow
-    val mx = Pushdown.inChunks(candDocs)(cs =>
+    val mx = Pushdown.inChunks(spark, candDocs)(cs =>
         corpusChunks.where(col("doc_id").isin(cs: _*)))
       .join(broadcast(candDf), Seq("doc_id"))
       .join(broadcast(qChunks), Seq("query_id"))

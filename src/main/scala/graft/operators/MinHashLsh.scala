@@ -82,7 +82,13 @@ object MinHashLsh {
     * O(tokens²) splits per document.
     */
   def shingles(toks: Column, k: Int): Column =
-    if (k == 1) array_distinct(toks)
+    // k=1 keeps the k>=2 empty-doc contract: a doc with no tokens
+    // collapses to the one whole-document (empty-string) shingle, so
+    // empty docs are verified identical (jaccard 1.0) at every k
+    // instead of emitting null signatures that collide in all bands
+    if (k == 1)
+      when(size(toks) >= 1, array_distinct(toks))
+        .otherwise(array(lit("")))
     else array_distinct(
       when(size(toks) >= k,
         transform(sequence(lit(1), size(toks) - (k - 1)),
@@ -105,9 +111,27 @@ object MinHashLsh {
     * column expressions: no shuffle, streaming-safe.
     */
   def sign(df: DataFrame, idCol: String, termsCol: String,
-      p: Params = Params()): DataFrame =
+      p: Params = Params()): DataFrame = {
+    requireIntegralId(df, idCol)
     signShingled(df.select(col(idCol).as("id"),
       shingles(col(termsCol), p.shingleK).as("sh")), p)
+  }
+
+  /** The band-bucket cap ([[TopNByKey]]) ranks ids as longs, so the id
+    * column must be integral (and, for ids above 2^53, the keep-
+    * smallest ordering inside an over-cap bucket follows the double-
+    * ranked order). Validated loudly here: a string id would otherwise
+    * cast to null and silently produce ZERO candidate pairs. Hash or
+    * dense-rank non-numeric ids before signing.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"id column '$idCol' must be an integral type (the band-bucket " +
+        s"cap ranks ids as longs); got $dt — hash (e.g. xxhash64) or " +
+        "dense-rank non-numeric ids first")
+  }
 
   /** (id, band_idx, band_val) banded signatures from a [[sign]]ed
     * frame: band b's value concatenates sig_{r·b} … sig_{r·b+r−1}.

@@ -33,13 +33,36 @@ object Pushdown {
     */
   val MaxInLiterals = 256
 
+  /** The effective chunk size for `spark`'s session: a chunk larger
+    * than `spark.sql.parquet.pushdown.inFilterThreshold` would be
+    * rewritten to a seek-less [min,max] range filter, so the bound is
+    * min(threshold, [[MaxInLiterals]]) — sessions at Spark's default
+    * threshold of 10 get 10-literal chunks (shallow AND pushed), the
+    * repo's sessions at 10000 get 256.
+    */
+  def sessionChunk(spark: org.apache.spark.sql.SparkSession): Int =
+    math.max(1, math.min(MaxInLiterals,
+      scala.util.Try(spark.conf.get(
+        "spark.sql.parquet.pushdown.inFilterThreshold").toInt)
+        .getOrElse(MaxInLiterals)))
+
   /** `scan(chunk)` per ≤`chunk`-sized slice of `values`, unioned.
     * Callers build the isin-filtered scan in `scan`; an empty value
     * set degrades to one `scan(empty)` call (an empty isin is
-    * always-false, preserving semantics).
+    * always-false, preserving semantics). Prefer the session-aware
+    * overload — a fixed `chunk` above the session's in-filter
+    * threshold loses the per-chunk IN pushdown (see [[sessionChunk]]).
     */
   def inChunks[T](values: Seq[T], chunk: Int = MaxInLiterals)(
       scan: Seq[T] => DataFrame): DataFrame =
     if (values.isEmpty) scan(values)
     else values.grouped(chunk).map(scan).reduce(_ union _)
+
+  /** Session-aware [[inChunks]]: chunk = [[sessionChunk]], so every
+    * chunk stays under BOTH the Or-tree depth cap and the session's
+    * in-filter threshold.
+    */
+  def inChunks[T](spark: org.apache.spark.sql.SparkSession,
+      values: Seq[T])(scan: Seq[T] => DataFrame): DataFrame =
+    inChunks(values, sessionChunk(spark))(scan)
 }

@@ -26,10 +26,27 @@ object DebugProbePool {
       graft.sources.VectorFormats.generatedPath(spark, 100000L, 128, 42L)
     val dataDir = new java.io.File(vecPath).getParent
     val emb = spark.read.parquet(vecPath)
+    // the cached index is valid only if it was built from the CURRENT
+    // generator output: the INDEX_GENERATOR marker (stamped at build)
+    // must match the dataset's GENERATOR marker — otherwise a version
+    // bump regenerates the vectors but a stale index would silently
+    // keep serving centroids trained on the old ones
+    def readMarker(name: String): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dataDir, name)), "UTF-8")
+      catch { case _: java.io.IOException => "" }
+    val gen = readMarker("GENERATOR")
     val idx =
-      if (new java.io.File(s"$dataDir/index").exists())
+      if (gen.nonEmpty && gen == readMarker("INDEX_GENERATOR") &&
+          new java.io.File(s"$dataDir/index").exists())
         Ivf.load(spark, s"$dataDir/index")
-      else Ivf.build(emb, "vec_id", "embedding", s"$dataDir/index")
+      else {
+        val built = Ivf.build(emb, "vec_id", "embedding", s"$dataDir/index")
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dataDir, "INDEX_GENERATOR"),
+          gen.getBytes("UTF-8"))
+        built
+      }
     val queries = RecallEval.perturbedQueries(
       emb.where(col("vec_id") < 100).select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)), 0.5f)

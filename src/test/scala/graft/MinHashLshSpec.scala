@@ -63,6 +63,17 @@ class MinHashLshSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("non-integral id column is rejected loudly") {
+    import spark.implicits._
+    // a string id would cast to null inside the band-bucket cap and
+    // silently yield zero pairs — sign() must refuse it instead
+    val df = Seq(("u1", Seq("a", "b")), ("u2", Seq("a", "b")))
+      .toDF("url", "toks")
+    val e = intercept[IllegalArgumentException](
+      MinHashLsh.sign(df, "url", "toks"))
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("parameter validation") {
     intercept[IllegalArgumentException](Params(shingleK = 0))
     intercept[IllegalArgumentException](Params(numHashes = 8, bands = 3))
