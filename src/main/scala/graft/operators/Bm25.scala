@@ -31,14 +31,16 @@ object Bm25 {
 
   /** Batch-term-set-to-vocabulary ratio above which scoring skips the
     * isin seek and reads the plain posting scan. The seek wins only
-    * while most row groups contain NO batch term; DebugBm25Scale
-    * measured the dense regime (28% of a 20k vocab, 20M postings)
-    * reading 1.7× slower chunk-pruned than full-scanned. 0.05 is
-    * conservatively inside the win region: real retrieval batches
-    * against real vocabularies (100k+) sit orders of magnitude below
-    * it, while analytics-style dense scoring flips to the scan plan.
+    * while most row groups contain NO batch term. DebugBm25Scale swept
+    * the crossover on a 20M-posting / 20k-vocab index (seek vs full
+    * scan): 2.6× faster at 2% coverage, 1.9× at 4–8%, parity at ~15%,
+    * 1.9× SLOWER at 28%. 0.10 sits comfortably inside the measured win
+    * region with margin for different row-group shapes; real retrieval
+    * batches against real vocabularies (100k+) are orders of magnitude
+    * below it, while analytics-style dense scoring flips to the scan
+    * plan.
     */
-  val SeekSelectivityCeiling = 0.05
+  val SeekSelectivityCeiling = 0.10
 
   private val vocabCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
