@@ -266,6 +266,22 @@ object Ivf {
     * honor deletes too — a tombstone must hide the id on EVERY search
     * path, not just the float one.
     */
+  /** The probe-pruned scan shared by every single-query search path
+    * (float vectors and coded siblings alike): shard directory pruning
+    * + chunked centroid row-group predicates ([[Pushdown]]). Probe-all
+    * (probes = every centroid) drops the centroid predicate entirely —
+    * it is a tautology there, and at corpus-scale k the ⌈k/256⌉ chunk
+    * arms would each re-scan what the shard pruning already admits.
+    */
+  private[operators] def probePrunedScan(spark: SparkSession, path: String,
+      probes: Seq[Int], shards: Seq[Int], k: Int): DataFrame =
+    if (probes.length >= k)
+      spark.read.parquet(path).where(col("shard_id").isin(shards: _*))
+    else Pushdown.inChunks(spark, probes)(ps =>
+      spark.read.parquet(path)
+        .where(col("shard_id").isin(shards: _*) &&
+          col("centroid_id").isin(ps: _*)))
+
   private[operators] def liveRows(spark: SparkSession, index: Index,
       df: DataFrame, idCol: String): DataFrame = {
     val now = System.nanoTime()
@@ -405,17 +421,12 @@ object Ivf {
     val (probes, shards) = probeSelection(index, query, nProbe)
 
     // pruned scan: directory pruning on shard_id + row-group skipping on
-    // centroid_id (replaces S8 selective reads), then distance + top-k via
-    // TakeOrderedAndProject (J6/T2). The centroid set is chunked
-    // ([[Pushdown]]): probe-all at corpus-scale k would otherwise push
-    // a fatally deep Or tree; shard_id is a partition column (pruned
-    // driver-side, no tree)
+    // centroid_id (replaces S8 selective reads), then distance + top-k
+    // via TakeOrderedAndProject (J6/T2) — see [[probePrunedScan]] for
+    // the chunking/probe-all contract
     val qLit = lit(query)
     val pruned = liveRows(spark, index,
-      Pushdown.inChunks(spark, probes)(ps =>
-        spark.read.parquet(index.vectorsPath)
-          .where(col("shard_id").isin(shards: _*) &&
-            col("centroid_id").isin(ps: _*))),
+      probePrunedScan(spark, index.vectorsPath, probes, shards, index.k),
       idCol)
     val base = filter.map(pruned.where).getOrElse(pruned)
       .withColumn("distance", Vec.squaredL2(col(embCol), qLit))
@@ -450,10 +461,7 @@ object Ivf {
     val (probes, shards) = probeSelection(index, query, nProbe)
     val qLit = lit(query)
     val pruned = liveRows(spark, index,
-      Pushdown.inChunks(spark, probes)(ps =>
-        spark.read.parquet(index.vectorsPath)
-          .where(col("shard_id").isin(shards: _*) &&
-            col("centroid_id").isin(ps: _*))),
+      probePrunedScan(spark, index.vectorsPath, probes, shards, index.k),
       idCol)
     filter.map(pruned.where).getOrElse(pruned)
       .withColumn("distance", Vec.squaredL2(col(embCol), qLit))

@@ -125,14 +125,10 @@ object IvfPq {
     }.toDF("centroid_id", "lut")
     // centroid_id must ALSO be a scan predicate (not just the join key):
     // the join discards non-probed rows after decode, the pushed filter
-    // skips their row groups at the reader. Probe set chunked
-    // ([[Pushdown]]) — probe-all at corpus-scale k would otherwise
-    // push a fatally deep Or tree
+    // skips their row groups at the reader — see Ivf.probePrunedScan
+    // for the chunking/probe-all contract
     Ivf.liveRows(spark, ivf,
-        Pushdown.inChunks(spark, probes.toSeq)(ps =>
-          spark.read.parquet(codesPath)
-            .where(col("shard_id").isin(shards: _*) &&
-              col("centroid_id").isin(ps: _*))),
+        Ivf.probePrunedScan(spark, codesPath, probes, shards, ivf.k),
         idCol)
       .join(broadcast(lutDf), Seq("centroid_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
@@ -170,10 +166,8 @@ object IvfPq {
     // Per-query top-k is the bounded-state aggregate (TopNByKey), so
     // each map task emits ≤ k rows per query before the exchange.
     val candidates = Ivf.liveRows(spark, ivf,
-        Pushdown.inChunks(spark, probedCentroids.toSeq)(ps =>
-          spark.read.parquet(codesPath)
-            .where(col("shard_id").isin(shards: _*) &&
-              col("centroid_id").isin(ps: _*))),
+        Ivf.probePrunedScan(spark, codesPath, probedCentroids.toSeq,
+          shards.toSeq, ivf.k),
         idCol)
       .join(broadcast(lutDf), Seq("centroid_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
@@ -207,10 +201,7 @@ object IvfPq {
     // reads probed bytes ∩ shortlist — never the whole float dataset
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
-    Pushdown.inChunks(spark, probes)(ps =>
-        spark.read.parquet(ivf.vectorsPath)
-          .where(col("shard_id").isin(shards: _*) &&
-            col("centroid_id").isin(ps: _*)))
+    Ivf.probePrunedScan(spark, ivf.vectorsPath, probes, shards, ivf.k)
       .join(broadcast(shortlist), Seq(idCol), "left_semi")
       .withColumn("distance",
         graft.functions.Vec.squaredL2(col(embCol), lit(query)))
@@ -271,10 +262,7 @@ object IvfPq {
     require(nProbe > 0, "n_probe must be > 0")
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
     Ivf.liveRows(spark, ivf,
-        Pushdown.inChunks(spark, probes)(ps =>
-          spark.read.parquet(codesPath)
-            .where(col("shard_id").isin(shards: _*) &&
-              col("centroid_id").isin(ps: _*))),
+        Ivf.probePrunedScan(spark, codesPath, probes, shards, ivf.k),
         idCol)
       .withColumn("distance", Pq.adc(col("pq_code"), Pq.lutFor(query, model)))
       .orderBy(col("distance").asc_nulls_last, col(idCol))

@@ -53,13 +53,8 @@ object IvfSq {
     require(query.length == ivf.centroids(0).length,
       s"query dimension ${query.length} != index dimension ${ivf.centroids(0).length}")
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
-    // probe set chunked ([[Pushdown]]): probe-all at corpus-scale k
-    // would otherwise push a fatally deep Or tree
     Ivf.liveRows(spark, ivf,
-        Pushdown.inChunks(spark, probes)(ps =>
-          spark.read.parquet(codesPath)
-            .where(col("shard_id").isin(shards: _*) &&
-              col("centroid_id").isin(ps: _*))),
+        Ivf.probePrunedScan(spark, codesPath, probes, shards, ivf.k),
         idCol)
       .withColumn("distance",
         Vec.squaredL2(Quantize.dequantize(col("q_emb"), col("q_scale")),

@@ -136,13 +136,29 @@ class PlanSpec extends SparkSpec {
   }
 
   test("range search: probe filters prune the scan, no global sort of matches") {
+    // the catalog entry is PROBE-ALL: every centroid is probed, so the
+    // adaptive pruned scan (Ivf.probePrunedScan) must DROP the
+    // tautological centroid predicate (⌈k/256⌉ chunk arms would each
+    // re-scan what shard pruning already admits) while keeping the
+    // shard directory pruning
     val df = Catalog.all("ivf_range_search").build(spark, sf001)
     val p = df.queryExecution.executedPlan.toString
-    // shard_id is the partition column, centroid_id skips row groups
     assert(p.contains("PartitionFilters") && p.contains("shard_id"),
       s"no directory pruning:\n${p.take(2000)}")
-    assert(p.contains("PushedFilters") && p.contains("centroid_id"),
-      s"centroid filter not pushed:\n${p.take(2000)}")
+    assert(!p.contains("In(centroid_id") && !p.contains("centroid_id#"),
+      s"probe-all must not carry a centroid predicate:\n${p.take(2000)}")
+    // the SELECTIVE regime (n_probe << k) must still push the probed
+    // centroid set to the reader
+    val idx = graft.queries.IndexQueries.index(spark, sf001)
+    val q = Tables.embeddings(spark, sf001)
+      .where(org.apache.spark.sql.functions.col("vec_id") === 1L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val sel = graft.operators.Ivf.rangeSearch(spark, idx, q,
+      radius = 1.5, nProbe0 = 2)
+    val ps = sel.queryExecution.executedPlan.toString
+    assert(ps.contains("PushedFilters") &&
+        (ps.contains("In(centroid_id") || ps.contains("centroid_id")),
+      s"selective probe set not pushed:\n${ps.take(2000)}")
   }
 
   test("PII scan / rule filter: map-side only — a single final aggregation exchange") {
