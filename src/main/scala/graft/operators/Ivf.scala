@@ -261,11 +261,6 @@ object Ivf {
   private val tombstonePresence =
     new java.util.concurrent.ConcurrentHashMap[String, TombMemo]()
 
-  /** Live-row filter: anti-join the broadcast tombstone set, if any.
-    * `private[operators]` so the coded sibling datasets (IvfPq, IvfSq)
-    * honor deletes too — a tombstone must hide the id on EVERY search
-    * path, not just the float one.
-    */
   /** The probe-pruned scan shared by every single-query search path
     * (float vectors and coded siblings alike): shard directory pruning
     * + chunked centroid row-group predicates ([[Pushdown]]). Probe-all
@@ -282,6 +277,11 @@ object Ivf {
         .where(col("shard_id").isin(shards: _*) &&
           col("centroid_id").isin(ps: _*)))
 
+  /** Live-row filter: anti-join the broadcast tombstone set, if any.
+    * `private[operators]` so the coded sibling datasets (IvfPq, IvfSq)
+    * honor deletes too — a tombstone must hide the id on EVERY search
+    * path, not just the float one.
+    */
   private[operators] def liveRows(spark: SparkSession, index: Index,
       df: DataFrame, idCol: String): DataFrame = {
     val now = System.nanoTime()

@@ -48,7 +48,11 @@ object DebugCcScale {
     val chainBad = chainRes.where(
       col("cluster_id") =!= col("id") - pmod(col("id"), lit(chainLen))).count()
     val chainComponents = chainRes.select("cluster_id").distinct().count()
-    println(s"""{"metric":"cc_scale","shape":"chain","nodes":$n,"chain_len":$chainLen,"seconds":${f"$chainS%.2f"},"components":$chainComponents,"expected":${n / chainLen},"mislabeled":$chainBad}""")
+    // completeness, not just label correctness: every node must appear
+    // exactly once — a run() regression that drops rows would otherwise
+    // still read "exact"
+    val chainNodes = chainRes.count()
+    println(s"""{"metric":"cc_scale","shape":"chain","nodes":$n,"chain_len":$chainLen,"seconds":${f"$chainS%.2f"},"components":$chainComponents,"expected":${n / chainLen},"labeled_nodes":$chainNodes,"mislabeled":$chainBad}""")
     chainRes.unpersist()
 
     // star: hub 0 with n−1 spokes → one component labeled 0

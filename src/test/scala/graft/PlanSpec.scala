@@ -156,9 +156,14 @@ class PlanSpec extends SparkSpec {
     val sel = graft.operators.Ivf.rangeSearch(spark, idx, q,
       radius = 1.5, nProbe0 = 2)
     val ps = sel.queryExecution.executedPlan.toString
-    assert(ps.contains("PushedFilters") &&
-        (ps.contains("In(centroid_id") || ps.contains("centroid_id")),
-      s"selective probe set not pushed:\n${ps.take(2000)}")
+    // the In must be INSIDE a scan's PushedFilters list — a post-scan
+    // Filter node also prints "centroid_id", so substring checks on
+    // the whole plan cannot distinguish pushed from unpushed
+    val pushedSegs = ps.split("\n")
+      .filter(l => l.contains("FileScan") && l.contains("PushedFilters: ["))
+      .map(_.split("PushedFilters: \\[", 2)(1))
+    assert(pushedSegs.exists(_.contains("In(centroid_id")),
+      s"selective probe set not inside any PushedFilters:\n${ps.take(2000)}")
   }
 
   test("PII scan / rule filter: map-side only — a single final aggregation exchange") {
