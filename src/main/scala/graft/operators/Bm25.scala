@@ -182,12 +182,13 @@ object Bm25 {
     * term) pairs are collected once and broadcast.
     */
   def scored(spark: SparkSession, index: Index, queries: DataFrame,
-      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+      k1: Double = 1.2, b: Double = 0.75,
+      seekCeiling: Double = SeekSelectivityCeiling): DataFrame =
     scoredFromPairs(spark, index,
       queries.select(col("query_id"),
           explode(array_distinct(col("terms"))).as("term"))
         .collect().map(r => (r.getLong(0), r.getString(1))),
-      k1, b)
+      k1, b, seekCeiling)
 
   /** Top-k docs per query: (query_id, rank, doc_id, score), rank 1..k,
     * score DESC, ties by doc_id — via the bounded-state [[TopNByKey]]
