@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Empty-input edge gates for the public operators: every degenerate
+  * shape (empty corpus, empty query batch, empty candidate/pair set)
+  * must degrade to an EMPTY result — no NaN scores, no
+  * division-by-zero, no crash. A production pipeline hits these on
+  * day one (a new shard with no documents yet, a query batch filtered
+  * to nothing), and a NaN that survives into a ranking silently
+  * corrupts downstream top-k.
+  */
+class OperatorEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base =
+    java.nio.file.Files.createTempDirectory("graft_edge").toString
+  private lazy val emptyCorpus =
+    Seq.empty[(Long, Seq[String])].toDF("doc_id", "terms")
+  private lazy val tinyCorpus =
+    Seq((1L, Seq("a", "b")), (2L, Seq("b", "c"))).toDF("doc_id", "terms")
+
+  test("bm25: empty corpus builds an empty index; scoring returns empty") {
+    val idx = graft.operators.Bm25.build(emptyCorpus, s"$base/bm25e")
+    val rows = graft.operators.Bm25.topDocs(
+      graft.operators.Bm25.scoredFromPairs(spark, idx, Array((1L, "a"))),
+      k = 5).collect()
+    assert(rows.isEmpty)
+  }
+
+  test("bm25: empty query batch scores to empty, not a full scan result") {
+    val idx = graft.operators.Bm25.build(tinyCorpus, s"$base/bm25t")
+    val rows = graft.operators.Bm25.topDocs(
+      graft.operators.Bm25.scoredFromPairs(spark, idx,
+        Array.empty[(Long, String)]), k = 5).collect()
+    assert(rows.isEmpty)
+  }
+
+  test("minhash: empty frame yields no pairs; empty pair set no clusters") {
+    assert(graft.operators.MinHashLsh.verifiedPairs(
+      emptyCorpus, "doc_id", "terms").collect().isEmpty)
+    assert(graft.operators.MinHashLsh.clusters(
+      Seq.empty[(Long, Long)].toDF("a_id", "b_id")).collect().isEmpty)
+  }
+
+  test("cross-encoder: empty candidate pair set re-ranks to empty") {
+    assert(graft.operators.CrossEncoder.rerank(spark,
+      tinyCorpus.select(col("doc_id").as("query_id"), col("terms")),
+      tinyCorpus, Array.empty[(Long, Long)], k = 5).collect().isEmpty)
+  }
+
+  test("rrf: fusing empty arms yields empty") {
+    assert(graft.operators.Rrf.fuse(Seq(
+      Seq.empty[(Long, Long, Int)].toDF("query_id", "doc_id", "rk"),
+      Seq.empty[(Long, Long, Int)].toDF("query_id", "doc_id", "rk")))
+      .collect().isEmpty)
+  }
+}
