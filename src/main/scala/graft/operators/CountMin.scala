@@ -11,9 +11,9 @@ import graft.queries.DedupQueries.md5Long
   *
   * Why this sketch here: every cell is an INTEGER SUM, so the sketch —
   * and every estimate read from it — is bit-identical under any
-  * partitioning, merge order, or engine (unlike float-path sketches such
-  * as HLL), which is what lets the DuckDB oracle check the whole path
-  * exactly. Hashes are the repo-standard 60-bit md5 (`md5Long`) with the
+  * partitioning, merge order, or engine (the same property [[Hll]] and
+  * [[QuantileSketch]] get from integer register/bucket math), which is
+  * what lets the DuckDB oracle check the whole path exactly. Hashes are the repo-standard 60-bit md5 (`md5Long`) with the
   * row index as a seed prefix, so the oracle reproduces cell placement
   * bit-for-bit.
   *

@@ -312,27 +312,85 @@ object RelationalQueries {
     """SELECT DISTINCT l_returnflag, l_quantity AS quantity
       |FROM lineitem ORDER BY l_returnflag, quantity""".stripMargin
 
-  /** approx_count_distinct (HLL++) — engine-specific sketch, rows-only
-    * check; benchmarked because at 100 TB exact distinct on a high-card
-    * key is a full shuffle while HLL is map-side mergeable.
+  /** Approximate distinct via [[graft.operators.Hll]] — the mergeable
+    * 256-register sketch that replaces a full `count(DISTINCT)` shuffle
+    * of every key occurrence at 100 TB. Unlike `approx_count_distinct`
+    * (engine-opaque HLL++), every register and the final estimate are
+    * md5/integer math the DuckDB oracle recomputes bit-for-bit
+    * (accuracy vs exact + vs Spark's HLL++ gated in SketchSpec).
     */
   def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+    graft.operators.Hll.estimate(
+        graft.operators.Hll.sketch(
+          Tables.lineitem(spark, dir), "l_returnflag", col("l_partkey")),
+        "l_returnflag", "approx_parts")
       .orderBy(col("l_returnflag"))
 
-  /** approx_percentile (t-digest-style sketch) — engine-specific,
-    * rows-only; the mergeable-sketch path for quantiles at scale
-    * (exact `percentile` is the oracle-checked variant above).
+  private val approxDistinctPartsSql =
+    s"""WITH h AS (
+      |  SELECT l_returnflag,
+      |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM lineitem
+      |), rb AS (
+      |  SELECT l_returnflag, h >> 52 AS bucket,
+      |         h & ((1::BIGINT << 52) - 1) AS w FROM h
+      |), regs AS (
+      |  SELECT l_returnflag, bucket,
+      |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS r
+      |  FROM rb GROUP BY l_returnflag, bucket
+      |), agg AS (
+      |  SELECT l_returnflag, count(*) AS present_buckets,
+      |    CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS sumscaled
+      |  FROM regs GROUP BY l_returnflag
+      |), est AS (
+      |  SELECT l_returnflag, present_buckets, 256 - present_buckets AS zeros,
+      |    ${graft.operators.Hll.AlphaNumer}
+      |      / CAST(sumscaled + (256 - present_buckets) * (1::BIGINT << 53) AS DOUBLE) AS e_raw
+      |  FROM agg
+      |)
+      |SELECT l_returnflag, present_buckets,
+      |  CAST(round(CASE WHEN zeros > 0 AND e_raw <= 640.0
+      |                  THEN 256.0 * ln(256.0 / zeros) ELSE e_raw END) AS BIGINT)
+      |    AS approx_parts
+      |FROM est ORDER BY l_returnflag""".stripMargin
+
+  /** Approximate quantiles via [[graft.operators.QuantileSketch]] — the
+    * mergeable log-linear histogram (≤1/64 relative error) replacing
+    * `approx_percentile`'s opaque t-digest; prices pre-scaled to exact
+    * integer cents so every bucket boundary is oracle-recomputable.
     */
   def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
-    Tables.orders(spark, dir)
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"),
-        expr("approx_percentile(o_totalprice, 0.95, 1000)").as("approx_p95"))
+    graft.operators.QuantileSketch.quantiles(
+        graft.operators.QuantileSketch.sketch(
+          Tables.orders(spark, dir), "o_orderpriority",
+          round(col("o_totalprice") * 100).cast("long")),
+        "o_orderpriority", 200.0,
+        Seq("approx_p50" -> 0.5, "approx_p95" -> 0.95))
       .orderBy(col("o_orderpriority"))
+
+  private val approxQuantilesSql =
+    """WITH c AS (
+      |  SELECT o_orderpriority,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+      |), b AS (
+      |  SELECT o_orderpriority,
+      |    (v >> greatest(length(bin(v)) - 6, 0)) << greatest(length(bin(v)) - 6, 0) AS lo,
+      |    1::BIGINT << greatest(length(bin(v)) - 6, 0) AS w
+      |  FROM c
+      |), sk AS (
+      |  SELECT o_orderpriority, lo, w, count(*) AS cnt FROM b GROUP BY 1, 2, 3
+      |), cum AS (
+      |  SELECT o_orderpriority, lo, w,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY lo) AS cum,
+      |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM sk
+      |)
+      |SELECT o_orderpriority,
+      |  min(CASE WHEN cum >= ceil(0.5 * n)
+      |           THEN CAST(2 * lo + w - 1 AS DOUBLE) / 200.0 END) AS approx_p50,
+      |  min(CASE WHEN cum >= ceil(0.95 * n)
+      |           THEN CAST(2 * lo + w - 1 AS DOUBLE) / 200.0 END) AS approx_p95
+      |FROM cum GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
   /** TPC-H Q17 shape: correlated "below half the per-part average"
     * predicate, decorrelated as a window average over l_partkey — one
@@ -508,7 +566,7 @@ object RelationalQueries {
     "distinct_parts_per_flag" -> QueryDef(distinctPartsPerFlag, Some(distinctPartsPerFlagSql)),
     "skew_distinct_parts" -> QueryDef(skewDistinctParts, Some(skewDistinctPartsSql)),
     "skew_quantity_sets" -> QueryDef(skewQuantitySets, Some(skewQuantitySetsSql)),
-    "approx_distinct_parts" -> QueryDef(approxDistinctParts, None),
-    "approx_quantiles" -> QueryDef(approxQuantiles, None)
+    "approx_distinct_parts" -> QueryDef(approxDistinctParts, Some(approxDistinctPartsSql)),
+    "approx_quantiles" -> QueryDef(approxQuantiles, Some(approxQuantilesSql))
   )
 }

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Hll, QuantileSketch}
+
+/** Invariants of the oracle-reproducible sketches: exact incremental
+  * mergeability, accuracy vs exact answers (and vs Spark's built-in
+  * sketches), partitioning-independence down to the bit, bounded size,
+  * and the HLL small-range linear-counting branch.
+  */
+class SketchSpec extends SparkSpec {
+
+  private lazy val li = Tables.lineitem(spark, sf001)
+
+  // ------------------------------------------------------------- HLL
+
+  test("HLL: sketch of the union == register-wise merge of split sketches") {
+    val a = li.where(col("l_orderkey") % 2 === 0)
+    val b = li.where(col("l_orderkey") % 2 =!= 0)
+    val merged = Hll.merge(
+        Hll.sketch(a, "l_returnflag", col("l_partkey")),
+        Hll.sketch(b, "l_returnflag", col("l_partkey")), "l_returnflag")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    val whole = Hll.sketch(li, "l_returnflag", col("l_partkey"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(merged == whole, "merge is not exactly the union sketch")
+  }
+
+  test("HLL: estimate within the 3-sigma error band of exact distinct, " +
+      "and no worse than 3x Spark's HLL++ error at default precision") {
+    val est = Hll.estimate(
+        Hll.sketch(li, "l_returnflag", col("l_partkey")),
+        "l_returnflag", "approx_parts")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val builtin = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // standard error 1.04/sqrt(256) = 6.5%; gate at 3 sigma = 19.5%
+    exact.foreach { case (k, ex) =>
+      val relErr = math.abs(est(k) - ex).toDouble / ex
+      assert(relErr < 0.195, s"$k: hll=$est($k) exact=$ex relErr=$relErr")
+      val builtinErr = math.abs(builtin(k) - ex).toDouble / ex
+      assert(relErr <= 3 * builtinErr + 0.02,
+        s"$k: our error $relErr vs builtin $builtinErr — register math suspect")
+    }
+  }
+
+  test("HLL: estimate is bit-identical under any input partitioning") {
+    def run(parts: Int): Seq[(String, Long, Long)] =
+      Hll.estimate(
+          Hll.sketch(li.repartition(parts), "l_returnflag", col("l_partkey")),
+          "l_returnflag", "approx_parts")
+        .orderBy(col("l_returnflag"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(run(1) == run(7), "estimate depends on partitioning")
+    assert(run(7) == run(32), "estimate depends on partitioning")
+  }
+
+  test("HLL: small-range linear-counting branch is accurate and engaged") {
+    import spark.implicits._
+    val n = 40
+    val tiny = (1 to 500).map(i => ("k", s"v${i % n}")).toDF("k", "v")
+    val regs = Hll.sketch(tiny, "k", col("v"))
+    val present = regs.count()
+    assert(present < Hll.M, "tiny input filled every register?")
+    val est = Hll.estimate(regs, "k", "d").head().getLong(2)
+    // linear counting at 40/256 occupancy is accurate to a few percent
+    assert(math.abs(est - n) <= 5, s"linear-count estimate $est for $n distinct")
+    // and it IS the linear-counting value, not the raw harmonic estimate
+    val lc = math.round(Hll.M * math.log(Hll.M.toDouble / (Hll.M - present)))
+    assert(est == lc, s"expected linear-counting $lc, got $est")
+  }
+
+  test("HLL: sketch size is bounded by m registers per key") {
+    val regs = Hll.sketch(li, "l_returnflag", col("l_partkey"))
+    val worst = regs.groupBy(col("l_returnflag")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    assert(worst <= Hll.M, s"$worst register rows for one key")
+  }
+
+  // -------------------------------------------------- QuantileSketch
+
+  private def cents = round(col("o_totalprice") * 100).cast("long")
+  private lazy val orders = Tables.orders(spark, sf001)
+
+  test("QuantileSketch: sketch of the union == bucket-wise merge") {
+    val a = orders.where(col("o_orderkey") % 2 === 0)
+    val b = orders.where(col("o_orderkey") % 2 =!= 0)
+    val merged = QuantileSketch.merge(
+        QuantileSketch.sketch(a, "o_orderpriority", cents),
+        QuantileSketch.sketch(b, "o_orderpriority", cents), "o_orderpriority")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val whole = QuantileSketch.sketch(orders, "o_orderpriority", cents)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(merged == whole, "merge is not exactly the union sketch")
+  }
+
+  test("QuantileSketch: relative error <= 2^-SigBits vs the exact " +
+      "nearest-rank quantile, at every key and p") {
+    val ps = Seq("p50" -> 0.5, "p95" -> 0.95)
+    val sk = QuantileSketch.sketch(orders, "o_orderpriority", cents)
+    val est = QuantileSketch.quantiles(sk, "o_orderpriority", 200.0, ps)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    // exact nearest-rank (same ceil(p*n) convention) per key
+    val byKey = orders.select(col("o_orderpriority"), cents.as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sorted }
+    val tol = 1.0 / (1 << QuantileSketch.SigBits) // midpoint is within w/2
+    byKey.foreach { case (k, sorted) =>
+      val (e50, e95) = est(k)
+      ps.zip(Seq(e50, e95)).foreach { case ((_, p), e) =>
+        val rank = math.ceil(p * sorted.length).toInt
+        val exact = sorted(rank - 1) / 100.0
+        val relErr = math.abs(e - exact) / exact
+        assert(relErr <= tol,
+          s"$k p=$p sketch=$e exact=$exact relErr=$relErr > $tol")
+      }
+    }
+  }
+
+  test("QuantileSketch: quantiles are bit-identical under any partitioning") {
+    def run(parts: Int): Seq[(String, Double, Double)] =
+      QuantileSketch.quantiles(
+          QuantileSketch.sketch(orders.repartition(parts), "o_orderpriority", cents),
+          "o_orderpriority", 200.0, Seq("p50" -> 0.5, "p95" -> 0.95))
+        .orderBy(col("o_orderpriority"))
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    assert(run(1) == run(7), "quantiles depend on partitioning")
+    assert(run(7) == run(32), "quantiles depend on partitioning")
+  }
+
+  test("QuantileSketch: values below 2^SigBits are represented exactly") {
+    import spark.implicits._
+    val small = (1 to 63).map(i => ("k", i.toLong)).toDF("k", "v")
+    val sk = QuantileSketch.sketch(small, "k", col("v"))
+    assert(sk.where(col("w") =!= 1L).count() == 0,
+      "sub-2^SigBits values must land in width-1 buckets")
+    // divisor 2.0: values are already in target units (scale factor 1)
+    val p50 = QuantileSketch.quantiles(sk, "k", 2.0, Seq("p50" -> 0.5))
+      .head().getDouble(1)
+    assert(p50 == 32.0, s"exact-regime median should be exact, got $p50")
+  }
+
+  test("QuantileSketch: bounded bucket count per key") {
+    val sk = QuantileSketch.sketch(orders, "o_orderpriority", cents)
+    val worst = sk.groupBy(col("o_orderpriority")).count()
+      .agg(max(col("count"))).head().getLong(0)
+    // <= 2^(SigBits-1) buckets per power of two, ~64 powers max; cents
+    // of TPC-H prices span ~2^24, so well under 32 * 24
+    assert(worst <= (1 << (QuantileSketch.SigBits - 1)) * 64,
+      s"$worst bucket rows for one key")
+  }
+}
