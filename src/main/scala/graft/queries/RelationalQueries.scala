@@ -326,33 +326,44 @@ object RelationalQueries {
         "l_returnflag", "approx_parts")
       .orderBy(col("l_returnflag"))
 
-  private val approxDistinctPartsSql =
+  /** DuckDB twin of [[graft.operators.Hll]] sketch+estimate over
+    * (keyCol, valueCol) of `table` — recomputes every register and the
+    * final estimate from scratch (md5 bucketing, integer bit-length
+    * ranks, scaled-long harmonic sum, the identical α·m²·2^53 literal).
+    * Shared by the batch and streaming HLL queries: registers are
+    * max-merged, so both paths produce the same registers bit-for-bit.
+    */
+  private[queries] def hllOracleSql(table: String, keyCol: String,
+      valueCol: String, outName: String): String =
     s"""WITH h AS (
-      |  SELECT l_returnflag,
-      |    CAST(('0x' || substr(md5(CAST(l_partkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-      |  FROM lineitem
+      |  SELECT $keyCol,
+      |    CAST(('0x' || substr(md5(CAST($valueCol AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM $table
       |), rb AS (
-      |  SELECT l_returnflag, h >> 52 AS bucket,
+      |  SELECT $keyCol, h >> 52 AS bucket,
       |         h & ((1::BIGINT << 52) - 1) AS w FROM h
       |), regs AS (
-      |  SELECT l_returnflag, bucket,
+      |  SELECT $keyCol, bucket,
       |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS r
-      |  FROM rb GROUP BY l_returnflag, bucket
+      |  FROM rb GROUP BY $keyCol, bucket
       |), agg AS (
-      |  SELECT l_returnflag, count(*) AS present_buckets,
+      |  SELECT $keyCol, count(*) AS present_buckets,
       |    CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS sumscaled
-      |  FROM regs GROUP BY l_returnflag
+      |  FROM regs GROUP BY $keyCol
       |), est AS (
-      |  SELECT l_returnflag, present_buckets, 256 - present_buckets AS zeros,
+      |  SELECT $keyCol, present_buckets, 256 - present_buckets AS zeros,
       |    ${graft.operators.Hll.AlphaNumer}
       |      / CAST(sumscaled + (256 - present_buckets) * (1::BIGINT << 53) AS DOUBLE) AS e_raw
       |  FROM agg
       |)
-      |SELECT l_returnflag, present_buckets,
+      |SELECT $keyCol, present_buckets,
       |  CAST(round(CASE WHEN zeros > 0 AND e_raw <= 640.0
       |                  THEN 256.0 * ln(256.0 / zeros) ELSE e_raw END) AS BIGINT)
-      |    AS approx_parts
-      |FROM est ORDER BY l_returnflag""".stripMargin
+      |    AS $outName
+      |FROM est ORDER BY $keyCol""".stripMargin
+
+  private val approxDistinctPartsSql =
+    hllOracleSql("lineitem", "l_returnflag", "l_partkey", "approx_parts")
 
   /** Approximate quantiles via [[graft.operators.QuantileSketch]] — the
     * mergeable log-linear histogram (≤1/64 relative error) replacing
@@ -368,29 +379,45 @@ object RelationalQueries {
         Seq("approx_p50" -> 0.5, "approx_p95" -> 0.95))
       .orderBy(col("o_orderpriority"))
 
-  private val approxQuantilesSql =
-    """WITH c AS (
-      |  SELECT o_orderpriority,
-      |         CAST(round(o_totalprice * 100) AS BIGINT) AS v FROM orders
+  /** DuckDB twin of [[graft.operators.QuantileSketch]] sketch+read over
+    * `valueSql` (a non-negative-BIGINT expression) of `table`, keyed by
+    * `keyCol` — recomputes every log-linear bucket boundary
+    * (`length(bin(v))` = the integer bit-length the engine's BitLength64
+    * computes), the exact cumulative ranks, and the one float division
+    * back to original units. Shared by the batch and streaming quantile
+    * queries: bucket counts are integer sums, so both paths produce the
+    * same sketch bit-for-bit.
+    */
+  private[queries] def quantileOracleSql(table: String, keyCol: String,
+      valueSql: String, divisor: String, qs: Seq[(String, Double)]): String = {
+    val reads = qs.map { case (name, p) =>
+      s"""  min(CASE WHEN cum >= ceil($p * n)
+         |           THEN CAST(2 * lo + w - 1 AS DOUBLE) / $divisor END) AS $name""".stripMargin
+    }.mkString(",\n")
+    s"""WITH c AS (
+      |  SELECT $keyCol, $valueSql AS v FROM $table
       |), b AS (
-      |  SELECT o_orderpriority,
+      |  SELECT $keyCol,
       |    (v >> greatest(length(bin(v)) - 6, 0)) << greatest(length(bin(v)) - 6, 0) AS lo,
       |    1::BIGINT << greatest(length(bin(v)) - 6, 0) AS w
       |  FROM c
       |), sk AS (
-      |  SELECT o_orderpriority, lo, w, count(*) AS cnt FROM b GROUP BY 1, 2, 3
+      |  SELECT $keyCol, lo, w, count(*) AS cnt FROM b GROUP BY 1, 2, 3
       |), cum AS (
-      |  SELECT o_orderpriority, lo, w,
-      |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY lo) AS cum,
-      |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n
+      |  SELECT $keyCol, lo, w,
+      |    sum(cnt) OVER (PARTITION BY $keyCol ORDER BY lo) AS cum,
+      |    sum(cnt) OVER (PARTITION BY $keyCol) AS n
       |  FROM sk
       |)
-      |SELECT o_orderpriority,
-      |  min(CASE WHEN cum >= ceil(0.5 * n)
-      |           THEN CAST(2 * lo + w - 1 AS DOUBLE) / 200.0 END) AS approx_p50,
-      |  min(CASE WHEN cum >= ceil(0.95 * n)
-      |           THEN CAST(2 * lo + w - 1 AS DOUBLE) / 200.0 END) AS approx_p95
-      |FROM cum GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+      |SELECT $keyCol,
+      |$reads
+      |FROM cum GROUP BY $keyCol ORDER BY $keyCol""".stripMargin
+  }
+
+  private val approxQuantilesSql =
+    quantileOracleSql("orders", "o_orderpriority",
+      "CAST(round(o_totalprice * 100) AS BIGINT)", "200.0",
+      Seq("approx_p50" -> 0.5, "approx_p95" -> 0.95))
 
   /** TPC-H Q17 shape: correlated "below half the per-part average"
     * predicate, decorrelated as a window average over l_partkey — one

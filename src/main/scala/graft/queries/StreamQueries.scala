@@ -177,6 +177,21 @@ object StreamQueries {
     "stream_cms_cells" -> QueryDef(
       graft.streaming.DocsStreaming.cmsCellsQuery, Some(cmsCellsSql),
       bench = false),
+    // HLL registers are max-merged (monotone), so micro-batching cannot
+    // change any register → the stream shares the batch HLL oracle
+    "stream_hll_users" -> QueryDef(
+      graft.streaming.EventsStreaming.hllUsersQuery,
+      Some(RelationalQueries.hllOracleSql(
+        "events", "event_type", "user_id", "approx_users")),
+      bench = false),
+    // quantile buckets are integer count-sums (commutative), so
+    // micro-batching cannot change any bucket → shares the batch oracle
+    "stream_quantiles" -> QueryDef(
+      graft.streaming.EventsStreaming.quantilesQuery,
+      Some(RelationalQueries.quantileOracleSql(
+        "events", "event_type", "CAST(round(value * 100) AS BIGINT)",
+        "200.0", Seq("approx_p50" -> 0.5, "approx_p95" -> 0.95))),
+      bench = false),
     "multimodal_stats" -> QueryDef(
       Multimodal.stats, Some(multimodalStatsSql)),
     "multimodal_feature_pairs" -> QueryDef(

@@ -129,6 +129,47 @@ object EventsStreaming {
       s"stream_sliding_${math.abs(dir.hashCode)}")
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Streaming HLL distinct: approximate distinct users per event type
+    * as a streaming max-aggregate over [[graft.operators.Hll]]
+    * registers. Registers are monotone under max-merge, so micro-batch
+    * slicing and arrival order cannot change any register — stream ==
+    * batch bit-for-bit (StreamingSpec), and the stream shares the
+    * batch register oracle. Streaming state is bounded at m=256
+    * register rows per event type regardless of stream length — the
+    * sketch's streaming-safety property, same as the CMS cells query.
+    */
+  def hllUsersQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Hll.estimate(
+      runToCompletion(spark,
+        graft.operators.Hll.sketch(
+          readEvents(spark, dir).select(col("event_type"), col("user_id")),
+          "event_type", col("user_id")),
+        s"stream_hll_${math.abs(dir.hashCode)}"),
+      "event_type", "approx_users")
+      .orderBy(col("event_type"))
+
+  /** Streaming quantile sketch: p50/p95 of event value (exact cents)
+    * per event type from a [[graft.operators.QuantileSketch]]
+    * maintained as a Complete-mode streaming count-aggregate. Bucket
+    * counts are integer sums, so micro-batch slicing and arrival order
+    * cannot change any bucket — the streamed sketch equals the batch
+    * sketch bit-for-bit (StreamingSpec), and the quantile read happens
+    * once on the final registers, sharing the batch oracle. Streaming
+    * state is bounded at ≤ ~1.8k bucket rows per event type for ANY
+    * stream length (≤ 2^(SigBits−1) buckets per power of two) — the
+    * same streaming-safety property as the CMS and HLL queries.
+    */
+  def quantilesQuery(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.QuantileSketch.quantiles(
+      runToCompletion(spark,
+        graft.operators.QuantileSketch.sketch(
+          readEvents(spark, dir).select(col("event_type"), col("value")),
+          "event_type", round(col("value") * 100).cast("long")),
+        s"stream_quant_${math.abs(dir.hashCode)}"),
+      "event_type", 200.0,
+      Seq("approx_p50" -> 0.5, "approx_p95" -> 0.95))
+      .orderBy(col("event_type"))
+
   /** Stream-stream interval join: each purchase joined to the same
     * user's clicks in the preceding 30 minutes. Both sides carry a 1-hour
     * watermark and the join condition is a bounded event-time range, so

@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
 /** Dev harness: dump ONLY the named catalog queries (default: the two
   * sketch queries) + their oracle SQL to a scratch dir, for a fast
   * `tools/check_oracle.py <sf> <out> --skip-verify <names>` loop without
-  * paying the full 135-query Verify run.
+  * paying the full catalog Verify run.
   */
 object DebugSketchCheck {
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.operators.{Hll, QuantileSketch}
+
+/** Measures the sketch-vs-exact gap at scale (SCALE.md): exact
+  * countDistinct / percentile shuffle or hold every row, the sketches
+  * shuffle O(registers) after map-side combine. Synthetic input with
+  * KNOWN per-key distinct counts (value = id/8: each key sees each
+  * value exactly once) so accuracy is measured against ground truth,
+  * not another engine run.
+  */
+object DebugSketchScale {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 50000000L
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.driver.memory", "24g")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val df = spark.range(n).select(
+        (col("id") % 8).as("k"),
+        (col("id") / 8).as("dv"),
+        (pmod(xxhash64(col("id")), lit(10000000L)) + 1).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    df.count() // materialize outside the timers
+
+    def time[T](label: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"TIME $label%-34s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      r
+    }
+
+    val exactPerKey = n / 8.0
+    val exact = time("exact countDistinct") {
+      df.groupBy("k").agg(countDistinct("dv").as("d")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val hll = time("Hll sketch+estimate") {
+      Hll.estimate(Hll.sketch(df, "k", col("dv")), "k", "d").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
+    val builtin = time("builtin approx_count_distinct") {
+      df.groupBy("k").agg(approx_count_distinct("dv").as("d")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    exact.toSeq.sortBy(_._1).foreach { case (k, ex) =>
+      val relH = (hll(k) - ex).abs / ex.toDouble
+      val relB = (builtin(k) - ex).abs / ex.toDouble
+      println(f"DISTINCT k=$k exact=$ex (expect ${exactPerKey}%.0f) " +
+        f"hll=${hll(k)} (err ${relH * 100}%.1f%%) " +
+        f"builtin=${builtin(k)} (err ${relB * 100}%.1f%%)")
+    }
+
+    val exactQ = time("exact percentile p50/p95") {
+      df.groupBy("k").agg(
+          expr("percentile(qv, 0.5)").as("p50"),
+          expr("percentile(qv, 0.95)").as("p95")).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    }
+    val skQ = time("QuantileSketch p50/p95") {
+      QuantileSketch.quantiles(
+          QuantileSketch.sketch(df, "k", col("qv")),
+          "k", 2.0, Seq("p50" -> 0.5, "p95" -> 0.95)).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    }
+    exactQ.toSeq.sortBy(_._1).foreach { case (k, (e50, e95)) =>
+      val (s50, s95) = skQ(k)
+      println(f"QUANTILE k=$k p50 exact=$e50%.1f sketch=$s50%.1f " +
+        f"(err ${(s50 - e50).abs / e50 * 100}%.2f%%) " +
+        f"p95 exact=$e95%.1f sketch=$s95%.1f " +
+        f"(err ${(s95 - e95).abs / e95 * 100}%.2f%%)")
+    }
+
+    val regRows = Hll.sketch(df, "k", col("dv")).count()
+    val bucketRows = QuantileSketch.sketch(df, "k", col("qv")).count()
+    println(s"SIZE input=$n rows -> hll registers=$regRows, " +
+      s"quantile buckets=$bucketRows")
+    spark.stop()
+  }
+}

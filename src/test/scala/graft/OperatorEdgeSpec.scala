@@ -49,6 +49,21 @@ class OperatorEdgeSpec extends SparkSpec {
       tinyCorpus, Array.empty[(Long, Long)], k = 5).collect().isEmpty)
   }
 
+  test("hll: empty input sketches to empty registers and empty estimate") {
+    val empty = Seq.empty[(String, Long)].toDF("k", "v")
+    val regs = graft.operators.Hll.sketch(empty, "k", col("v"))
+    assert(regs.collect().isEmpty)
+    assert(graft.operators.Hll.estimate(regs, "k", "d").collect().isEmpty)
+  }
+
+  test("quantile sketch: empty input yields empty buckets and quantiles") {
+    val empty = Seq.empty[(String, Long)].toDF("k", "v")
+    val sk = graft.operators.QuantileSketch.sketch(empty, "k", col("v"))
+    assert(sk.collect().isEmpty)
+    assert(graft.operators.QuantileSketch.quantiles(
+      sk, "k", 2.0, Seq("p50" -> 0.5)).collect().isEmpty)
+  }
+
   test("rrf: fusing empty arms yields empty") {
     assert(graft.operators.Rrf.fuse(Seq(
       Seq.empty[(Long, Long, Int)].toDF("query_id", "doc_id", "rk"),

@@ -135,6 +135,18 @@ class PlanSpec extends SparkSpec {
       "the bounded sketch side must broadcast")
   }
 
+  test("HLL / quantile sketch: register math combines map-side") {
+    // the sketches' 100 TB claim is ONE shuffle of bounded keys with
+    // map-side combine: registers max-merge and buckets count-merge
+    // before the exchange, so shuffle volume is O(registers), not O(rows)
+    val hll = plan("approx_distinct_parts")
+    assert(hll.contains("partial_max"),
+      "HLL registers must max-combine map-side")
+    val qs = plan("approx_quantiles")
+    assert(qs.contains("partial_count"),
+      "quantile buckets must count-combine map-side")
+  }
+
   test("range search: probe filters prune the scan, no global sort of matches") {
     // the catalog entry is PROBE-ALL: every centroid is probed, so the
     // adaptive pruned scan (Ivf.probePrunedScan) must DROP the

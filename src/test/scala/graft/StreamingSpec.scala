@@ -132,6 +132,35 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming HLL estimate equals the batch sketch bit-for-bit") {
+    import graft.streaming.EventsStreaming
+    val stream = EventsStreaming.hllUsersQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.Hll.estimate(
+        graft.operators.Hll.sketch(
+          Tables.events(spark, sf0001).select(col("event_type"), col("user_id")),
+          "event_type", col("user_id")),
+        "event_type", "approx_users")
+      .orderBy(col("event_type"))
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
+  test("streaming quantile sketch equals the batch sketch bit-for-bit") {
+    import graft.streaming.EventsStreaming
+    val stream = EventsStreaming.quantilesQuery(spark, sf0001)
+      .collect().map(_.toSeq).toSeq
+    val batch = graft.operators.QuantileSketch.quantiles(
+        graft.operators.QuantileSketch.sketch(
+          Tables.events(spark, sf0001).select(col("event_type"), col("value")),
+          "event_type", round(col("value") * 100).cast("long")),
+        "event_type", 200.0,
+        Seq("approx_p50" -> 0.5, "approx_p95" -> 0.95))
+      .orderBy(col("event_type"))
+      .collect().map(_.toSeq).toSeq
+    assert(stream == batch)
+  }
+
   test("streaming dedup catalog keys equal the batch DISTINCT") {
     val stream = EventsStreaming.dedupQuery(spark, sf0001)
     val batch = Tables.events(spark, sf0001)
