@@ -76,9 +76,16 @@ object Hll {
     * (E ≤ 2.5m with empty registers → m·ln(m/V)). Emits the estimate
     * rounded to a long plus the occupied-register count.
     */
-  def estimate(regs: DataFrame, keyCol: String, outName: String): DataFrame = {
+  def estimate(regs: DataFrame, keyCol: String, outName: String): DataFrame =
+    estimate(regs, Seq(keyCol), outName)
+
+  /** Composite-key form — register frames keyed by several columns
+    * (e.g. the pairwise union sketches of the set-algebra queries).
+    */
+  def estimate(regs: DataFrame, keyCols: Seq[String],
+      outName: String): DataFrame = {
     val agg = regs
-      .groupBy(col(keyCol))
+      .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("present_buckets"),
         sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${WBits + 1} - r)")).as("sumscaled"))
@@ -88,7 +95,7 @@ object Hll {
     val est = when(zeros > lit(0L) && eRaw <= lit(2.5 * M),
         lit(M.toDouble) * log(lit(M.toDouble) / zeros.cast("double")))
       .otherwise(eRaw)
-    agg.select(col(keyCol), col("present_buckets"),
-      round(est).cast("long").as(outName))
+    agg.select(keyCols.map(col) ++ Seq(col("present_buckets"),
+      round(est).cast("long").as(outName)): _*)
   }
 }

@@ -292,7 +292,106 @@ object EventQueries {
       |       (SELECT count(*) FROM c) AS n_click_after,
       |       (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin
 
+  /** HLL set algebra: estimated distinct-user OVERLAP between every
+    * pair of event types via inclusion–exclusion over merged sketches —
+    * |A∩B| ≈ est(A) + est(B) − est(A ∪ B), where the union sketch is
+    * just the register-wise max of the per-type sketches
+    * ([[graft.operators.Hll.merge]] algebra). This is the bounded-state
+    * answer to audience-overlap questions at 100 TB: the corpus is read
+    * ONCE to build ≤ 256 registers per type, and every pairwise (or
+    * k-way) union after that is arithmetic on the tiny register frames
+    * — no per-pair `count(DISTINCT)` shuffle of raw user ids, which is
+    * what the naive form costs for each of the O(|types|²) pairs.
+    * Register math is integer-exact, so the DuckDB oracle recomputes
+    * every estimate bit-for-bit; overlap error vs exact intersections
+    * is gated in SketchSpec.
+    */
+  def hllUserOverlap(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Hll
+    val regs = Hll.sketch(
+      Tables.events(spark, dir).select(col("event_type"), col("user_id")),
+      "event_type", col("user_id")).persist()
+    val singles = Hll.estimate(regs, "event_type", "users")
+    val types = regs.select(col("event_type")).distinct()
+    val pairs = types.select(col("event_type").as("type_a"))
+      .crossJoin(types.select(col("event_type").as("type_b")))
+      .where(col("type_a") < col("type_b"))
+    val unionRegs = pairs
+      .join(regs.withColumnRenamed("event_type", "type_a"), Seq("type_a"))
+      .select(col("type_a"), col("type_b"), col("bucket"), col("r"))
+      .unionByName(pairs
+        .join(regs.withColumnRenamed("event_type", "type_b"), Seq("type_b"))
+        .select(col("type_a"), col("type_b"), col("bucket"), col("r")))
+      .groupBy(col("type_a"), col("type_b"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    Hll.estimate(unionRegs, Seq("type_a", "type_b"), "union_users")
+      .join(singles.select(col("event_type").as("type_a"),
+        col("users").as("users_a")), Seq("type_a"))
+      .join(singles.select(col("event_type").as("type_b"),
+        col("users").as("users_b")), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
+        col("union_users"),
+        (col("users_a") + col("users_b") - col("union_users"))
+          .as("overlap_est"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  private val hllUserOverlapSql =
+    s"""WITH h AS (
+      |  SELECT event_type,
+      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events
+      |), rb AS (
+      |  SELECT event_type, h >> 52 AS bucket,
+      |         h & ((1::BIGINT << 52) - 1) AS w FROM h
+      |), regs AS (
+      |  SELECT event_type, bucket,
+      |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS r
+      |  FROM rb GROUP BY 1, 2
+      |), sagg AS (
+      |  SELECT event_type, count(*) AS pb,
+      |    CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS ss
+      |  FROM regs GROUP BY 1
+      |), esingle AS (
+      |  SELECT event_type, CAST(round(
+      |    CASE WHEN (256 - pb) > 0 AND e_raw <= 640.0
+      |         THEN 256.0 * ln(256.0 / (256 - pb)) ELSE e_raw END) AS BIGINT)
+      |    AS users
+      |  FROM (SELECT *, ${graft.operators.Hll.AlphaNumer}
+      |          / CAST(ss + (256 - pb) * (1::BIGINT << 53) AS DOUBLE) AS e_raw
+      |        FROM sagg)
+      |), pairs AS (
+      |  SELECT a.event_type AS type_a, b.event_type AS type_b
+      |  FROM (SELECT DISTINCT event_type FROM events) a,
+      |       (SELECT DISTINCT event_type FROM events) b
+      |  WHERE a.event_type < b.event_type
+      |), uregs AS (
+      |  SELECT p.type_a, p.type_b, r.bucket, max(r.r) AS r
+      |  FROM pairs p JOIN regs r
+      |    ON r.event_type = p.type_a OR r.event_type = p.type_b
+      |  GROUP BY 1, 2, 3
+      |), uagg AS (
+      |  SELECT type_a, type_b, count(*) AS pb,
+      |    CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS ss
+      |  FROM uregs GROUP BY 1, 2
+      |), euni AS (
+      |  SELECT type_a, type_b, CAST(round(
+      |    CASE WHEN (256 - pb) > 0 AND e_raw <= 640.0
+      |         THEN 256.0 * ln(256.0 / (256 - pb)) ELSE e_raw END) AS BIGINT)
+      |    AS union_users
+      |  FROM (SELECT *, ${graft.operators.Hll.AlphaNumer}
+      |          / CAST(ss + (256 - pb) * (1::BIGINT << 53) AS DOUBLE) AS e_raw
+      |        FROM uagg)
+      |)
+      |SELECT u.type_a, u.type_b, sa.users AS users_a, sb.users AS users_b,
+      |  u.union_users, sa.users + sb.users - u.union_users AS overlap_est
+      |FROM euni u
+      |JOIN esingle sa ON sa.event_type = u.type_a
+      |JOIN esingle sb ON sb.event_type = u.type_b
+      |ORDER BY u.type_a, u.type_b""".stripMargin
+
   def defs: Map[String, QueryDef] = Map(
+    "hll_user_overlap" -> QueryDef(hllUserOverlap, Some(hllUserOverlapSql)),
     "events_anomalies" -> QueryDef(movingAnomalies, Some(movingAnomaliesSql)),
     "user_funnel" -> QueryDef(funnel, Some(funnelSql)),
     "events_asof_click" -> QueryDef(asofPurchaseClick, Some(asofPurchaseClickSql)),

@@ -136,6 +136,77 @@ object TextQueries {
       |  CAST(cms_c - exact_c AS BIGINT) AS overestimate
       |FROM est ORDER BY exact_c DESC, token""".stripMargin
 
+  /** Exact heavy hitters with a CMS pre-filter — the guaranteed-exact
+    * frequent-tokens query at corpus scale. Two passes: (1) build the
+    * bounded [[graft.operators.CountMin]] sketch (one groupBy over ≤
+    * depth·width cells); (2) estimate each occurrence MAP-SIDE against
+    * the broadcast sketch (depth broadcast hash joins, no shuffle) and
+    * keep only occurrences whose estimate reaches the threshold — so
+    * the exact-count shuffle carries only candidate-token occurrences,
+    * not the corpus. CMS guarantees estimate ≥ true count, so no true
+    * heavy hitter is ever filtered out: the final exact_c ≥ threshold
+    * cut makes the result EXACT (the candidate filter is purely a
+    * shuffle bound — collisions admit false candidates, the exact
+    * count evicts them). Threshold φ = 1/200 of total occurrences,
+    * with the total read exactly from the sketch itself (each
+    * occurrence increments exactly one cell per hash row, so the fn=0
+    * cell sum IS the corpus token count — no extra pass).
+    */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.CountMin
+    val depth = 4
+    val width = 1024
+    val toks = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("token"))
+      .persist()
+    val sketch = CountMin.build(toks, "token", depth, width).persist()
+    val total = sketch.where(col("fn") === 0)
+      .agg(sum(col("c"))).head.getLong(0)
+    val threshold = (total + 199L) / 200L
+    val estimated = (0 until depth).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"cell_$i", CountMin.cell(col("token"), i, width))
+        .join(broadcast(sketch.where(col("fn") === i)
+          .select(col("cell").as(s"cell_$i"), col("c").as(s"c_$i"))),
+          Seq(s"cell_$i"), "left")
+    }.withColumn("cms_c",
+      least((0 until depth).map(i => coalesce(col(s"c_$i"), lit(0L))): _*))
+    estimated
+      .where(col("cms_c") >= threshold)
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_c"), min(col("cms_c")).as("cms_c"))
+      .where(col("exact_c") >= threshold)
+      .withColumn("threshold", lit(threshold))
+      .orderBy(col("exact_c").desc, col("token"))
+  }
+
+  private val cmsHeavyHittersSql =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+      |    t -> t <> '')) AS token
+      |  FROM documents),
+      |thr AS (
+      |  SELECT CAST((count(*) + 199) // 200 AS BIGINT) AS threshold FROM toks),
+      |cells AS (
+      |  SELECT u.fn,
+      |    CAST(('0x' || substr(md5(CAST(u.fn AS VARCHAR) || ':' || token), 1, 15)) AS BIGINT)
+      |      % 1024 AS cell
+      |  FROM toks CROSS JOIN unnest(range(0, 4)) AS u(fn)),
+      |sketch AS (SELECT fn, cell, count(*) AS c FROM cells GROUP BY 1, 2),
+      |exact AS (
+      |  SELECT token, count(*) AS exact_c FROM toks GROUP BY 1),
+      |est AS (
+      |  SELECT e.token, e.exact_c, min(s.c) AS cms_c
+      |  FROM exact e
+      |  CROSS JOIN unnest(range(0, 4)) AS u(fn)
+      |  JOIN sketch s
+      |    ON s.fn = u.fn
+      |   AND s.cell = CAST(('0x' || substr(md5(CAST(u.fn AS VARCHAR) || ':' || e.token), 1, 15)) AS BIGINT)
+      |      % 1024
+      |  GROUP BY 1, 2)
+      |SELECT token, exact_c, CAST(cms_c AS BIGINT) AS cms_c, threshold
+      |FROM est, thr WHERE exact_c >= threshold
+      |ORDER BY exact_c DESC, token""".stripMargin
+
   /** Sparse cosine similarity via an inverted-index join (the
     * all-pairs-similarity shape of Bayardo et al.): documents as
     * term-frequency vectors, dot products accumulated over the SHARED
@@ -1325,6 +1396,7 @@ object TextQueries {
     "lang_source_stats" -> QueryDef(langSourceStats, Some(langSourceStatsSql)),
     "token_frequency" -> QueryDef(tokenFrequency, Some(tokenFrequencySql)),
     "cms_token_counts" -> QueryDef(cmsTokenCounts, Some(cmsTokenCountsSql)),
+    "cms_heavy_hitters" -> QueryDef(cmsHeavyHitters, Some(cmsHeavyHittersSql)),
     "sparse_cosine_pairs" -> QueryDef(sparseCosinePairs, Some(sparseCosinePairsSql)),
     "quality_score" -> QueryDef(qualityScore, Some(qualityScoreSql)),
     "language_id" -> QueryDef(languageId, Some(languageIdSql)),

@@ -57,6 +57,21 @@ class CountMinSpec extends SparkSpec {
       s"sketch has $n rows > ${depth * width}")
   }
 
+  test("CMS-prefiltered heavy hitters == naive exact heavy hitters") {
+    // the pre-filter is a shuffle bound, never a semantics change: the
+    // one-sided guarantee (est >= exact) means no true heavy hitter can
+    // be dropped, and the exact-count cut evicts collision admits
+    val hh = graft.queries.TextQueries.cmsHeavyHitters(spark, sf001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val threshold = graft.queries.TextQueries.cmsHeavyHitters(spark, sf001)
+      .select(col("threshold")).head().getLong(0)
+    val naive = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      .where(col("c") >= threshold)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == naive, "heavy-hitter set or counts diverge from exact")
+    assert(hh.nonEmpty, "threshold admits no tokens — test is vacuous")
+  }
+
   test("estimates are partitioning-independent (integer cells)") {
     val sketch1 = CountMin.build(toks.repartition(3), "token", depth, width)
     val sketch2 = CountMin.build(toks.repartition(17), "token", depth, width)

@@ -19,7 +19,9 @@ object DebugSketchScale {
     val spark = SparkSession.builder()
       .master("local[16]")
       .config("spark.sql.shuffle.partitions", "16")
-      .config("spark.driver.memory", "24g")
+      // heap comes from build.sbt javaOptions (SPARK_DRIVER_MEM, 8g
+      // default) — spark.driver.memory is a no-op in an already-forked
+      // local-mode JVM
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -59,24 +61,44 @@ object DebugSketchScale {
         f"builtin=${builtin(k)} (err ${relB * 100}%.1f%%)")
     }
 
-    val exactQ = time("exact percentile p50/p95") {
-      df.groupBy("k").agg(
-          expr("percentile(qv, 0.5)").as("p50"),
-          expr("percentile(qv, 0.95)").as("p95")).collect()
-        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    }
-    val skQ = time("QuantileSketch p50/p95") {
+    // full-N timing: sketch vs builtin approx_percentile. Exact
+    // `percentile` buffers EVERY value per group — at 50M rows it blows
+    // the 8g heap (the failure mode the sketch exists to remove), so
+    // the exact ground truth runs on a capped subset below.
+    val skQ = time("QuantileSketch p50/p95 (full N)") {
       QuantileSketch.quantiles(
           QuantileSketch.sketch(df, "k", col("qv")),
           "k", 2.0, Seq("p50" -> 0.5, "p95" -> 0.95)).collect()
         .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     }
+    time("builtin approx_percentile (full N)") {
+      df.groupBy("k").agg(
+        expr("approx_percentile(qv, array(0.5, 0.95))").as("ps")).collect()
+    }
+    val nExact = math.min(n, 10000000L)
+    val sub = df.where(col("id") < nExact)
+    val exactQ = time(s"exact percentile p50/p95 (N=$nExact)") {
+      sub.groupBy("k").agg(
+          expr("percentile(qv, 0.5)").as("p50"),
+          expr("percentile(qv, 0.95)").as("p95")).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    }
+    val skQSub = time(s"QuantileSketch p50/p95 (N=$nExact)") {
+      QuantileSketch.quantiles(
+          QuantileSketch.sketch(sub, "k", col("qv")),
+          "k", 2.0, Seq("p50" -> 0.5, "p95" -> 0.95)).collect()
+        .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    }
     exactQ.toSeq.sortBy(_._1).foreach { case (k, (e50, e95)) =>
-      val (s50, s95) = skQ(k)
+      val (s50, s95) = skQSub(k)
       println(f"QUANTILE k=$k p50 exact=$e50%.1f sketch=$s50%.1f " +
         f"(err ${(s50 - e50).abs / e50 * 100}%.2f%%) " +
         f"p95 exact=$e95%.1f sketch=$s95%.1f " +
         f"(err ${(s95 - e95).abs / e95 * 100}%.2f%%)")
+    }
+    skQ.toSeq.sortBy(_._1).take(2).foreach { case (k, (s50, s95)) =>
+      println(f"QUANTILE_FULL k=$k p50=$s50%.1f p95=$s95%.1f " +
+        "(uniform(1,1e7): expect ~5e6 / ~9.5e6)")
     }
 
     val regRows = Hll.sketch(df, "k", col("dv")).count()

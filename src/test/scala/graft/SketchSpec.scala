@@ -15,6 +15,32 @@ class SketchSpec extends SparkSpec {
 
   // ------------------------------------------------------------- HLL
 
+  test("HLL set algebra: pairwise overlap estimate tracks the exact " +
+      "intersection within the inclusion-exclusion error budget") {
+    val ev = Tables.events(spark, sf001)
+    val overlap = graft.queries.EventQueries.hllUserOverlap(spark, sf001)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(5)).toMap
+    val exact = ev.select(col("event_type").as("type_a"), col("user_id"))
+      .join(ev.select(col("event_type").as("type_b"), col("user_id")),
+        Seq("user_id"))
+      .where(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(countDistinct(col("user_id")).as("d"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(overlap.keySet == exact.keySet, "pair sets diverge")
+    // inclusion-exclusion compounds three ~6.5%-sigma estimates, each
+    // scaled by the UNION size, not the intersection — allow 3 sigma of
+    // the union per term; the events table's per-type user sets overlap
+    // heavily so the relative check is meaningful
+    exact.foreach { case (k, ex) =>
+      val err = (overlap(k) - ex).abs
+      assert(err <= math.max(3 * 3 * 0.065 * ex, 50.0),
+        s"pair $k: overlap est ${overlap(k)} vs exact $ex (err $err)")
+    }
+  }
+
   test("HLL: sketch of the union == register-wise merge of split sketches") {
     val a = li.where(col("l_orderkey") % 2 === 0)
     val b = li.where(col("l_orderkey") % 2 =!= 0)
