@@ -48,6 +48,45 @@ object CountMin {
       .groupBy(col("fn"), col("cell"))
       .agg(sum(col("c")).as("c"))
 
+  /** EXACT heavy hitters over `rows(keyCol)` with the sketch as a
+    * lossless candidate pre-filter: keys occurring ≥ ⌈total/phiInverse⌉
+    * times, with `total` read exactly from the sketch's own fn=0 cells
+    * (each occurrence increments exactly one cell per hash row — no
+    * extra pass). Occurrences are estimated MAP-SIDE via `depth`
+    * broadcast joins against the ≤ depth·width-cell sketch and only
+    * candidates reach the exact-count shuffle; the one-sided guarantee
+    * (estimate ≥ true count) proves no true heavy hitter is dropped,
+    * and the final exact cut evicts collision admits — so the result
+    * is EXACT while the corpus-keyed shuffle carries only candidate
+    * occurrences (CountMinSpec equality gate, PlanSpec shape gate).
+    *
+    * Triggers one driver action (the bounded threshold read); the
+    * sketch is persisted internally (bounded rows). Callers whose
+    * `rows` is expensive to recompute should persist it across the two
+    * corpus passes. Returns (keyCol, exact_c, cms_c, threshold).
+    */
+  def heavyHitters(rows: DataFrame, keyCol: String, phiInverse: Long,
+      depth: Int, width: Int): DataFrame = {
+    val sketch = build(rows, keyCol, depth, width).persist()
+    val total = sketch.where(col("fn") === 0)
+      .agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+    val threshold = (total + phiInverse - 1L) / phiInverse
+    val estimated = (0 until depth).foldLeft(rows.select(col(keyCol))) {
+      (df, i) =>
+        df.withColumn(s"cell_$i", cell(col(keyCol), i, width))
+          .join(broadcast(sketch.where(col("fn") === i)
+            .select(col("cell").as(s"cell_$i"), col("c").as(s"c_$i"))),
+            Seq(s"cell_$i"), "left")
+    }.withColumn("cms_c",
+      least((0 until depth).map(i => coalesce(col(s"c_$i"), lit(0L))): _*))
+    estimated
+      .where(col("cms_c") >= threshold)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("exact_c"), min(col("cms_c")).as("cms_c"))
+      .where(col("exact_c") >= threshold)
+      .withColumn("threshold", lit(threshold))
+  }
+
   /** Point estimates for the keys in `keys(keyCol)`: min over the
     * depth counters each key hashes to. CMS guarantee: estimate ≥ true
     * count, with overestimate bounded by collisions. The sketch side is

@@ -79,6 +79,48 @@ object Hll {
   def estimate(regs: DataFrame, keyCol: String, outName: String): DataFrame =
     estimate(regs, Seq(keyCol), outName)
 
+  /** Pairwise distinct-overlap estimates between every pair of keys by
+    * inclusion–exclusion over merged sketches: |A∩B| ≈ est(A) + est(B)
+    * − est(A ∪ B), where the union sketch is the register-wise max of
+    * the per-key sketches ([[merge]] algebra). The input is read ONCE
+    * to build ≤ m registers per key; every pairwise union after that
+    * is arithmetic on the tiny register frames (broadcast-sized) — vs
+    * one count(DISTINCT) shuffle of raw values per pair for the naive
+    * form, i.e. one pass replacing O(|keys|²) of them. Register math
+    * is integer-exact, so an oracle recomputes every estimate
+    * bit-for-bit; overlap accuracy vs exact intersections is gated in
+    * SketchSpec (inclusion–exclusion compounds three union-scaled
+    * sigmas). Intended for key cardinalities where |keys|² pairs is a
+    * sane output size. Returns (key_a, key_b, distinct_a, distinct_b,
+    * union_distinct, overlap_est) for all key_a < key_b.
+    */
+  def pairwiseOverlap(df: DataFrame, keyCol: String,
+      value: Column): DataFrame = {
+    val regs = sketch(df, keyCol, value).persist()
+    val singles = estimate(regs, keyCol, "d")
+    val types = regs.select(col(keyCol)).distinct()
+    val pairs = types.select(col(keyCol).as("key_a"))
+      .crossJoin(types.select(col(keyCol).as("key_b")))
+      .where(col("key_a") < col("key_b"))
+    val unionRegs = pairs
+      .join(regs.withColumnRenamed(keyCol, "key_a"), Seq("key_a"))
+      .select(col("key_a"), col("key_b"), col("bucket"), col("r"))
+      .unionByName(pairs
+        .join(regs.withColumnRenamed(keyCol, "key_b"), Seq("key_b"))
+        .select(col("key_a"), col("key_b"), col("bucket"), col("r")))
+      .groupBy(col("key_a"), col("key_b"), col("bucket"))
+      .agg(max(col("r")).as("r"))
+    estimate(unionRegs, Seq("key_a", "key_b"), "union_distinct")
+      .join(singles.select(col(keyCol).as("key_a"),
+        col("d").as("distinct_a")), Seq("key_a"))
+      .join(singles.select(col(keyCol).as("key_b"),
+        col("d").as("distinct_b")), Seq("key_b"))
+      .select(col("key_a"), col("key_b"), col("distinct_a"),
+        col("distinct_b"), col("union_distinct"),
+        (col("distinct_a") + col("distinct_b") - col("union_distinct"))
+          .as("overlap_est"))
+  }
+
   /** Composite-key form — register frames keyed by several columns
     * (e.g. the pairwise union sketches of the set-algebra queries).
     */

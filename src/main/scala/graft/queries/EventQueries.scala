@@ -292,49 +292,22 @@ object EventQueries {
       |       (SELECT count(*) FROM c) AS n_click_after,
       |       (SELECT count(*) FROM p) AS n_purchase_after""".stripMargin
 
-  /** HLL set algebra: estimated distinct-user OVERLAP between every
-    * pair of event types via inclusion–exclusion over merged sketches —
-    * |A∩B| ≈ est(A) + est(B) − est(A ∪ B), where the union sketch is
-    * just the register-wise max of the per-type sketches
-    * ([[graft.operators.Hll.merge]] algebra). This is the bounded-state
-    * answer to audience-overlap questions at 100 TB: the corpus is read
-    * ONCE to build ≤ 256 registers per type, and every pairwise (or
-    * k-way) union after that is arithmetic on the tiny register frames
-    * — no per-pair `count(DISTINCT)` shuffle of raw user ids, which is
-    * what the naive form costs for each of the O(|types|²) pairs.
-    * Register math is integer-exact, so the DuckDB oracle recomputes
-    * every estimate bit-for-bit; overlap error vs exact intersections
-    * is gated in SketchSpec.
+  /** HLL set algebra ([[graft.operators.Hll.pairwiseOverlap]]):
+    * estimated distinct-user overlap between every pair of event types
+    * via inclusion–exclusion over register-max union sketches — the
+    * bounded-state answer to audience-overlap questions at 100 TB (one
+    * corpus pass replaces a count(DISTINCT) shuffle per pair; see the
+    * operator Scaladoc). Register math is integer-exact, so the DuckDB
+    * oracle recomputes every estimate bit-for-bit.
     */
-  def hllUserOverlap(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Hll
-    val regs = Hll.sketch(
-      Tables.events(spark, dir).select(col("event_type"), col("user_id")),
-      "event_type", col("user_id")).persist()
-    val singles = Hll.estimate(regs, "event_type", "users")
-    val types = regs.select(col("event_type")).distinct()
-    val pairs = types.select(col("event_type").as("type_a"))
-      .crossJoin(types.select(col("event_type").as("type_b")))
-      .where(col("type_a") < col("type_b"))
-    val unionRegs = pairs
-      .join(regs.withColumnRenamed("event_type", "type_a"), Seq("type_a"))
-      .select(col("type_a"), col("type_b"), col("bucket"), col("r"))
-      .unionByName(pairs
-        .join(regs.withColumnRenamed("event_type", "type_b"), Seq("type_b"))
-        .select(col("type_a"), col("type_b"), col("bucket"), col("r")))
-      .groupBy(col("type_a"), col("type_b"), col("bucket"))
-      .agg(max(col("r")).as("r"))
-    Hll.estimate(unionRegs, Seq("type_a", "type_b"), "union_users")
-      .join(singles.select(col("event_type").as("type_a"),
-        col("users").as("users_a")), Seq("type_a"))
-      .join(singles.select(col("event_type").as("type_b"),
-        col("users").as("users_b")), Seq("type_b"))
-      .select(col("type_a"), col("type_b"), col("users_a"), col("users_b"),
-        col("union_users"),
-        (col("users_a") + col("users_b") - col("union_users"))
-          .as("overlap_est"))
+  def hllUserOverlap(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Hll.pairwiseOverlap(
+        Tables.events(spark, dir).select(col("event_type"), col("user_id")),
+        "event_type", col("user_id"))
+      .select(col("key_a").as("type_a"), col("key_b").as("type_b"),
+        col("distinct_a").as("users_a"), col("distinct_b").as("users_b"),
+        col("union_distinct").as("union_users"), col("overlap_est"))
       .orderBy(col("type_a"), col("type_b"))
-  }
 
   private val hllUserOverlapSql =
     s"""WITH h AS (

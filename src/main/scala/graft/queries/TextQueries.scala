@@ -136,46 +136,20 @@ object TextQueries {
       |  CAST(cms_c - exact_c AS BIGINT) AS overestimate
       |FROM est ORDER BY exact_c DESC, token""".stripMargin
 
-  /** Exact heavy hitters with a CMS pre-filter — the guaranteed-exact
-    * frequent-tokens query at corpus scale. Two passes: (1) build the
-    * bounded [[graft.operators.CountMin]] sketch (one groupBy over ≤
-    * depth·width cells); (2) estimate each occurrence MAP-SIDE against
-    * the broadcast sketch (depth broadcast hash joins, no shuffle) and
-    * keep only occurrences whose estimate reaches the threshold — so
-    * the exact-count shuffle carries only candidate-token occurrences,
-    * not the corpus. CMS guarantees estimate ≥ true count, so no true
-    * heavy hitter is ever filtered out: the final exact_c ≥ threshold
-    * cut makes the result EXACT (the candidate filter is purely a
-    * shuffle bound — collisions admit false candidates, the exact
-    * count evicts them). Threshold φ = 1/200 of total occurrences,
-    * with the total read exactly from the sketch itself (each
-    * occurrence increments exactly one cell per hash row, so the fn=0
-    * cell sum IS the corpus token count — no extra pass).
+  /** Exact heavy hitters with a CMS pre-filter
+    * ([[graft.operators.CountMin.heavyHitters]]): tokens occurring in
+    * ≥ φ = 1/200 of all occurrences, computed exactly with the
+    * exact-count shuffle bounded to candidate occurrences only — see
+    * the operator Scaladoc for the guarantee argument. The exploded
+    * token stream is persisted across the operator's two corpus
+    * passes (sketch build + map-side estimate).
     */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    import graft.operators.CountMin
-    val depth = 4
-    val width = 1024
     val toks = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .persist()
-    val sketch = CountMin.build(toks, "token", depth, width).persist()
-    val total = sketch.where(col("fn") === 0)
-      .agg(sum(col("c"))).head.getLong(0)
-    val threshold = (total + 199L) / 200L
-    val estimated = (0 until depth).foldLeft(toks) { (df, i) =>
-      df.withColumn(s"cell_$i", CountMin.cell(col("token"), i, width))
-        .join(broadcast(sketch.where(col("fn") === i)
-          .select(col("cell").as(s"cell_$i"), col("c").as(s"c_$i"))),
-          Seq(s"cell_$i"), "left")
-    }.withColumn("cms_c",
-      least((0 until depth).map(i => coalesce(col(s"c_$i"), lit(0L))): _*))
-    estimated
-      .where(col("cms_c") >= threshold)
-      .groupBy(col("token"))
-      .agg(count(lit(1)).as("exact_c"), min(col("cms_c")).as("cms_c"))
-      .where(col("exact_c") >= threshold)
-      .withColumn("threshold", lit(threshold))
+    graft.operators.CountMin
+      .heavyHitters(toks, "token", phiInverse = 200L, depth = 4, width = 1024)
       .orderBy(col("exact_c").desc, col("token"))
   }
 

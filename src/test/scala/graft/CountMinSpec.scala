@@ -57,6 +57,24 @@ class CountMinSpec extends SparkSpec {
       s"sketch has $n rows > ${depth * width}")
   }
 
+  test("heavyHitters on a caller frame: exact set under a planted skew") {
+    import spark.implicits._
+    // 3 planted heavy keys (1000 each) over 10k singleton keys: at
+    // phiInverse=10, threshold = ceil(13000/10) = 1300 > 1000 → none
+    // qualify; at phiInverse=5 → 2600 → none; at phiInverse=20 → 650 →
+    // exactly the three planted keys
+    val df = (Seq.fill(1000)("hot_a") ++ Seq.fill(1000)("hot_b") ++
+      Seq.fill(1000)("hot_c") ++ (0 until 10000).map(i => s"cold_$i"))
+      .toDF("k")
+    val hh = CountMin.heavyHitters(df, "k", phiInverse = 20L, depth, width)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3)))
+      .toMap
+    assert(hh.keySet == Set("hot_a", "hot_b", "hot_c"), s"got ${hh.keySet}")
+    assert(hh.values.forall { case (c, t) => c == 1000L && t == 650L })
+    val none = CountMin.heavyHitters(df, "k", phiInverse = 10L, depth, width)
+    assert(none.collect().isEmpty, "threshold 1300 must admit no key")
+  }
+
   test("CMS-prefiltered heavy hitters == naive exact heavy hitters") {
     // the pre-filter is a shuffle bound, never a semantics change: the
     // one-sided guarantee (est >= exact) means no true heavy hitter can

@@ -64,6 +64,21 @@ class OperatorEdgeSpec extends SparkSpec {
       sk, "k", 2.0, Seq("p50" -> 0.5)).collect().isEmpty)
   }
 
+  test("cms heavyHitters: empty input yields empty, not a null-total crash") {
+    val empty = Seq.empty[String].toDF("k")
+    assert(graft.operators.CountMin
+      .heavyHitters(empty, "k", 200L, 4, 64).collect().isEmpty)
+  }
+
+  test("hll pairwiseOverlap: empty input and single key both yield no pairs") {
+    val empty = Seq.empty[(String, Long)].toDF("k", "v")
+    assert(graft.operators.Hll
+      .pairwiseOverlap(empty, "k", col("v")).collect().isEmpty)
+    val single = Seq(("a", 1L), ("a", 2L)).toDF("k", "v")
+    assert(graft.operators.Hll
+      .pairwiseOverlap(single, "k", col("v")).collect().isEmpty)
+  }
+
   test("rrf: fusing empty arms yields empty") {
     assert(graft.operators.Rrf.fuse(Seq(
       Seq.empty[(Long, Long, Int)].toDF("query_id", "doc_id", "rk"),

@@ -147,6 +147,28 @@ class PlanSpec extends SparkSpec {
       "quantile buckets must count-combine map-side")
   }
 
+  test("heavy hitters: depth broadcast joins prefilter BEFORE the count shuffle") {
+    // the scale contract: occurrences are estimated map-side against
+    // the broadcast sketch (one BroadcastHashJoin per hash row, never a
+    // shuffled join), so the only corpus-keyed exchange aggregates the
+    // candidate-filtered stream with map-side combine
+    val p = plan("cms_heavy_hitters")
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj >= 4, s"expected >=4 broadcast sketch joins, saw $bhj")
+    assert(!p.contains("SortMergeJoin"),
+      "sketch estimation must never shuffle the token stream into a join")
+    assert(p.contains("partial_count"),
+      "candidate counting must combine map-side")
+  }
+
+  test("HLL overlap: register algebra is broadcast-only, corpus scanned once") {
+    val p = plan("hll_user_overlap")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "pairwise union must stay on broadcast-sized register frames")
+    assert(p.contains("partial_max"),
+      "union registers must max-combine map-side")
+  }
+
   test("range search: probe filters prune the scan, no global sort of matches") {
     // the catalog entry is PROBE-ALL: every centroid is probed, so the
     // adaptive pruned scan (Ivf.probePrunedScan) must DROP the

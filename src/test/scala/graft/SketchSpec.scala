@@ -41,6 +41,27 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("HLL pairwiseOverlap on a caller frame: disjoint pairs estimate ~0, " +
+      "identical sets estimate the full size") {
+    import spark.implicits._
+    // three keys over known value sets: a = [0,2000), b = [0,2000)
+    // (identical to a), c = [10000,12000) (disjoint from both)
+    val df = spark.range(2000).selectExpr("'a' AS k", "id AS v")
+      .union(spark.range(2000).selectExpr("'b' AS k", "id AS v"))
+      .union(spark.range(10000, 12000).selectExpr("'c' AS k", "id AS v"))
+    val out = graft.operators.Hll.pairwiseOverlap(df.toDF(), "k", col("v"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(5))
+      .toMap
+    assert(out.keySet == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    // identical sets: union == each side, so overlap == the single
+    // estimate exactly (register frames are identical)
+    assert(math.abs(out(("a", "b")) - 2000.0) / 2000.0 < 3 * 0.065,
+      s"identical-set overlap ${out(("a", "b"))} not ~2000")
+    // disjoint sets: error budget is sigma-scaled by the UNION (4000)
+    assert(math.abs(out(("a", "c")).toDouble) < 3 * 0.065 * 4000,
+      s"disjoint overlap ${out(("a", "c"))} not ~0")
+  }
+
   test("HLL: sketch of the union == register-wise merge of split sketches") {
     val a = li.where(col("l_orderkey") % 2 === 0)
     val b = li.where(col("l_orderkey") % 2 =!= 0)
