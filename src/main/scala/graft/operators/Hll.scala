@@ -54,6 +54,10 @@ object Hll {
     */
   def sketch(df: DataFrame, keyCol: String, value: Column): DataFrame =
     df.select(col(keyCol), Md5Long60.col(value.cast("string")).as("h"))
+      // nulls are ignored, matching countDistinct semantics — an
+      // unfiltered null hash would otherwise become a phantom
+      // (bucket=null, r=null) register that inflates present_buckets
+      .where(col("h").isNotNull)
       .select(col(keyCol),
         shiftright(col("h"), WBits).cast("int").as("bucket"),
         col("h").bitwiseAND(lit((1L << WBits) - 1)).as("w"))

@@ -40,6 +40,10 @@ object QuantileSketch {
     */
   def sketch(df: DataFrame, keyCol: String, value: Column): DataFrame =
     df.select(col(keyCol), value.as("v"))
+      // nulls are ignored, matching exact `percentile` semantics — an
+      // unfiltered null would otherwise become a (lo=null, w=1) bucket
+      // that inflates n and shifts every cumulative rank
+      .where(col("v").isNotNull)
       .withColumn("s", greatest(BitLength64.col(col("v")) - lit(SigBits), lit(0)))
       .select(col(keyCol),
         expr("shiftleft(shiftright(v, s), s)").as("lo"),
@@ -69,8 +73,14 @@ object QuantileSketch {
       .withColumn("cum",
         sum(col("cnt")).over(Window.partitionBy(col(keyCol)).orderBy(col("lo"))))
       .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col(keyCol))))
+      // midpoint in DOUBLE arithmetic: lo and w carry ≤ SigBits+1
+      // significant bits, so lo*2+w is exact in double at ANY
+      // magnitude, where the long form 2·lo+w−1 would overflow for
+      // values with bit length ≥ 63; the −1 rounds identically in both
+      // engines (IEEE), keeping oracle bit-parity
       .withColumn("est",
-        (col("lo") * 2 + col("w") - 1).cast("double") / lit(divisor))
+        (col("lo").cast("double") * 2 + col("w").cast("double") - 1)
+          / lit(divisor))
     val aggs = qs.map { case (name, p) =>
       min(when(col("cum") >= ceil(lit(p) * col("n")), col("est"))).as(name)
     }

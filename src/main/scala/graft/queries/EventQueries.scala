@@ -309,31 +309,13 @@ object EventQueries {
         col("union_distinct").as("union_users"), col("overlap_est"))
       .orderBy(col("type_a"), col("type_b"))
 
+  // the register + estimate CTEs are the shared hllRegisterCtes /
+  // hllEstimateCtes generators — the same SQL text as the batch and
+  // streaming HLL oracles, so the register math can never drift
   private val hllUserOverlapSql =
-    s"""WITH h AS (
-      |  SELECT event_type,
-      |    CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-      |  FROM events
-      |), rb AS (
-      |  SELECT event_type, h >> 52 AS bucket,
-      |         h & ((1::BIGINT << 52) - 1) AS w FROM h
-      |), regs AS (
-      |  SELECT event_type, bucket,
-      |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS r
-      |  FROM rb GROUP BY 1, 2
-      |), sagg AS (
-      |  SELECT event_type, count(*) AS pb,
-      |    CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS ss
-      |  FROM regs GROUP BY 1
-      |), esingle AS (
-      |  SELECT event_type, CAST(round(
-      |    CASE WHEN (256 - pb) > 0 AND e_raw <= 640.0
-      |         THEN 256.0 * ln(256.0 / (256 - pb)) ELSE e_raw END) AS BIGINT)
-      |    AS users
-      |  FROM (SELECT *, ${graft.operators.Hll.AlphaNumer}
-      |          / CAST(ss + (256 - pb) * (1::BIGINT << 53) AS DOUBLE) AS e_raw
-      |        FROM sagg)
-      |), pairs AS (
+    s"""WITH ${RelationalQueries.hllRegisterCtes("events", "event_type", "user_id")},
+      |${RelationalQueries.hllEstimateCtes("regs", Seq("event_type"), "users", "s")},
+      |pairs AS (
       |  SELECT a.event_type AS type_a, b.event_type AS type_b
       |  FROM (SELECT DISTINCT event_type FROM events) a,
       |       (SELECT DISTINCT event_type FROM events) b
@@ -343,24 +325,13 @@ object EventQueries {
       |  FROM pairs p JOIN regs r
       |    ON r.event_type = p.type_a OR r.event_type = p.type_b
       |  GROUP BY 1, 2, 3
-      |), uagg AS (
-      |  SELECT type_a, type_b, count(*) AS pb,
-      |    CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS ss
-      |  FROM uregs GROUP BY 1, 2
-      |), euni AS (
-      |  SELECT type_a, type_b, CAST(round(
-      |    CASE WHEN (256 - pb) > 0 AND e_raw <= 640.0
-      |         THEN 256.0 * ln(256.0 / (256 - pb)) ELSE e_raw END) AS BIGINT)
-      |    AS union_users
-      |  FROM (SELECT *, ${graft.operators.Hll.AlphaNumer}
-      |          / CAST(ss + (256 - pb) * (1::BIGINT << 53) AS DOUBLE) AS e_raw
-      |        FROM uagg)
-      |)
+      |),
+      |${RelationalQueries.hllEstimateCtes("uregs", Seq("type_a", "type_b"), "union_users", "u")}
       |SELECT u.type_a, u.type_b, sa.users AS users_a, sb.users AS users_b,
       |  u.union_users, sa.users + sb.users - u.union_users AS overlap_est
-      |FROM euni u
-      |JOIN esingle sa ON sa.event_type = u.type_a
-      |JOIN esingle sb ON sb.event_type = u.type_b
+      |FROM uest u
+      |JOIN sest sa ON sa.event_type = u.type_a
+      |JOIN sest sb ON sb.event_type = u.type_b
       |ORDER BY u.type_a, u.type_b""".stripMargin
 
   def defs: Map[String, QueryDef] = Map(

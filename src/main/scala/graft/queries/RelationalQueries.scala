@@ -333,34 +333,56 @@ object RelationalQueries {
     * Shared by the batch and streaming HLL queries: registers are
     * max-merged, so both paths produce the same registers bit-for-bit.
     */
-  private[queries] def hllOracleSql(table: String, keyCol: String,
-      valueCol: String, outName: String): String =
-    s"""WITH h AS (
+  /** CTE chain `h, rb, regs` recomputing the engine's HLL register
+    * frame (keyCol, bucket, r) from (keyCol, valueCol) of `table` —
+    * the shared front half of every HLL oracle.
+    */
+  private[queries] def hllRegisterCtes(table: String, keyCol: String,
+      valueCol: String): String =
+    s"""h AS (
       |  SELECT $keyCol,
       |    CAST(('0x' || substr(md5(CAST($valueCol AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-      |  FROM $table
+      |  FROM $table WHERE $valueCol IS NOT NULL
       |), rb AS (
       |  SELECT $keyCol, h >> 52 AS bucket,
       |         h & ((1::BIGINT << 52) - 1) AS w FROM h
       |), regs AS (
       |  SELECT $keyCol, bucket,
       |    max(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS r
-      |  FROM rb GROUP BY $keyCol, bucket
-      |), agg AS (
-      |  SELECT $keyCol, count(*) AS present_buckets,
-      |    CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS sumscaled
-      |  FROM regs GROUP BY $keyCol
-      |), est AS (
-      |  SELECT $keyCol, present_buckets, 256 - present_buckets AS zeros,
-      |    ${graft.operators.Hll.AlphaNumer}
-      |      / CAST(sumscaled + (256 - present_buckets) * (1::BIGINT << 53) AS DOUBLE) AS e_raw
-      |  FROM agg
-      |)
-      |SELECT $keyCol, present_buckets,
-      |  CAST(round(CASE WHEN zeros > 0 AND e_raw <= 640.0
-      |                  THEN 256.0 * ln(256.0 / zeros) ELSE e_raw END) AS BIGINT)
+      |  FROM rb GROUP BY 1, 2
+      |)""".stripMargin
+
+  /** CTE pair `${tag}agg, ${tag}est` reading an HLL register frame
+    * (keys..., bucket, r) from CTE `regsCte` and emitting
+    * (keys..., pb, $outName) — the shared estimate half (scaled-long
+    * harmonic sum, the α·m²·2^53 literal, the 2.5m linear-counting
+    * branch), written ONCE so the constants can never drift between
+    * the single-key, streaming, and set-algebra oracles.
+    */
+  private[queries] def hllEstimateCtes(regsCte: String, keys: Seq[String],
+      outName: String, tag: String): String = {
+    val ks = keys.mkString(", ")
+    s"""${tag}agg AS (
+      |  SELECT $ks, count(*) AS pb,
+      |    CAST(sum(1::BIGINT << (53 - r)) AS BIGINT) AS ss
+      |  FROM $regsCte GROUP BY ${(1 to keys.size).mkString(", ")}
+      |), ${tag}est AS (
+      |  SELECT $ks, pb, CAST(round(
+      |    CASE WHEN (256 - pb) > 0 AND e_raw <= 640.0
+      |         THEN 256.0 * ln(256.0 / (256 - pb)) ELSE e_raw END) AS BIGINT)
       |    AS $outName
-      |FROM est ORDER BY $keyCol""".stripMargin
+      |  FROM (SELECT *, ${graft.operators.Hll.AlphaNumer}
+      |          / CAST(ss + (256 - pb) * (1::BIGINT << 53) AS DOUBLE) AS e_raw
+      |        FROM ${tag}agg)
+      |)""".stripMargin
+  }
+
+  private[queries] def hllOracleSql(table: String, keyCol: String,
+      valueCol: String, outName: String): String =
+    s"""WITH ${hllRegisterCtes(table, keyCol, valueCol)},
+      |${hllEstimateCtes("regs", Seq(keyCol), outName, "s")}
+      |SELECT $keyCol, pb AS present_buckets, $outName
+      |FROM sest ORDER BY $keyCol""".stripMargin
 
   private val approxDistinctPartsSql =
     hllOracleSql("lineitem", "l_returnflag", "l_partkey", "approx_parts")
@@ -390,12 +412,17 @@ object RelationalQueries {
     */
   private[queries] def quantileOracleSql(table: String, keyCol: String,
       valueSql: String, divisor: String, qs: Seq[(String, Double)]): String = {
+    // double-arithmetic midpoint, matching QuantileSketch.quantiles:
+    // lo/w carry ≤ 7 significant bits so lo*2+w is exact in double at
+    // any magnitude (the integer form 2*lo+w-1 overflows BIGINT for
+    // bit lengths ≥ 63), and the −1 rounds identically in both engines
     val reads = qs.map { case (name, p) =>
       s"""  min(CASE WHEN cum >= ceil($p * n)
-         |           THEN CAST(2 * lo + w - 1 AS DOUBLE) / $divisor END) AS $name""".stripMargin
+         |           THEN (CAST(lo AS DOUBLE) * 2 + CAST(w AS DOUBLE) - 1) / $divisor END) AS $name""".stripMargin
     }.mkString(",\n")
     s"""WITH c AS (
       |  SELECT $keyCol, $valueSql AS v FROM $table
+      |  WHERE $valueSql IS NOT NULL
       |), b AS (
       |  SELECT $keyCol,
       |    (v >> greatest(length(bin(v)) - 6, 0)) << greatest(length(bin(v)) - 6, 0) AS lo,

@@ -79,10 +79,10 @@ class CountMinSpec extends SparkSpec {
     // the pre-filter is a shuffle bound, never a semantics change: the
     // one-sided guarantee (est >= exact) means no true heavy hitter can
     // be dropped, and the exact-count cut evicts collision admits
-    val hh = graft.queries.TextQueries.cmsHeavyHitters(spark, sf001)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val threshold = graft.queries.TextQueries.cmsHeavyHitters(spark, sf001)
-      .select(col("threshold")).head().getLong(0)
+    val rows = graft.queries.TextQueries.cmsHeavyHitters(spark, sf001)
+      .collect()
+    val hh = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val threshold = rows.head.getLong(3)
     val naive = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
       .where(col("c") >= threshold)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -31,13 +31,7 @@ object DebugSketchCheck {
         .parquet(s"$outDir/$n")
     }
     graft.queries.OracleGen.enable(spark, sfDir)
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    val q = Verify.jsonEscape _
     val json = names.flatMap(n => all(n).oracle.map(sql => s"${q(n)}: ${q(sql)}"))
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

@@ -62,6 +62,37 @@ class SketchSpec extends SparkSpec {
       s"disjoint overlap ${out(("a", "c"))} not ~0")
   }
 
+  test("sketches ignore null values; all-null keys vanish from estimates") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1L)), ("a", Some(2L)), ("a", None), ("b", None))
+      .toDF("k", "v")
+    val hll = Hll.estimate(Hll.sketch(df, "k", col("v")), "k", "d")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(hll == Map("a" -> 2L),
+      s"nulls must not register and all-null keys must drop: $hll")
+    val qs = QuantileSketch.quantiles(
+        QuantileSketch.sketch(df, "k", col("v")), "k", 2.0,
+        Seq("p50" -> 0.5))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // values 1, 2 → p50 = first bucket reaching rank 1 = exact value 1,
+    // midpoint (2·1+1−1)/2 = 1.0
+    assert(qs == Map("a" -> 1.0),
+      s"null values must not form buckets: $qs")
+  }
+
+  test("QuantileSketch: no long overflow at bit length >= 63") {
+    import spark.implicits._
+    // v = 2^62 → s = 57, lo = 2^62, w = 2^57: the integer midpoint
+    // 2·lo+w−1 would wrap negative; the double form stays exact
+    val df = Seq(("a", 1L << 62)).toDF("k", "v")
+    val est = QuantileSketch.quantiles(
+        QuantileSketch.sketch(df, "k", col("v")), "k", 2.0,
+        Seq("p50" -> 0.5))
+      .head().getDouble(1)
+    val expect = (math.pow(2, 63) + math.pow(2, 57) - 1) / 2.0
+    assert(est == expect, s"got $est, want $expect — overflow regressed")
+  }
+
   test("HLL: sketch of the union == register-wise merge of split sketches") {
     val a = li.where(col("l_orderkey") % 2 === 0)
     val b = li.where(col("l_orderkey") % 2 =!= 0)
@@ -89,7 +120,7 @@ class SketchSpec extends SparkSpec {
     // standard error 1.04/sqrt(256) = 6.5%; gate at 3 sigma = 19.5%
     exact.foreach { case (k, ex) =>
       val relErr = math.abs(est(k) - ex).toDouble / ex
-      assert(relErr < 0.195, s"$k: hll=$est($k) exact=$ex relErr=$relErr")
+      assert(relErr < 0.195, s"$k: hll=${est(k)} exact=$ex relErr=$relErr")
       val builtinErr = math.abs(builtin(k) - ex).toDouble / ex
       assert(relErr <= 3 * builtinErr + 0.02,
         s"$k: our error $relErr vs builtin $builtinErr — register math suspect")
