@@ -57,6 +57,24 @@ class CountMinSpec extends SparkSpec {
       s"sketch has $n rows > ${depth * width}")
   }
 
+  test("one-sided guarantee survives forced collisions (width=16, depth=2)") {
+    import spark.implicits._
+    // a 16-cell sketch over a 500-key multiset guarantees heavy
+    // collisions in every cell — the estimate >= exact invariant must
+    // hold REGARDLESS (it fails only if a cell ever undercounts)
+    var s = 3L
+    val keys = Seq.fill(2000) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      "k" + java.lang.Long.remainderUnsigned(s, 500)
+    }
+    val df = keys.toDF("k")
+    val sketch = CountMin.build(df, "k", depth = 2, width = 16)
+    val exact = df.groupBy(col("k")).agg(count(lit(1)).as("exact_c"))
+    val bad = CountMin.estimate(sketch, exact, "k", depth = 2, width = 16)
+      .where(col("cms_c") < col("exact_c")).count()
+    assert(bad == 0, s"$bad keys under-estimated under forced collisions")
+  }
+
   test("heavyHitters on a caller frame: exact set under a planted skew") {
     import spark.implicits._
     // 3 planted heavy keys (1000 each) over 10k singleton keys: at

@@ -80,6 +80,51 @@ class SketchSpec extends SparkSpec {
       s"null values must not form buckets: $qs")
   }
 
+  test("QuantileSketch: bucket invariants at every bit length + seeded sweep") {
+    import spark.implicits._
+    // every bit length 1..62 at its boundaries, plus a seeded LCG sweep
+    val edges = (1 to 62).flatMap(b =>
+      Seq((1L << b) - 1, 1L << b, (1L << b) + 1).filter(_ >= 0))
+    var s = 42L
+    val rand = Seq.fill(500) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      s >>> 2 // non-negative, up to 2^62
+    }
+    val vals = (edges ++ rand :+ 0L).distinct
+    // each value is its own key → its sketch is exactly one bucket
+    val sk = QuantileSketch.sketch(vals.toDF("v").withColumn("k", col("v")),
+        "k", col("v"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    vals.foreach { v =>
+      val (lo, w) = sk(v)
+      val bitlen = 64 - java.lang.Long.numberOfLeadingZeros(v)
+      val wantW = 1L << math.max(bitlen - QuantileSketch.SigBits, 0)
+      assert(w == wantW, s"v=$v: w=$w want $wantW")
+      assert(lo <= v && (v - lo) < w, s"v=$v outside bucket [$lo, $lo+$w)")
+      // midpoint estimate relative error ≤ 2^−SigBits for v ≥ 1
+      if (v >= 1) {
+        val est = (lo.toDouble * 2 + w.toDouble - 1) / 2.0
+        assert(math.abs(est - v) / v.toDouble <= 1.0 / (1 << QuantileSketch.SigBits),
+          s"v=$v: midpoint $est outside the error bound")
+      }
+    }
+  }
+
+  test("HLL: any single distinct value estimates exactly 1") {
+    import spark.implicits._
+    var s = 7L
+    val vals = Seq.fill(300) {
+      s = s * 6364136223846793005L + 1442695040888963407L; s
+    }.distinct
+    // one row per key → one occupied register; linear counting gives
+    // 256·ln(256/255) ≈ 1.002 → rounds to 1 for EVERY possible hash
+    val bad = Hll.estimate(
+        Hll.sketch(vals.toDF("v").withColumn("k", col("v")), "k", col("v")),
+        "k", "d")
+      .where(col("d") =!= 1L).count()
+    assert(bad == 0, s"$bad single-value keys did not estimate exactly 1")
+  }
+
   test("QuantileSketch: no long overflow at bit length >= 63") {
     import spark.implicits._
     // v = 2^62 → s = 57, lo = 2^62, w = 2^57: the integer midpoint
