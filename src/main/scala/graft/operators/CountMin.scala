@@ -65,21 +65,30 @@ object CountMin {
     * `rows` is expensive to recompute should persist it across the two
     * corpus passes. Returns (keyCol, exact_c, cms_c, threshold).
     */
+  /** Map-side per-occurrence estimate: each row of `rows` gains a
+    * `cms_c` column = its key's CMS estimate, via `depth` broadcast
+    * hash joins against the bounded sketch — no shuffle of `rows`.
+    * The pre-filter step of [[heavyHitters]], exposed for harnesses
+    * that measure the candidate fraction.
+    */
+  def estimateOccurrences(rows: DataFrame, keyCol: String,
+      sketch: DataFrame, depth: Int, width: Int): DataFrame =
+    (0 until depth).foldLeft(rows.select(col(keyCol))) { (df, i) =>
+      df.withColumn(s"cell_$i", cell(col(keyCol), i, width))
+        .join(broadcast(sketch.where(col("fn") === i)
+          .select(col("cell").as(s"cell_$i"), col("c").as(s"c_$i"))),
+          Seq(s"cell_$i"), "left")
+    }.withColumn("cms_c",
+      least((0 until depth).map(i => coalesce(col(s"c_$i"), lit(0L))): _*))
+      .select(col(keyCol), col("cms_c"))
+
   def heavyHitters(rows: DataFrame, keyCol: String, phiInverse: Long,
       depth: Int, width: Int): DataFrame = {
     val sketch = build(rows, keyCol, depth, width).persist()
     val total = sketch.where(col("fn") === 0)
       .agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
     val threshold = (total + phiInverse - 1L) / phiInverse
-    val estimated = (0 until depth).foldLeft(rows.select(col(keyCol))) {
-      (df, i) =>
-        df.withColumn(s"cell_$i", cell(col(keyCol), i, width))
-          .join(broadcast(sketch.where(col("fn") === i)
-            .select(col("cell").as(s"cell_$i"), col("c").as(s"c_$i"))),
-            Seq(s"cell_$i"), "left")
-    }.withColumn("cms_c",
-      least((0 until depth).map(i => coalesce(col(s"c_$i"), lit(0L))): _*))
-    estimated
+    estimateOccurrences(rows, keyCol, sketch, depth, width)
       .where(col("cms_c") >= threshold)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("exact_c"), min(col("cms_c")).as("cms_c"))
