@@ -218,6 +218,49 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(result -- batch).take(5)}; batch-only: ${(batch -- result).take(5)}")
   }
 
+  test("streaming LSH state survives a checkpoint restart (fault tolerance)") {
+    // the streaming-at-scale property the in-session tests can't see:
+    // a crashed/redeployed query must RECOVER its bucket state from the
+    // checkpoint. Run the stream over half the corpus, STOP the query,
+    // deliver the other half to a fresh query on the same checkpoint —
+    // duplicate pairs straddling the restart are found only if the
+    // first half's bucket membership was restored, and exactly-once
+    // file-sink semantics mean no pair is lost or doubled.
+    import graft.streaming.DocsStreaming
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lsh_restart").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    val docs = Tables.documents(spark, sf001)
+    val firstHalf = col("doc_id") % 2 === 0
+    docs.where(firstHalf).write.mode("append").parquet(in)
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(in)
+      val q = DocsStreaming.lshCandidates(stream).toDF()
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // first half: builds bucket state, checkpointed
+    docs.where(!firstHalf).write.mode("append").parquet(in)
+    run() // NEW query instance recovers state + source offsets
+    val result = spark.read.parquet(out)
+      .dropDuplicates("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = batchLshCandidates()
+    val evens = docs.where(firstHalf)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val cross = batch.filter { case (a, b) =>
+      evens.contains(a) != evens.contains(b) }
+    assert(cross.nonEmpty,
+      "no duplicate pair straddles the restart — the gate would be vacuous")
+    assert(result == batch,
+      s"stream-only: ${(result -- batch).take(5)}; " +
+        s"batch-only (lost state?): ${(batch -- result).take(5)}")
+  }
+
   test("streaming ANN equals batch annJoin across micro-batch splits") {
     import graft.streaming.VectorsStreaming
     val idx = graft.queries.IndexQueries.index(spark, sf0001)
