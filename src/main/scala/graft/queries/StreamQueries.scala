@@ -192,6 +192,12 @@ object StreamQueries {
         "events", "event_type", "CAST(round(value * 100) AS BIGINT)",
         "200.0", Seq("approx_p50" -> 0.5, "approx_p95" -> 0.95))),
       bench = false),
+    // content-hash selection is a pure map-side predicate — zero
+    // state, arrival-order- and batching-independent → shares the
+    // batch sampling oracle verbatim
+    "stream_hash_sample" -> QueryDef(
+      graft.streaming.DocsStreaming.hashSampleQuery,
+      Some(TextQueries.hashSampleDocsSql), bench = false),
     "multimodal_stats" -> QueryDef(
       Multimodal.stats, Some(multimodalStatsSql)),
     "multimodal_feature_pairs" -> QueryDef(

@@ -585,7 +585,7 @@ object TextQueries {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy(col("doc_id"))
 
-  private val hashSampleDocsSql =
+  private[queries] val hashSampleDocsSql =
     """SELECT doc_id, lang, source FROM documents
       |WHERE substr(md5(text), 1, 8) < '40000000'
       |ORDER BY doc_id""".stripMargin

@@ -115,6 +115,26 @@ object DocsStreaming {
       .orderBy(col("fn"), col("cell"))
   }
 
+  /** Stateless streaming sampling: the deterministic content-hash
+    * selection ([[graft.operators.Sampling.hashSample]]) is a pure
+    * map-side predicate, so it applies to the stream unchanged — the
+    * split-the-crawl-as-it-lands shape (train/val assignment at ingest
+    * time). Zero streaming state; selection is content-keyed, so the
+    * SAME documents are kept regardless of arrival order, micro-batch
+    * slicing, restarts, or whether the pipeline runs batch or
+    * streaming — the property that makes the split reproducible and
+    * prefix-nested (a later 10% re-crawl sample contains this 25% run's
+    * docs' 10% subset). Shares the batch oracle verbatim.
+    */
+  def hashSampleQuery(spark: SparkSession, dir: String): DataFrame =
+    EventsStreaming.runToCompletion(spark,
+      graft.operators.Sampling.hashSample(
+          readDocs(spark, dir), col("text"), 0.25)
+        .select(col("doc_id"), col("lang"), col("source")),
+      s"stream_sample_${math.abs(dir.hashCode)}",
+      OutputMode.Append())
+      .orderBy(col("doc_id"))
+
   /** Stateless streaming quality scoring: each arriving document is
     * scored map-side with the broadcast classifier trained ONCE on the
     * static corpus ([[graft.queries.CurationQueries.classifierModel]])

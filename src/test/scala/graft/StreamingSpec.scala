@@ -161,6 +161,16 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch)
   }
 
+  test("streaming hash sample keeps exactly the batch sample's documents") {
+    import graft.streaming.DocsStreaming
+    val stream = DocsStreaming.hashSampleQuery(spark, sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val batch = graft.operators.Sampling.hashSample(
+        Tables.documents(spark, sf0001), col("text"), 0.25)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(stream == batch && stream.nonEmpty)
+  }
+
   test("streaming dedup catalog keys equal the batch DISTINCT") {
     val stream = EventsStreaming.dedupQuery(spark, sf0001)
     val batch = Tables.events(spark, sf0001)
