@@ -48,23 +48,6 @@ object CountMin {
       .groupBy(col("fn"), col("cell"))
       .agg(sum(col("c")).as("c"))
 
-  /** EXACT heavy hitters over `rows(keyCol)` with the sketch as a
-    * lossless candidate pre-filter: keys occurring ≥ ⌈total/phiInverse⌉
-    * times, with `total` read exactly from the sketch's own fn=0 cells
-    * (each occurrence increments exactly one cell per hash row — no
-    * extra pass). Occurrences are estimated MAP-SIDE via `depth`
-    * broadcast joins against the ≤ depth·width-cell sketch and only
-    * candidates reach the exact-count shuffle; the one-sided guarantee
-    * (estimate ≥ true count) proves no true heavy hitter is dropped,
-    * and the final exact cut evicts collision admits — so the result
-    * is EXACT while the corpus-keyed shuffle carries only candidate
-    * occurrences (CountMinSpec equality gate, PlanSpec shape gate).
-    *
-    * Triggers one driver action (the bounded threshold read); the
-    * sketch is persisted internally (bounded rows). Callers whose
-    * `rows` is expensive to recompute should persist it across the two
-    * corpus passes. Returns (keyCol, exact_c, cms_c, threshold).
-    */
   /** Map-side per-occurrence estimate: each row of `rows` gains a
     * `cms_c` column = its key's CMS estimate, via `depth` broadcast
     * hash joins against the bounded sketch — no shuffle of `rows`.
@@ -82,12 +65,34 @@ object CountMin {
       least((0 until depth).map(i => coalesce(col(s"c_$i"), lit(0L))): _*))
       .select(col(keyCol), col("cms_c"))
 
+  /** EXACT heavy hitters over `rows(keyCol)` with the sketch as a
+    * lossless candidate pre-filter: keys occurring ≥ ⌈total/phiInverse⌉
+    * times, with `total` read exactly from the sketch's own fn=0 cells
+    * (each occurrence increments exactly one cell per hash row — no
+    * extra pass). Occurrences are estimated MAP-SIDE via `depth`
+    * broadcast joins against the ≤ depth·width-cell sketch and only
+    * candidates reach the exact-count shuffle; the one-sided guarantee
+    * (estimate ≥ true count) proves no true heavy hitter is dropped,
+    * and the final exact cut evicts collision admits — so the result
+    * is EXACT while the corpus-keyed shuffle carries only candidate
+    * occurrences (CountMinSpec equality gate, PlanSpec shape gate).
+    *
+    * Triggers one corpus action: the bounded sketch is collected to
+    * the driver (≤ depth·width rows by construction) and re-shipped as
+    * a local relation, so nothing is pinned in the executor cache and
+    * the threshold read costs no extra job. Callers whose `rows` is
+    * expensive to recompute should persist it across the two corpus
+    * passes. Returns (keyCol, exact_c, cms_c, threshold).
+    */
   def heavyHitters(rows: DataFrame, keyCol: String, phiInverse: Long,
       depth: Int, width: Int): DataFrame = {
-    val sketch = build(rows, keyCol, depth, width).persist()
-    val total = sketch.where(col("fn") === 0)
-      .agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val cells = build(rows, keyCol, depth, width)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val total = cells.iterator.filter(_._1 == 0).map(_._3).sum
     val threshold = (total + phiInverse - 1L) / phiInverse
+    val sketch = cells.toDF("fn", "cell", "c")
     estimateOccurrences(rows, keyCol, sketch, depth, width)
       .where(col("cms_c") >= threshold)
       .groupBy(col(keyCol))

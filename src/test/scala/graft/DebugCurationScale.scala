@@ -38,7 +38,9 @@ object DebugCurationScale {
     val stop = array(Seq("the", "a", "of", "and", "to").map(lit): _*)
     def corpusPath(n: Long): String = {
       val path = s"/tmp/graft_curation_scale_$n/documents.parquet"
-      val marker = new java.io.File(s"/tmp/graft_curation_scale_$n/GEN_v1")
+      // the marker NAME is the generator version: bump it whenever the
+      // corpus recipe changes so a stale /tmp cache can't serve old data
+      val marker = new java.io.File(s"/tmp/graft_curation_scale_$n/GEN_v2")
       if (!marker.exists()) {
         // base token stream: word w_(h mod 50k), every ~7th a stopword;
         // doc 10k+1 reuses doc 10k's token BAG reversed (same fp)
@@ -54,10 +56,15 @@ object DebugCurationScale {
             when(col("doc_id") % 10 === 1, array_join(reverse(col("toks")), " "))
               .otherwise(array_join(col("toks"), " ")).as("text0"),
             concat(lit("lang"), pmod(col("doc_id"), lit(5))).as("lang"),
-            // every 37th doc copies text from a held-out-source doc id
+            // every 37th doc gains the held-out leak 5-gram (the same
+            // literal appended to every held-out doc below), EXCEPT
+            // members of a planted dup pair (id%10 ∈ {0,1}) — a
+            // one-sided suffix would silently break the pair's
+            // equal-bag property
             concat(lit("src"), pmod(col("doc_id"), lit(20))).as("source"))
           .withColumn("text",
-            when(col("doc_id") % 37 === 0 && !col("source").isin("src18", "src19"),
+            when(col("doc_id") % 37 === 0 && col("doc_id") % 10 > 1 &&
+                !col("source").isin("src18", "src19"),
               concat(col("text0"), lit(" "),
                 lit("leak1 leak2 leak3 leak4 leak5")))
               .otherwise(col("text0")))
