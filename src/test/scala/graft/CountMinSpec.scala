@@ -57,6 +57,19 @@ class CountMinSpec extends SparkSpec {
       s"sketch has $n rows > ${depth * width}")
   }
 
+  test("estimateOccurrences matches the keyed estimate for every occurrence") {
+    val sketch = CountMin.build(toks, "token", depth, width)
+    val perOcc = CountMin
+      .estimateOccurrences(toks, "token", sketch, depth, width)
+      .dropDuplicates("token")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keyed = CountMin.estimate(sketch,
+        toks.select(col("token")).distinct(), "token", depth, width)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perOcc == keyed,
+      "the map-side per-occurrence estimate must equal estimate()")
+  }
+
   test("one-sided guarantee survives forced collisions (width=16, depth=2)") {
     import spark.implicits._
     // a 16-cell sketch over a 500-key multiset guarantees heavy
