@@ -271,6 +271,64 @@ class StreamingSpec extends SparkSpec {
         s"batch-only (lost state?): ${(batch -- result).take(5)}")
   }
 
+  test("sessionize state survives a checkpoint restart (mapGroupsWithState)") {
+    // the second stateful-recovery gate: LSH covers
+    // flatMapGroupsWithState; this one proves mapGroupsWithState
+    // counters recover. Events are split at the median timestamp so
+    // most users have sessions straddling the restart — their final
+    // (n_sessions, n_events) is correct only if lastMs/counters were
+    // restored (a lost state restarts every user at zero sessions and
+    // double-counts the session that spans the boundary).
+    import graft.streaming.EventsStreaming
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sess_restart").toString
+    val in = s"$root/in"; val ckpt = s"$root/ckpt"
+    val ev = Tables.events(spark, sf0001).where(col("user_id") < 200)
+      .select(col("user_id"), col("ts"))
+    val Array(row) = ev.agg(min(col("ts")), max(col("ts"))).collect()
+    val midMs = (row.getTimestamp(0).getTime + row.getTimestamp(1).getTime) / 2
+    val firstHalf = unix_millis(col("ts")) <= midMs
+    ev.where(firstHalf).write.mode("append").parquet(in)
+    val updates = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long)]
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(spark.read.parquet(in).schema).parquet(in)
+      val q = EventsStreaming.sessionize(stream)
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val rows = df.collect()
+          updates.synchronized {
+            rows.foreach(r =>
+              updates += ((r.getLong(0), r.getLong(1), r.getLong(2))))
+          }
+          ()
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run() // first half: session counters built, checkpointed
+    ev.where(!firstHalf).write.mode("append").parquet(in)
+    run() // fresh query on the same checkpoint: state must recover
+    // counters are cumulative (monotone) — the final per-user update is
+    // the lexicographic max of (n_events, n_sessions)
+    val stream = updates.groupBy(_._1).map { case (u, us) =>
+      val last = us.maxBy(t => (t._3, t._2))
+      u -> (last._2, last._3)
+    }
+    val batch = graft.queries.EventQueries.userSessions(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val straddlers = ev.where(firstHalf).select("user_id").distinct()
+      .join(ev.where(!firstHalf).select("user_id").distinct(), "user_id")
+      .count()
+    assert(straddlers > 0, "no user straddles the restart — vacuous gate")
+    assert(stream == batch,
+      s"diverging users: ${(stream.toSet -- batch.toSet).take(3)} / " +
+        s"${(batch.toSet -- stream.toSet).take(3)}")
+  }
+
   test("streaming ANN equals batch annJoin across micro-batch splits") {
     import graft.streaming.VectorsStreaming
     val idx = graft.queries.IndexQueries.index(spark, sf0001)
