@@ -33,39 +33,65 @@ import graft.functions.{BitLength64, Md5Long60}
   */
 object Hll {
 
-  /** Register-index bits: m = 2^P = 256 registers per key. */
+  /** Default register-index bits: m = 2^P = 256 registers per key
+    * (σ ≈ 6.5%) — the precision every ORACLED catalog query uses.
+    * Callers needing tighter estimates pass `p` explicitly (σ =
+    * 1.04/√2^p — p=12 is ~1.6%, p=14 is ~0.8%), trading linearly more
+    * register rows per key; the whole pipeline (sketch/merge/estimate/
+    * overlap) is precision-generic.
+    */
   val P = 8
   val M: Int = 1 << P
 
   /** Bits remaining after the bucket prefix of the 60-bit hash. */
   val WBits: Int = 60 - P
 
-  /** α_m · m² · 2^53 — the numerator of the scaled raw estimate,
-    * embedded as the SAME double literal on the Spark and DuckDB sides
-    * (the shortest round-trippable decimal repr parses back to this
-    * exact double in both engines).
+  private[operators] def m(p: Int): Int = { require(p >= 4 && p <= 16); 1 << p }
+  private[operators] def wBits(p: Int): Int = 60 - p
+
+  /** α_m for the standard HLL bias constants (Flajolet et al. §4). */
+  private[operators] def alpha(p: Int): Double = m(p) match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case mm => 0.7213 / (1 + 1.079 / mm)
+  }
+
+  /** α_m · m² · 2^(wBits+1) at precision p — the numerator of the
+    * scaled raw estimate (the scale factor is the per-precision
+    * register ceiling 2^(wBits(p)+1), matching the scaled-long terms
+    * 2^(wBits+1−r) in the denominator), embedded as the SAME double
+    * literal on the Spark and DuckDB sides (the shortest
+    * round-trippable decimal repr parses back to this exact double in
+    * both engines).
     */
-  val AlphaNumer: Double =
-    0.7213 / (1 + 1.079 / M) * M.toDouble * M.toDouble * math.pow(2, 53)
+  def alphaNumer(p: Int): Double =
+    alpha(p) * m(p).toDouble * m(p).toDouble * math.pow(2, wBits(p) + 1)
+
+  /** The p=8 numerator the oracle generators embed. */
+  val AlphaNumer: Double = alphaNumer(P)
 
   /** Build the sketch: one register frame (keyCol, bucket, r) per key,
     * r = max over elements of rank(w) ∈ [1, 53]; absent buckets are
     * implicitly register 0.
     */
-  def sketch(df: DataFrame, keyCol: String, value: Column): DataFrame =
+  def sketch(df: DataFrame, keyCol: String, value: Column,
+      p: Int = P): DataFrame = {
+    val wb = wBits(p)
     df.select(col(keyCol), Md5Long60.col(value.cast("string")).as("h"))
       // nulls are ignored, matching countDistinct semantics — an
       // unfiltered null hash would otherwise become a phantom
       // (bucket=null, r=null) register that inflates present_buckets
       .where(col("h").isNotNull)
       .select(col(keyCol),
-        shiftright(col("h"), WBits).cast("int").as("bucket"),
-        col("h").bitwiseAND(lit((1L << WBits) - 1)).as("w"))
+        shiftright(col("h"), wb).cast("int").as("bucket"),
+        col("h").bitwiseAND(lit((1L << wb) - 1)).as("w"))
       .select(col(keyCol), col("bucket"),
-        when(col("w") === 0L, lit(WBits + 1))
-          .otherwise(lit(WBits + 1) - BitLength64.col(col("w"))).as("rho"))
+        when(col("w") === 0L, lit(wb + 1))
+          .otherwise(lit(wb + 1) - BitLength64.col(col("w"))).as("rho"))
       .groupBy(col(keyCol), col("bucket"))
       .agg(max(col("rho")).as("r"))
+  }
 
   /** Register-wise max of two sketches over the same key/value columns:
     * exactly the sketch of the unioned inputs (SketchSpec gate).
@@ -81,7 +107,11 @@ object Hll {
     * rounded to a long plus the occupied-register count.
     */
   def estimate(regs: DataFrame, keyCol: String, outName: String): DataFrame =
-    estimate(regs, Seq(keyCol), outName)
+    estimate(regs, Seq(keyCol), outName, P)
+
+  def estimate(regs: DataFrame, keyCol: String, outName: String,
+      p: Int): DataFrame =
+    estimate(regs, Seq(keyCol), outName, p)
 
   /** Pairwise distinct-overlap estimates between every pair of keys by
     * inclusion–exclusion over merged sketches: |A∩B| ≈ est(A) + est(B)
@@ -99,9 +129,9 @@ object Hll {
     * union_distinct, overlap_est) for all key_a < key_b.
     */
   def pairwiseOverlap(df: DataFrame, keyCol: String,
-      value: Column): DataFrame = {
-    val regs = sketch(df, keyCol, value).persist()
-    val singles = estimate(regs, keyCol, "d")
+      value: Column, p: Int = P): DataFrame = {
+    val regs = sketch(df, keyCol, value, p).persist()
+    val singles = estimate(regs, keyCol, "d", p)
     val types = regs.select(col(keyCol)).distinct()
     val pairs = types.select(col(keyCol).as("key_a"))
       .crossJoin(types.select(col(keyCol).as("key_b")))
@@ -114,7 +144,7 @@ object Hll {
         .select(col("key_a"), col("key_b"), col("bucket"), col("r")))
       .groupBy(col("key_a"), col("key_b"), col("bucket"))
       .agg(max(col("r")).as("r"))
-    estimate(unionRegs, Seq("key_a", "key_b"), "union_distinct")
+    estimate(unionRegs, Seq("key_a", "key_b"), "union_distinct", p)
       .join(singles.select(col(keyCol).as("key_a"),
         col("d").as("distinct_a")), Seq("key_a"))
       .join(singles.select(col(keyCol).as("key_b"),
@@ -129,17 +159,18 @@ object Hll {
     * (e.g. the pairwise union sketches of the set-algebra queries).
     */
   def estimate(regs: DataFrame, keyCols: Seq[String],
-      outName: String): DataFrame = {
+      outName: String, p: Int = P): DataFrame = {
+    val wb = wBits(p); val mm = m(p)
     val agg = regs
       .groupBy(keyCols.map(col): _*)
       .agg(
         count(lit(1)).as("present_buckets"),
-        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${WBits + 1} - r)")).as("sumscaled"))
-    val zeros = (lit(M) - col("present_buckets")).cast("long")
-    val denom = (col("sumscaled") + zeros * lit(1L << (WBits + 1))).cast("double")
-    val eRaw = lit(AlphaNumer) / denom
-    val est = when(zeros > lit(0L) && eRaw <= lit(2.5 * M),
-        lit(M.toDouble) * log(lit(M.toDouble) / zeros.cast("double")))
+        sum(expr(s"shiftleft(CAST(1 AS BIGINT), ${wb + 1} - r)")).as("sumscaled"))
+    val zeros = (lit(mm) - col("present_buckets")).cast("long")
+    val denom = (col("sumscaled") + zeros * lit(1L << (wb + 1))).cast("double")
+    val eRaw = lit(alphaNumer(p)) / denom
+    val est = when(zeros > lit(0L) && eRaw <= lit(2.5 * mm),
+        lit(mm.toDouble) * log(lit(mm.toDouble) / zeros.cast("double")))
       .otherwise(eRaw)
     agg.select(keyCols.map(col) ++ Seq(col("present_buckets"),
       round(est).cast("long").as(outName)): _*)

@@ -138,6 +138,26 @@ class SketchSpec extends SparkSpec {
     assert(est == expect, s"got $est, want $expect — overflow regressed")
   }
 
+  test("HLL precision parameter: p=12 tightens the estimate ~4x over p=8") {
+    import spark.implicits._
+    // 100k known-distinct values under one key: σ(p) = 1.04/√2^p →
+    // 6.5% at p=8, 1.6% at p=12; gate each at 3σ and require the p=12
+    // run to actually be tighter than p=8's 1σ band
+    val df = spark.range(100000).selectExpr("'k' AS k", "id AS v").toDF()
+    def err(p: Int): Double = {
+      val est = graft.operators.Hll.estimate(
+          graft.operators.Hll.sketch(df, "k", col("v"), p), "k", "d", p)
+        .head().getLong(2)
+      math.abs(est - 100000.0) / 100000.0
+    }
+    val e8 = err(8); val e12 = err(12)
+    assert(e8 < 3 * 0.065, s"p=8 err $e8")
+    assert(e12 < 3 * 0.0163, s"p=12 err $e12")
+    // register count scales with 2^p, bounded by m
+    val regs12 = graft.operators.Hll.sketch(df, "k", col("v"), 12).count()
+    assert(regs12 > 256 && regs12 <= 4096, s"p=12 register rows $regs12")
+  }
+
   test("HLL: sketch of the union == register-wise merge of split sketches") {
     val a = li.where(col("l_orderkey") % 2 === 0)
     val b = li.where(col("l_orderkey") % 2 =!= 0)
