@@ -31,20 +31,26 @@ import graft.functions.BitLength64
   */
 object QuantileSketch {
 
-  /** Significant bits kept per bucket: relative error ≤ 2^−SigBits. */
+  /** Default significant bits kept per bucket: relative error ≤
+    * 2^−SigBits (1/64 ≈ 1.6%) — what every oracled catalog query
+    * uses. Callers needing tighter quantiles pass `sigBits` (error
+    * halves and bucket count doubles per extra bit; 10 → 0.1% at
+    * ≤ ~29k buckets per key for 64-bit measures).
+    */
   val SigBits = 6
 
   /** Build the sketch: (keyCol, lo, w, cnt) bucket-count rows.
     * `value` must be a non-negative long (callers pre-scale, e.g.
     * `round(price * 100).cast("long")` for exact cents).
     */
-  def sketch(df: DataFrame, keyCol: String, value: Column): DataFrame =
+  def sketch(df: DataFrame, keyCol: String, value: Column,
+      sigBits: Int = SigBits): DataFrame =
     df.select(col(keyCol), value.as("v"))
       // nulls are ignored, matching exact `percentile` semantics — an
       // unfiltered null would otherwise become a (lo=null, w=1) bucket
       // that inflates n and shifts every cumulative rank
       .where(col("v").isNotNull)
-      .withColumn("s", greatest(BitLength64.col(col("v")) - lit(SigBits), lit(0)))
+      .withColumn("s", greatest(BitLength64.col(col("v")) - lit(sigBits), lit(0)))
       .select(col(keyCol),
         expr("shiftleft(shiftright(v, s), s)").as("lo"),
         expr("shiftleft(CAST(1 AS BIGINT), s)").as("w"))

@@ -125,6 +125,20 @@ class SketchSpec extends SparkSpec {
     assert(bad == 0, s"$bad single-value keys did not estimate exactly 1")
   }
 
+  test("QuantileSketch precision parameter: sigBits=10 tightens to ~0.1%") {
+    import spark.implicits._
+    val df = spark.range(1, 100001).selectExpr("'k' AS k", "id AS v").toDF()
+    def p50Err(sb: Int): Double = {
+      val est = QuantileSketch.quantiles(
+          QuantileSketch.sketch(df, "k", col("v"), sb), "k", 2.0,
+          Seq("p50" -> 0.5))
+        .head().getDouble(1)
+      math.abs(est - 50000.0) / 50000.0
+    }
+    assert(p50Err(6) <= 1.0 / 64, "sigBits=6 outside its bound")
+    assert(p50Err(10) <= 1.0 / 1024, "sigBits=10 outside its bound")
+  }
+
   test("QuantileSketch: no long overflow at bit length >= 63") {
     import spark.implicits._
     // v = 2^62 → s = 57, lo = 2^62, w = 2^57: the integer midpoint
