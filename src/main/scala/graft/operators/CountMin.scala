@@ -65,76 +65,40 @@ object CountMin {
       least((0 until depth).map(i => coalesce(col(s"c_$i"), lit(0L))): _*))
       .select(col(keyCol), col("cms_c"))
 
-  /** Auto-dispatch boundary for [[heavyHitters]]: tails at or below
-    * this many distinct keys take the plain groupBy (map-side partial
-    * aggregation absorbs them — measured winner at a 2M-key tail),
-    * larger tails take the CMS pre-filter (flat in tail cardinality —
-    * measured winner at 44M keys; DebugHeavyHitterScale, SCALE.md).
-    * Sits between the two measured points, nearer the naive-wins one.
-    */
-  val SmallTailKeys = 4000000L
-
-  /** EXACT heavy hitters over `rows(keyCol)`: keys occurring ≥
-    * ⌈total/phiInverse⌉ times, with `total` read exactly from the
-    * sketch's own fn=0 cells (each occurrence increments exactly one
-    * cell per hash row — no extra pass). Two physical strategies,
-    * auto-dispatched on a tail-cardinality estimate that comes FREE
-    * from the same build pass (fn=0 cells partition the key space by
-    * hash, so their per-cell distinct-key estimates SUM to the tail
-    * size):
+  /** EXACT heavy hitters over `rows(keyCol)` with the sketch as a
+    * lossless candidate pre-filter: keys occurring ≥ ⌈total/phiInverse⌉
+    * times, with `total` read exactly from the sketch's own fn=0 cells
+    * (each occurrence increments exactly one cell per hash row — no
+    * extra pass). Occurrences are estimated MAP-SIDE via `depth`
+    * broadcast joins against the ≤ depth·width-cell sketch and only
+    * candidates reach the exact-count shuffle; the one-sided guarantee
+    * (estimate ≥ true count) proves no true heavy hitter is dropped,
+    * and the final exact cut evicts collision admits — so the result
+    * is EXACT while the corpus-keyed shuffle carries only candidate
+    * occurrences (CountMinSpec equality gate, PlanSpec shape gate).
     *
-    *   - tail ≤ `smallTail`: plain exact groupBy (partial aggregation
-    *     absorbs a bounded tail map-side; the sketch still prices the
-    *     threshold and the output's cms_c column);
-    *   - larger tails: occurrences are estimated MAP-SIDE via `depth`
-    *     broadcast joins against the ≤ depth·width-cell sketch and
-    *     only candidates reach the exact-count shuffle — the one-sided
-    *     guarantee (estimate ≥ true count) proves no true heavy hitter
-    *     is dropped, and the final exact cut evicts collision admits.
-    *
-    * Both strategies return the identical EXACT result (CountMinSpec
-    * gates equality and the dispatch itself); pass `smallTail = 0` to
-    * pin the pre-filter path (the catalog query does, keeping its
-    * PlanSpec shape gate meaningful) or `Long.MaxValue` to pin the
-    * groupBy. One corpus action either way: the bounded cell table is
-    * collected and re-shipped as a local relation — nothing pinned in
-    * the executor cache. Callers whose `rows` is expensive to
-    * recompute should persist it across the two corpus passes.
-    * Returns (keyCol, exact_c, cms_c, threshold).
+    * Triggers one corpus action: the bounded sketch is collected to
+    * the driver (≤ depth·width rows by construction) and re-shipped as
+    * a local relation, so nothing is pinned in the executor cache and
+    * the threshold read costs no extra job. Callers whose `rows` is
+    * expensive to recompute should persist it across the two corpus
+    * passes. Returns (keyCol, exact_c, cms_c, threshold).
     */
   def heavyHitters(rows: DataFrame, keyCol: String, phiInverse: Long,
-      depth: Int, width: Int,
-      smallTail: Long = SmallTailKeys): DataFrame = {
+      depth: Int, width: Int): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val cells = rows
-      .select(col(keyCol), posexplode(array(
-        (0 until depth).map(s => cell(col(keyCol), s, width)): _*))
-        .as(Seq("fn", "cell")))
-      .groupBy(col("fn"), col("cell"))
-      .agg(count(lit(1)).as("c"),
-        approx_count_distinct(col(keyCol)).as("d"))
-      .collect().map(r =>
-        (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val cells = build(rows, keyCol, depth, width)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     val total = cells.iterator.filter(_._1 == 0).map(_._3).sum
-    val tailEst = cells.iterator.filter(_._1 == 0).map(_._4).sum
     val threshold = (total + phiInverse - 1L) / phiInverse
-    val sketch = cells.map(t => (t._1, t._2, t._3)).toDF("fn", "cell", "c")
-    val counted =
-      if (tailEst <= smallTail) {
-        val exact = rows.groupBy(col(keyCol))
-          .agg(count(lit(1)).as("exact_c"))
-          .where(col("exact_c") >= threshold)
-        estimate(sketch, exact, keyCol, depth, width)
-          .select(col(keyCol), col("exact_c"), col("cms_c"))
-      } else {
-        estimateOccurrences(rows, keyCol, sketch, depth, width)
-          .where(col("cms_c") >= threshold)
-          .groupBy(col(keyCol))
-          .agg(count(lit(1)).as("exact_c"), min(col("cms_c")).as("cms_c"))
-          .where(col("exact_c") >= threshold)
-      }
-    counted.withColumn("threshold", lit(threshold))
+    val sketch = cells.toDF("fn", "cell", "c")
+    estimateOccurrences(rows, keyCol, sketch, depth, width)
+      .where(col("cms_c") >= threshold)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("exact_c"), min(col("cms_c")).as("cms_c"))
+      .where(col("exact_c") >= threshold)
+      .withColumn("threshold", lit(threshold))
   }
 
   /** Point estimates for the keys in `keys(keyCol)`: min over the

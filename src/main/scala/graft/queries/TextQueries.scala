@@ -148,12 +148,8 @@ object TextQueries {
     val toks = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .persist()
-    // smallTail = 0 pins the CMS pre-filter strategy: the catalog entry
-    // is the large-tail contract under test (PlanSpec shape gate), and
-    // the sf corpora would otherwise auto-dispatch to the plain groupBy
     graft.operators.CountMin
-      .heavyHitters(toks, "token", phiInverse = 200L, depth = 4,
-        width = 1024, smallTail = 0L)
+      .heavyHitters(toks, "token", phiInverse = 200L, depth = 4, width = 1024)
       .orderBy(col("exact_c").desc, col("token"))
   }
 

@@ -70,33 +70,6 @@ class CountMinSpec extends SparkSpec {
       "the map-side per-occurrence estimate must equal estimate()")
   }
 
-  test("heavyHitters auto-dispatch: both strategies, identical exact result") {
-    import spark.implicits._
-    val df = (Seq.fill(500)("hot") ++ (0 until 1000).map(i => s"c$i")).toDF("k")
-    // pinned small-tail → plain groupBy plan: ONE broadcast join (the
-    // cms_c decoration), no per-occurrence estimate chain
-    val naive = CountMin.heavyHitters(df, "k", 10L, depth, width,
-      smallTail = Long.MaxValue)
-    val naivePlan = naive.queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin".r.findAllIn(naivePlan).length == 1,
-      "small-tail path must decorate cms_c with a single broadcast join")
-    // pinned large-tail → the depth-way broadcast pre-filter plan
-    val cms = CountMin.heavyHitters(df, "k", 10L, depth, width,
-      smallTail = 0L)
-    val cmsPlan = cms.queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin".r.findAllIn(cmsPlan).length >= depth,
-      "large-tail path must keep the per-hash-row broadcast joins")
-    // and the auto threshold (1500 keys ≤ SmallTailKeys) picks naive
-    val auto = CountMin.heavyHitters(df, "k", 10L, depth, width)
-    assert("BroadcastHashJoin".r.findAllIn(
-      auto.queryExecution.executedPlan.toString).length == 1)
-    def rows(d: org.apache.spark.sql.DataFrame) =
-      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
-        r.getLong(3))).toSet
-    assert(rows(naive) == rows(cms) && rows(naive).nonEmpty,
-      "strategies must return the identical exact result")
-  }
-
   test("one-sided guarantee survives forced collisions (width=16, depth=2)") {
     import spark.implicits._
     // a 16-cell sketch over a 500-key multiset guarantees heavy

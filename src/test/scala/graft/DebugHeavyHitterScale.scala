@@ -55,12 +55,8 @@ object DebugHeavyHitterScale {
       r
     }
 
-    // smallTail = 0 pins the pre-filter strategy so the harness always
-    // measures the CMS path — the auto-dispatch would (correctly) pick
-    // the naive groupBy below SmallTailKeys
     val hh = time("CMS heavyHitters") {
-      CountMin.heavyHitters(df, "token", phiInverse, depth, width,
-          smallTail = 0L)
+      CountMin.heavyHitters(df, "token", phiInverse, depth, width)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
     val threshold = (n + phiInverse - 1) / phiInverse
