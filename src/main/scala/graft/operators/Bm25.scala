@@ -50,18 +50,25 @@ object Bm25 {
     * rebuilds at the same base invalidate the entry.
     */
   private def vocabSize(spark: SparkSession, index: Index): Long = {
+    // per-file name:length:nanos-mtime, the Tables.dataKey convention —
+    // a null/empty listing (non-local filesystem, or a path the local
+    // File API can't see) maps to None, NOT to a stable degenerate key
+    // that would cache the count past an in-place rebuild
     val key = try {
-      val fs = Option(new java.io.File(index.dfPath).listFiles())
-        .getOrElse(Array.empty)
-      Some(s"${index.dfPath}:${fs.map(_.length).sum}:" +
-        fs.map(_.lastModified).foldLeft(0L)(math.max))
+      Option(new java.io.File(index.dfPath).listFiles())
+        .filter(_.nonEmpty)
+        .map(_.sortBy(_.getName).map { f =>
+          val mt = java.nio.file.Files.getLastModifiedTime(f.toPath)
+            .to(java.util.concurrent.TimeUnit.NANOSECONDS)
+          s"${f.getName}:${f.length}:$mt"
+        }.mkString(s"${index.dfPath}@", ",", ""))
     } catch { case _: Throwable => None }
     key match {
       case Some(k) => vocabCache.computeIfAbsent(k,
         _ => spark.read.parquet(index.dfPath).count())
-      // fingerprint unavailable (e.g. non-local filesystem): a bare
-      // path key could outlive an in-place rebuild and flip the
-      // seek-vs-scan rule on stale data — recount instead of caching
+      // fingerprint unavailable: a bare path key could outlive an
+      // in-place rebuild and flip the seek-vs-scan rule on stale
+      // data — recount (metadata-only, cheap) instead of caching
       case None => spark.read.parquet(index.dfPath).count()
     }
   }

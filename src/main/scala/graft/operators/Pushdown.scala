@@ -49,14 +49,20 @@ object Pushdown {
   /** `scan(chunk)` per ≤`chunk`-sized slice of `values`, unioned.
     * Callers build the isin-filtered scan in `scan`; an empty value
     * set degrades to one `scan(empty)` call (an empty isin is
-    * always-false, preserving semantics). Prefer the session-aware
-    * overload — a fixed `chunk` above the session's in-filter
-    * threshold loses the per-chunk IN pushdown (see [[sessionChunk]]).
+    * always-false, preserving semantics). `values` is deduplicated
+    * here: a duplicate landing in two different chunks would match its
+    * rows in two union arms and DOUBLE them — a semantics change vs
+    * the single `isin` this replaces, which is duplicate-safe. Prefer
+    * the session-aware overload — a fixed `chunk` above the session's
+    * in-filter threshold loses the per-chunk IN pushdown (see
+    * [[sessionChunk]]).
     */
   def inChunks[T](values: Seq[T], chunk: Int = MaxInLiterals)(
-      scan: Seq[T] => DataFrame): DataFrame =
-    if (values.isEmpty) scan(values)
-    else values.grouped(chunk).map(scan).reduce(_ union _)
+      scan: Seq[T] => DataFrame): DataFrame = {
+    val vs = values.distinct
+    if (vs.isEmpty) scan(vs)
+    else vs.grouped(chunk).map(scan).reduce(_ union _)
+  }
 
   /** Session-aware [[inChunks]]: chunk = [[sessionChunk]], so every
     * chunk stays under BOTH the Or-tree depth cap and the session's

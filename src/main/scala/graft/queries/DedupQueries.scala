@@ -146,11 +146,18 @@ object DedupQueries {
     * [[bandedSignaturesMd5]] composes it for callers starting from raw
     * documents).
     */
-  def bandsOf(signed: DataFrame, nHashes: Int): DataFrame =
+  def bandsOf(signed: DataFrame, nHashes: Int): DataFrame = {
+    // 2 hashes per band needs an even signature count — make the
+    // contract explicit rather than letting Params' multiple-of-bands
+    // require surface as a confusing downstream error (nHashes = 5
+    // would compute bands = 2 and trip `numHashes % bands == 0`)
+    require(nHashes >= 2 && nHashes % 2 == 0,
+      s"bandsOf needs an even nHashes >= 2 (2 hashes per band), got $nHashes")
     graft.operators.MinHashLsh.band(
         signed.withColumnRenamed("doc_id", "id"),
         catalogParams.copy(numHashes = nHashes, bands = nHashes / 2))
       .withColumnRenamed("id", "doc_id")
+  }
 
   /** (doc_id, band_idx, band_val) banded md5 MinHash signatures from a
     * raw (doc_id, text) frame — the map-side half of the LSH pipeline,

@@ -83,8 +83,13 @@ object DebugBm25Scale {
     require(fullRows == chRows,
       s"strategy row mismatch: full=$fullRows chunked=$chRows")
 
+    // seekCeiling = 1.0 pins the chunked-seek plan: this harness's
+    // batch covers ~27% of the vocabulary, so the adaptive dispatch
+    // (SeekSelectivityCeiling 0.10) would otherwise take the dense
+    // full-scan plan and the number would measure the WRONG strategy
     val (nTop, e2eS) = timed(
-      Bm25.topDocs(Bm25.scoredFromPairs(spark, idx, pairs), k = 10).count())
+      Bm25.topDocs(Bm25.scoredFromPairs(spark, idx, pairs,
+        seekCeiling = 1.0), k = 10).count())
     println(f"""{"metric":"bm25_scale","n":$n,"postings":$nPost,"n_queries":$nQ,"distinct_terms":${terms.size},"build_s":$buildS%.2f,"scan_full_s":$fullS%.2f,"scan_chunked_s":$chunkedS%.2f,"chunks":${chunks.size},"matched_rows":$fullRows,"e2e_topk_s":$e2eS%.2f,"top_rows":$nTop}""")
     spark.stop()
   }

@@ -31,8 +31,13 @@ object DebugSketchCheck {
         .parquet(s"$outDir/$n")
     }
     graft.queries.OracleGen.enable(spark, sfDir)
+    // re-read the catalog AFTER enabling generation (Catalog.all is a
+    // def; the `all` above was captured with ctx unset, so generated
+    // oracles in it are frozen to None — only literal SQL survives)
+    val withOracles = graft.queries.Catalog.all
     val q = Verify.jsonEscape _
-    val json = names.flatMap(n => all(n).oracle.map(sql => s"${q(n)}: ${q(sql)}"))
+    val json = names
+      .flatMap(n => withOracles(n).oracle.map(sql => s"${q(n)}: ${q(sql)}"))
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
