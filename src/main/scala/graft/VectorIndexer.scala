@@ -34,8 +34,9 @@ final class VectorIndexer private (
   def build(df: DataFrame, idCol: String = "vec_id",
       embCol: String = "embedding"): this.type = {
     validateDim(df, embCol)
-    idx = Some(Ivf.build(df, idCol, embCol, config.indexDir,
-      seed = VectorIndexer.BuildSeed))
+    idx = Some(VectorIndexer.applyConfig(config,
+      Ivf.build(df, idCol, embCol, config.indexDir,
+        seed = VectorIndexer.BuildSeed)))
     this
   }
 
@@ -122,7 +123,7 @@ final class VectorIndexer private (
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val kk = if (k < 0) config.defaultK else k
     val np = if (nProbe < 0) config.defaultNProbe else nProbe
-    Ivf.search(spark, withConfig(index), query, kk, np,
+    Ivf.search(spark, index, query, kk, np,
       includeVectors = includeVectors, filter = filter)
   }
 
@@ -132,7 +133,7 @@ final class VectorIndexer private (
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val kk = if (k < 0) config.defaultK else k
     val np = if (nProbe < 0) config.defaultNProbe else nProbe
-    Ivf.searchBatch(spark, withConfig(index), queries, kk, np,
+    Ivf.searchBatch(spark, index, queries, kk, np,
       filter = filter)
   }
 
@@ -144,7 +145,7 @@ final class VectorIndexer private (
       nProbe: Int = -1,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val np = if (nProbe < 0) config.defaultNProbe else nProbe
-    Ivf.rangeSearch(spark, withConfig(index), query, radius, np,
+    Ivf.rangeSearch(spark, index, query, radius, np,
       filter = filter)
   }
 
@@ -156,7 +157,7 @@ final class VectorIndexer private (
       qidCol: String = "query_id", qembCol: String = "qe"): DataFrame = {
     val kk = if (k < 0) config.defaultK else k
     val np = if (nProbe < 0) config.defaultNProbe else nProbe
-    Ivf.annJoin(queries, withConfig(index), kk, np, qidCol, qembCol)
+    Ivf.annJoin(queries, index, kk, np, qidCol, qembCol)
   }
 
   /** Faiss-style batch result: (D, I) row-major matrices of shape
@@ -185,10 +186,6 @@ final class VectorIndexer private (
     }
     (d, i)
   }
-
-  private def withConfig(i: Ivf.Index): Ivf.Index =
-    i.copy(config = Ivf.Config(config.defaultK, config.defaultNProbe,
-      config.maxK, config.maxNProbe))
 
   private def validateDim(df: DataFrame, embCol: String): Unit = {
     import org.apache.spark.sql.functions._
@@ -223,8 +220,16 @@ object VectorIndexer {
     val i = Ivf.load(spark, config.indexDir)
     require(i.centroids(0).length == config.dimension,
       s"index dimension ${i.centroids(0).length} != config ${config.dimension}")
-    new VectorIndexer(spark, config, Some(i))
+    new VectorIndexer(spark, config, Some(applyConfig(config, i)))
   }
+
+  /** Facade clamps applied ONCE at build/load — never per search call:
+    * a per-call `copy` would discard the Index's @transient lazy probe
+    * router and re-run its meta-clustering on every query at large k.
+    */
+  private def applyConfig(c: Config, i: Ivf.Index): Ivf.Index =
+    i.copy(config = Ivf.Config(c.defaultK, c.defaultNProbe,
+      c.maxK, c.maxNProbe))
 
   /** nlist heuristic — Python `suggest_nlist` parity. */
   def suggestNlist(n: Long): Int = KMeans.numClusters(n)

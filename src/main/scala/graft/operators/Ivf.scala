@@ -117,12 +117,25 @@ object Ivf {
     val iters = KMeans.maxIterations(n)
     val model = KMeans.fit(df, embCol, k, iters, seed, orderCol = Some(idCol),
       knownCount = Some(n))
+    // P1 on the direct-build path, enforced map-side in the assignment
+    // pass — the same raise_error guard append applies: without it a
+    // NULL embedding NPEs deep in the assignment UDF AFTER training
+    // already ran, and a short one is silently assigned by prefix
+    // distance into a wrong cluster (the facade pre-validates; direct
+    // Ivf.build callers must get the same contract)
+    val dim = model.centroids(0).length
+    val checked = df.withColumn(embCol,
+      when(col(embCol).isNull || size(col(embCol)) =!= dim,
+        raise_error(concat(lit(s"build: embedding dimension != $dim for id="),
+          col(idCol).cast("string"))))
+        .otherwise(col(embCol)))
 
     // full assignment (map-side, broadcast centroids, no shuffle).
     // persisted: both the counts collect and the partitioned write below
     // consume it — without the barrier the (hierarchical) assignment UDF
     // runs over the full table twice.
-    val assigned = KMeans.withAssignment(df, embCol, model, seed, "raw_centroid_id")
+    val assigned = KMeans
+      .withAssignment(checked, embCol, model, seed, "raw_centroid_id")
       .persist()
 
     // drop empty clusters, re-densify ids in ascending raw-id order (P2,
@@ -493,6 +506,14 @@ object Ivf {
     val nProbe = math.min(nProbe0, index.config.maxNProbe)
     require(k > 0, "k must be > 0")
     require(nProbe > 0, "n_probe must be > 0")
+    // same P1 dimension contract as single search — without it a long
+    // query reads past the centroid arrays (driver AIOOBE) and a short
+    // one routes by prefix distance then NULLs every candidate distance
+    queries.find(_._2.length != index.centroids(0).length).foreach { q =>
+      throw new IllegalArgumentException(
+        s"query ${q._1} has dimension ${q._2.length}, " +
+          s"index has ${index.centroids(0).length}")
+    }
 
     // per-query routing via the shared router — O(√k) per query for
     // large k instead of a full centroid sort (see Index.router)
@@ -605,7 +626,19 @@ object Ivf {
       index.centroids.length)
     val probeUdf = udf((q: Seq[Float]) =>
       routerB.value.topN(q.toArray, np).toSeq)
+    // P1 on the distributed query side too, enforced map-side in the
+    // same pass (the append-guard pattern): a NULL query embedding
+    // would NPE inside the probe UDF task-side with no context, and a
+    // wrong-dimension one would route by prefix distance and return
+    // arbitrary ids behind NULL distances
+    val qdim = index.centroids(0).length
     val probed = queries.select(qCols.map(col): _*)
+      .withColumn(qembCol,
+        when(col(qembCol).isNull || size(col(qembCol)) =!= qdim,
+          raise_error(concat(
+            lit(s"annJoin: query embedding dimension != $qdim for "),
+            col(qidCol).cast("string"))))
+          .otherwise(col(qembCol)))
       .withColumn("centroid_id", explode(probeUdf(col(qembCol))))
     // bounded-state per-query top-k (see searchBatch): the post-join
     // exchange on the query id carries ≤ k·P rows per query, which is

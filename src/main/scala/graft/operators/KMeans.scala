@@ -459,6 +459,14 @@ object KMeans {
   def trainDriver(pool: Array[Array[Float]], k0: Int, iters: Int, seed: Long): Model = {
     require(pool.nonEmpty, "k-means: empty input")
     val k = math.min(k0, pool.length)
+    // loud, not silent: at reference parity k0 = 4*ceil(sqrt(n)) this
+    // binds when n >~ 156M rows against the 50k reference pool cap —
+    // clusters degrade toward raw sample points and probe pruning reads
+    // k0/k more bytes per probe than the nProbe/k contract suggests
+    if (k < k0) System.err.println(
+      s"[kmeans] k clamped $k0 -> $k (training pool has only " +
+        s"${pool.length} rows); raise poolCap for n where 4*sqrt(n) " +
+        "exceeds the reference 50k init-sample cap")
     val rng = new Random(seed)
     val centroids = kppInit(pool, k, rng)
     refineLloyd(pool, centroids, iters, rng, seed)
@@ -649,7 +657,11 @@ object KMeans {
     require(n > 0, "k-means: empty input")
     val pool = orderCol match {
       case Some(c) =>
+        // null embeddings are excluded from the TRAINING pool (they
+        // carry no geometry); they still fail loudly downstream at
+        // assignment via the build/append raise_error guards
         df.select(col(c), col(embCol))
+          .where(col(embCol).isNotNull)
           .orderBy(xxhash64(col(c), lit(seed)), col(c))
           .limit(poolCap)
           .collect()
@@ -657,9 +669,17 @@ object KMeans {
       case None =>
         val fraction = math.min(1.0, poolCap.toDouble * 1.2 / n.toDouble)
         val sampled =
-          if (fraction >= 1.0) df.select(col(embCol))
-          else df.select(col(embCol)).sample(withReplacement = false, fraction, seed)
-        sampled.limit(poolCap).collect().map(_.getSeq[Float](0).toArray)
+          if (fraction >= 1.0) df.select(col(embCol)).where(col(embCol).isNotNull)
+          else df.select(col(embCol)).where(col(embCol).isNotNull)
+            .sample(withReplacement = false, fraction, seed)
+        // content-hash-ordered cut, NOT a bare limit: limit() satisfies
+        // itself from the earliest partitions scanned, so on e.g. a
+        // time-ordered table the tail would contribute zero pool rows —
+        // the exact bias the orderCol path exists to avoid. Hashing the
+        // embedding itself also makes the cut deterministic across
+        // partitionings (sort input is ~1.2*poolCap rows, not n).
+        sampled.orderBy(xxhash64(col(embCol), lit(seed)))
+          .limit(poolCap).collect().map(_.getSeq[Float](0).toArray)
     }
     trainDriver(pool, k, iters, seed)
   }
@@ -671,14 +691,10 @@ object KMeans {
     */
   final class AssignerHolder(val centroids: Array[Array[Float]], val seed: Long)
       extends Serializable {
-    @transient lazy val assign: Array[Float] => (Int, Double) = {
-      if (centroids.length > HierarchicalThreshold) {
-        val h = new HierarchicalAssigner(centroids, seed)
-        h.assign _
-      } else {
-        (p: Array[Float]) => nearest(p, centroids)
-      }
-    }
+    // the ONE dispatch rule lives in assigner() — a re-implementation
+    // here would drift from it
+    @transient lazy val assign: Array[Float] => (Int, Double) =
+      assigner(Model(centroids), seed)
   }
 
   /** Distributed full assignment (J2/J3): broadcast centroids, map-side

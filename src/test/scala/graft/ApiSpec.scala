@@ -180,6 +180,41 @@ class ApiSpec extends SparkSpec {
       .map(_.getLong(0)).contains(17L))
   }
 
+  test("P1 on every search entry point: batch, annJoin, direct build") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vi = VectorIndexer.create(spark, freshCfg()).buildFromRecords(ramp(80, 4))
+    // searchBatch: wrong-dimension query raises with the query id, like
+    // single search (a 2-dim query would otherwise route by prefix and
+    // return ids behind NULL distances)
+    val e = intercept[IllegalArgumentException] {
+      vi.searchBatch(Array(1L -> Array(0.1f, 0.2f)), k = 3)
+    }
+    assert(e.getMessage.contains("dimension"))
+    // annJoin: a NULL query embedding fails the job with a labeled
+    // error, not an opaque task NPE
+    val badQ = Seq((1L, Some(Seq(0.1f, 0.2f, 0.3f, 0.4f))), (2L, None))
+      .toDF("query_id", "qe")
+      .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
+    val e2 = intercept[Exception] {
+      vi.annJoin(badQ, k = 1, nProbe = 10000).collect()
+    }
+    assert(e2.getMessage != null)
+    // direct Ivf.build (no facade pre-validation): a null embedding
+    // raises the labeled map-side guard instead of an assignment NPE
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_build_guard").toString
+    val rows = (0L until 40L).map(i => (i, Some(Seq.fill(4)(i.toFloat)))) :+
+      (99L, Option.empty[Seq[Float]])
+    val df = rows.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val e3 = intercept[Exception] {
+      graft.operators.Ivf.build(df, "vec_id", "embedding", dir)
+    }
+    assert(e3.getMessage != null)
+  }
+
   test("suggest_nlist parity") {
     assert(VectorIndexer.suggestNlist(5000) == math.sqrt(5000).toInt)
     assert(VectorIndexer.suggestNlist(1000000) == 4000)
