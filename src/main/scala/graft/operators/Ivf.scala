@@ -69,15 +69,19 @@ object Ivf {
       new KMeans.ProbeRouter(centroids, seed, approxRouting, metaProbe)
   }
 
-  /** The ONE clustered-write shape, shared by build/append/compact:
-    * salted repartition (each shard spreads over ~shuffleParts/numShards
+  /** The ONE clustered-write shape, shared by build/append/compact AND
+    * every coded sibling dataset (IvfPq raw/residual, IvfSq): salted
+    * repartition (each shard spreads over ~shuffleParts/numShards
     * tasks — write parallelism must NOT be capped at ⌈√k⌉ shards, which
     * at 100 TB means ~n/√k rows per task, a straggler and an OOM-shaped
     * sort), (centroid_id, id) sort for row-group clustering, and
-    * `partitionBy(shard_id)` directory layout.
+    * `partitionBy(shard_id)` directory layout — the contract
+    * probePrunedScan's directory pruning and row-group skipping assume,
+    * enforced by a single body rather than four hand-copies that could
+    * drift.
     */
-  private def writeVectors(df: DataFrame, idCol: String, numShards: Int,
-      path: String, mode: String): Unit = {
+  private[operators] def writeVectors(df: DataFrame, idCol: String,
+      numShards: Int, path: String, mode: String): Unit = {
     val spark = df.sparkSession
     val shuffleParts = spark.sessionState.conf.numShufflePartitions
     val salts = math.max(1, math.ceil(shuffleParts.toDouble / numShards).toInt)

@@ -30,17 +30,11 @@ object IvfPq {
   def buildCodes(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
       outPath: String, idCol: String = "vec_id",
       embCol: String = "embedding"): Unit = {
-    val shuffleParts = spark.sessionState.conf.numShufflePartitions
-    val numShards = ivf.numShards
-    val salts = math.max(1, math.ceil(shuffleParts.toDouble / numShards).toInt)
-    Pq.encode(Ivf.liveVectors(spark, ivf, idCol), embCol, model)
-      .select(col("shard_id"), col("centroid_id"), col(idCol), col("pq_code"))
-      .repartition(shuffleParts, col("shard_id"),
-        pmod(xxhash64(col(idCol)), lit(salts)))
-      .sortWithinPartitions(col("centroid_id"), col(idCol))
-      .write.mode("overwrite")
-      .partitionBy("shard_id")
-      .parquet(outPath)
+    Ivf.writeVectors(
+      Pq.encode(Ivf.liveVectors(spark, ivf, idCol), embCol, model)
+        .select(col("shard_id"), col("centroid_id"), col(idCol),
+          col("pq_code")),
+      idCol, ivf.numShards, outPath, "overwrite")
   }
 
   /** Residual vector x − centroid[centroid_id] as a column — the
@@ -84,21 +78,15 @@ object IvfPq {
   def buildResidualCodes(spark: SparkSession, ivf: Ivf.Index,
       model: Pq.Model, outPath: String, idCol: String = "vec_id",
       embCol: String = "embedding"): Unit = {
-    val shuffleParts = spark.sessionState.conf.numShufflePartitions
-    val salts = math.max(1,
-      math.ceil(shuffleParts.toDouble / ivf.numShards).toInt)
     val res = residualCol(spark, ivf.centroids)
-    Pq.encode(
-      Ivf.liveVectors(spark, ivf, idCol)
-        .withColumn("residual", res(col(embCol), col("centroid_id"))),
-      "residual", model)
-      .select(col("shard_id"), col("centroid_id"), col(idCol), col("pq_code"))
-      .repartition(shuffleParts, col("shard_id"),
-        pmod(xxhash64(col(idCol)), lit(salts)))
-      .sortWithinPartitions(col("centroid_id"), col(idCol))
-      .write.mode("overwrite")
-      .partitionBy("shard_id")
-      .parquet(outPath)
+    Ivf.writeVectors(
+      Pq.encode(
+        Ivf.liveVectors(spark, ivf, idCol)
+          .withColumn("residual", res(col(embCol), col("centroid_id"))),
+        "residual", model)
+        .select(col("shard_id"), col("centroid_id"), col(idCol),
+          col("pq_code")),
+      idCol, ivf.numShards, outPath, "overwrite")
   }
 
   /** Top-k over the residual-coded dataset. The ADC table now depends
@@ -225,25 +213,32 @@ object IvfPq {
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     require(k > 0, "k must be > 0")
     require(nProbe > 0, "n_probe must be > 0")
+    // validate BEFORE routing: probe selection walks q.length centroid
+    // components, so an over-long query would AIOOBE in the router with
+    // no context instead of raising the dimension contract error
+    queries.find(_._2.length != model.dim).foreach { q =>
+      throw new IllegalArgumentException(
+        s"query ${q._1} has dimension ${q._2.length}, model has ${model.dim}")
+    }
     val probePairs = queries.flatMap { case (qid, q) =>
       Ivf.probeSelection(ivf, q, nProbe)._1.map(c => (qid, c))
     }
     val shards = probePairs.map(p => ivf.centroidToShard(p._2)).distinct.toSeq
+    val probedCentroids = probePairs.map(_._2).distinct.toSeq
     val probeDf = probePairs.toSeq.toDF("query_id", "centroid_id")
-    val dsub = model.dsub
-    val lutDf = queries.toSeq.map { case (qid, q) =>
-      require(q.length == model.dim,
-        s"query dim ${q.length} != model dim ${model.dim}")
-      val lut = model.codebooks.zipWithIndex.map { case (book, j) =>
-        val sub = q.slice(j * dsub, (j + 1) * dsub)
-        book.map(c => KMeans.sqDist(sub, c)).toSeq
-      }.toSeq
-      (qid, lut)
-    }.toDF("query_id", "lut")
-    // bounded-state per-query top-k — see searchBatchResidual
+    // ONE shared LUT builder (Pq.lutSeq) — searchBatchResidual and the
+    // single-query lutFor use the same body, so LUT math cannot drift
+    val lutDf = queries.toSeq
+      .map { case (qid, q) => (qid, Pq.lutSeq(q, model)) }
+      .toDF("query_id", "lut")
+    // bounded-state per-query top-k — see searchBatchResidual. The
+    // union of probed cells is a PUSHED scan predicate (row-group
+    // skip), same as every sibling path — a shard-only filter would
+    // read every cell of every probed shard (~sqrt(k) cells each) and
+    // discard the excess after decode in the join
     val candidates = Ivf.liveRows(spark, ivf,
-        spark.read.parquet(codesPath), idCol)
-      .where(col("shard_id").isin(shards: _*))
+        Ivf.probePrunedScan(spark, codesPath, probedCentroids, shards, ivf.k),
+        idCol)
       .join(broadcast(probeDf), Seq("centroid_id"))
       .join(broadcast(lutDf), Seq("query_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))

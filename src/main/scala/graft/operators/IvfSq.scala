@@ -26,18 +26,11 @@ object IvfSq {
     */
   def buildCodes(spark: SparkSession, ivf: Ivf.Index, outPath: String,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
-    val shuffleParts = spark.sessionState.conf.numShufflePartitions
-    val salts = math.max(1,
-      math.ceil(shuffleParts.toDouble / ivf.numShards).toInt)
-    Quantize.withInt8(Ivf.liveVectors(spark, ivf, idCol), embCol)
-      .select(col("shard_id"), col("centroid_id"), col(idCol),
-        col("q_scale"), col("q_emb"))
-      .repartition(shuffleParts, col("shard_id"),
-        pmod(xxhash64(col(idCol)), lit(salts)))
-      .sortWithinPartitions(col("centroid_id"), col(idCol))
-      .write.mode("overwrite")
-      .partitionBy("shard_id")
-      .parquet(outPath)
+    Ivf.writeVectors(
+      Quantize.withInt8(Ivf.liveVectors(spark, ivf, idCol), embCol)
+        .select(col("shard_id"), col("centroid_id"), col(idCol),
+          col("q_scale"), col("q_emb")),
+      idCol, ivf.numShards, outPath, "overwrite")
   }
 
   /** Top-k over the int8-coded dataset: probe-pruned scan → dequantize →

@@ -50,9 +50,14 @@ object Opq {
     // eigenvalues every weight is negative, "smallest sum so far" keeps
     // pointing at the bucket that just received the largest axis, and
     // the allocation degenerates to the identity (no balancing at all).
-    // +1e-12 guards log(0) for degenerate zero-variance axes.
-    val minEig = eigs.min + 1e-12
-    val w = eigs.map(e => math.log((e + 1e-12) / minEig))
+    // +1e-12 guards log(0) for degenerate zero-variance axes; clamping
+    // at 0 first guards Jacobi round-off returning a zero eigenvalue as
+    // a tiny NEGATIVE — a negative minEig flips every ratio's sign and
+    // log(negative) = NaN would silently degenerate the allocation to
+    // the identity (covariance eigenvalues are >= 0 mathematically, so
+    // the clamp only ever removes numerical noise).
+    val minEig = math.max(eigs.min, 0.0) + 1e-12
+    val w = eigs.map(e => math.log((math.max(e, 0.0) + 1e-12) / minEig))
     val logSum = new Array[Double](m)
     val buckets = Array.fill(m)(List.empty[Int])
     order.foreach { axis =>
@@ -71,7 +76,10 @@ object Opq {
     * row define d and exclude every normal row from the fit.
     */
   def fit(df: DataFrame, embCol: String, m: Int): Rotation = {
-    val pca = Pca.fit(df, embCol, Pca.inferDim(df, embCol))
+    // Pca.fit(df, embCol) infers the dimension itself — passing
+    // inferDim's result as q would run the full-table size aggregation
+    // twice per fit
+    val pca = Pca.fit(df, embCol)
     Rotation(pca.mean, pca.components, allocate(pca.eigenvalues, m))
   }
 
@@ -102,7 +110,12 @@ object Opq {
   /** Rotate a single (query) vector driver-side — bitwise the same
     * arithmetic as the distributed path.
     */
-  def rotateVec(x: Array[Float], rot: Rotation): Array[Float] =
+  def rotateVec(x: Array[Float], rot: Rotation): Array[Float] = {
+    // same contract as the distributed rotate(): a short vector would
+    // AIOOBE mid-loop and a LONG one would silently truncate to d dims
+    // and return confidently wrong neighbors downstream
+    require(x.length == rot.d,
+      s"rotateVec: vector dim ${x.length} != rotation dim ${rot.d}")
     Array.tabulate(rot.d) { row =>
       val comp = rot.basis(rot.perm(row))
       var acc = 0.0
@@ -110,4 +123,5 @@ object Opq {
       while (i < rot.d) { acc += comp(i) * (x(i) - rot.mean(i)); i += 1 }
       acc.toFloat
     }
+  }
 }

@@ -120,12 +120,22 @@ object Pca {
   }
 
   /** Fit top-q components over an ArrayType(FloatType) column. */
-  def fit(df: DataFrame, embCol: String, q: Int): Model = {
+  /** Full-rank fit (q = inferred dimension) — one size aggregation, not
+    * the two a caller-side `fit(df, c, inferDim(df, c))` would cost.
+    */
+  def fit(df: DataFrame, embCol: String): Model = {
+    val d = inferDim(df, embCol)
+    fitAt(df, embCol, d, d)
+  }
+
+  def fit(df: DataFrame, embCol: String, q: Int): Model =
+    fitAt(df, embCol, inferDim(df, embCol), q)
+
+  private def fitAt(df: DataFrame, embCol: String, d: Int, q: Int): Model = {
     // dimension from the modal size ([[inferDim]]); null/ragged rows are
     // then EXCLUDED from the statistics — the fit-side analog of
     // transform's null-projection contract (they'd NPE / corrupt the
     // gram accumulator otherwise).
-    val d = inferDim(df, embCol)
     require(q >= 1 && q <= d, s"q=$q out of [1, $d]")
     val rdd = df.select(col(embCol))
       .where(col(embCol).isNotNull && size(col(embCol)) === d)

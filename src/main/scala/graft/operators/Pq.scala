@@ -43,23 +43,27 @@ object Pq {
     val dsub = dim / m
     // one deterministic pool collect (same mechanism as KMeans.fit),
     // sliced per subspace — not m separate collects
+    // null/ragged rows are excluded from the TRAINING pool (encode
+    // null-codes them downstream — the shared degraded-row contract);
+    // the cut mirrors KMeans.fit exactly: hash-ordered, so it is
+    // deterministic across partitionings and unbiased in table order
+    val clean = df.where(col(embCol).isNotNull && size(col(embCol)) === dim)
     val pool: Array[Array[Float]] = orderCol match {
       case Some(c) =>
-        df.select(col(c), col(embCol))
+        clean.select(col(c), col(embCol))
           .orderBy(xxhash64(col(c), lit(seed)), col(c))
           .limit(KMeans.InitSampleCap)
           .collect().map(_.getSeq[Float](1).toArray)
       case None =>
-        // seeded sample before the cap — a bare limit() would take the
-        // first partitions only, a biased pool (same policy as KMeans.fit)
-        val n = df.count()
+        val n = clean.count()
         val fraction =
           math.min(1.0, KMeans.InitSampleCap.toDouble * 1.2 / math.max(1L, n))
         val sampled =
-          if (fraction >= 1.0) df.select(col(embCol))
-          else df.select(col(embCol))
+          if (fraction >= 1.0) clean.select(col(embCol))
+          else clean.select(col(embCol))
             .sample(withReplacement = false, fraction, seed)
-        sampled.limit(KMeans.InitSampleCap)
+        sampled.orderBy(xxhash64(col(embCol), lit(seed)))
+          .limit(KMeans.InitSampleCap)
           .collect().map(_.getSeq[Float](0).toArray)
     }
     require(pool.nonEmpty, "PQ train: empty input")
@@ -84,7 +88,13 @@ object Pq {
     // (the same degraded-row contract as Ivf.search).
     val dim = model.dim
     val enc = udf { (emb: Seq[Float]) =>
-      if (emb == null || emb.length != dim) null
+      // non-finite elements also null-code: every subspace distance is
+      // NaN, so nearest() would fall through to centroid 0 and the row
+      // would compete in ADC top-k behind a bogus FINITE distance —
+      // whereas the float path's NaN distance ranks last. Null codes
+      // restore the same ranks-last behavior on both paths.
+      if (emb == null || emb.length != dim ||
+          emb.exists(f => f.isNaN || f.isInfinite)) null
       else {
         val v = emb.toArray
         val books = bc.value
