@@ -44,39 +44,63 @@ object Bpe {
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
 
-    // each vocab word as its current symbol sequence (chars to start)
+    // each vocab word as its current symbol sequence — split by CODE
+    // POINT, not Char: a per-Char split would cut surrogate pairs into
+    // lone-surrogate symbols that Spark's UTF8String encoding mangles
+    // into replacement bytes, corrupting the merge table for any
+    // non-BMP text (emoji, CJK extensions)
     var vocab: Array[(Array[String], Long)] =
-      wordCounts.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      wordCounts.map { case (w, c) => (codePointSyms(w), c) }
+
+    // pair counts maintained INCREMENTALLY: built once, then each step
+    // delta-updates only the words the chosen merge rewrites (whole-word
+    // subtract/re-add, exact under any overlap pattern) — the full
+    // per-step recount rebuilt the map over every pair of every word,
+    // the dominant cost of the loop. The per-step candidate scan is
+    // still O(total symbols) equality checks; a pair→words index (the
+    // HF/SentencePiece trainer structure) is the next step if training
+    // vocabularies ever grow past maxVocab.
+    val pairFreq = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    def delta(syms: Array[String], c: Long): Unit = {
+      var i = 0
+      while (i < syms.length - 1) {
+        val p = (syms(i), syms(i + 1))
+        val next = pairFreq.getOrElse(p, 0L) + c
+        if (next == 0L) pairFreq.remove(p) else pairFreq(p) = next
+        i += 1
+      }
+    }
+    vocab.foreach { case (syms, c) => delta(syms, c) }
 
     val merges = Vector.newBuilder[Merge]
     var step = 0
     var done = false
     while (step < numMerges && !done) {
-      val pairFreq = scala.collection.mutable.HashMap.empty[(String, String), Long]
-      vocab.foreach { case (syms, c) =>
-        var i = 0
-        while (i < syms.length - 1) {
-          val p = (syms(i), syms(i + 1))
-          pairFreq(p) = pairFreq.getOrElse(p, 0L) + c
-          i += 1
-        }
-      }
       if (pairFreq.isEmpty) done = true // every word fully merged
       else {
         val ((l, r), f) = pairFreq.minBy { case ((a, b), c) => (-c, a, b) }
         merges += Merge(l, r, step, f)
         val fused = l + r
         vocab = vocab.map { case (syms, c) =>
-          if (syms.length < 2) (syms, c)
+          var has = false
+          var i = 0
+          while (!has && i < syms.length - 1) {
+            has = syms(i) == l && syms(i + 1) == r
+            i += 1
+          }
+          if (!has) (syms, c)
           else {
             val out = Array.newBuilder[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-                out += fused; i += 2
-              } else { out += syms(i); i += 1 }
+            var j = 0
+            while (j < syms.length) {
+              if (j < syms.length - 1 && syms(j) == l && syms(j + 1) == r) {
+                out += fused; j += 2
+              } else { out += syms(j); j += 1 }
             }
-            (out.result(), c)
+            val merged = out.result()
+            delta(syms, -c)
+            delta(merged, c)
+            (merged, c)
           }
         }
         step += 1
@@ -100,13 +124,14 @@ object Bpe {
 
   def encodeWordRanked(word: String,
       rank: Map[(String, String), Int]): Seq[String] = {
-    var syms = word.map(_.toString).toVector
+    var syms = codePointSyms(word).toVector
     var continue = syms.length > 1
     while (continue) {
+      // minOption, not a full sort for its head — this runs per merge
+      // iteration of every encoded word in the UDF hot path
       val best = syms.indices.dropRight(1)
         .flatMap(i => rank.get((syms(i), syms(i + 1))).map(r => (r, i)))
-        .sortBy(identity)
-        .headOption
+        .minOption
       best match {
         case Some((_, i)) =>
           syms = (syms.take(i) :+ (syms(i) + syms(i + 1))) ++ syms.drop(i + 2)
@@ -115,6 +140,18 @@ object Bpe {
       }
     }
     syms
+  }
+
+  /** One symbol per Unicode code point (surrogate pairs stay whole). */
+  private def codePointSyms(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
   }
 
   /** Catalog form: the learned merge table as rows. */

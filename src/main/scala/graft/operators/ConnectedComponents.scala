@@ -29,8 +29,16 @@ object ConnectedComponents {
     */
   def resolve(edges: DataFrame, aCol: String, bCol: String,
       localEdgeCap: Long = 1L << 22): DataFrame = {
+    // degraded edges are normalized ONCE, before dispatch, so both
+    // paths agree: null ids (incl. failed casts) and self-loops are
+    // dropped — a node with only self-loops has no real edge and does
+    // not appear in the output, exactly the distributed path's
+    // star-fixpoint semantics (runLocal would otherwise emit (a,a)
+    // for it and NPE on nulls)
     val e = edges
       .select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
       .persist()
     val out = if (e.count() <= localEdgeCap) runLocal(e) else run(e, "src", "dst")
     e.unpersist(blocking = false)
@@ -128,8 +136,18 @@ object ConnectedComponents {
         .localCheckpoint()
       val nCount = next.count()
       val nSum = checksum(next)
-      converged = nCount == curCount && nSum == curSum
+      // the (count, xor-checksum) pair is the cheap per-round signal;
+      // apparent convergence is CONFIRMED with an exact set difference
+      // (runs once, at the fixpoint round) so a checksum collision can
+      // never end the loop early with non-star edges as labels
+      converged = nCount == curCount && nSum == curSum &&
+        next.exceptAll(cur).isEmpty
+      val prev = cur
       cur = next; curCount = nCount; curSum = nSum
+      // superseded checkpoint blocks are freed explicitly — next is
+      // already materialized (eager localCheckpoint), so at most two
+      // edge-set copies ever coexist instead of one per round
+      prev.unpersist(blocking = false)
       iter += 1
     }
     if (!converged) throw new IllegalStateException(

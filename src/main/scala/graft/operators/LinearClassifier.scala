@@ -46,8 +46,12 @@ object LinearClassifier {
     */
   private def features(toks: Seq[String], dim: Int): (Array[Int], Array[Double]) = {
     val counts = scala.collection.mutable.HashMap.empty[Int, Double]
-    toks.foreach { t => val b = bucket(t, dim)
-      counts(b) = counts.getOrElse(b, 0.0) + 1.0
+    // a null ELEMENT inside the array (the row-level guards only see
+    // the array itself) would NPE in bucket(); skip it like the L1
+    // normalizer below skips nothing — degraded tokens carry no feature
+    toks.foreach { t =>
+      if (t != null) { val b = bucket(t, dim)
+      counts(b) = counts.getOrElse(b, 0.0) + 1.0 }
     }
     val n = toks.length.toDouble
     val idx = counts.keys.toArray.sorted

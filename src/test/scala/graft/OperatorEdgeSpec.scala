@@ -79,6 +79,36 @@ class OperatorEdgeSpec extends SparkSpec {
       .pairwiseOverlap(single, "k", col("v")).collect().isEmpty)
   }
 
+  test("connected components: both paths agree on self-loops and null ids") {
+    val edges = Seq((Some(1L), Some(2L)), (Some(3L), Some(3L)),
+      (None, Some(4L)), (Some(5L), Some(6L)))
+      .toDF("a", "b")
+    def labels(cap: Long) = graft.operators.ConnectedComponents
+      .resolve(edges, "a", "b", localEdgeCap = cap)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val local = labels(1000000L) // driver union-find path
+    val dist = labels(0L)        // forced distributed star path
+    assert(local == dist, s"paths diverge: $local vs $dist")
+    assert(local == Set(1L -> 1L, 2L -> 1L, 5L -> 5L, 6L -> 5L),
+      s"self-loop/null edges must drop cleanly: $local")
+  }
+
+  test("bpe: non-BMP words keep surrogate pairs whole") {
+    val word = "a😀b" // a😀b
+    val syms = graft.operators.Bpe.encodeWord(word, Seq.empty)
+    assert(syms == Seq("a", "😀", "b"),
+      s"code points must not split into lone surrogates: $syms")
+  }
+
+  test("classifier: a null token ELEMENT scores cleanly, not an NPE") {
+    val docs = Seq((1L, Seq("good", null, "doc"))).toDF("doc_id", "toks")
+    val model = graft.operators.LinearClassifier.Model(
+      Array.fill(64)(0.1), 0.0)
+    val p = docs.select(graft.operators.LinearClassifier
+      .scoreCol(docs, col("toks"), model).as("p")).head().getDouble(0)
+    assert(p > 0.0 && p < 1.0)
+  }
+
   test("rrf: fusing empty arms yields empty") {
     assert(graft.operators.Rrf.fuse(Seq(
       Seq.empty[(Long, Long, Int)].toDF("query_id", "doc_id", "rk"),
