@@ -64,6 +64,12 @@ object AsofJoin {
     val leftNames = left.columns.toSet
     val rightOut = (time +: rightValueCols).map { c =>
       val outName = if (leftNames.contains(c)) c + suffix else c
+      // a suffixed name colliding with an EXISTING left column would
+      // yield a duplicate-named output (ambiguous downstream) — the
+      // same reserved-name guard the other operators apply up front
+      require(outName == c || !leftNames.contains(outName),
+        s"asof: suffixed right column '$outName' collides with a left " +
+          "column — pass a different suffix")
       col(s"__asof.$c").as(outName)
     }
     kept.select(col("__l.*") +: rightOut: _*)

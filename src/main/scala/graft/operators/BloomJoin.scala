@@ -36,16 +36,18 @@ object BloomJoin {
     */
   def build(keys: DataFrame, keyCol: String, expectedItems: Long = -1L,
       fpp: Double = 0.01): BloomFilter = {
-    val n = if (expectedItems > 0) expectedItems
-            else keys.select(keyCol).count()
+    // a wrong expectedItems hint over an actually-empty relation would
+    // NPE inside stat.bloomFilter (null agg buffer) — detect emptiness
+    // explicitly on the hint path (the count() path proves it) instead
+    // of catching NPE, which would also swallow a genuine failure in
+    // the keys lineage (a UDF NPE) and silently return a match-nothing
+    // filter, breaking semi()'s no-false-negative invariant
+    val n =
+      if (expectedItems > 0) {
+        if (keys.select(keyCol).limit(1).isEmpty) 0L else expectedItems
+      } else keys.select(keyCol).count()
     if (n <= 0) BloomFilter.create(1, fpp) // empty side: filter matches nothing
-    else
-      try keys.stat.bloomFilter(keyCol, n, fpp)
-      catch {
-        // stat.bloomFilter NPEs on an empty relation (null agg buffer) —
-        // reachable when the caller's expectedItems hint was wrong
-        case _: NullPointerException => BloomFilter.create(1, fpp)
-      }
+    else keys.stat.bloomFilter(keyCol, n, fpp)
   }
 
   /** Membership predicate for `large(largeKey)` against a built filter.

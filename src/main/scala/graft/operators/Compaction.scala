@@ -24,11 +24,19 @@ object Compaction {
   def dataBytes(spark: SparkSession, path: String): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val it = fs.listFiles(new Path(path), true)
+    val root = new Path(path).toUri.getPath
     var total = 0L
     while (it.hasNext) {
       val f = it.next()
-      val name = f.getPath.getName
-      if (!name.startsWith("_") && !name.startsWith(".")) total += f.getLen
+      // hidden check on EVERY path component below the root, not just
+      // the leaf: a crashed write's _temporary/.../part-*.parquet would
+      // otherwise inflate the size estimate while the parquet read
+      // (which skips hidden dirs) never sees it — over-planning exactly
+      // the small files compaction exists to remove
+      val rel = f.getPath.toUri.getPath.stripPrefix(root)
+      val hidden = rel.split('/').exists(seg =>
+        seg.startsWith("_") || seg.startsWith("."))
+      if (!hidden) total += f.getLen
     }
     total
   }

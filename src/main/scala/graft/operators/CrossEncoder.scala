@@ -33,7 +33,10 @@ object CrossEncoder {
       pairs: Array[(Long, Long)], k: Int): DataFrame = {
     import spark.implicits._
     val candDocs = pairs.map(_._2).distinct.toSeq
-    val pairDf = pairs.toSeq.toDF("query_id", "doc_id")
+    // the PAIR set deduped too: a duplicate (query, doc) pair would
+    // score as two identical rows and consume two of the query's k
+    // rank slots for the same doc, displacing a real candidate
+    val pairDf = pairs.distinct.toSeq.toDF("query_id", "doc_id")
     // candidate docs are batch-scaled (queries × candidates) — chunked
     // ([[Pushdown]]) so the pushed filter tree stays shallow
     val scored = Pushdown.inChunks(spark, candDocs)(cs =>

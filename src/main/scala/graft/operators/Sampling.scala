@@ -33,9 +33,14 @@ object Sampling {
   /** Uniform deterministic sample: keep ~`fraction` of rows by content
     * hash of `key` (use a stable unique column: id or normalized text).
     */
-  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame = {
+    // validate BEFORE the keep-all fast path: fraction = 1.5 must be
+    // the same range error the stratified path raises, not a silent
+    // keep-everything
+    val t = thresholdHex(fraction)
     if (fraction >= 1.0) df
-    else df.where(substring(md5(key), 1, 8) < lit(thresholdHex(fraction)))
+    else df.where(substring(md5(key), 1, 8) < lit(t))
+  }
 
   /** Stratified deterministic sample: per-stratum fractions (strata not
     * in the map get `defaultFraction`). The threshold is a CASE over the
@@ -56,7 +61,12 @@ object Sampling {
     * DuckDB).
     */
   def hashUniform(key: Column): Column =
-    (conv(substring(md5(key), 1, 13), 16, 10).cast("double") + 0.5) /
+    // first 52 bits via the native Md5Long60 expression (60 bits >> 8):
+    // bit-identical to conv(substr(md5,1,13),16,10) — the 13-hex-digit
+    // prefix IS the top 52 bits — without the composed form's three
+    // string allocations per row (see Md5Long60's scaladoc); the DuckDB
+    // twin stays ('0x' || substr(md5, 1, 13))::BIGINT
+    (shiftright(graft.functions.Md5Long60.col(key), 8).cast("double") + 0.5) /
       4503599627370496.0 // 2^52
 
   /** Weighted sample WITHOUT replacement, k rows, inclusion probability
@@ -85,7 +95,10 @@ object Sampling {
     // exact-duplicate keys hash to identical sample keys, and an
     // ambiguous order at the rank-k cutoff would make the kept set
     // nondeterministic.
-    df.where(weight > 0)
+    // NaN weights must not pass: NaN > 0 is true in Spark SQL and the
+    // resulting NaN key sorts FIRST under desc, hijacking a top-k slot
+    // on every run
+    df.where(weight > 0 && !isnan(weight.cast("double")))
       .withColumn("__es_key", log(hashUniform(key)) / weight)
       .orderBy(col("__es_key").desc, tie)
       .limit(k)

@@ -31,8 +31,13 @@ object ZOrder {
   def morton2(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits out of [1,31]: $bits")
     val cap = (1L << bits) - 1
-    val ac = least(a.cast("long"), lit(cap))
-    val bc = least(b.cast("long"), lit(cap))
+    // clamp BOTH ends and coalesce nulls to 0: Spark's least() SKIPS
+    // nulls (null would silently become the cap, clustering null rows
+    // with the genuine maxima and widening those files' min/max on the
+    // other dimension), and a negative coordinate would interleave as
+    // sign-extended all-ones — the same top-of-curve aliasing
+    val ac = greatest(least(coalesce(a.cast("long"), lit(0L)), lit(cap)), lit(0L))
+    val bc = greatest(least(coalesce(b.cast("long"), lit(0L)), lit(cap)), lit(0L))
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
       acc
         .bitwiseOR(shiftleft(shiftright(ac, i).bitwiseAND(lit(1L)), 2 * i))
@@ -50,8 +55,9 @@ object ZOrder {
     // casts keep the shifts in 64-bit — on an INTEGER column,
     // `1 << 31` would overflow INT32 where Spark computes in Long.
     val cap = (1L << bits) - 1
-    val ac = s"least(CAST(($a) AS BIGINT), $cap)"
-    val bc = s"least(CAST(($b) AS BIGINT), $cap)"
+    // the same null/negative clamp as the Spark expression above
+    val ac = s"greatest(least(coalesce(CAST(($a) AS BIGINT), 0), $cap), 0)"
+    val bc = s"greatest(least(coalesce(CAST(($b) AS BIGINT), 0), $cap), 0)"
     (0 until bits).flatMap(i => Seq(
       s"((($ac >> $i) & 1) << ${2 * i})",
       s"((($bc >> $i) & 1) << ${2 * i + 1})"))

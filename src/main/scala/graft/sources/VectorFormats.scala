@@ -27,7 +27,10 @@ object VectorFormats {
     * the reference's rayon generator + bincode sink (S4); sink is
     * parquet.
     */
-  def generate(spark: SparkSession, n: Long, dim: Int, seed: Long): DataFrame =
+  def generate(spark: SparkSession, n: Long, dim: Int, seed: Long): DataFrame = {
+    // sequence(0, dim-1) with dim = 0 would DESCEND ([0, -1]) and emit
+    // 2-element garbage vectors instead of failing
+    require(dim > 0, s"dim must be > 0: $dim")
     spark.range(n)
       .select(col("id").as("vec_id"),
         expr(
@@ -35,6 +38,7 @@ object VectorFormats {
              |  CAST((CAST(pmod(xxhash64(id, i, ${seed}L), 16777216) AS DOUBLE)
              |        / 8388608.0 - 1.0) AS FLOAT))""".stripMargin)
           .as("embedding"))
+  }
 
   /** Bump whenever [[generate]]'s output for a given (n, dim, seed)
     * changes — [[generatedPath]] keys its on-disk cache on this, so
