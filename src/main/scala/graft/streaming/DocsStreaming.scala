@@ -69,8 +69,15 @@ object DocsStreaming {
           val prior = state.getOption.map(_.ids).getOrElse(Nil)
           // sort new arrivals so within-batch pair emission is
           // deterministic regardless of shuffle arrival order
+          // the cap bounds WITHIN-BATCH emission too, not just stored
+          // state: a degenerate bucket landing in one trigger would
+          // otherwise emit n(n-1)/2 pairs into a single in-memory
+          // builder (the batch twin bounds the same bucket at its
+          // l-side cap) — beyond the cap, extra members of an
+          // already-saturated near-dup cluster add only redundant pairs
           val fresh = rows.map(_.doc_id).toArray.distinct.sorted
             .filterNot(prior.contains)
+            .take(math.max(0, MaxBucketState - prior.size))
           val out = Seq.newBuilder[CandPair]
           var seen = prior
           fresh.foreach { id =>
@@ -90,7 +97,7 @@ object DocsStreaming {
   def lshCandidatesQuery(spark: SparkSession, dir: String): DataFrame =
     EventsStreaming.runToCompletion(spark,
       lshCandidates(readDocs(spark, dir)).toDF(),
-      s"stream_lsh_cand_${math.abs(dir.hashCode)}",
+      EventsStreaming.sinkName("stream_lsh_cand", dir),
       OutputMode.Append())
       .dropDuplicates("a_id", "b_id")
       .orderBy(col("a_id"), col("b_id"))
@@ -111,7 +118,7 @@ object DocsStreaming {
         .as("token"))
     EventsStreaming.runToCompletion(spark,
       graft.operators.CountMin.build(toks, "token", depth = 4, width = 1024),
-      s"stream_cms_${math.abs(dir.hashCode)}")
+      EventsStreaming.sinkName("stream_cms", dir))
       .orderBy(col("fn"), col("cell"))
   }
 
@@ -131,7 +138,7 @@ object DocsStreaming {
       graft.operators.Sampling.hashSample(
           readDocs(spark, dir), col("text"), 0.25)
         .select(col("doc_id"), col("lang"), col("source")),
-      s"stream_sample_${math.abs(dir.hashCode)}",
+      EventsStreaming.sinkName("stream_sample", dir),
       OutputMode.Append())
       .orderBy(col("doc_id"))
 
@@ -152,7 +159,7 @@ object DocsStreaming {
         .scoreCol(docs, col("toks"), model))
       .select(col("doc_id"), col("lang"), round(col("p"), 6).as("p"))
     EventsStreaming.runToCompletion(spark, scored,
-      s"stream_quality_${math.abs(dir.hashCode)}", OutputMode.Append())
+      EventsStreaming.sinkName("stream_quality", dir), OutputMode.Append())
       .orderBy(col("doc_id"))
   }
 }

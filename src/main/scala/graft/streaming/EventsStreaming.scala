@@ -69,7 +69,13 @@ object EventsStreaming {
           var s = state.getOption.getOrElse(SessionState(Long.MinValue, 0L, 0L))
           sorted.foreach { ms =>
             val newSession = s.lastMs == Long.MinValue || ms - s.lastMs > 1800000L
-            s = SessionState(ms, s.nSessions + (if (newSession) 1 else 0),
+            // lastMs never regresses: a cross-batch LATE event (normal
+            // under Kafka disorder) must not rewind the watermark-free
+            // state — rewinding made the NEXT in-order event look like
+            // a >30min gap and spuriously opened a session. Late events
+            // are counted but cannot re-open the past.
+            s = SessionState(math.max(ms, s.lastMs),
+              s.nSessions + (if (newSession) 1 else 0),
               s.nEvents + 1)
           }
           state.update(s)
@@ -104,7 +110,7 @@ object EventsStreaming {
     */
   def dedupQuery(spark: SparkSession, dir: String): DataFrame =
     runToCompletion(spark, dedupFirstPerHour(readEvents(spark, dir)),
-      s"stream_dedup_${math.abs(dir.hashCode)}", OutputMode.Append())
+      sinkName("stream_dedup", dir), OutputMode.Append())
       .select(col("user_id"), col("event_type"), col("hour_start"))
       .orderBy(col("user_id"), col("event_type"), col("hour_start"))
 
@@ -126,7 +132,7 @@ object EventsStreaming {
   /** Catalog query: streaming sliding-window counts, materialized. */
   def slidingQuery(spark: SparkSession, dir: String): DataFrame =
     runToCompletion(spark, slidingCounts(readEvents(spark, dir)),
-      s"stream_sliding_${math.abs(dir.hashCode)}")
+      sinkName("stream_sliding", dir))
       .orderBy(col("window_start"), col("event_type"))
 
   /** Streaming HLL distinct: approximate distinct users per event type
@@ -144,7 +150,7 @@ object EventsStreaming {
         graft.operators.Hll.sketch(
           readEvents(spark, dir).select(col("event_type"), col("user_id")),
           "event_type", col("user_id")),
-        s"stream_hll_${math.abs(dir.hashCode)}"),
+        sinkName("stream_hll", dir)),
       "event_type", "approx_users")
       .orderBy(col("event_type"))
 
@@ -165,7 +171,7 @@ object EventsStreaming {
         graft.operators.QuantileSketch.sketch(
           readEvents(spark, dir).select(col("event_type"), col("value")),
           "event_type", round(col("value") * 100).cast("long")),
-        s"stream_quant_${math.abs(dir.hashCode)}"),
+        sinkName("stream_quant", dir)),
       "event_type", 200.0,
       Seq("approx_p50" -> 0.5, "approx_p95" -> 0.95))
       .orderBy(col("event_type"))
@@ -201,7 +207,7 @@ object EventsStreaming {
   def intervalJoinQuery(spark: SparkSession, dir: String): DataFrame =
     runToCompletion(spark,
       intervalJoin(readEvents(spark, dir), readEvents(spark, dir)),
-      s"stream_interval_${math.abs(dir.hashCode)}", OutputMode.Append())
+      sinkName("stream_interval", dir), OutputMode.Append())
       .orderBy(col("purchase_id"), col("click_id"))
 
   /** Stream-static enrichment: streamed purchases joined to a STATIC
@@ -223,7 +229,7 @@ object EventsStreaming {
       .agg(min(unix_millis(col("ts"))).as("first_ms"),
         count(lit(1)).as("n_events"))
     runToCompletion(spark, enriched(readEvents(spark, dir), profile),
-      s"stream_enriched_${math.abs(dir.hashCode)}", OutputMode.Append())
+      sinkName("stream_enriched", dir), OutputMode.Append())
       .orderBy(col("event_id"))
   }
 
@@ -231,6 +237,15 @@ object EventsStreaming {
     * return the final result from a memory sink (test/verify harness;
     * production would use a real sink + trigger).
     */
+  /** Memory-sink table name for a catalog stream query: one shared
+    * derivation (12 call sites) — sanitized like Tables.cacheDirName so
+    * the identifier always parses (math.abs(Int.MinValue) is negative,
+    * and a '-' in an unquoted identifier breaks spark.table()), and
+    * dir-distinct beyond a bare 32-bit hashCode magnitude.
+    */
+  private[streaming] def sinkName(prefix: String, dir: String): String =
+    prefix + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+
   def runToCompletion(spark: SparkSession, streamed: DataFrame,
       name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val q = streamed.writeStream
@@ -246,7 +261,7 @@ object EventsStreaming {
   /** Catalog query: streaming hourly counts, materialized. */
   def hourlyQuery(spark: SparkSession, dir: String): DataFrame =
     runToCompletion(spark, hourlyCounts(readEvents(spark, dir)),
-      s"stream_hourly_${math.abs(dir.hashCode)}")
+      sinkName("stream_hourly", dir))
       .orderBy(col("hour_start"), col("event_type"))
 
   /** Catalog query: streaming sessionization, materialized. An
@@ -257,10 +272,14 @@ object EventsStreaming {
     * (n_events, n_sessions) is the last update.
     */
   def sessionQuery(spark: SparkSession, dir: String): DataFrame =
-    runToCompletion(spark, sessionize(readEvents(spark, dir)),
-      s"stream_sessions_${math.abs(dir.hashCode)}",
+    // the user_id slice is pushed BELOW sessionize: per-user state is
+    // independent, so filtering first shrinks streaming state and sink
+    // rows to the sliced population (the DuckDB twin filters inside its
+    // CTE the same way) instead of sessionizing everyone and discarding
+    runToCompletion(spark,
+      sessionize(readEvents(spark, dir).where(col("user_id") < 200)),
+      sinkName("stream_sessions", dir),
       OutputMode.Update())
-      .where(col("user_id") < 200)
       .groupBy(col("user_id"))
       .agg(max(struct(col("n_events"), col("n_sessions"))).as("__last"))
       .select(col("user_id"), col("__last.n_sessions").as("n_sessions"),

@@ -85,7 +85,11 @@ object VectorsStreaming {
   def annSearchQuery(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.queries.IndexQueries.index(spark, dir)
     val out = s"/tmp/graft_stream_ann/${graft.Tables.cacheDirName(dir)}"
-    val ckpt = s"$out.ckpt"
+    // "_ckpt" (not ".ckpt"): the derived-name convention Tables'
+    // orphan sweep and shutdown hook match (`_p<pid>_*`) — a suffix
+    // after the pid that does not start with '_' escapes both and the
+    // checkpoint dir would leak permanently, one per JVM run
+    val ckpt = s"${out}_ckpt"
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(out), true)
