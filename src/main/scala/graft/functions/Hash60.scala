@@ -1,0 +1,57 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The engine's 60-bit hash families: `Column => Column` over a value
+  * of any type, yielding a uniform non-negative long in [0, 2^60) with
+  * null → null — the ONE contract every hash-parameterized operator
+  * ([[graft.operators.Hll]], [[graft.operators.CountMin]],
+  * [[graft.operators.MinHashLsh]]) threads through. Each family owns
+  * its value canonicalization, which is where the performance gap
+  * lives:
+  *
+  *   - [[md5]]: the oracle family — casts the value to string, then
+  *     takes the first 60 bits of md5 ([[Md5Long60]], native codegen).
+  *     Cross-engine reproducible (DuckDB recomputes every placement
+  *     bit-for-bit), the default for every ORACLED catalog query. The
+  *     string cast is part of the family's definition: it is what the
+  *     oracle SQL recomputes.
+  *   - [[xx]]: the production family — `xxhash64` over the NATIVE
+  *     value (no string materialization), masked to the same 60-bit
+  *     range. The digest is a few multiplies/rotates vs md5's 64-round
+  *     compression AND it skips the per-row string allocation, which
+  *     together were the measured gap between the md5 sketches and the
+  *     builtin `approx_count_distinct` at 50M rows (SCALE.md round
+  *     10). Not reproducible outside the JVM family — use when no
+  *     cross-engine check is needed.
+  *
+  * Both families feed identical downstream math (register max, cell
+  * counts, min-signatures are hash-agnostic), so accuracy contracts
+  * hold under either; only cross-engine reproducibility differs.
+  * Sketches built under different families must never be merged (and
+  * note `xx(5L) != xx("5")` — the native encoding is the hash input).
+  * [[graft.operators.QuantileSketch]] takes no hash at all — it buckets
+  * on the value's own bits — which is why it has no family parameter.
+  */
+object Hash60 {
+
+  /** 2^60 − 1: the mask that folds a 64-bit hash into the md5 family's
+    * [0, 2^60) range, keeping bucket/cell derivations shared.
+    */
+  val Mask: Long = (1L << 60) - 1
+
+  /** Oracle family: first 60 bits of md5 of the string form
+    * (cross-engine reproducible).
+    */
+  val md5: Column => Column = c => Md5Long60.col(c.cast("string"))
+
+  /** Production family: xxhash64 of the native value, folded to 60
+    * bits. The explicit null guard matters — Spark's `xxhash64(null)`
+    * yields the SEED (42), not null, which would turn every null into
+    * one phantom hot value.
+    */
+  val xx: Column => Column = c =>
+    when(c.isNull, lit(null).cast("long"))
+      .otherwise(xxhash64(c).bitwiseAND(lit(Mask)))
+}

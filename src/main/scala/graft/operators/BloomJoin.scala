@@ -36,16 +36,21 @@ object BloomJoin {
     */
   def build(keys: DataFrame, keyCol: String, expectedItems: Long = -1L,
       fpp: Double = 0.01): BloomFilter = {
-    // a wrong expectedItems hint over an actually-empty relation would
-    // NPE inside stat.bloomFilter (null agg buffer) — detect emptiness
-    // explicitly on the hint path (the count() path proves it) instead
-    // of catching NPE, which would also swallow a genuine failure in
-    // the keys lineage (a UDF NPE) and silently return a match-nothing
-    // filter, breaking semi()'s no-false-negative invariant
+    // an effectively-empty relation would NPE inside stat.bloomFilter
+    // (the aggregate buffer stays null when no key was inserted) —
+    // detect emptiness explicitly instead of catching NPE, which would
+    // also swallow a genuine failure in the keys lineage (a UDF NPE)
+    // and silently return a match-nothing filter, breaking semi()'s
+    // no-false-negative invariant. Emptiness means NO NON-NULL KEY,
+    // not no row: stat.bloomFilter skips nulls, so a non-empty relation
+    // whose key column is all null hits the same null buffer (ADVICE
+    // r9) — probe and count over the non-null keys only (which also
+    // makes the count() sizing exact for sparse key columns).
+    val nonNull = keys.select(keyCol).where(col(keyCol).isNotNull)
     val n =
       if (expectedItems > 0) {
-        if (keys.select(keyCol).limit(1).isEmpty) 0L else expectedItems
-      } else keys.select(keyCol).count()
+        if (nonNull.limit(1).isEmpty) 0L else expectedItems
+      } else nonNull.count()
     if (n <= 0) BloomFilter.create(1, fpp) // empty side: filter matches nothing
     else keys.stat.bloomFilter(keyCol, n, fpp)
   }

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.queries.DedupQueries.md5Long
 
 /** Count-Min sketch over a key column: a (depth × width) table of
   * integer counters, built with ONE hash-partitioned groupBy and merged
@@ -13,9 +12,11 @@ import graft.queries.DedupQueries.md5Long
   * and every estimate read from it — is bit-identical under any
   * partitioning, merge order, or engine (the same property [[Hll]] and
   * [[QuantileSketch]] get from integer register/bucket math), which is
-  * what lets the DuckDB oracle check the whole path exactly. Hashes are the repo-standard 60-bit md5 (`md5Long`) with the
-  * row index as a seed prefix, so the oracle reproduces cell placement
-  * bit-for-bit.
+  * what lets the DuckDB oracle check the whole path exactly. The hash
+  * is a live [[graft.functions.Hash60]] family with the hash-row index
+  * as a seed prefix — the default repo-standard 60-bit md5 lets the
+  * oracle reproduce cell placement bit-for-bit; production callers
+  * that need no oracle swap in xxhash64.
   *
   * Scale shape: build is map-side cell derivation + one groupBy whose
   * key space is at most depth × width (bounded, uniform — md5 cells
@@ -26,15 +27,34 @@ import graft.queries.DedupQueries.md5Long
   */
 object CountMin {
 
-  /** Cell index of `key` under hash function `seed`. */
-  def cell(key: Column, seed: Int, width: Int): Column =
-    pmod(md5Long(concat(lit(s"$seed:"), key)), lit(width))
+  /** Cell index of `key` under hash function `seed`.
+    *
+    * @param hashFn the 60-bit hash family ([[graft.functions.Hash60]]):
+    *               md5 (default) keeps cell placement oracle-exact;
+    *               [[graft.functions.Hash60.xx]] is the production
+    *               family. Cell/count math is hash-agnostic, so the
+    *               one-sided guarantee holds under both (CountMinSpec),
+    *               but sketches from different families must never be
+    *               merged, and estimates must use the build's family.
+    */
+  def cell(key: Column, seed: Int, width: Int,
+      hashFn: Column => Column = graft.functions.Hash60.md5): Column =
+    pmod(hashFn(concat(lit(s"$seed:"), key)), lit(width))
 
-  /** Build the sketch: (fn, cell, c) rows, absent cells implicitly 0. */
+  /** Build the sketch: (fn, cell, c) rows, absent cells implicitly 0.
+    * Null keys are ignored (matching [[Hll.sketch]]'s null handling):
+    * an unfiltered null would hash to a real cell per row — counting
+    * toward [[heavyHitters]]'s total while never able to become a
+    * candidate (ADVICE r9) — silently inflating the threshold and
+    * potentially dropping true heavy hitters of the non-null
+    * population.
+    */
   def build(rows: DataFrame, keyCol: String, depth: Int,
-      width: Int): DataFrame =
-    rows.select(posexplode(array(
-        (0 until depth).map(s => cell(col(keyCol), s, width)): _*))
+      width: Int,
+      hashFn: Column => Column = graft.functions.Hash60.md5): DataFrame =
+    rows.where(col(keyCol).isNotNull)
+      .select(posexplode(array(
+        (0 until depth).map(s => cell(col(keyCol), s, width, hashFn)): _*))
         .as(Seq("fn", "cell")))
       .groupBy(col("fn"), col("cell"))
       .agg(count(lit(1)).as("c"))
@@ -55,9 +75,13 @@ object CountMin {
     * that measure the candidate fraction.
     */
   def estimateOccurrences(rows: DataFrame, keyCol: String,
-      sketch: DataFrame, depth: Int, width: Int): DataFrame =
-    (0 until depth).foldLeft(rows.select(col(keyCol))) { (df, i) =>
-      df.withColumn(s"cell_$i", cell(col(keyCol), i, width))
+      sketch: DataFrame, depth: Int, width: Int,
+      hashFn: Column => Column = graft.functions.Hash60.md5): DataFrame =
+    // null keys dropped, mirroring build: they are not in the sketch
+    // and could never survive heavyHitters' exact cut anyway
+    (0 until depth).foldLeft(
+      rows.select(col(keyCol)).where(col(keyCol).isNotNull)) { (df, i) =>
+      df.withColumn(s"cell_$i", cell(col(keyCol), i, width, hashFn))
         .join(broadcast(sketch.where(col("fn") === i)
           .select(col("cell").as(s"cell_$i"), col("c").as(s"c_$i"))),
           Seq(s"cell_$i"), "left")
@@ -85,15 +109,16 @@ object CountMin {
     * passes. Returns (keyCol, exact_c, cms_c, threshold).
     */
   def heavyHitters(rows: DataFrame, keyCol: String, phiInverse: Long,
-      depth: Int, width: Int): DataFrame = {
+      depth: Int, width: Int,
+      hashFn: Column => Column = graft.functions.Hash60.md5): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val cells = build(rows, keyCol, depth, width)
+    val cells = build(rows, keyCol, depth, width, hashFn)
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     val total = cells.iterator.filter(_._1 == 0).map(_._3).sum
     val threshold = (total + phiInverse - 1L) / phiInverse
     val sketch = cells.toDF("fn", "cell", "c")
-    estimateOccurrences(rows, keyCol, sketch, depth, width)
+    estimateOccurrences(rows, keyCol, sketch, depth, width, hashFn)
       .where(col("cms_c") >= threshold)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("exact_c"), min(col("cms_c")).as("cms_c"))
@@ -110,10 +135,11 @@ object CountMin {
     * min of only its occupied cells.
     */
   def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
-      depth: Int, width: Int): DataFrame = {
+      depth: Int, width: Int,
+      hashFn: Column => Column = graft.functions.Hash60.md5): DataFrame = {
     val exploded = keys.select(col("*"),
       posexplode(array(
-        (0 until depth).map(s => cell(col(keyCol), s, width)): _*))
+        (0 until depth).map(s => cell(col(keyCol), s, width, hashFn)): _*))
         .as(Seq("fn", "cell")))
     val keyCols = keys.columns.map(col)
     exploded

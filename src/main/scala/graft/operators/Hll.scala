@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{BitLength64, Md5Long60}
+import graft.functions.BitLength64
 
 /** HyperLogLog distinct-count sketch (Flajolet et al. 2007, the HLL++
   * bias regime of Heule et al. 2013 is not needed at p=8) with
@@ -11,8 +11,10 @@ import graft.functions.{BitLength64, Md5Long60}
   * `approx_count_distinct`, every number this sketch produces is
   * recomputable bit-for-bit by the DuckDB oracle:
   *
-  *   - hash: the repo-standard 60-bit md5 ([[Md5Long60]]), so register
-  *     placement is engine-independent;
+  *   - hash: a live [[graft.functions.Hash60]] family — the default
+  *     repo-standard 60-bit md5 makes register placement
+  *     engine-independent; production callers that need no oracle swap
+  *     in xxhash64 (same recipe as MinHashLsh's hashFn param);
   *   - register rank: integer bit-length ([[BitLength64]], DuckDB
   *     `length(bin(w))`), never a float log;
   *   - the harmonic denominator Σ 2^−M_j is summed as SCALED LONGS
@@ -74,11 +76,24 @@ object Hll {
   /** Build the sketch: one register frame (keyCol, bucket, r) per key,
     * r = max over elements of rank(w) ∈ [1, 53]; absent buckets are
     * implicitly register 0.
+    *
+    * @param hashFn the 60-bit hash family ([[graft.functions.Hash60]]):
+    *               md5 (default) keeps every register oracle-exact;
+    *               [[graft.functions.Hash60.xx]] is the production
+    *               family when no cross-engine check is needed
+    *               (≥ builtin `approx_count_distinct` throughput at 50M
+    *               rows — SCALE.md round 10). Register/estimate math is
+    *               hash-agnostic, so accuracy gates hold under both
+    *               (SketchSpec), but sketches from different families
+    *               must never be merged.
     */
   def sketch(df: DataFrame, keyCol: String, value: Column,
-      p: Int = P): DataFrame = {
+      p: Int = P,
+      hashFn: Column => Column = graft.functions.Hash60.md5): DataFrame = {
     val wb = wBits(p)
-    df.select(col(keyCol), Md5Long60.col(value.cast("string")).as("h"))
+    // the hash family owns value canonicalization (md5 casts to string
+    // for the oracle; xx hashes the native value — no per-row string)
+    df.select(col(keyCol), hashFn(value).as("h"))
       // nulls are ignored, matching countDistinct semantics — an
       // unfiltered null hash would otherwise become a phantom
       // (bucket=null, r=null) register that inflates present_buckets
@@ -127,10 +142,34 @@ object Hll {
     * sigmas). Intended for key cardinalities where |keys|² pairs is a
     * sane output size. Returns (key_a, key_b, distinct_a, distinct_b,
     * union_distinct, overlap_est) for all key_a < key_b.
+    *
+    * EAGER: the register frame is persisted across its two reads and
+    * must be released before returning (a public operator cannot rely
+    * on a harness clearCache — ADVICE r9), so the result — already
+    * bounded by the |keys|²-sane-output contract above — materializes
+    * to a local relation inside the persist/unpersist pair. Callers
+    * needing lazy composition use sketch/merge/estimate directly.
     */
   def pairwiseOverlap(df: DataFrame, keyCol: String,
-      value: Column, p: Int = P): DataFrame = {
-    val regs = sketch(df, keyCol, value, p).persist()
+      value: Column, p: Int = P,
+      hashFn: Column => Column = graft.functions.Hash60.md5): DataFrame = {
+    val (regs, out) = pairwiseOverlapPlan(df, keyCol, value, p, hashFn)
+    try df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    finally regs.unpersist()
+  }
+
+  /** The LAZY form of [[pairwiseOverlap]]: (persisted register frame,
+    * result plan). Exposed for plan-shape inspection (PlanSpec gates
+    * the broadcast-only register algebra on this) and for callers that
+    * compose further before acting — they own unpersisting the
+    * returned regs after their action.
+    */
+  private[graft] def pairwiseOverlapPlan(df: DataFrame, keyCol: String,
+      value: Column, p: Int = P,
+      hashFn: Column => Column = graft.functions.Hash60.md5)
+      : (DataFrame, DataFrame) = {
+    val regs = sketch(df, keyCol, value, p, hashFn).persist()
     val singles = estimate(regs, keyCol, "d", p)
     val types = regs.select(col(keyCol)).distinct()
     val pairs = types.select(col(keyCol).as("key_a"))
@@ -144,7 +183,7 @@ object Hll {
         .select(col("key_a"), col("key_b"), col("bucket"), col("r")))
       .groupBy(col("key_a"), col("key_b"), col("bucket"))
       .agg(max(col("r")).as("r"))
-    estimate(unionRegs, Seq("key_a", "key_b"), "union_distinct", p)
+    val out = estimate(unionRegs, Seq("key_a", "key_b"), "union_distinct", p)
       .join(singles.select(col(keyCol).as("key_a"),
         col("d").as("distinct_a")), Seq("key_a"))
       .join(singles.select(col(keyCol).as("key_b"),
@@ -153,6 +192,7 @@ object Hll {
         col("distinct_b"), col("union_distinct"),
         (col("distinct_a") + col("distinct_b") - col("union_distinct"))
           .as("overlap_est"))
+    (regs, out)
   }
 
   /** Composite-key form — register frames keyed by several columns

@@ -698,16 +698,18 @@ object KMeans {
   }
 
   /** Distributed full assignment (J2/J3): broadcast centroids, map-side
-    * argmin, no shuffle. Adds `labelCol` (int) to `df`.
+    * argmin, no shuffle. Adds `labelCol` (int) to `df` via the
+    * primitive [[ArgMinCentroid]] codegen expression (no per-row
+    * `Seq[Float]` boxing — VERDICT r9 #2; see its Scaladoc for the
+    * measured build-time delta).
     */
   def withAssignment(df: DataFrame, embCol: String, model: Model, seed: Long,
       labelCol: String = "centroid_id"): DataFrame = {
     val spark = df.sparkSession
     val bc = spark.sparkContext.broadcast(new AssignerHolder(model.centroids, seed))
-    val assignUdf = udf { (emb: Seq[Float]) =>
-      bc.value.assign(emb.toArray)._1
-    }
-    df.withColumn(labelCol, assignUdf(col(embCol)))
+    df.withColumn(labelCol, org.apache.spark.sql.GraftSqlBridge.column(
+      ArgMinCentroid(
+        org.apache.spark.sql.GraftSqlBridge.expression(col(embCol)), bc)))
   }
 
   /** Inertia (WCSS) of an assignment — test/quality metric (A6). */

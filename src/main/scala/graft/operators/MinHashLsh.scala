@@ -51,10 +51,11 @@ object MinHashLsh {
     * @param hashFn        the per-shingle hash family (a deterministic
     *                      Column→Column expression over the salted
     *                      shingle string). Default md5
-    *                      ([[graft.functions.Md5Long60]]) for
+    *                      ([[graft.functions.Hash60.md5]]) for
     *                      cross-engine reproducibility — the DuckDB
     *                      oracles recompute it; a production run that
-    *                      doesn't need that swaps in `xxhash64` (see
+    *                      doesn't need that swaps in
+    *                      [[graft.functions.Hash60.xx]] (see
     *                      the scale note and the DebugLshScale
     *                      measurement in SCALE.md)
     */
@@ -64,7 +65,7 @@ object MinHashLsh {
       bands: Int = 4,
       threshold: Double = 0.7,
       maxBandBucket: Int = 64,
-      hashFn: Column => Column = graft.functions.Md5Long60.col) {
+      hashFn: Column => Column = graft.functions.Hash60.md5) {
     require(shingleK >= 1, s"shingleK must be >= 1, got $shingleK")
     require(bands >= 1 && numHashes % bands == 0,
       s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")

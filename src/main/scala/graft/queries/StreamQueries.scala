@@ -27,6 +27,25 @@ object StreamQueries {
       |FROM l WHERE user_id < 200
       |GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Event-time sessionization twin: same per-user surface as
+    * [[sessionsSql]], but with `session_window` boundary semantics — a
+    * gap of EXACTLY 30 minutes starts a new session (`>=`, windows are
+    * [start, last+gap)), where the lag form splits only on `>`. The
+    * oracle recomputes sessions by event time, which is precisely what
+    * the session_window aggregation guarantees under any arrival
+    * order.
+    */
+  private val sessionsEventTimeSql =
+    """WITH l AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
+      |  FROM events)
+      |SELECT user_id,
+      |  CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms >= 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+      |  count(*) AS n_events
+      |FROM l WHERE user_id < 200
+      |GROUP BY user_id ORDER BY user_id""".stripMargin
+
   private val intervalJoinSql =
     """SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
       |  epoch_ms(p.ts) AS purchase_ms, epoch_ms(c.ts) AS click_ms
@@ -77,12 +96,17 @@ object StreamQueries {
     * [[graft.queries.DedupQueries.MaxBandBucket]] (64) members — true
     * at every test SF. Past the cap the three paths diverge BY DESIGN
     * and no single oracle can cover both: the stream's bounded state
-    * keeps the newest 64 arrivals (an append-mode stream cannot
-    * retro-emit pairs against evicted members), while the batch join
-    * keeps the smallest 64 doc_ids (mirrored in the dedup oracles'
-    * `row_number() <= 64` CTEs). On cap-binding data the batch
-    * `minhash_lsh_pairs` family remains the oracled surface; this
-    * entry's contract is stream==batch==oracle below the cap.
+    * admits only the FIRST 64 members per bucket (an append-mode
+    * stream cannot retro-emit pairs for arrivals it turned away),
+    * while the batch join caps its L side at the smallest 64 doc_ids
+    * but keeps every member paired with the bucket's rank-1 member
+    * (mirrored in the dedup oracles' `row_number() <= 64` CTEs). This
+    * precondition is no longer honor-system: the StreamingSpec
+    * cap-binding gates construct a 70-member mega-bucket and pin the
+    * divergence to exactly these two rules, both bounded. On
+    * cap-binding data the batch `minhash_lsh_pairs` family remains the
+    * oracled surface; this entry's contract is stream==batch==oracle
+    * below the cap.
     */
   private val streamLshCandidatesSql =
     """WITH toks AS (
@@ -146,6 +170,9 @@ object StreamQueries {
       Multimodal.frameSampleQuery, Some(frameSampleSql)),
     "stream_sessions" -> QueryDef(
       EventsStreaming.sessionQuery, Some(sessionsSql), bench = false),
+    "stream_sessions_eventtime" -> QueryDef(
+      EventsStreaming.sessionEventTimeQuery, Some(sessionsEventTimeSql),
+      bench = false),
     "stream_interval_join" -> QueryDef(
       EventsStreaming.intervalJoinQuery, Some(intervalJoinSql), bench = false),
     "stream_enriched" -> QueryDef(

@@ -34,10 +34,14 @@ object DocsStreaming {
   /** Per-bucket cap on remembered members — the ONE bucket-cap
     * constant, shared with the batch band join's l-side cap
     * ([[DedupQueries.MaxBandBucket]]) so stream and batch bound the
-    * same degenerate bucket identically. (Eviction ORDER differs by
-    * construction: the stream keeps the newest arrivals, the batch
-    * keeps the smallest doc_ids — both are no-ops while buckets stay
-    * within the cap, which the StreamingSpec equality gate verifies.)
+    * same degenerate bucket identically. (ADMISSION order differs by
+    * construction: the stream admits the FIRST cap members to arrive
+    * — within a micro-batch, smallest ids first — and later arrivals
+    * emit nothing; the batch keeps the smallest cap doc_ids overall
+    * but still pairs every member with the bucket's rank-1 member.
+    * Both rules are no-ops while buckets stay within the cap — the
+    * StreamingSpec equality gate — and past it the divergence is
+    * pinned exactly by the cap-binding StreamingSpec gates.)
     */
   val MaxBucketState: Int = DedupQueries.MaxBandBucket
 

@@ -68,6 +68,19 @@ class BloomJoinSpec extends SparkSpec {
     assert(anti.flatten.toSeq.sorted == Seq(2L))
   }
 
+  test("all-null key column behaves as an empty key set (ADVICE r9)") {
+    import spark.implicits._
+    val large = Seq(1L, 2L, 3L).toDF("k")
+    val keys = Seq(Option.empty[Long], Option.empty[Long]).toDF("k2")
+    // non-empty relation, zero insertable keys: both the count() path
+    // and the expectedItems-hint path must take the empty-filter branch
+    // instead of NPEing in stat.bloomFilter's null agg buffer
+    assert(BloomJoin.semi(large, "k", keys, "k2").count() == 0)
+    assert(BloomJoin.anti(large, "k", keys, "k2").count() == 3)
+    assert(BloomJoin.semi(large, "k", keys, "k2", expectedItems = 5L)
+      .count() == 0)
+  }
+
   test("empty key set: semi yields nothing, anti yields everything") {
     import spark.implicits._
     val large = Seq(1L, 2L, 3L).toDF("k")

@@ -106,6 +106,24 @@ class CountMinSpec extends SparkSpec {
     assert(none.collect().isEmpty, "threshold 1300 must admit no key")
   }
 
+  test("null keys are ignored: they inflate neither total nor threshold " +
+      "(ADVICE r9)") {
+    import spark.implicits._
+    // 10 "hot" + 5 cold + 985 nulls. With nulls counted, total=1000 →
+    // threshold at phiInverse=100 would be 10 and only "hot" qualifies;
+    // null-filtered, total=15 → threshold=1 and BOTH keys qualify.
+    val df = (Seq.fill(10)(Some("hot")) ++ Seq.fill(5)(Some("cold")) ++
+      Seq.fill(985)(Option.empty[String])).toDF("k")
+    val sk = CountMin.build(df, "k", depth, width)
+    val total = sk.where(col("fn") === 0)
+      .agg(sum(col("c"))).collect()(0).getLong(0)
+    assert(total == 15L, s"null keys leaked into the sketch total: $total")
+    val hh = CountMin.heavyHitters(df, "k", phiInverse = 100L, depth, width)
+      .collect().map(_.getString(0)).toSet
+    assert(hh == Set("hot", "cold"),
+      s"null keys shifted the heavy-hitter threshold: $hh")
+  }
+
   test("CMS-prefiltered heavy hitters == naive exact heavy hitters") {
     // the pre-filter is a shuffle bound, never a semantics change: the
     // one-sided guarantee (est >= exact) means no true heavy hitter can
@@ -119,6 +137,35 @@ class CountMinSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hh == naive, "heavy-hitter set or counts diverge from exact")
     assert(hh.nonEmpty, "threshold admits no tokens — test is vacuous")
+  }
+
+  test("one-sided guarantee and heavy-hitter exactness hold under the " +
+      "xxhash64 production family; md5 defaults bit-unchanged (VERDICT r9 #1)") {
+    val xx = graft.functions.Hash60.xx
+    val sk = CountMin.build(toks, "token", depth, width, xx)
+    // estimate >= exact for every token under the xx family
+    val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_c"))
+    val est = CountMin.estimate(sk, exact.select("token"), "token",
+      depth, width, xx)
+    assert(est.join(exact, "token")
+      .where(col("cms_c") < col("exact_c")).count() == 0,
+      "xx-family estimate undercounts — one-sided guarantee broken")
+    // heavyHitters under xx equals the naive exact heavy hitters
+    val hh = CountMin.heavyHitters(toks, "token", phiInverse = 200L,
+        depth, width, xx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val threshold = CountMin.heavyHitters(toks, "token", 200L, depth, width, xx)
+      .head().getLong(3)
+    val naive = exact.where(col("exact_c") >= threshold)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(hh == naive, "xx-family heavy hitters diverge from exact")
+    // families differ, and the default build is still bit-for-bit md5
+    val md5Sk = CountMin.build(toks, "token", depth, width)
+    assert(sk.exceptAll(md5Sk).count() > 0, "xx build == md5 build?")
+    val explicitMd5 = CountMin.build(toks, "token", depth, width,
+      graft.functions.Hash60.md5)
+    assert(md5Sk.exceptAll(explicitMd5).isEmpty &&
+      explicitMd5.exceptAll(md5Sk).isEmpty)
   }
 
   test("estimates are partitioning-independent (integer cells)") {

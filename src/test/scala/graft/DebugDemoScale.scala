@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{Ivf, RecallEval}
+import graft.sources.VectorFormats
+
+/** The reference bench matrix's largest cell (`bench.yaml:1-16`:
+  * dimensions [128,256,768] × counts [100k,500k]; `examples/demo.rs:5-6`
+  * runs the same N=500k, D=768 shape): build + recall sweep + the
+  * client-concurrency QPS protocol (concurrency [1,4,8,16] × nprobe
+  * [8,16,32], k=10), on seed-42 generated vectors. The committed
+  * `recall_qps_bench.{json,md}` carried only the default sf0.1
+  * workload; this main produces the missing demo-scale rows
+  * (VERDICT r9 #3). Prints one JSON line.
+  */
+object DebugDemoScale {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(500000L)
+    val dim = if (args.length > 1) args(1).toInt else 768
+    val nq = if (args.length > 2) args(2).toInt else 200
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val vecPath = VectorFormats.generatedPath(spark, n, dim, 42L)
+    val dataDir = new java.io.File(vecPath).getParent
+    val emb = spark.read.parquet(vecPath)
+
+    val t0 = System.nanoTime()
+    val idx = Ivf.build(emb, "vec_id", "embedding", s"$dataDir/index")
+    val buildS = (System.nanoTime() - t0) / 1e9
+
+    val queries = RecallEval.perturbedQueries(
+      emb.where(col("vec_id") < nq).select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+      scale = 0.5f)
+
+    val settings = RecallEval.sweep(spark, idx, queries, k = 100,
+      nProbes = Seq(1, 2, 4, 8, 16, 32, 64), ranks = Seq(1, 10, 100),
+      minDurationMs = 3000.0)
+    val js = settings.map { s =>
+      f"""{"n_probe":${s.nProbe},"recall_1":${s.recalls(1)}%.4f,"recall_10":${s.recalls(10)}%.4f,"recall_100":${s.recalls(100)}%.4f,"ms_per_query":${s.msPerQuery}%.2f,"qps":${1000.0 / s.msPerQuery}%.1f}"""
+    }.mkString("[", ",", "]")
+
+    val qps = Seq(8, 16, 32).flatMap { np =>
+      RecallEval.qpsSweep(spark, idx, queries, k = 10, nProbe = np,
+        concurrency = Seq(1, 4, 8, 16), minDurationMs = 2000.0)
+    }
+    val qpsJs = qps.map { s =>
+      f"""{"concurrency":${s.concurrency},"n_probe":${s.nProbe},"qps":${s.qps}%.1f,"ms_per_query":${s.msPerQuery}%.3f,"batches":${s.batches},"n_queries":${s.nQueries}}"""
+    }.mkString("[", ",", "]")
+
+    println(s"""{"metric":"demo_scale_bench","n":$n,"dim":$dim,"k_clusters":${idx.k},"num_shards":${idx.numShards},"build_s":$buildS,"nq":${queries.length},"settings":$js,"qps_sweep":$qpsJs}""")
+    spark.stop()
+  }
+}

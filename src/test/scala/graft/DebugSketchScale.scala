@@ -49,15 +49,23 @@ object DebugSketchScale {
       Hll.estimate(Hll.sketch(df, "k", col("dv")), "k", "d").collect()
         .map(r => r.getLong(0) -> r.getLong(2)).toMap
     }
+    val hllXx = time("Hll sketch+estimate (xxhash64)") {
+      Hll.estimate(
+          Hll.sketch(df, "k", col("dv"), Hll.P, graft.functions.Hash60.xx),
+          "k", "d").collect()
+        .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    }
     val builtin = time("builtin approx_count_distinct") {
       df.groupBy("k").agg(approx_count_distinct("dv").as("d")).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
     }
     exact.toSeq.sortBy(_._1).foreach { case (k, ex) =>
       val relH = (hll(k) - ex).abs / ex.toDouble
+      val relX = (hllXx(k) - ex).abs / ex.toDouble
       val relB = (builtin(k) - ex).abs / ex.toDouble
       println(f"DISTINCT k=$k exact=$ex (expect ${exactPerKey}%.0f) " +
         f"hll=${hll(k)} (err ${relH * 100}%.1f%%) " +
+        f"hllXx=${hllXx(k)} (err ${relX * 100}%.1f%%) " +
         f"builtin=${builtin(k)} (err ${relB * 100}%.1f%%)")
     }
 

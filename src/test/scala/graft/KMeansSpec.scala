@@ -158,4 +158,31 @@ class KMeansSpec extends SparkSpec {
       assert(r.getInt(2) == expected)
     }
   }
+
+  test("ArgMinCentroid expression assignment is bitwise-identical to the " +
+      "driver assigner on BOTH dispatch regimes (VERDICT r9 #2)") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sf0001).cache()
+    // k=150 > 100 engages the hierarchical assigner inside the holder;
+    // k=10 (previous test) covers the flat regime
+    val m = KMeans.fit(emb, "embedding", 150, 20, 42L)
+    val driverAssign = KMeans.assigner(m, 42L)
+    val rows = KMeans.withAssignment(emb, "embedding", m, 42L)
+      .select($"vec_id", $"embedding", $"centroid_id").collect()
+    rows.foreach { r =>
+      val expected = driverAssign(r.getSeq[Float](1).toArray)._1
+      assert(r.getInt(2) == expected,
+        s"vec ${r.getLong(0)}: expr ${r.getInt(2)} != driver $expected")
+    }
+    // null embedding → null label (callers' raise_error guards fire
+    // before this on the build path; the expression itself must not NPE)
+    val withNull = Seq((1L, Some(Seq(0.1f, 0.2f))), (2L, None))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val m2 = KMeans.fit(withNull.where($"embedding".isNotNull),
+      "embedding", 1, 5, 42L)
+    val nullRow = KMeans.withAssignment(withNull, "embedding", m2, 42L)
+      .where($"vec_id" === 2L).head()
+    assert(nullRow.isNullAt(2), "null embedding must yield a null label")
+  }
 }

@@ -151,8 +151,17 @@ class PlanSpec extends SparkSpec {
     // the scale contract: occurrences are estimated map-side against
     // the broadcast sketch (one BroadcastHashJoin per hash row, never a
     // shuffled join), so the only corpus-keyed exchange aggregates the
-    // candidate-filtered stream with map-side combine
-    val p = plan("cms_heavy_hitters")
+    // candidate-filtered stream with map-side combine. Inspected on the
+    // OPERATOR's lazy result — the catalog wrapper collects the ≤ φ⁻¹
+    // rows to a local relation to release its token cache (round 10),
+    // so its own plan is a LocalTableScan
+    val toks = Tables.documents(spark, sf001)
+      .select(org.apache.spark.sql.functions.explode(
+        graft.queries.TextQueries.tokens(
+          org.apache.spark.sql.functions.col("text"))).as("token"))
+    val p = graft.operators.CountMin
+      .heavyHitters(toks, "token", phiInverse = 200L, depth = 4, width = 1024)
+      .queryExecution.executedPlan.toString
     val bhj = "BroadcastHashJoin".r.findAllIn(p).length
     assert(bhj >= 4, s"expected >=4 broadcast sketch joins, saw $bhj")
     assert(!p.contains("SortMergeJoin"),
@@ -162,7 +171,15 @@ class PlanSpec extends SparkSpec {
   }
 
   test("HLL overlap: register algebra is broadcast-only, corpus scanned once") {
-    val p = plan("hll_user_overlap")
+    // inspected on the operator's LAZY plan (pairwiseOverlapPlan): the
+    // public form collects the pair table to a local relation so it can
+    // release its register cache (round 10)
+    import org.apache.spark.sql.functions.col
+    val (regs, out) = graft.operators.Hll.pairwiseOverlapPlan(
+      Tables.events(spark, sf001).select(col("event_type"), col("user_id")),
+      "event_type", col("user_id"))
+    val p = out.queryExecution.executedPlan.toString
+    regs.unpersist()
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
       "pairwise union must stay on broadcast-sized register frames")
     assert(p.contains("partial_max"),

@@ -271,6 +271,175 @@ class StreamingSpec extends SparkSpec {
         s"batch-only (lost state?): ${(batch -- result).take(5)}")
   }
 
+  test("event-time sessionize twin equals the batch session_window " +
+      "recomputation (VERDICT r9 #7)") {
+    import graft.streaming.EventsStreaming
+    val streamed = EventsStreaming.sessionEventTimeQuery(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val batch = EventsStreaming.sessionizeEventTime(
+        Tables.events(spark, sf001).where(col("user_id") < 200))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+      .orderBy(col("user_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
+  test("a LATE event bridges two sessions in the event-time twin; the " +
+      "arrival-order form refuses to re-open the past — divergence pinned") {
+    import graft.streaming.EventsStreaming
+    import spark.implicits._
+    import java.nio.file.{Files => JFiles, Paths}
+    val root = JFiles.createTempDirectory("graft_sess_et").toString
+    val in = s"$root/in"
+    def ev(id: Long, min: Int): (Long, Long, java.sql.Timestamp) =
+      (id, 7L, new java.sql.Timestamp(3600000L * 100 + min * 60000L))
+    // one parquet file per delivery, modtimes forced apart so
+    // maxFilesPerTrigger=1 replays them as two ordered micro-batches
+    def write(rows: Seq[(Long, Long, java.sql.Timestamp)], mt: Long): Unit = {
+      val known = Option(new java.io.File(in).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+      rows.toDF("event_id", "user_id", "ts")
+        .repartition(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(f => !known.contains(f.getName))
+        .foreach(_.setLastModified(mt))
+    }
+    val now = System.currentTimeMillis()
+    // delivery 1: t=0 and t=50min — a 50min gap, two event-time sessions
+    write(Seq(ev(1, 0), ev(2, 50)), now - 600000L)
+    // delivery 2: a LATE event at t=25min bridges them (gaps 25 and 25)
+    write(Seq(ev(3, 25)), now)
+    def src = spark.readStream
+      .schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).parquet(in)
+    val qEt = EventsStreaming.sessionizeEventTime(src)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("sess_et_bridge").start()
+    try qEt.processAllAvailable() finally qEt.stop()
+    val et = spark.table("sess_et_bridge").count()
+    val qAo = EventsStreaming.sessionize(src)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+      .format("memory").queryName("sess_ao_bridge").start()
+    try qAo.processAllAvailable() finally qAo.stop()
+    val ao = spark.table("sess_ao_bridge")
+      .groupBy($"user_id")
+      .agg(max(struct($"n_events", $"n_sessions")).as("l"))
+      .select($"l.n_sessions").head().getLong(0)
+    // event-time merges the bridge to ONE session; the arrival-order
+    // form's monotone-lastMs guard counts the late event against the
+    // newest session and stays at 2 — exactly the divergence the
+    // guard's comment documents
+    assert(et == 1L, s"event-time twin must merge the bridge: $et")
+    assert(ao == 2L, s"arrival-order form must NOT re-open the past: $ao")
+    // and the twin equals a from-scratch batch recomputation
+    val batchEt = EventsStreaming.sessionizeEventTime(
+      spark.read.parquet(in)).count()
+    assert(batchEt == 1L)
+  }
+
+  test("cap-binding mega-bucket: stream and batch diverge exactly as " +
+      "designed, both bounded (VERDICT r9 #4)") {
+    // The documented validity precondition of the stream_lsh_candidates
+    // oracle (≤ MaxBandBucket members per band bucket) was an
+    // honor-system comment; this gate constructs a cap-BINDING corpus
+    // and pins the designed divergence: the batch join caps its L side
+    // at the `cap` smallest doc_ids but keeps every member paired with
+    // the bucket's rank-1 member, while the stream admits only the
+    // first `cap` members per bucket (within a batch: smallest ids
+    // first) and emits nothing for later arrivals.
+    import graft.streaming.{DocsStreaming, EventsStreaming}
+    import graft.queries.DedupQueries
+    import spark.implicits._
+    val cap = DocsStreaming.MaxBucketState.toLong // == MaxBandBucket
+    val m = cap + 6 // 70 identical docs → one mega-bucket in every band
+    val text = "alpha beta gamma delta epsilon"
+    val docs = (0L until m).map(i => (i, text)).toDF("doc_id", "text")
+
+    val batchPairs = graft.operators.MinHashLsh.candidates(
+        DedupQueries.bandedSignaturesMd5(docs)
+          .withColumnRenamed("doc_id", "id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedBatch =
+      (for { l <- 0L until cap; r <- (l + 1) until m } yield (l, r)).toSet
+    assert(batchPairs == expectedBatch,
+      "batch cap must keep the smallest-id L side against ALL members")
+    (cap until m).foreach(i => assert(batchPairs.contains((0L, i)),
+      s"past-cap member $i lost its rank-1 pairing in the batch join"))
+
+    val stage = java.nio.file.Files
+      .createTempDirectory("graft_lsh_cap").toString
+    docs.repartition(1).write.mode("overwrite").parquet(stage)
+    val streamPairs = EventsStreaming.runToCompletion(spark,
+        DocsStreaming.lshCandidates(
+          spark.readStream.schema(docs.schema).parquet(stage)).toDF(),
+        "stream_lsh_cap_single",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .dropDuplicates("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expectedStream =
+      (for { l <- 0L until cap; r <- (l + 1) until cap } yield (l, r)).toSet
+    assert(streamPairs == expectedStream,
+      "stream must emit exactly the pairs among the first cap admits")
+    assert(streamPairs.subsetOf(batchPairs),
+      "below-eviction the stream set must stay inside the batch set")
+    // both bounded: C(cap,2) and cap·m − cap(cap+1)/2 — not C(m,2)
+    assert(streamPairs.size == cap * (cap - 1) / 2)
+    assert(batchPairs.size == cap * m - cap * (cap + 1) / 2)
+  }
+
+  test("cap admission is first-come across micro-batches; the batch twin " +
+      "keeps the smallest ids — the designed eviction-order divergence") {
+    import graft.streaming.DocsStreaming
+    import graft.queries.DedupQueries
+    import spark.implicits._
+    val cap = DocsStreaming.MaxBucketState.toLong
+    val text = "alpha beta gamma delta epsilon"
+    // trigger 1: 40 large ids; trigger 2: 40 small ids. The stream
+    // admits all of batch 1, then fills the remaining 24 slots with the
+    // smallest of batch 2 (0..23) and rejects 24..39; the batch twin
+    // over the same corpus keeps the smallest 64 ids overall.
+    val d1 = (100L until 140L).map(i => (i, text)).toDF("doc_id", "text")
+    val d2 = (0L until 40L).map(i => (i, text)).toDF("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lsh_cap_mb").toString
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"$root/ckpt"
+    def run(): Unit = {
+      val q = DocsStreaming.lshCandidates(
+          spark.readStream.schema(d1.schema).parquet(in)).toDF()
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    d1.repartition(1).write.mode("append").parquet(in); run()
+    d2.repartition(1).write.mode("append").parquet(in); run()
+    val stream = spark.read.parquet(out).dropDuplicates("a_id", "b_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val admitted = ((100L until 140L) ++ (0L until (cap - 40L))).toSet
+    val expected = (for {
+      a <- admitted; b <- admitted if a < b
+    } yield (a, b)).toSet
+    assert(stream == expected,
+      s"stream admits first-come: missing=${(expected -- stream).take(5)} " +
+        s"extra=${(stream -- expected).take(5)}")
+    val batch = graft.operators.MinHashLsh.candidates(
+        DedupQueries.bandedSignaturesMd5(d1.unionByName(d2))
+          .withColumnRenamed("doc_id", "id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // id 30 arrived late and found the bucket saturated: in the batch
+    // twin's smallest-64 L side, absent from the stream entirely
+    assert(batch.exists { case (a, b) => a == 30L || b == 30L })
+    assert(!stream.exists { case (a, b) => a == 30L || b == 30L })
+    // ids 124/125 were admitted early by the stream but are outside the
+    // batch twin's smallest-64 L side: paired in-stream, not in-batch
+    assert(stream.contains((124L, 125L)) && !batch.contains((124L, 125L)))
+  }
+
   test("sessionize state survives a checkpoint restart (mapGroupsWithState)") {
     // the second stateful-recovery gate: LSH covers
     // flatMapGroupsWithState; this one proves mapGroupsWithState
