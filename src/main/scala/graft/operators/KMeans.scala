@@ -660,12 +660,9 @@ object KMeans {
         // null embeddings are excluded from the TRAINING pool (they
         // carry no geometry); they still fail loudly downstream at
         // assignment via the build/append raise_error guards
-        df.select(col(c), col(embCol))
-          .where(col(embCol).isNotNull)
-          .orderBy(xxhash64(col(c), lit(seed)), col(c))
-          .limit(poolCap)
-          .collect()
-          .map(r => r.getSeq[Float](1).toArray)
+        hashOrderedPool(
+          df.select(col(c), col(embCol)).where(col(embCol).isNotNull),
+          c, embCol, poolCap, seed, knownCount)
       case None =>
         val fraction = math.min(1.0, poolCap.toDouble * 1.2 / n.toDouble)
         val sampled =
@@ -682,6 +679,46 @@ object KMeans {
           .limit(poolCap).collect().map(_.getSeq[Float](0).toArray)
     }
     trainDriver(pool, k, iters, seed)
+  }
+
+  /** Deterministic hash-ordered training-pool cut over an ALREADY
+    * row-filtered (id, embedding) frame: the global top-`poolCap` rows
+    * by (xxhash64(id, seed), id) — partitioning-independent and
+    * unbiased in table order. Shared by [[fit]] and [[Pq.train]].
+    *
+    * The bare orderBy+limit plans as TakeOrderedAndProject, whose
+    * executeCollect ships EVERY partition's local top-poolCap to the
+    * driver — at wide embeddings that is the whole table (observed:
+    * 500k×768 ≈ 1.5 GB breaching maxResultSize; at 1000 executors it
+    * is partitions × poolCap rows). So the sort is pre-cut with a hash
+    * THRESHOLD keeping ~2×poolCap expected rows: every global
+    * top-poolCap row lies below any threshold that ≥ poolCap rows
+    * pass, so the filtered sort returns the bitwise-IDENTICAL pool
+    * (the r8 determinism pin holds — gated in KMeansSpec) while the
+    * driver receives O(poolCap) rows. If the threshold ever
+    * under-selects (Chernoff-impossible at a 2× margin, but exactness
+    * must not rest on probability), fall back to the full sort.
+    *
+    * @param knownCount caller-known (upper bound on the) row count —
+    *                   skips the sizing count() job; when absent the
+    *                   helper counts `filtered` itself, one cheap
+    *                   column-pruned job vs shipping the table.
+    */
+  private[operators] def hashOrderedPool(filtered: DataFrame, idCol: String,
+      embCol: String, poolCap: Int, seed: Long,
+      knownCount: Option[Long]): Array[Array[Float]] = {
+    val h = xxhash64(col(idCol), lit(seed))
+    def cut(d: DataFrame): Array[Array[Float]] =
+      d.orderBy(h, col(idCol)).limit(poolCap)
+        .select(col(embCol)) // id pruned from the driver transfer
+        .collect().map(_.getSeq[Float](0).toArray)
+    val total = knownCount.getOrElse(filtered.select(col(idCol)).count())
+    if (total > poolCap * 4L) {
+      val frac = poolCap * 2.0 / total
+      val t = Long.MinValue + (frac * 2.0 * Long.MaxValue).toLong
+      val fast = cut(filtered.where(h < lit(t)))
+      if (fast.length >= poolCap) fast else cut(filtered)
+    } else cut(filtered)
   }
 
   /** Holder broadcast to executors: deserialized once per executor, so

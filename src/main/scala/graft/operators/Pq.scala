@@ -50,10 +50,11 @@ object Pq {
     val clean = df.where(col(embCol).isNotNull && size(col(embCol)) === dim)
     val pool: Array[Array[Float]] = orderCol match {
       case Some(c) =>
-        clean.select(col(c), col(embCol))
-          .orderBy(xxhash64(col(c), lit(seed)), col(c))
-          .limit(KMeans.InitSampleCap)
-          .collect().map(_.getSeq[Float](1).toArray)
+        // bounded-driver cut (KMeans.hashOrderedPool): bitwise the same
+        // top-InitSampleCap rows, without TakeOrdered shipping every
+        // partition's local top-K of the full table to the driver
+        KMeans.hashOrderedPool(clean.select(col(c), col(embCol)),
+          c, embCol, KMeans.InitSampleCap, seed, knownCount = None)
       case None =>
         val n = clean.count()
         val fraction =

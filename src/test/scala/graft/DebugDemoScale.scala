@@ -24,6 +24,9 @@ object DebugDemoScale {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // D=768 makes intermediate collects (training pool, ground-truth
+      // ranking) 6x the default workload's rows — raise the 1g default
+      .config("spark.driver.maxResultSize", "8g")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -159,6 +159,30 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("orderCol pool hash-threshold pre-cut selects the bitwise-identical " +
+      "pool (and model) as the full sort") {
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+    val emb = Tables.embeddings(spark, sf0001)
+    val n = emb.count()
+    val cap = 64
+    assert(n > cap * 4L, "test needs the threshold path to engage")
+    // fit() takes the threshold-filtered fast path (n > 4*poolCap)...
+    val viaFit = KMeans.fit(emb, "embedding", 5, 10, 42L, poolCap = cap,
+      orderCol = Some("vec_id"), knownCount = Some(n))
+    // ...which must equal training on the pool the FULL sort defines
+    val manualPool = emb.select(col("vec_id"), col("embedding"))
+      .where(col("embedding").isNotNull)
+      .orderBy(xxhash64(col("vec_id"), lit(42L)), col("vec_id"))
+      .limit(cap).collect().map(_.getSeq[Float](1).toArray)
+    assert(manualPool.length == cap)
+    val viaFull = KMeans.trainDriver(manualPool, 5, 10, 42L)
+    assert(viaFit.centroids.length == viaFull.centroids.length)
+    viaFit.centroids.zip(viaFull.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b),
+        "threshold pre-cut changed the training pool")
+    }
+  }
+
   test("ArgMinCentroid expression assignment is bitwise-identical to the " +
       "driver assigner on BOTH dispatch regimes (VERDICT r9 #2)") {
     import spark.implicits._
