@@ -54,4 +54,20 @@ object Hash60 {
   val xx: Column => Column = c =>
     when(c.isNull, lit(null).cast("long"))
       .otherwise(xxhash64(c).bitwiseAND(lit(Mask)))
+
+  /** SALTED forms — for sketches needing `depth` independent hash rows
+    * per key ([[graft.operators.CountMin]]): (key, seed) → 60-bit
+    * hash. The md5 family salts by string prefix (`"seed:" || key`,
+    * the construction every CMS oracle recomputes); the xx family
+    * feeds the seed as a separate native `xxhash64` argument, so the
+    * production path allocates NO per-row string — without this, the
+    * concat would quietly reintroduce the exact string-materialization
+    * cost the unsalted xx family exists to remove.
+    */
+  val md5Salted: (Column, Int) => Column =
+    (key, seed) => md5(concat(lit(s"$seed:"), key))
+
+  val xxSalted: (Column, Int) => Column =
+    (key, seed) => when(key.isNull, lit(null).cast("long"))
+      .otherwise(xxhash64(lit(seed), key).bitwiseAND(lit(Mask)))
 }

@@ -27,9 +27,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   *
   * Null semantics: null embedding → null label (the callers' build and
   * append paths reject null embeddings with raise_error before this
-  * expression runs). Null ELEMENTS throw, exactly as the UDF's
-  * `Seq[Float]` decoder did — an embedding with null components has no
-  * geometry and must fail loudly, not silently assign.
+  * expression runs). Null ELEMENTS throw via the explicit scan in
+  * [[idx]], matching the UDF's `Seq[Float]` decoder — the scan is
+  * REQUIRED, not defensive: `UnsafeArrayData.toFloatArray` is a raw
+  * memory copy that IGNORES the null bitmap (a null element would
+  * silently read as 0.0f and assign a plausible wrong centroid), and
+  * an embedding with null components has no geometry and must fail
+  * loudly, not silently assign.
   */
 case class ArgMinCentroid(child: Expression,
     bc: Broadcast[KMeans.AssignerHolder]) extends UnaryExpression {
@@ -52,7 +56,16 @@ case class ArgMinCentroid(child: Expression,
     * handle — the loop is compiled Scala over primitive arrays either
     * way, so interpreted and codegen paths cannot diverge).
     */
-  def idx(a: ArrayData): Int = holder.assign(a.toFloatArray)._1
+  def idx(a: ArrayData): Int = {
+    val n = a.numElements()
+    var i = 0
+    while (i < n) { // null-bit scan; see the class note — copy skips it
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"argmin_centroid: null element at index $i of the embedding")
+      i += 1
+    }
+    holder.assign(a.toFloatArray)._1
+  }
 
   override protected def nullSafeEval(input: Any): Any =
     idx(input.asInstanceOf[ArrayData])

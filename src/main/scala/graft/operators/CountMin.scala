@@ -29,17 +29,22 @@ object CountMin {
 
   /** Cell index of `key` under hash function `seed`.
     *
-    * @param hashFn the 60-bit hash family ([[graft.functions.Hash60]]):
-    *               md5 (default) keeps cell placement oracle-exact;
-    *               [[graft.functions.Hash60.xx]] is the production
-    *               family. Cell/count math is hash-agnostic, so the
-    *               one-sided guarantee holds under both (CountMinSpec),
-    *               but sketches from different families must never be
-    *               merged, and estimates must use the build's family.
+    * @param hashFn a SALTED 60-bit hash family
+    *               ([[graft.functions.Hash60.md5Salted]] default /
+    *               [[graft.functions.Hash60.xxSalted]] production):
+    *               (key, seed) => hash. The family owns the salting —
+    *               md5 prefixes a `"seed:"` string (what every CMS
+    *               oracle recomputes); xx feeds the seed as a native
+    *               xxhash64 argument, no per-row string. Cell/count
+    *               math is hash-agnostic, so the one-sided guarantee
+    *               holds under both (CountMinSpec), but sketches from
+    *               different families must never be merged, and
+    *               estimates must use the build's family.
     */
   def cell(key: Column, seed: Int, width: Int,
-      hashFn: Column => Column = graft.functions.Hash60.md5): Column =
-    pmod(hashFn(concat(lit(s"$seed:"), key)), lit(width))
+      hashFn: (Column, Int) => Column =
+        graft.functions.Hash60.md5Salted): Column =
+    pmod(hashFn(key, seed), lit(width))
 
   /** Build the sketch: (fn, cell, c) rows, absent cells implicitly 0.
     * Null keys are ignored (matching [[Hll.sketch]]'s null handling):
@@ -51,7 +56,8 @@ object CountMin {
     */
   def build(rows: DataFrame, keyCol: String, depth: Int,
       width: Int,
-      hashFn: Column => Column = graft.functions.Hash60.md5): DataFrame =
+      hashFn: (Column, Int) => Column =
+        graft.functions.Hash60.md5Salted): DataFrame =
     rows.where(col(keyCol).isNotNull)
       .select(posexplode(array(
         (0 until depth).map(s => cell(col(keyCol), s, width, hashFn)): _*))
@@ -76,7 +82,8 @@ object CountMin {
     */
   def estimateOccurrences(rows: DataFrame, keyCol: String,
       sketch: DataFrame, depth: Int, width: Int,
-      hashFn: Column => Column = graft.functions.Hash60.md5): DataFrame =
+      hashFn: (Column, Int) => Column =
+        graft.functions.Hash60.md5Salted): DataFrame =
     // null keys dropped, mirroring build: they are not in the sketch
     // and could never survive heavyHitters' exact cut anyway
     (0 until depth).foldLeft(
@@ -110,7 +117,8 @@ object CountMin {
     */
   def heavyHitters(rows: DataFrame, keyCol: String, phiInverse: Long,
       depth: Int, width: Int,
-      hashFn: Column => Column = graft.functions.Hash60.md5): DataFrame = {
+      hashFn: (Column, Int) => Column =
+        graft.functions.Hash60.md5Salted): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
     val cells = build(rows, keyCol, depth, width, hashFn)
@@ -136,7 +144,8 @@ object CountMin {
     */
   def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int, width: Int,
-      hashFn: Column => Column = graft.functions.Hash60.md5): DataFrame = {
+      hashFn: (Column, Int) => Column =
+        graft.functions.Hash60.md5Salted): DataFrame = {
     val exploded = keys.select(col("*"),
       posexplode(array(
         (0 until depth).map(s => cell(col(keyCol), s, width, hashFn)): _*))

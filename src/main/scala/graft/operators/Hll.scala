@@ -154,8 +154,7 @@ object Hll {
       value: Column, p: Int = P,
       hashFn: Column => Column = graft.functions.Hash60.md5): DataFrame = {
     val (regs, out) = pairwiseOverlapPlan(df, keyCol, value, p, hashFn)
-    try df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(out.collect(): _*), out.schema)
+    try Eager.localize(out)
     finally regs.unpersist()
   }
 

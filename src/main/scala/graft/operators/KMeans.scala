@@ -660,9 +660,12 @@ object KMeans {
         // null embeddings are excluded from the TRAINING pool (they
         // carry no geometry); they still fail loudly downstream at
         // assignment via the build/append raise_error guards
+        // n (already computed above for the emptiness check) is a valid
+        // upper bound on the filtered rows — forwarding it skips the
+        // helper's sizing count() whether or not the caller knew it
         hashOrderedPool(
           df.select(col(c), col(embCol)).where(col(embCol).isNotNull),
-          c, embCol, poolCap, seed, knownCount)
+          c, embCol, poolCap, seed, Some(n))
       case None =>
         val fraction = math.min(1.0, poolCap.toDouble * 1.2 / n.toDouble)
         val sampled =

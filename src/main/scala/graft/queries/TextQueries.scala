@@ -152,13 +152,11 @@ object TextQueries {
     val toks = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .persist()
-    try {
-      val hh = graft.operators.CountMin
+    try graft.operators.Eager.localize(
+      graft.operators.CountMin
         .heavyHitters(toks, "token", phiInverse = 200L, depth = 4, width = 1024)
-        .orderBy(col("exact_c").desc, col("token"))
-      spark.createDataFrame(
-        java.util.Arrays.asList(hh.collect(): _*), hh.schema)
-    } finally toks.unpersist()
+        .orderBy(col("exact_c").desc, col("token")))
+    finally toks.unpersist()
   }
 
   private val cmsHeavyHittersSql =

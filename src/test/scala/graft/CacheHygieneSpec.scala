@@ -26,7 +26,11 @@ class CacheHygieneSpec extends SparkSpec {
       "clearCache (VERDICT r9 #5)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val hh = graft.queries.TextQueries.cmsHeavyHitters(spark, sf0001)
-    assert(hh.count() >= 0) // result is a local relation, already materialized
+    // the cache-release contract REQUIRES an already-materialized local
+    // relation — a lazy plan would recompute the unpersisted lineage
+    assert(hh.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "cmsHeavyHitters must return a local relation")
+    assert(hh.count() > 0, "no heavy hitters at sf0001 — gate is vacuous")
     val after = spark.sparkContext.getPersistentRDDs.keySet
     assert((after -- before).isEmpty,
       "cmsHeavyHitters left the exploded token stream cached")

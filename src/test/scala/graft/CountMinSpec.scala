@@ -141,7 +141,7 @@ class CountMinSpec extends SparkSpec {
 
   test("one-sided guarantee and heavy-hitter exactness hold under the " +
       "xxhash64 production family; md5 defaults bit-unchanged (VERDICT r9 #1)") {
-    val xx = graft.functions.Hash60.xx
+    val xx = graft.functions.Hash60.xxSalted
     val sk = CountMin.build(toks, "token", depth, width, xx)
     // estimate >= exact for every token under the xx family
     val exact = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_c"))
@@ -150,12 +150,15 @@ class CountMinSpec extends SparkSpec {
     assert(est.join(exact, "token")
       .where(col("cms_c") < col("exact_c")).count() == 0,
       "xx-family estimate undercounts — one-sided guarantee broken")
-    // heavyHitters under xx equals the naive exact heavy hitters
-    val hh = CountMin.heavyHitters(toks, "token", phiInverse = 200L,
-        depth, width, xx)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val threshold = CountMin.heavyHitters(toks, "token", 200L, depth, width, xx)
-      .head().getLong(3)
+    // heavyHitters under xx equals the naive exact heavy hitters; the
+    // threshold is a constant column of the SAME result (re-running the
+    // whole pipeline to read it would double the test's corpus passes)
+    val hhRows = CountMin.heavyHitters(toks, "token", phiInverse = 200L,
+      depth, width, xx).collect()
+    assert(hhRows.nonEmpty,
+      "no heavy hitters at phi=1/200 — the equality gate would be vacuous")
+    val hh = hhRows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val threshold = hhRows.head.getLong(3)
     val naive = exact.where(col("exact_c") >= threshold)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hh == naive, "xx-family heavy hitters diverge from exact")
@@ -163,7 +166,7 @@ class CountMinSpec extends SparkSpec {
     val md5Sk = CountMin.build(toks, "token", depth, width)
     assert(sk.exceptAll(md5Sk).count() > 0, "xx build == md5 build?")
     val explicitMd5 = CountMin.build(toks, "token", depth, width,
-      graft.functions.Hash60.md5)
+      graft.functions.Hash60.md5Salted)
     assert(md5Sk.exceptAll(explicitMd5).isEmpty &&
       explicitMd5.exceptAll(md5Sk).isEmpty)
   }

@@ -208,5 +208,18 @@ class KMeansSpec extends SparkSpec {
     val nullRow = KMeans.withAssignment(withNull, "embedding", m2, 42L)
       .where($"vec_id" === 2L).head()
     assert(nullRow.isNullAt(2), "null embedding must yield a null label")
+    // a null ELEMENT must fail loudly — toFloatArray is a raw copy that
+    // ignores the null bitmap, so without the expression's explicit
+    // null-bit scan this would silently assign with the element as 0.0f
+    val withNullElem = Seq((3L, Seq(Option(0.1f), Option.empty[Float])))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val ex = intercept[Exception] {
+      KMeans.withAssignment(withNullElem, "embedding", m2, 42L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null element")),
+      s"expected the fail-loud null-element error, got: ${messages(ex)}")
   }
 }
