@@ -109,6 +109,19 @@ object DebugSketchScale {
         "(uniform(1,1e7): expect ~5e6 / ~9.5e6)")
     }
 
+    // CMS build under both salted families — the sketch is the same
+    // ≤ depth×width cells; the delta is pure per-row hash cost
+    // (md5Salted materializes a "seed:key" string per hash row,
+    // xxSalted hashes (seed, key) natively)
+    import graft.operators.CountMin
+    time("CountMin build (md5Salted)") {
+      CountMin.build(df, "dv", depth = 4, width = 1024).count()
+    }
+    time("CountMin build (xxSalted)") {
+      CountMin.build(df, "dv", depth = 4, width = 1024,
+        graft.functions.Hash60.xxSalted).count()
+    }
+
     val regRows = Hll.sketch(df, "k", col("dv")).count()
     val bucketRows = QuantileSketch.sketch(df, "k", col("qv")).count()
     println(s"SIZE input=$n rows -> hll registers=$regRows, " +
