@@ -112,6 +112,26 @@ object EventsStreaming {
       .select(col("user_id"),
         col("session_window.start").as("session_start"), col("n_events"))
 
+  /** PRODUCTION form of [[sessionizeEventTime]]: watermark + Append.
+    * A session window emits exactly once — when the watermark passes
+    * its end (last event + gap) — and its state is dropped, so state
+    * stays bounded on an unbounded stream: the still-open tail of each
+    * user's activity is the ONLY state held. The Complete-mode form
+    * above exists because a finite test stream's watermark never
+    * passes the trailing session, which Append would hold back forever
+    * (the StreamingSpec gate shows exactly this split: closed sessions
+    * emitted once, trailing session withheld).
+    */
+  def sessionizeEventTimeAppend(events: DataFrame,
+      delay: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", delay)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
   /** Catalog query: event-time sessions rolled up per user — the same
     * (user_id, n_sessions, n_events) surface as `stream_sessions`, so
     * the two entries' results differ only where event-time handling

@@ -340,6 +340,50 @@ class StreamingSpec extends SparkSpec {
     assert(batchEt == 1L)
   }
 
+  test("watermarked Append-mode session windows: closed sessions emit " +
+      "exactly once, the open tail is withheld (production shape)") {
+    import graft.streaming.EventsStreaming
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_sess_append").toString
+    val in = s"$root/in"
+    def ev(id: Long, min: Int): (Long, Long, java.sql.Timestamp) =
+      (id, 9L, new java.sql.Timestamp(3600000L * 200 + min * 60000L))
+    def write(rows: Seq[(Long, Long, java.sql.Timestamp)], mt: Long): Unit = {
+      val known = Option(new java.io.File(in).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+      rows.toDF("event_id", "user_id", "ts")
+        .repartition(1).write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(f => !known.contains(f.getName))
+        .foreach(_.setLastModified(mt))
+    }
+    val now = System.currentTimeMillis()
+    // trigger 1: one session (t=0, t=10; window [0, 40))
+    write(Seq(ev(1, 0), ev(2, 10)), now - 600000L)
+    // trigger 2: a much later event (t=120) advances the watermark to
+    // 120−30=90min > 40 → the first session closes and emits; the
+    // trailing session [120, 150) stays open and must NOT emit
+    write(Seq(ev(3, 120)), now)
+    val q = EventsStreaming.sessionizeEventTimeAppend(
+        spark.readStream
+          .schema("event_id LONG, user_id LONG, ts TIMESTAMP")
+          .option("maxFilesPerTrigger", 1).parquet(in))
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .format("memory").queryName("sess_append").start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("sess_append")
+      .collect().map(r => (r.getLong(0),
+        r.getTimestamp(1).getTime, r.getTimestamp(2).getTime, r.getLong(3)))
+    assert(rows.length == 1,
+      s"exactly the closed session must emit, got ${rows.toSeq}")
+    val (uid, start, end, n) = rows.head
+    val base = 3600000L * 200
+    assert(uid == 9L && start == base && end == base + 40 * 60000L && n == 2L,
+      s"closed session shape wrong: ${rows.head}")
+  }
+
   test("cap-binding mega-bucket: stream and batch diverge exactly as " +
       "designed, both bounded (VERDICT r9 #4)") {
     // The documented validity precondition of the stream_lsh_candidates
