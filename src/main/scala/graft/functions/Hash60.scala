@@ -3,13 +3,14 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-/** The engine's 60-bit hash families: `Column => Column` over a value
-  * of any type, yielding a uniform non-negative long in [0, 2^60) with
-  * null → null — the ONE contract every hash-parameterized operator
-  * ([[graft.operators.Hll]], [[graft.operators.CountMin]],
-  * [[graft.operators.MinHashLsh]]) threads through. Each family owns
-  * its value canonicalization, which is where the performance gap
-  * lives:
+/** The engine's 60-bit hash families, in two shapes sharing one value
+  * contract (uniform non-negative long in [0, 2^60), null → null):
+  * unsalted `Column => Column` ([[md5]]/[[xx]] — threaded through
+  * [[graft.operators.Hll]] and [[graft.operators.MinHashLsh]]) and
+  * SALTED `(Column, Int) => Column` ([[md5Salted]]/[[xxSalted]] — for
+  * [[graft.operators.CountMin]], whose depth independent hash rows
+  * each need a distinct seed). Each family owns its value
+  * canonicalization, which is where the performance gap lives:
   *
   *   - [[md5]]: the oracle family — casts the value to string, then
   *     takes the first 60 bits of md5 ([[Md5Long60]], native codegen).

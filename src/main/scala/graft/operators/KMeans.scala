@@ -660,9 +660,15 @@ object KMeans {
         // null embeddings are excluded from the TRAINING pool (they
         // carry no geometry); they still fail loudly downstream at
         // assignment via the build/append raise_error guards
-        // n (already computed above for the emptiness check) is a valid
-        // upper bound on the filtered rows — forwarding it skips the
-        // helper's sizing count() whether or not the caller knew it
+        // n (already computed above for the emptiness check) is an
+        // UPPER bound on the filtered rows — forwarding it skips the
+        // helper's sizing count(). The threshold margin is 2× relative
+        // to this bound, so a table whose null-embedding fraction
+        // exceeds ~50% erodes it and may hit the helper's full-sort
+        // fallback (correct, but pays both sorts); embedding tables
+        // with majority-null embeddings are pathological, and the
+        // alternative — an exact count of the filtered frame — costs a
+        // full extra job on EVERY train
         hashOrderedPool(
           df.select(col(c), col(embCol)).where(col(embCol).isNotNull),
           c, embCol, poolCap, seed, Some(n))

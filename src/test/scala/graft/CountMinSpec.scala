@@ -162,13 +162,20 @@ class CountMinSpec extends SparkSpec {
     val naive = exact.where(col("exact_c") >= threshold)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(hh == naive, "xx-family heavy hitters diverge from exact")
-    // families differ, and the default build is still bit-for-bit md5
+    // families differ, and the default build still reproduces the
+    // PRE-REFACTOR construction md5("seed:" || key) — rebuilt here from
+    // first principles (Hash60.md5 + explicit concat), NOT by passing
+    // md5Salted back in, which would be tautological against its own
+    // default
     val md5Sk = CountMin.build(toks, "token", depth, width)
     assert(sk.exceptAll(md5Sk).count() > 0, "xx build == md5 build?")
-    val explicitMd5 = CountMin.build(toks, "token", depth, width,
-      graft.functions.Hash60.md5Salted)
-    assert(md5Sk.exceptAll(explicitMd5).isEmpty &&
-      explicitMd5.exceptAll(md5Sk).isEmpty)
+    val preRefactor: (org.apache.spark.sql.Column, Int) =>
+        org.apache.spark.sql.Column =
+      (key, seed) => graft.functions.Hash60.md5(concat(lit(s"$seed:"), key))
+    val rebuilt = CountMin.build(toks, "token", depth, width, preRefactor)
+    assert(md5Sk.exceptAll(rebuilt).isEmpty &&
+      rebuilt.exceptAll(md5Sk).isEmpty,
+      "default md5Salted drifted from the oracle's md5(concat) construction")
   }
 
   test("estimates are partitioning-independent (integer cells)") {

@@ -16,9 +16,13 @@ import graft.sources.VectorFormats
   */
 object DebugDemoScale {
   def main(args: Array[String]): Unit = {
-    val n = args.headOption.map(_.toLong).getOrElse(500000L)
-    val dim = if (args.length > 1) args(1).toInt else 768
-    val nq = if (args.length > 2) args(2).toInt else 200
+    // flags first, then positional numerics — so "reuse" works in any
+    // position (including as the only arg) instead of crashing toLong
+    val reuseFlag = args.contains("reuse")
+    val nums = args.filterNot(_ == "reuse")
+    val n = nums.headOption.map(_.toLong).getOrElse(500000L)
+    val dim = if (nums.length > 1) nums(1).toInt else 768
+    val nq = if (nums.length > 2) nums(2).toInt else 200
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -37,7 +41,7 @@ object DebugDemoScale {
     // "reuse" arg: load the previously-built index (S6 sidecar) so a
     // quiet-box re-measurement of the query sweeps doesn't pay the
     // build again; build_s is reported as 0 in that mode
-    val reuse = args.contains("reuse") &&
+    val reuse = reuseFlag &&
       new java.io.File(s"$dataDir/index/centroids").exists()
     val t0 = System.nanoTime()
     val idx =

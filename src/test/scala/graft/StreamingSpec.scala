@@ -303,7 +303,8 @@ class StreamingSpec extends SparkSpec {
         .repartition(1).write.mode("append").parquet(in)
       new java.io.File(in).listFiles()
         .filter(f => !known.contains(f.getName))
-        .foreach(_.setLastModified(mt))
+        .foreach(f => assert(f.setLastModified(mt),
+          s"setLastModified failed for $f — batch ordering would be random"))
     }
     val now = System.currentTimeMillis()
     // delivery 1: t=0 and t=50min — a 50min gap, two event-time sessions
@@ -356,7 +357,8 @@ class StreamingSpec extends SparkSpec {
         .repartition(1).write.mode("append").parquet(in)
       new java.io.File(in).listFiles()
         .filter(f => !known.contains(f.getName))
-        .foreach(_.setLastModified(mt))
+        .foreach(f => assert(f.setLastModified(mt),
+          s"setLastModified failed for $f — batch ordering would be random"))
     }
     val now = System.currentTimeMillis()
     // trigger 1: one session (t=0, t=10; window [0, 40))
