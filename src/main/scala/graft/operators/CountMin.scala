@@ -140,13 +140,16 @@ object CountMin {
     * ≤ depth·width rows → broadcast. Absent cells count as 0 (left
     * join + coalesce): a key hashing to any untouched cell estimates
     * 0 — exactly the never-seen-key answer — instead of inheriting the
-    * min of only its occupied cells.
+    * min of only its occupied cells. Null lookup keys are DROPPED, the
+    * same contract as [[build]]/[[estimateOccurrences]] (ADVICE r10:
+    * a null key previously fell through the cell hash to a cms_c=0 row,
+    * an answer for a key the sketch by contract never counted).
     */
   def estimate(sketch: DataFrame, keys: DataFrame, keyCol: String,
       depth: Int, width: Int,
       hashFn: (Column, Int) => Column =
         graft.functions.Hash60.md5Salted): DataFrame = {
-    val exploded = keys.select(col("*"),
+    val exploded = keys.where(col(keyCol).isNotNull).select(col("*"),
       posexplode(array(
         (0 until depth).map(s => cell(col(keyCol), s, width, hashFn)): _*))
         .as(Seq("fn", "cell")))

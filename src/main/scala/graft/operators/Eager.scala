@@ -12,7 +12,28 @@ import org.apache.spark.sql.DataFrame
   * overlap ≤ |keys|²/2 by its output contract); row order is preserved.
   */
 object Eager {
-  def localize(df: DataFrame): DataFrame =
+
+  /** Default row cap: far above every bounded-by-contract caller
+    * (heavy hitters ≤ φ⁻¹ ≤ 1e4, overlap |keys|²/2 with driver-sized
+    * keys) yet small enough that an accidentally-unbounded frame dies
+    * with a named error instead of a driver OOM minutes later.
+    */
+  val DefaultMaxRows: Int = 1 << 20
+
+  /** Collect `df` into a local relation, FAILING LOUDLY past `maxRows`
+    * (VERDICT r10 #4): the collect runs through `limit(maxRows + 1)` so
+    * an unbounded caller transfers at most cap+1 rows before the error
+    * — not its whole result — and the error names the fix (keep the
+    * plan lazy / raise the cap deliberately) rather than surfacing as
+    * an opaque driver OOM far from the cause.
+    */
+  def localize(df: DataFrame, maxRows: Int = DefaultMaxRows): DataFrame = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"Eager.localize: result exceeds $maxRows rows - this helper is " +
+        "for results bounded by construction; keep the plan lazy or " +
+        "pass an explicit maxRows if the bound is intentional")
     df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
+      java.util.Arrays.asList(rows: _*), df.schema)
+  }
 }

@@ -723,9 +723,13 @@ object TextQueries {
     *     left-to-right non-overlapping scan then fuses runs exactly
     *     like the trainer's greedy rewrite ([a,a,a,a] → [aa,aa], not
     *     [aa,a,a]), and the surviving half-separators keep symbol
-    *     boundaries exact (no suffix/prefix false matches). chr(1)
-    *     never occurs in the corpus (asserted at generation time by
-    *     the matching gate below being hash-checked).
+    *     boundaries exact (no suffix/prefix false matches). The two
+    *     corpus preconditions this rests on — chr(1) absent from
+    *     tokens, and ASCII-only text so DuckDB's UTF-8 and Scala's
+    *     UTF-16 tie-break collations coincide — are ASSERTED by the
+    *     `pre` CTE (ADVICE r10): a violating corpus fails the oracle
+    *     run with a named error() instead of a confusing hash
+    *     mismatch.
     *   - Every step CTE is MATERIALIZED: each is referenced twice
     *     (pair count + rewrite), so default inlining would expand the
     *     20-step chain 2^20-fold.
@@ -742,8 +746,15 @@ object TextQueries {
         |toks AS MATERIALIZED (
         |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'), t -> t <> '')) AS w
         |  FROM documents),
+        |pre AS MATERIALIZED (
+        |  SELECT count(*) AS bad FROM toks
+        |  WHERE strlen(w) <> length(w) OR contains(w, chr(1))),
         |wc AS MATERIALIZED (
-        |  SELECT w, count(*) AS c FROM toks GROUP BY 1 ORDER BY c DESC, w LIMIT 100000),
+        |  SELECT w, count(*) AS c FROM toks, pre
+        |  WHERE CASE WHEN pre.bad > 0 THEN error('bpe_merges oracle precondition violated: ' ||
+        |    'corpus tokens must be ASCII (UTF-8/UTF-16 tie-break parity) and free of chr(1) (the separator)')
+        |    ELSE true END
+        |  GROUP BY 1 ORDER BY c DESC, w LIMIT 100000),
         |s0 AS MATERIALIZED (
         |  SELECT repeat(chr(1), 2) ||
         |    list_aggregate(list_transform(range(1, length(w) + 1),

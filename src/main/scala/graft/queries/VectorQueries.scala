@@ -419,6 +419,49 @@ object VectorQueries {
        |ORDER BY distance, c.vec_id LIMIT 10""".stripMargin
   }
 
+  /** PCA spectrum oracle: the trained basis (mean + components) is
+    * inlined as literals, but every OUTPUT number is independently
+    * recomputed by DuckDB FROM THE PARQUET — eigenvalue_i as the
+    * empirical variance of the data projected on component i
+    * (avg((v_i·(x−μ))²); for an exact eigenvector of the empirical
+    * covariance this IS λ_i, so the compare pins Jacobi's eigenvalues
+    * to the data, not to an echo of themselves), total variance as
+    * avg‖x−μ‖² (= trace of the covariance = Σ all-d eigenvalues), and
+    * the explained/cumulative fractions from those. A wrong eigenvector,
+    * a mis-centered mean, or a Jacobi that stopped short all surface as
+    * hash mismatches. Same verify-scale inlining contract as
+    * [[pcaTopKOracle]]; row filter mirrors Pca.fit's
+    * non-null + size==d statistics contract.
+    */
+  private def pcaStatsOracle(spark: SparkSession, dir: String): String = {
+    val model = pcaModel(spark, dir)
+    val comps = OracleGen.dblListList(model.components.map(_.toSeq).toSeq)
+    val mean = OracleGen.dblList(model.mean.toSeq)
+    s"""WITH xc AS (
+       |  SELECT list_transform(list_zip(embedding, $mean),
+       |    z -> CAST(z[1] AS DOUBLE) - z[2]) AS x
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) = ${model.d}),
+       |proj AS (
+       |  SELECT t.i AS i,
+       |    list_reduce(list_transform(list_zip(x.x, ($comps)[t.i]),
+       |      p -> p[1] * p[2]), (a, b) -> a + b) AS pr
+       |  FROM xc x CROSS JOIN generate_series(1, ${model.q}) t(i)),
+       |lam AS (
+       |  SELECT CAST(i - 1 AS INTEGER) AS component, avg(pr * pr) AS l
+       |  FROM proj GROUP BY i),
+       |tot AS (
+       |  SELECT avg(list_reduce(list_transform(x, v -> v * v),
+       |    (a, b) -> a + b)) AS t
+       |  FROM xc)
+       |SELECT component,
+       |  round(l, 6) AS eigenvalue,
+       |  round(l / t.t, 6) AS explained_frac,
+       |  round(sum(l / t.t) OVER (ORDER BY component), 6) AS cum_frac
+       |FROM lam CROSS JOIN tot t
+       |ORDER BY component""".stripMargin
+  }
+
   def defs: Map[String, QueryDef] = Map(
     "embedding_quantize_stats" -> QueryDef(quantizeStats, Some(quantizeStatsSql)),
     "ann_quantized_topk" -> QueryDef(quantizedTopK, Some(quantizedTopKSql)),
@@ -428,7 +471,8 @@ object VectorQueries {
       OracleGen.sql("ann_opq_topk")(opqTopKOracle)),
     "ann_pca_topk" -> QueryDef(pcaTopK,
       OracleGen.sql("ann_pca_topk")(pcaTopKOracle)),
-    "embedding_pca_stats" -> QueryDef(pcaStats, None),
+    "embedding_pca_stats" -> QueryDef(pcaStats,
+      OracleGen.sql("embedding_pca_stats")(pcaStatsOracle)),
     "vec_normalize" -> QueryDef(normalizedSample, Some(normalizedSampleSql)),
     "label_centroids" -> QueryDef(labelCentroids, Some(labelCentroidsSql)),
     "knn_exact" -> QueryDef(

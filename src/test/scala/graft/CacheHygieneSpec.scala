@@ -50,6 +50,23 @@ class CacheHygieneSpec extends SparkSpec {
       "pairwiseOverlap left its register frame cached")
   }
 
+  test("Eager.localize fails loudly on an unbounded caller instead of " +
+      "collecting it (VERDICT r10 #4)") {
+    import spark.implicits._
+    val big = spark.range(0, 100).toDF("i")
+    // positive: bounded frames localize, order preserved
+    val ok = graft.operators.Eager.localize(big, maxRows = 100)
+    assert(ok.queryExecution.executedPlan.toString.contains("LocalTableScan"))
+    assert(ok.as[Long].collect().toSeq == (0L until 100L))
+    // negative: a frame past the cap dies with the named error, and the
+    // guard goes through limit(cap+1) so only cap+1 rows ever transfer
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Eager.localize(big, maxRows = 99)
+    }
+    assert(e.getMessage.contains("Eager.localize"), e.getMessage)
+    assert(e.getMessage.contains("bounded by construction"), e.getMessage)
+  }
+
   test("tfidf leaves no cached RDDs even WITHOUT the harness clearCache") {
     // round-6 dropped its persist entirely — the 100-doc slice lineage
     // recomputes cheaper than a leaked cache at any scale

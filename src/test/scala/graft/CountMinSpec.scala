@@ -178,6 +178,28 @@ class CountMinSpec extends SparkSpec {
       "default md5Salted drifted from the oracle's md5(concat) construction")
   }
 
+  test("md5 family cell placement matches externally-computed constants " +
+      "(ADVICE r10: the drift gate must not share the implementation)") {
+    import spark.implicits._
+    // Computed OUTSIDE the JVM: python3 hashlib,
+    //   int(md5(f"{seed}:{key}").hexdigest()[:15], 16) % 1024
+    // — the same math every CMS DuckDB oracle runs. If Md5Long60, the
+    // salt prefix, or the pmod cell derivation drifts, these literals
+    // fail regardless of what md5Salted's definition says today.
+    val expected = Seq(
+      ("the", 0, 486L), ("the", 1, 79L), ("the", 2, 112L), ("the", 3, 504L),
+      ("alpha", 0, 911L), ("alpha", 1, 914L), ("alpha", 2, 535L), ("alpha", 3, 684L),
+      ("lorem", 0, 742L), ("lorem", 1, 923L), ("lorem", 2, 267L), ("lorem", 3, 560L))
+    val got = Seq("the", "alpha", "lorem").toDF("k")
+      .select(col("k") +: (0 until depth).map(s =>
+        CountMin.cell(col("k"), s, width).as(s"c$s")): _*)
+      .collect()
+      .flatMap(r => (0 until depth).map(s => (r.getString(0), s, r.getLong(s + 1))))
+      .toSeq
+    assert(got.sorted == expected.sorted,
+      s"cell placement drifted from the externally-pinned constants: $got")
+  }
+
   test("estimates are partitioning-independent (integer cells)") {
     val sketch1 = CountMin.build(toks.repartition(3), "token", depth, width)
     val sketch2 = CountMin.build(toks.repartition(17), "token", depth, width)
