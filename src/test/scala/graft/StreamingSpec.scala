@@ -228,14 +228,48 @@ class StreamingSpec extends SparkSpec {
       s"stream-only: ${(result -- batch).take(5)}; batch-only: ${(batch -- result).take(5)}")
   }
 
+  /** Run `body` with the session's state-store provider flipped to
+    * RocksDB — the off-heap store a 100 TB-pipeline deployment needs
+    * (VERDICT r10 #3): HDFSBackedStateStore keeps every key's state on
+    * the executor HEAP, so pipeline-scale key cardinality (LSH buckets
+    * over a corpus, per-user sessions) OOMs executors; RocksDB spills
+    * to local disk with a bounded block cache. The conf is restored
+    * afterward so sibling tests keep the default provider. Spark pins
+    * the provider INTO the checkpoint's offset-log metadata, so each
+    * gate's restart leg re-opens RocksDB state files — recovery, not
+    * just first-run writes, is exercised.
+    */
+  private def withRocksDbStateStore[A](body: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("streaming LSH state survives a checkpoint restart (fault tolerance)") {
-    // the streaming-at-scale property the in-session tests can't see:
-    // a crashed/redeployed query must RECOVER its bucket state from the
-    // checkpoint. Run the stream over half the corpus, STOP the query,
-    // deliver the other half to a fresh query on the same checkpoint —
-    // duplicate pairs straddling the restart are found only if the
-    // first half's bucket membership was restored, and exactly-once
-    // file-sink semantics mean no pair is lost or doubled.
+    lshRestartGate(); ()
+  }
+
+  test("streaming LSH restart recovery holds under the RocksDB state " +
+      "store (VERDICT r10 #3, flatMapGroupsWithState)") {
+    val ckpt = withRocksDbStateStore { lshRestartGate() }
+    assertProviderPinned(ckpt, "RocksDBStateStoreProvider")
+  }
+
+  /** The flatMapGroupsWithState recovery gate, shared by the default and
+    * RocksDB providers. The streaming-at-scale property the in-session
+    * tests can't see: a crashed/redeployed query must RECOVER its bucket
+    * state from the checkpoint. Run the stream over half the corpus,
+    * STOP the query, deliver the other half to a fresh query on the same
+    * checkpoint — duplicate pairs straddling the restart are found only
+    * if the first half's bucket membership was restored, and
+    * exactly-once file-sink semantics mean no pair is lost or doubled.
+    */
+  private def lshRestartGate(): String = {
     import graft.streaming.DocsStreaming
     val root = java.nio.file.Files
       .createTempDirectory("graft_lsh_restart").toString
@@ -269,6 +303,20 @@ class StreamingSpec extends SparkSpec {
     assert(result == batch,
       s"stream-only: ${(result -- batch).take(5)}; " +
         s"batch-only (lost state?): ${(batch -- result).take(5)}")
+    ckpt
+  }
+
+  /** The checkpoint's offset-log metadata must record the expected
+    * provider — guards the RocksDB twins against a silently-ignored or
+    * mistyped conf (the gate would then green-light the DEFAULT store).
+    */
+  private def assertProviderPinned(ckpt: String, providerFragment: String): Unit = {
+    val offsets = new java.io.File(s"$ckpt/offsets").listFiles()
+    assert(offsets != null && offsets.nonEmpty, s"no offset log at $ckpt")
+    val text = offsets.map(f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath))).mkString
+    assert(text.contains(providerFragment),
+      s"offset log does not pin $providerFragment — the query ran on the default store")
   }
 
   test("event-time sessionize twin equals the batch session_window " +
@@ -487,13 +535,25 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("sessionize state survives a checkpoint restart (mapGroupsWithState)") {
-    // the second stateful-recovery gate: LSH covers
-    // flatMapGroupsWithState; this one proves mapGroupsWithState
-    // counters recover. Events are split at the median timestamp so
-    // most users have sessions straddling the restart — their final
-    // (n_sessions, n_events) is correct only if lastMs/counters were
-    // restored (a lost state restarts every user at zero sessions and
-    // double-counts the session that spans the boundary).
+    sessionRestartGate(); ()
+  }
+
+  test("sessionize restart recovery holds under the RocksDB state store " +
+      "(VERDICT r10 #3, mapGroupsWithState)") {
+    val ckpt = withRocksDbStateStore { sessionRestartGate() }
+    assertProviderPinned(ckpt, "RocksDBStateStoreProvider")
+  }
+
+  /** The mapGroupsWithState recovery gate, shared by the default and
+    * RocksDB providers: LSH covers flatMapGroupsWithState; this one
+    * proves mapGroupsWithState counters recover. Events are split at
+    * the median timestamp so most users have sessions straddling the
+    * restart — their final (n_sessions, n_events) is correct only if
+    * lastMs/counters were restored (a lost state restarts every user at
+    * zero sessions and double-counts the session that spans the
+    * boundary).
+    */
+  private def sessionRestartGate(): String = {
     import graft.streaming.EventsStreaming
     val root = java.nio.file.Files
       .createTempDirectory("graft_sess_restart").toString
@@ -542,6 +602,7 @@ class StreamingSpec extends SparkSpec {
     assert(stream == batch,
       s"diverging users: ${(stream.toSet -- batch.toSet).take(3)} / " +
         s"${(batch.toSet -- stream.toSet).take(3)}")
+    ckpt
   }
 
   test("streaming ANN equals batch annJoin across micro-batch splits") {
