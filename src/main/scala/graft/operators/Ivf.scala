@@ -111,16 +111,31 @@ object Ivf {
     * @param df     input table
     * @param idCol  unique row id (external_id in reference terms)
     * @param embCol ArrayType(FloatType) embedding column
+    * @param onStage stage-attribution hook (VERDICT r10 #5): called with
+    *                (stage, seconds) after each build stage completes —
+    *                count, pool_train, assign_count, shard_model,
+    *                shard_write, sidecar. Default no-op; measurement
+    *                harnesses (DebugDemoScale) pass a recorder so the
+    *                100×-scale story names WHICH stage a cluster
+    *                parallelizes instead of one opaque build number.
     */
   def build(df: DataFrame, idCol: String, embCol: String, indexDir: String,
-      seed: Long = 42L): Index = {
+      seed: Long = 42L,
+      onStage: (String, Double) => Unit = (_, _) => ()): Index = {
     val spark = df.sparkSession
-    val n = df.count()
+    def staged[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      onStage(name, (System.nanoTime() - t0) / 1e9)
+      r
+    }
+    val n = staged("count")(df.count())
     require(n > 0, "cannot build an index from an empty table") // src/api.rs empty-build error
     val k = KMeans.numClusters(n)
     val iters = KMeans.maxIterations(n)
-    val model = KMeans.fit(df, embCol, k, iters, seed, orderCol = Some(idCol),
-      knownCount = Some(n))
+    val model = staged("pool_train")(
+      KMeans.fit(df, embCol, k, iters, seed, orderCol = Some(idCol),
+        knownCount = Some(n)))
     // P1 on the direct-build path, enforced map-side in the assignment
     // pass — the same raise_error guard append applies: without it a
     // NULL embedding NPEs deep in the assignment UDF AFTER training
@@ -144,8 +159,9 @@ object Ivf {
 
     // drop empty clusters, re-densify ids in ascending raw-id order (P2,
     // src/ivf_index.rs:122-146)
-    val counts = assigned.groupBy("raw_centroid_id").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = staged("assign_count")(
+      assigned.groupBy("raw_centroid_id").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
     val nonEmpty = (0 until model.k).filter(c => counts.getOrElse(c, 0L) > 0L)
     val remap = nonEmpty.zipWithIndex.toMap // raw -> dense
     val centroids = nonEmpty.map(model.centroids(_)).toArray
@@ -153,8 +169,10 @@ object Ivf {
     // super-k-means over surviving centroids → shards
     // (num_shards = ⌈√k⌉, 100 iters, seed*31+7 — src/ivf_index.rs:104-109)
     val numShards = math.max(1, math.ceil(math.sqrt(centroids.length.toDouble)).toInt)
-    val superModel = KMeans.trainDriver(centroids, numShards, 100, seed * 31 + 7)
-    val centroidToShard = centroids.map(c => KMeans.nearest(c, superModel.centroids)._1)
+    val centroidToShard = staged("shard_model") {
+      val sm = KMeans.trainDriver(centroids, numShards, 100, seed * 31 + 7)
+      centroids.map(c => KMeans.nearest(c, sm.centroids)._1)
+    }
 
     // persist vectors partitioned by shard, clustered by centroid, so
     // probe filters prune directories and row-groups
@@ -162,15 +180,16 @@ object Ivf {
     val shardB = spark.sparkContext.broadcast(centroidToShard)
     val denseUdf = udf((raw: Int) => remapB.value(raw))
     val shardUdf = udf((dense: Int) => shardB.value(dense))
-    writeVectors(
+    staged("shard_write")(writeVectors(
       assigned
         .withColumn("centroid_id", denseUdf(col("raw_centroid_id")))
         .withColumn("shard_id", shardUdf(col("centroid_id")))
         .drop("raw_centroid_id"),
-      idCol, numShards, s"$indexDir/vectors", "overwrite")
+      idCol, numShards, s"$indexDir/vectors", "overwrite"))
     assigned.unpersist()
 
-    writeSidecar(spark, centroids, centroidToShard, seed, indexDir)
+    staged("sidecar")(
+      writeSidecar(spark, centroids, centroidToShard, seed, indexDir))
 
     Index(s"$indexDir/vectors", centroids, centroidToShard, seed = seed)
   }

@@ -16,10 +16,13 @@ import graft.sources.VectorFormats
   */
 object DebugDemoScale {
   def main(args: Array[String]): Unit = {
-    // flags first, then positional numerics — so "reuse" works in any
-    // position (including as the only arg) instead of crashing toLong
+    // flags first, then positional numerics — so "reuse"/"buildonly"
+    // work in any position instead of crashing toLong
     val reuseFlag = args.contains("reuse")
-    val nums = args.filterNot(_ == "reuse")
+    // "buildonly": stage-attributed build, skip the recall/QPS sweeps —
+    // the VERDICT r10 #5 mode for the per-stage split and D-curve
+    val buildOnly = args.contains("buildonly")
+    val nums = args.filterNot(a => a == "reuse" || a == "buildonly")
     val n = nums.headOption.map(_.toLong).getOrElse(500000L)
     val dim = if (nums.length > 1) nums(1).toInt else 768
     val nq = if (nums.length > 2) nums(2).toInt else 200
@@ -43,11 +46,21 @@ object DebugDemoScale {
     // build again; build_s is reported as 0 in that mode
     val reuse = reuseFlag &&
       new java.io.File(s"$dataDir/index/centroids").exists()
+    val stages = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     val t0 = System.nanoTime()
     val idx =
       if (reuse) Ivf.load(spark, s"$dataDir/index")
-      else Ivf.build(emb, "vec_id", "embedding", s"$dataDir/index")
+      else Ivf.build(emb, "vec_id", "embedding", s"$dataDir/index",
+        onStage = (s, t) => stages += ((s, t)))
     val buildS = if (reuse) 0.0 else (System.nanoTime() - t0) / 1e9
+    val stagesJs = stages
+      .map { case (s, t) => f""""$s":$t%.1f""" }.mkString("{", ",", "}")
+
+    if (buildOnly) {
+      println(s"""{"metric":"demo_scale_build","n":$n,"dim":$dim,"k_clusters":${idx.k},"num_shards":${idx.numShards},"build_s":$buildS,"stages":$stagesJs}""")
+      spark.stop()
+      return
+    }
 
     val queries = RecallEval.perturbedQueries(
       emb.where(col("vec_id") < nq).select("vec_id", "embedding").collect()
