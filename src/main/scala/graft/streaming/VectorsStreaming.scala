@@ -82,6 +82,105 @@ object VectorsStreaming {
     * wipe each other's in-flight micro-batch output), wiped (with its
     * checkpoint) before each run so stale results never merge in.
     */
+  /** Event-time ANN-ingest twin (VERDICT r10 #7): per event-time hour,
+    * the windowed per-dimension centroid of the arriving vectors — the
+    * drift-monitoring aggregate an ingest pipeline keeps next to the
+    * index (a window whose centroid walks away from the corpus means
+    * the add-after-train recall contract is eroding). Watermark +
+    * Append mode is the production shape: a window emits EXACTLY ONCE
+    * when the watermark passes its end, its state is dropped
+    * (bounded state on an unbounded stream), vectors arriving after
+    * their window closed are DROPPED, and the still-open tail is
+    * withheld. Exploded to (window, pos) rows so the per-dim means are
+    * oracle-comparable (the `label_centroids` convention).
+    */
+  def windowedCentroidsAppend(vecs: DataFrame,
+      delay: String = "0 seconds"): DataFrame =
+    vecs
+      .withWatermark("ts", delay)
+      .select(col("ts"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(window(col("ts"), "1 hour"), col("pos"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("val").cast("double")), 4).as("mean_val"))
+      .select(col("window.start").as("window_start"), col("pos"),
+        col("n_vectors"), col("mean_val"))
+
+  /** Epoch seconds of hour 0 for [[eventTimeQuery]]'s derived event
+    * times (shared with the oracle SQL): vec_id is the only entropy, so
+    * both engines derive identical timestamps.
+    */
+  val EventTimeBase: Long = 200L * 3600L
+
+  /** Catalog query `stream_vectors_eventtime`: the watermarked Append
+    * pipeline run over a DETERMINISTIC two-trigger delivery that
+    * exercises all three event-time behaviors at once:
+    *
+    *   - trigger 1 (on-time): vec_id < 400 with event hours 0–3 —
+    *     after it, the watermark (delay 0) sits at the max on-time
+    *     timestamp, 3:59, closing hours 0–2;
+    *   - trigger 2, LATE: vec_id ∈ [400, 450) with event hours 0–2 —
+    *     their windows are already closed, so they are dropped and
+    *     must not appear in any emitted count;
+    *   - trigger 2, fresh: vec_id ∈ [450, 500) with event hours 3–5 —
+    *     hour 3 lands in the still-open window ALONGSIDE trigger 1's
+    *     hour-3 rows, and the hour-5 rows push the final watermark past
+    *     hour 4's end while leaving hour 5 open → emitted windows are
+    *     exactly 0–4, with 5 withheld.
+    *
+    * Trigger order is pinned the same way the Append-mode session gate
+    * pins it: one staged file per trigger (`maxFilesPerTrigger` 1) with
+    * forced modification times. The oracle recomputes the kept-row set
+    * and the per-(window, dim) means from the parquet — the late-drop
+    * and withheld-tail rules are deterministic predicates over vec_id.
+    */
+  def eventTimeQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_stream_vec_et/${graft.Tables.cacheDirName(dir)}"
+    val in = s"$root/in"; val out = s"$root/out"; val ckpt = s"${root}_ckpt"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val offSec =
+      when(col("vec_id") < 400,
+        (col("vec_id") % 4) * 3600L + (col("vec_id") % 60) * 60L)
+        .when(col("vec_id") < 450,
+          (col("vec_id") % 3) * 3600L + (col("vec_id") % 60) * 60L)
+        .otherwise(
+          (lit(3) + col("vec_id") % 3) * 3600L + (col("vec_id") % 60) * 60L)
+    val timed = emb.withColumn("ts",
+      timestamp_seconds(lit(EventTimeBase) + offSec))
+    def stage(cond: org.apache.spark.sql.Column, mtime: Long): Unit = {
+      val known = Option(new java.io.File(in).listFiles())
+        .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
+      timed.where(cond).repartition(1)
+        .write.mode("append").parquet(in)
+      new java.io.File(in).listFiles()
+        .filter(f => !known.contains(f.getName) && f.getName.endsWith(".parquet"))
+        .foreach { f =>
+          require(f.setLastModified(mtime),
+            s"setLastModified failed for $f — trigger order would be random")
+        }
+    }
+    val now = System.currentTimeMillis()
+    stage(col("vec_id") < 400, now - 600000L)   // trigger 1: on-time
+    stage(col("vec_id") >= 400, now)            // trigger 2: late + fresh
+    val stream = spark.readStream
+      .schema(timed.schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(in)
+    val q = windowedCentroidsAppend(stream)
+      .writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", out)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    spark.read.parquet(out).orderBy(col("window_start"), col("pos"))
+  }
+
   def annSearchQuery(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.queries.IndexQueries.index(spark, dir)
     val out = s"/tmp/graft_stream_ann/${graft.Tables.cacheDirName(dir)}"
