@@ -146,6 +146,37 @@ object StreamQueries {
        |FROM clf_scored ORDER BY doc_id""".stripMargin
   }
 
+  /** Oracle for `stream_vectors_eventtime`
+    * ([[graft.streaming.VectorsStreaming.eventTimeQuery]]): DuckDB
+    * recomputes BOTH halves of the contract from `embeddings.parquet`
+    * alone — (a) the kept-row set, because the two-trigger delivery is
+    * deterministic vec_id arithmetic: on-time rows (vec_id < 400,
+    * hours 0–3) all land in emitted windows; the late delivery
+    * (vec_id ∈ [400, 450), hours 0–2) targets windows already closed
+    * by the trigger-1 watermark (3:59) and must be DROPPED; the fresh
+    * delivery (vec_id ≥ 450, hours 3 + vec_id % 3) keeps only
+    * vec_id % 3 ≤ 1 because hour 5 is the still-open withheld tail —
+    * and (b) the per-(window, pos) means over that set, the
+    * `label_centroids` exploded convention. An engine that admits a
+    * late row, emits the open tail, or moves the watermark boundary
+    * changes a count or a window set and hash-mismatches.
+    */
+  private val vectorsEventTimeSql =
+    s"""WITH kept AS (
+      |  SELECT CASE WHEN vec_id < 400 THEN vec_id % 4
+      |              ELSE 3 + vec_id % 3 END AS hr, embedding
+      |  FROM embeddings
+      |  WHERE vec_id < 400 OR (vec_id >= 450 AND vec_id % 3 <= 1))
+      |SELECT CAST(to_timestamp(${graft.streaming.VectorsStreaming.EventTimeBase} + hr * 3600) AS TIMESTAMP) AS window_start,
+      |  pos - 1 AS pos, count(*) AS n_vectors,
+      |  -- "+ 0.0" folds DuckDB's signed round(-eps, 4) = -0.0 into the
+      |  -- +0.0 Spark's BigDecimal-based round produces (bitwise hash)
+      |  round(avg(CAST(val AS DOUBLE)), 4) + 0.0 AS mean_val
+      |FROM (SELECT hr, unnest(embedding) AS val,
+      |             generate_subscripts(embedding, 1) AS pos
+      |      FROM kept)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val cmsCellsSql =
     """WITH toks AS (
       |  SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
@@ -189,6 +220,13 @@ object StreamQueries {
     "stream_ann_search" -> QueryDef(
       graft.streaming.VectorsStreaming.annSearchQuery,
       Some(IndexQueries.annJoinTopKSql), bench = false),
+    // watermarked Append drift centroids over a deterministic
+    // two-trigger delivery: late-drop, withheld-tail, and the
+    // per-(window, pos) means all recomputed by DuckDB from the
+    // parquet — see vectorsEventTimeSql
+    "stream_vectors_eventtime" -> QueryDef(
+      graft.streaming.VectorsStreaming.eventTimeQuery,
+      Some(vectorsEventTimeSql), bench = false),
     // the trained model is dim doubles + bias: the generator inlines
     // the engine-trained weights and DuckDB recomputes every per-doc
     // score (md5 bucketing, ascending-bucket fold, sigmoid) — see

@@ -75,13 +75,6 @@ object VectorsStreaming {
     finally q.stop()
   }
 
-  /** Catalog query: the same 20-query workload as `ann_join_topk`, fed
-    * through the stream path with probe-all (exact ⇒ shares the batch
-    * oracle). Output goes to a per-(process, dir) cache path
-    * (`Tables.cacheDirName` embeds the pid, so concurrent JVMs cannot
-    * wipe each other's in-flight micro-batch output), wiped (with its
-    * checkpoint) before each run so stale results never merge in.
-    */
   /** Event-time ANN-ingest twin (VERDICT r10 #7): per event-time hour,
     * the windowed per-dimension centroid of the arriving vectors — the
     * drift-monitoring aggregate an ingest pipeline keeps next to the
@@ -111,21 +104,54 @@ object VectorsStreaming {
     */
   val EventTimeBase: Long = 200L * 3600L
 
+  /** The embeddings table with [[eventTimeQuery]]'s deterministic
+    * vec_id-derived event times attached — shared by the stream path
+    * and the StreamingSpec batch recomputation so both sides agree on
+    * the arithmetic bit-for-bit:
+    *
+    *   - vec_id <  400         → hour vec_id % 4      (on-time, 0–3)
+    *   - vec_id ∈ [400, 450)   → hour vec_id % 3      (late, 0–2)
+    *   - vec_id >= 450         → hour 3 + vec_id % 3  (fresh, 3–5)
+    *
+    * with minute vec_id % 60 in every group.
+    */
+  def timedVectors(spark: SparkSession, dir: String): DataFrame = {
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val offSec =
+      when(col("vec_id") < 400,
+        (col("vec_id") % 4) * 3600L + (col("vec_id") % 60) * 60L)
+        .when(col("vec_id") < 450,
+          (col("vec_id") % 3) * 3600L + (col("vec_id") % 60) * 60L)
+        .otherwise(
+          (lit(3) + col("vec_id") % 3) * 3600L + (col("vec_id") % 60) * 60L)
+    emb.withColumn("ts", timestamp_seconds(lit(EventTimeBase) + offSec))
+  }
+
   /** Catalog query `stream_vectors_eventtime`: the watermarked Append
-    * pipeline run over a DETERMINISTIC two-trigger delivery that
+    * pipeline run over a DETERMINISTIC three-trigger delivery that
     * exercises all three event-time behaviors at once:
     *
     *   - trigger 1 (on-time): vec_id < 400 with event hours 0–3 —
     *     after it, the watermark (delay 0) sits at the max on-time
     *     timestamp, 3:59, closing hours 0–2;
-    *   - trigger 2, LATE: vec_id ∈ [400, 450) with event hours 0–2 —
-    *     their windows are already closed, so they are dropped and
-    *     must not appear in any emitted count;
-    *   - trigger 2, fresh: vec_id ∈ [450, 500) with event hours 3–5 —
+    *   - trigger 2 (fresh): vec_id ∈ [450, 500) with event hours 3–5 —
     *     hour 3 lands in the still-open window ALONGSIDE trigger 1's
-    *     hour-3 rows, and the hour-5 rows push the final watermark past
-    *     hour 4's end while leaving hour 5 open → emitted windows are
-    *     exactly 0–4, with 5 withheld.
+    *     hour-3 rows; this trigger also EVICTS+EMITS hours 0–2 (its
+    *     eviction watermark is 3:59) and pushes the watermark to 5:59;
+    *   - trigger 3 (LATE): vec_id ∈ [400, 450) with event hours 0–2 —
+    *     their windows are closed AND already emitted, so the late
+    *     filter (watermark 5:59) drops every row; none may appear in
+    *     any emitted count and no window may emit twice.
+    *
+    * The late delivery must be a trigger of its OWN, after the one
+    * that evicts its windows: per SPARK-40925's two-watermark design,
+    * a batch filters late input against the PREVIOUS batch's watermark
+    * but evicts state with the CURRENT one — so a late row landing in
+    * the same batch that closes its window (filter watermark still 0)
+    * is merged, not dropped. Measured here on Spark 4.1.2: the
+    * two-trigger variant counts all 50 late rows; this three-trigger
+    * schedule drops all 50.
     *
     * Trigger order is pinned the same way the Append-mode session gate
     * pins it: one staged file per trigger (`maxFilesPerTrigger` 1) with
@@ -141,17 +167,7 @@ object VectorsStreaming {
     fs.delete(new org.apache.hadoop.fs.Path(root), true)
     fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
 
-    val emb = graft.Tables.embeddings(spark, dir)
-      .select(col("vec_id"), col("embedding"))
-    val offSec =
-      when(col("vec_id") < 400,
-        (col("vec_id") % 4) * 3600L + (col("vec_id") % 60) * 60L)
-        .when(col("vec_id") < 450,
-          (col("vec_id") % 3) * 3600L + (col("vec_id") % 60) * 60L)
-        .otherwise(
-          (lit(3) + col("vec_id") % 3) * 3600L + (col("vec_id") % 60) * 60L)
-    val timed = emb.withColumn("ts",
-      timestamp_seconds(lit(EventTimeBase) + offSec))
+    val timed = timedVectors(spark, dir)
     def stage(cond: org.apache.spark.sql.Column, mtime: Long): Unit = {
       val known = Option(new java.io.File(in).listFiles())
         .map(_.map(_.getName).toSet).getOrElse(Set.empty[String])
@@ -166,7 +182,8 @@ object VectorsStreaming {
     }
     val now = System.currentTimeMillis()
     stage(col("vec_id") < 400, now - 600000L)   // trigger 1: on-time
-    stage(col("vec_id") >= 400, now)            // trigger 2: late + fresh
+    stage(col("vec_id") >= 450, now - 300000L)  // trigger 2: fresh (evicts 0–2)
+    stage(col("vec_id") >= 400 && col("vec_id") < 450, now) // trigger 3: late
     val stream = spark.readStream
       .schema(timed.schema)
       .option("maxFilesPerTrigger", 1)
@@ -181,6 +198,14 @@ object VectorsStreaming {
     spark.read.parquet(out).orderBy(col("window_start"), col("pos"))
   }
 
+  /** Catalog query `stream_ann_search`: the same 20-query workload as
+    * `ann_join_topk`, fed through the stream path with probe-all
+    * (exact ⇒ shares the batch oracle). Output goes to a per-(process,
+    * dir) cache path (`Tables.cacheDirName` embeds the pid, so
+    * concurrent JVMs cannot wipe each other's in-flight micro-batch
+    * output), wiped (with its checkpoint) before each run so stale
+    * results never merge in.
+    */
   def annSearchQuery(spark: SparkSession, dir: String): DataFrame = {
     val idx = graft.queries.IndexQueries.index(spark, dir)
     val out = s"/tmp/graft_stream_ann/${graft.Tables.cacheDirName(dir)}"

@@ -797,4 +797,57 @@ class StreamingSpec extends SparkSpec {
     val nSampled = fs.getInt(fs.fieldIndex("n_sampled"))
     assert(nSampled == (nFrames + 3) / 4 || (nFrames == 0 && nSampled == 1))
   }
+
+  test("stream_vectors_eventtime: late vectors are dropped from every " +
+      "emitted count, the open tail is withheld, and kept windows equal " +
+      "the batch recomputation (VERDICT r11 #1)") {
+    import graft.streaming.VectorsStreaming
+    val emitted = VectorsStreaming.eventTimeQuery(spark, sf0001)
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    val baseMs = VectorsStreaming.EventTimeBase * 1000L
+    // (a) the emitted window set is exactly hours 0–4: hour 5 (the
+    // still-open tail) is withheld, and no (window, pos) emits twice —
+    // a late row that re-opened evicted state would re-emit its window
+    val hours = emitted.map(_._1).distinct.sorted.toSeq
+    assert(hours == (0 to 4).map(h => baseMs + h * 3600000L),
+      s"emitted windows must be exactly hours 0-4 (5 withheld): $hours")
+    assert(emitted.map(t => (t._1, t._2)).distinct.length == emitted.length,
+      "a (window, pos) emitted twice — late rows re-opened evicted state")
+    // (b) non-vacuity: the late delivery exists (50 rows over hours
+    // 0–2) and WOULD change the hour-0 count from 100 to 116 if
+    // admitted; asserting the emitted count is exactly the on-time 100
+    // is the late-drop proof
+    val timed = VectorsStreaming.timedVectors(spark, sf0001)
+    assert(timed.where(col("vec_id") >= 400 && col("vec_id") < 450)
+      .count() == 50L, "late delivery missing — the gate would be vacuous")
+    val h0 = emitted.filter(_._1 == baseMs).map(_._3).distinct.toSeq
+    assert(h0 == Seq(100L),
+      s"hour-0 count must be the on-time 100 (116 = late rows leaked): $h0")
+    // (c) trigger-2's fresh hour-3 rows merged into the window trigger
+    // 1 opened: 100 on-time + 17 fresh
+    val h3 = emitted.filter(_._1 == baseMs + 3 * 3600000L)
+      .map(_._3).distinct.toSeq
+    assert(h3 == Seq(117L),
+      s"hour-3 must merge on-time(100) + fresh(17) across triggers: $h3")
+    // (d) every emitted (window, pos, count, mean) equals the batch
+    // windowed aggregate over the kept set (on-time + non-withheld
+    // fresh) — the same arithmetic, so means match bitwise
+    val kept = timed.where(col("vec_id") < 400 ||
+      (col("vec_id") >= 450 && col("vec_id") % 3 <= 1))
+    val batch = kept
+      .select(col("ts"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .groupBy(window(col("ts"), "1 hour"), col("pos"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("val").cast("double")), 4).as("mean_val"))
+      .select(col("window.start"), col("pos"), col("n_vectors"),
+        col("mean_val"))
+      .collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(emitted.toSet == batch.toSet,
+      s"stream-only: ${(emitted.toSet -- batch.toSet).take(3)}; " +
+        s"batch-only: ${(batch.toSet -- emitted.toSet).take(3)}")
+  }
 }
