@@ -4,6 +4,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // SPARK_GRAFT_HASH_FAMILY=xx benches the batch sketch entries (HLL,
+    // CMS) under the production hash family; default md5 = the oracled
+    // family. Bench-only: Verify never reads this, so oracle runs are
+    // always md5 (Hash60.catalogFamily scaladoc).
+    val hashFamily = sys.env.getOrElse("SPARK_GRAFT_HASH_FAMILY", "md5")
+    graft.functions.Hash60.catalogFamily = hashFamily
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -193,7 +199,7 @@ object Bench {
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("bench_detail.json"),
-      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"value1":${ms(total1)},"value2":${ms(total2)},"sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"value1":${ms(total1)},"value2":${ms(total2)},"hash_family":"$hashFamily","sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // compact line: failed queries always included, then most-expensive
@@ -225,6 +231,6 @@ object Bench {
     }
     val nFail = results.values.count(_ < 0)
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries2":${kept2.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t1":${ms(total1)},"t2":${ms(total2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries2":${kept2.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t1":${ms(total1)},"t2":${ms(total2)},"hash_family":"$hashFamily","sf":"$sfDir"}""")
   }
 }

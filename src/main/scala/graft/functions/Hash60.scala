@@ -71,4 +71,33 @@ object Hash60 {
   val xxSalted: (Column, Int) => Column =
     (key, seed) => when(key.isNull, lit(null).cast("long"))
       .otherwise(xxhash64(lit(seed), key).bitwiseAND(lit(Mask)))
+
+  /** Catalog-wide family selector for the BATCH sketch queries (HLL
+    * distinct/overlap, CMS counts/heavy hitters): "md5" (default — the
+    * family every sketch oracle recomputes) or "xx" (production).
+    * `graft.Bench` sets it from `SPARK_GRAFT_HASH_FAMILY` so a
+    * deployment measures its own catalog under xx WITHOUT touching
+    * oracle defaults — `graft.Verify` never sets it, and SketchSpec's
+    * family gates pin that the two families genuinely diverge (so a
+    * default regression cannot hide) while md5 stays the oracled
+    * default. Streaming sketch twins stay md5-pinned: their contract
+    * is bit-equality with the batch ORACLE, not a perf surface.
+    */
+  @volatile var catalogFamily: String = "md5"
+
+  /** The selected unsalted family ([[catalogFamily]]). */
+  def catalog: Column => Column = catalogFamily match {
+    case "md5" => md5
+    case "xx" => xx
+    case other => throw new IllegalArgumentException(
+      s"unknown hash family '$other' (valid: md5, xx)")
+  }
+
+  /** The selected salted family ([[catalogFamily]]). */
+  def catalogSalted: (Column, Int) => Column = catalogFamily match {
+    case "md5" => md5Salted
+    case "xx" => xxSalted
+    case other => throw new IllegalArgumentException(
+      s"unknown hash family '$other' (valid: md5, xx)")
+  }
 }

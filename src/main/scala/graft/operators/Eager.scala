@@ -28,6 +28,15 @@ object Eager {
     * an opaque driver OOM far from the cause.
     */
   def localize(df: DataFrame, maxRows: Int = DefaultMaxRows): DataFrame = {
+    // maxRows = Int.MaxValue (the natural "no cap" spelling) would
+    // overflow maxRows + 1 to a negative limit and die with an
+    // unrelated AnalysisException — reject it by name instead. There is
+    // deliberately no uncapped mode: an unbounded localize IS the bug
+    // this helper exists to catch.
+    require(maxRows > 0 && maxRows < Int.MaxValue,
+      s"Eager.localize: maxRows must be in [1, Int.MaxValue) (got " +
+        s"$maxRows) - localize is for results bounded by construction; " +
+        "there is no uncapped mode")
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows,
       s"Eager.localize: result exceeds $maxRows rows - this helper is " +

@@ -80,11 +80,36 @@ object Ivf {
     * enforced by a single body rather than four hand-copies that could
     * drift.
     */
-  private[operators] def writeVectors(df: DataFrame, idCol: String,
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
+  /** Last degenerate-parallelism warning writeVectors emitted, exposed
+    * so SkewSpec can assert the warning actually fires in the config it
+    * guards against (a log line alone is untestable). Not reset on
+    * healthy writes — tests clear it before triggering.
+    */
+  @volatile private[graft] var lastWriteParallelismWarning: Option[String] =
+    None
+
+  private[graft] def writeVectors(df: DataFrame, idCol: String,
       numShards: Int, path: String, mode: String): Unit = {
     val spark = df.sparkSession
     val shuffleParts = spark.sessionState.conf.numShufflePartitions
     val salts = math.max(1, math.ceil(shuffleParts.toDouble / numShards).toInt)
+    if (salts == 1) {
+      // SCALE.md §r11-skew mapper-granularity finding: with one salt,
+      // each shard partition is written by a single task as ONE file,
+      // so a hot centroid cell becomes a single scan split that AQE's
+      // OptimizeSkewedJoin cannot subdivide at annJoin time — the salted
+      // write is exactly what gives AQE mapper granularity to split.
+      val msg = s"writeVectors: write parallelism per shard is 1 " +
+        s"(spark.sql.shuffle.partitions=$shuffleParts <= numShards=" +
+        s"$numShards) — each shard lands as one file, leaving a hot " +
+        "centroid cell as a single unit AQE cannot split at read time " +
+        "(SCALE.md §r11-skew). Raise spark.sql.shuffle.partitions above " +
+        "the shard count to restore salt granularity."
+      lastWriteParallelismWarning = Some(msg)
+      log.warn(msg)
+    }
     df.repartition(shuffleParts, col("shard_id"),
         pmod(xxhash64(col(idCol)), lit(salts)))
       .sortWithinPartitions(col("centroid_id"), col(idCol))
@@ -175,15 +200,20 @@ object Ivf {
     }
 
     // persist vectors partitioned by shard, clustered by centroid, so
-    // probe filters prune directories and row-groups
-    val remapB = spark.sparkContext.broadcast(remap)
-    val shardB = spark.sparkContext.broadcast(centroidToShard)
-    val denseUdf = udf((raw: Int) => remapB.value(raw))
-    val shardUdf = udf((dense: Int) => shardB.value(dense))
+    // probe filters prune directories and row-groups. Both remaps are
+    // literal-array element_at lookups (whole-stage codegen, no boxing)
+    // rather than UDFs — this is the one pass over the FULL corpus on
+    // the write path. Empty raw ids hold sentinel -1 but are
+    // unreachable: a raw id reaches this projection only if some row
+    // was assigned to it, which is the non-emptiness condition.
+    val rawToDense = Array.fill(model.k)(-1)
+    for ((raw, dense) <- remap) rawToDense(raw) = dense
     staged("shard_write")(writeVectors(
       assigned
-        .withColumn("centroid_id", denseUdf(col("raw_centroid_id")))
-        .withColumn("shard_id", shardUdf(col("centroid_id")))
+        .withColumn("centroid_id",
+          element_at(typedLit(rawToDense.toSeq), col("raw_centroid_id") + 1))
+        .withColumn("shard_id",
+          element_at(typedLit(centroidToShard.toSeq), col("centroid_id") + 1))
         .drop("raw_centroid_id"),
       idCol, numShards, s"$indexDir/vectors", "overwrite"))
     assigned.unpersist()
@@ -211,11 +241,8 @@ object Ivf {
     */
   def append(index: Index, df: DataFrame, idCol: String,
       embCol: String): Unit = {
-    val spark = df.sparkSession
     val dim = index.centroids(0).length
     val model = KMeans.Model(index.centroids)
-    val shardB = spark.sparkContext.broadcast(index.centroidToShard)
-    val shardUdf = udf((dense: Int) => shardB.value(dense))
     // dimension mismatch is an ERROR (reference P1 semantics), enforced
     // map-side in the same pass — not a silent filter, not a pre-count.
     // All other input columns pass through so appended files keep the
@@ -227,7 +254,9 @@ object Ivf {
         .otherwise(col(embCol)))
     writeVectors(
       KMeans.withAssignment(checked, embCol, model, index.seed, "centroid_id")
-        .withColumn("shard_id", shardUdf(col("centroid_id"))),
+        .withColumn("shard_id",
+          element_at(typedLit(index.centroidToShard.toSeq),
+            col("centroid_id") + 1)),
       idCol, index.numShards, index.vectorsPath, "append")
   }
 

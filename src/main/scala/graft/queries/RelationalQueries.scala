@@ -322,7 +322,8 @@ object RelationalQueries {
   def approxDistinctParts(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Hll.estimate(
         graft.operators.Hll.sketch(
-          Tables.lineitem(spark, dir), "l_returnflag", col("l_partkey")),
+          Tables.lineitem(spark, dir), "l_returnflag", col("l_partkey"),
+          hashFn = graft.functions.Hash60.catalog),
         "l_returnflag", "approx_parts")
       .orderBy(col("l_returnflag"))
 

@@ -220,6 +220,13 @@ object StreamQueries {
     "stream_ann_search" -> QueryDef(
       graft.streaming.VectorsStreaming.annSearchQuery,
       Some(IndexQueries.annJoinTopKSql), bench = false),
+    // stream-ingest → Ivf.append with marker-idempotent foreachBatch;
+    // the probe-all search over the union index is exact, so it shares
+    // ann_join_topk's brute-force oracle verbatim (the query vectors
+    // are themselves streamed-in rows — drops/dups break the hash)
+    "stream_index_append" -> QueryDef(
+      graft.streaming.VectorsStreaming.indexAppendQuery,
+      Some(IndexQueries.annJoinTopKSql), bench = false),
     // watermarked Append drift centroids over a deterministic
     // two-trigger delivery: late-drop, withheld-tail, and the
     // per-(window, pos) means all recomputed by DuckDB from the

@@ -98,12 +98,14 @@ object TextQueries {
     val toks = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .persist()
-    val sketch = CountMin.build(toks, "token", depth, width)
+    val sketch = CountMin.build(toks, "token", depth, width,
+      hashFn = graft.functions.Hash60.catalogSalted)
     val top = toks.groupBy(col("token"))
       .agg(count(lit(1)).as("exact_c"))
       .orderBy(col("exact_c").desc, col("token"))
       .limit(20)
-    CountMin.estimate(sketch, top, "token", depth, width)
+    CountMin.estimate(sketch, top, "token", depth, width,
+        hashFn = graft.functions.Hash60.catalogSalted)
       .withColumn("overestimate", (col("cms_c") - col("exact_c")).cast("long"))
       .select(col("token"), col("exact_c"), col("cms_c"), col("overestimate"))
       .orderBy(col("exact_c").desc, col("token"))
@@ -154,7 +156,8 @@ object TextQueries {
       .persist()
     try graft.operators.Eager.localize(
       graft.operators.CountMin
-        .heavyHitters(toks, "token", phiInverse = 200L, depth = 4, width = 1024)
+        .heavyHitters(toks, "token", phiInverse = 200L, depth = 4,
+          width = 1024, hashFn = graft.functions.Hash60.catalogSalted)
         .orderBy(col("exact_c").desc, col("token")))
     finally toks.unpersist()
   }

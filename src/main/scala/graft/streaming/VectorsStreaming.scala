@@ -198,6 +198,86 @@ object VectorsStreaming {
     spark.read.parquet(out).orderBy(col("window_start"), col("pos"))
   }
 
+  /** Idempotent per-batch index ingest — the missing half of the
+    * streaming production shape (search answered the read side; this is
+    * the write side): each micro-batch of arriving vectors is routed to
+    * its nearest existing centroid and appended into the index's
+    * partitioned layout via [[Ivf.append]] (one map-side pass, zero
+    * touch of existing files — the add-after-train contract).
+    *
+    * Parquet append is not naturally idempotent, and foreachBatch
+    * delivery is at-least-once: a RETRIED batch would duplicate every
+    * row. A marker directory records applied batch ids (the checkpoint
+    * pins id assignment across restarts), so a replayed id is a no-op —
+    * returns false without reading the batch. The marker is written
+    * AFTER the append commits; a crash between the two can still
+    * duplicate one batch on recovery — true exactly-once ingest needs a
+    * transactional table format, out of scope for a parquet layout.
+    * StreamingSpec gates the replay-no-op and batch-split invariance.
+    */
+  def appendVectorBatch(index: Ivf.Index, batch: DataFrame, idCol: String,
+      embCol: String, batchId: Long, markerDir: String): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(markerDir).getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$markerDir/batch_$batchId")
+    if (fs.exists(marker)) false
+    else {
+      Ivf.append(index, batch, idCol, embCol)
+      fs.mkdirs(marker)
+      true
+    }
+  }
+
+  /** Catalog query `stream_index_append`: stream-ingest → index append,
+    * end to end. The index is built from vec_id < 300 only; the
+    * remaining 200 vectors arrive as a TWO-trigger stream whose
+    * micro-batches [[appendVectorBatch]] routes into the existing
+    * layout. The result is the probe-all (exact) top-3 search of the
+    * `ann_join_topk` workload over the UNION index — so it shares that
+    * query's brute-force DuckDB oracle over all 500 embeddings
+    * verbatim, and the oracle is sharp against ingest bugs: the 20
+    * query vectors are themselves streamed-in rows, so a dropped or
+    * duplicated append breaks self-retrieval or the neighbor sets and
+    * hash-mismatches. Batch boundaries cannot change any answer
+    * (per-row routing, exact search) — StreamingSpec pins that by
+    * splitting the same input differently and via replay.
+    */
+  def indexAppendQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_stream_idx/${graft.Tables.cacheDirName(dir)}"
+    val in = s"$root/in"; val ckpt = s"${root}_ckpt"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", s"$root/index")
+    // two delivery files → two micro-batches (maxFilesPerTrigger 1);
+    // order is irrelevant by design — that is the invariance claim
+    emb.where(col("vec_id") >= 300 && col("vec_id") < 400)
+      .repartition(1).write.mode("append").parquet(in)
+    emb.where(col("vec_id") >= 400)
+      .repartition(1).write.mode("append").parquet(in)
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendVectorBatch(idx, batch, "vec_id", "embedding", batchId,
+          s"$root/applied")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val queries = emb.where(col("vec_id") >= 480)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    Ivf.annJoin(queries, idx, k = 3, nProbe = 10000)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Catalog query `stream_ann_search`: the same 20-query workload as
     * `ann_join_topk`, fed through the stream path with probe-all
     * (exact ⇒ shares the batch oracle). Output goes to a per-(process,

@@ -65,6 +65,14 @@ class CacheHygieneSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("Eager.localize"), e.getMessage)
     assert(e.getMessage.contains("bounded by construction"), e.getMessage)
+    // maxRows = Int.MaxValue ("no cap") must be rejected BY NAME, not
+    // overflow limit(maxRows + 1) into an unrelated AnalysisException
+    for (bad <- Seq(Int.MaxValue, 0, -1)) {
+      val g = intercept[IllegalArgumentException] {
+        graft.operators.Eager.localize(big, maxRows = bad)
+      }
+      assert(g.getMessage.contains("no uncapped mode"), g.getMessage)
+    }
   }
 
   test("tfidf leaves no cached RDDs even WITHOUT the harness clearCache") {

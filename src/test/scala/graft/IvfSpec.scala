@@ -37,6 +37,30 @@ class IvfSpec extends SparkSpec {
       index.numShards <= math.ceil(math.sqrt(index.k.toDouble)).toInt)
   }
 
+  test("shard-write remap lookups are bitwise-identical to the driver " +
+      "maps (VERDICT r11 #4)") {
+    // The full-corpus write path now remaps raw→dense centroid ids and
+    // dense→shard with literal-array element_at lookups instead of
+    // boxed UDFs; this gate recomputes both mappings on the driver for
+    // every written row. centroid_id must be the argmin over the DENSE
+    // (surviving) centroids — the remap preserves ascending-raw order,
+    // so the dense argmin and the remapped raw argmin coincide — and
+    // shard_id must be exactly centroidToShard(centroid_id).
+    val rows = spark.read.parquet(index.vectorsPath)
+      .select("vec_id", "embedding", "centroid_id", "shard_id").collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val dense = r.getInt(2)
+      val expected = KMeans.nearest(r.getSeq[Float](1).toArray,
+        index.centroids)._1
+      assert(dense == expected,
+        s"vec ${r.getLong(0)}: written centroid $dense != driver $expected")
+      assert(r.getInt(3) == index.centroidToShard(dense),
+        s"vec ${r.getLong(0)}: shard ${r.getInt(3)} != " +
+          s"routing ${index.centroidToShard(dense)}")
+    }
+  }
+
   test("save/load roundtrip preserves the routing table") {
     val loaded = Ivf.load(spark, indexDir)
     assert(loaded.k == index.k)

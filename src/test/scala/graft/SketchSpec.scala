@@ -250,6 +250,45 @@ class SketchSpec extends SparkSpec {
       viaExplicitMd5.exceptAll(viaDefault).isEmpty)
   }
 
+  test("catalogFamily selector: default md5 is the oracled output, xx " +
+      "genuinely re-routes the catalog sketch queries, bad names are " +
+      "rejected (VERDICT r11 #5)") {
+    import graft.functions.Hash60
+    assert(Hash60.catalogFamily == "md5",
+      "oracle default regressed - Verify would run the wrong family")
+    val md5Hll = graft.queries.RelationalQueries
+      .approxDistinctParts(spark, sf0001).collect().map(_.toSeq).toSeq
+    val md5Cms = graft.queries.TextQueries
+      .cmsTokenCounts(spark, sf0001).collect().map(_.toSeq).toSeq
+    try {
+      Hash60.catalogFamily = "xx"
+      val xxHll = graft.queries.RelationalQueries
+        .approxDistinctParts(spark, sf0001).collect().map(_.toSeq).toSeq
+      val xxCms = graft.queries.TextQueries
+        .cmsTokenCounts(spark, sf0001).collect().map(_.toSeq).toSeq
+      // same shape (the bench measures the same plan), and the HLL
+      // estimates diverge (the switch is not a no-op end-to-end)
+      assert(xxHll.length == md5Hll.length && xxCms.length == md5Cms.length)
+      assert(xxHll != md5Hll, "xx family produced md5's exact estimates?")
+      // CMS top-20 counts legitimately COINCIDE at this SF (zero
+      // collisions under either family → cms_c == exact_c both ways),
+      // so the salted re-route is proven at the hash layer instead:
+      // catalogSalted must resolve to a different placement than md5
+      val probe = spark.range(1).select(
+        Hash60.md5Salted(lit("tok"), 1).as("m"),
+        Hash60.catalogSalted(lit("tok"), 1).as("c")).head()
+      assert(probe.getLong(0) != probe.getLong(1),
+        "catalogSalted did not re-route to xxSalted under family=xx")
+      Hash60.catalogFamily = "bogus"
+      intercept[IllegalArgumentException](Hash60.catalog)
+      intercept[IllegalArgumentException](Hash60.catalogSalted)
+    } finally Hash60.catalogFamily = "md5"
+    // and after restore the oracled output is bit-unchanged
+    val again = graft.queries.RelationalQueries
+      .approxDistinctParts(spark, sf0001).collect().map(_.toSeq).toSeq
+    assert(again == md5Hll)
+  }
+
   test("HLL: estimate is bit-identical under any input partitioning") {
     def run(parts: Int): Seq[(String, Long, Long)] =
       Hll.estimate(

@@ -153,27 +153,60 @@ class SkewSpec extends SparkSpec {
       assert(plan.contains("skew=true"),
         s"OptimizeSkewedJoin did not fire on the hot centroid:\n" +
           plan.linesIterator.take(30).mkString("\n"))
-      // 3. the straggler bound, DIFFERENTIAL: with the split disabled
-      // the whole hot cell × its probes runs in ONE task (observed ~5 s
-      // vs ~60 ms siblings — the 100 TB straggler in miniature); with
-      // it enabled the dominant task must drop to ≤ half. Differential
-      // so box speed cancels; the observed ratio is ~0.26, leaving 2×
-      // slack. The unsplit floor keeps the gate non-vacuous (a corpus
-      // too small to produce a dominant task would prove nothing), and
-      // the unsplit run going FIRST means codegen warm-up inflates only
-      // the baseline side of an already-passing ratio.
+      // 3. the straggler bound, DIFFERENTIAL and DETERMINISTIC: gate on
+      // max shuffle-read BYTES per task — data volume, immune to box
+      // load and GC — not wall clock. With the split disabled the whole
+      // hot cell × its probes is read by ONE join task (observed
+      // ~1.85 MB); with it enabled that read is split, and the global
+      // max drops to the DOWNSTREAM per-query top-k stage's largest
+      // task (~1.17 MB, untouched by the join split — the listener
+      // sees every stage, so that stage is the post-split floor).
+      // Observed ratio 0.63; gate at ≤ 0.75. Wall-clock ratio stays a
+      // logged diagnostic only (observed ~0.26 idle; flake-prone under
+      // load — VERDICT r11 advice).
       println(s"SKEW maxTask: unsplit=${unsplitMs}ms/${unsplitB}B " +
-        s"split=${splitMs}ms/${splitB}B")
-      assert(unsplitMs >= 500L,
-        s"scenario not pathological: unsplit max task only $unsplitMs ms")
-      assert(splitMs * 2 <= unsplitMs,
-        s"straggler remains: split max $splitMs ms vs unsplit $unsplitMs ms")
+        s"split=${splitMs}ms/${splitB}B " +
+        s"timeRatio=${splitMs.toDouble / math.max(1L, unsplitMs)}")
+      assert(unsplitB >= 131072L,
+        s"scenario not pathological: unsplit max task read only $unsplitB B")
+      assert(splitB * 4 <= unsplitB * 3,
+        s"straggler remains: split max task reads $splitB B " +
+          s"vs unsplit $unsplitB B (ratio > 0.75)")
     } finally {
       saved.foreach {
         case (k, Some(v)) => spark.conf.set(k, v)
         case (k, None) => spark.conf.unset(k)
       }
     }
+  }
+
+  test("degenerate write parallelism (one salt per shard) fires the named " +
+      "mapper-granularity warning; healthy config stays silent " +
+      "(VERDICT r11 #7)") {
+    import spark.implicits._
+    import graft.operators.Ivf
+    val df = (0L until 100L).map(i => (i, (i % 8).toInt, (i % 4).toInt))
+      .toDF("vec_id", "centroid_id", "shard_id")
+    val out = java.nio.file.Files.createTempDirectory("graft_salt_warn")
+      .toString
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // shuffle.partitions (4) <= numShards (4) → salts = 1: every shard
+    // is one mapper output, the exact config SCALE.md §r11-skew showed
+    // leaves a hot cell as a single file AQE cannot split
+    Ivf.lastWriteParallelismWarning = None
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try Ivf.writeVectors(df, "vec_id", 4, s"$out/v1", "overwrite")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val warn = Ivf.lastWriteParallelismWarning
+    assert(warn.exists(_.contains("SCALE.md")),
+      s"degenerate write parallelism must warn, got $warn")
+    assert(warn.exists(_.contains("numShards=4")))
+    // healthy config (default 32 shuffle partitions, 4 shards → 8
+    // salts): silent
+    Ivf.lastWriteParallelismWarning = None
+    Ivf.writeVectors(df, "vec_id", 4, s"$out/v2", "overwrite")
+    assert(Ivf.lastWriteParallelismWarning.isEmpty,
+      "healthy write parallelism must not warn")
   }
 
   test("two-phase count-distinct equals countDistinct") {
