@@ -10,6 +10,10 @@ object Bench {
     // always md5 (Hash60.catalogFamily scaladoc).
     val hashFamily = sys.env.getOrElse("SPARK_GRAFT_HASH_FAMILY", "md5")
     graft.functions.Hash60.catalogFamily = hashFamily
+    // fail fast on a typo'd family — otherwise every sketch query would
+    // quietly record -1 via timedPass's catch and the multi-minute run
+    // would produce a corrupt artifact
+    graft.functions.Hash60.catalog
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -85,19 +85,16 @@ object Hash60 {
     */
   @volatile var catalogFamily: String = "md5"
 
-  /** The selected unsalted family ([[catalogFamily]]). */
-  def catalog: Column => Column = catalogFamily match {
-    case "md5" => md5
-    case "xx" => xx
+  private def resolve[T](md5Form: T, xxForm: T): T = catalogFamily match {
+    case "md5" => md5Form
+    case "xx" => xxForm
     case other => throw new IllegalArgumentException(
       s"unknown hash family '$other' (valid: md5, xx)")
   }
 
+  /** The selected unsalted family ([[catalogFamily]]). */
+  def catalog: Column => Column = resolve(md5, xx)
+
   /** The selected salted family ([[catalogFamily]]). */
-  def catalogSalted: (Column, Int) => Column = catalogFamily match {
-    case "md5" => md5Salted
-    case "xx" => xxSalted
-    case other => throw new IllegalArgumentException(
-      s"unknown hash family '$other' (valid: md5, xx)")
-  }
+  def catalogSalted: (Column, Int) => Column = resolve(md5Salted, xxSalted)
 }

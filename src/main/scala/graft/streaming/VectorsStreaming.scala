@@ -272,7 +272,10 @@ object VectorsStreaming {
       .start()
     try q.processAllAvailable() finally q.stop()
 
-    val queries = emb.where(col("vec_id") >= 480)
+    // bounded on BOTH sides like the shared oracle's q CTE — at SFs
+    // where embeddings exceeds 500 rows an open upper bound would issue
+    // queries the oracle never computes
+    val queries = emb.where(col("vec_id") >= 480 && col("vec_id") < 500)
       .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
     Ivf.annJoin(queries, idx, k = 3, nProbe = 10000)
       .orderBy(col("query_id"), col("rank"))

@@ -201,10 +201,13 @@ class SkewSpec extends SparkSpec {
     assert(warn.exists(_.contains("SCALE.md")),
       s"degenerate write parallelism must warn, got $warn")
     assert(warn.exists(_.contains("numShards=4")))
-    // healthy config (default 32 shuffle partitions, 4 shards → 8
-    // salts): silent
+    // healthy config: pin partitions explicitly (16 partitions, 4
+    // shards → 4 salts) rather than relying on the suite default, so a
+    // future SparkSpec partitions change cannot flip this branch
     Ivf.lastWriteParallelismWarning = None
-    Ivf.writeVectors(df, "vec_id", 4, s"$out/v2", "overwrite")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try Ivf.writeVectors(df, "vec_id", 4, s"$out/v2", "overwrite")
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert(Ivf.lastWriteParallelismWarning.isEmpty,
       "healthy write parallelism must not warn")
   }
