@@ -315,7 +315,10 @@ class PlanSpec extends SparkSpec {
 
   test("hybrid RRF: both arms amortized — no corpus-sized scan at query " +
       "time") {
-    val p = graft.queries.TextQueries.hybridRrfTopDocs(spark, sf001)
+    // the ARTIFACT-BUILD plan (what the first caller per data version
+    // pays): arms must serve from the prebuilt postings/pool, never a
+    // corpus re-derivation
+    val p = graft.queries.TextQueries.hybridRrfFused(spark, sf001)
       .queryExecution.executedPlan.toString
     // lexical arm reads the prebuilt postings, vector arm the prebuilt
     // bucketed pool — the corpus text is touched only through them
@@ -339,5 +342,28 @@ class PlanSpec extends SparkSpec {
       l.contains("INSET") || l.contains("In(bucket")),
       s"probed-bucket filter not pushed to the pool scan:\n" +
         poolScanLines.map(_.take(200)).mkString("\n"))
+  }
+
+  test("hybrid RRF top-k SERVES from the fused local artifact — zero " +
+      "file scans in the query plan") {
+    // fused is memoized per (JVM, data version); the consumer-facing
+    // query must be rank arithmetic over a local relation — re-running
+    // an arm (any FileScan here) is the regression this pins against
+    val p = graft.queries.TextQueries.hybridRrfTopDocs(spark, sf001)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan") || p.contains("LocalRelation"),
+      s"served hybrid plan is not a local relation:\n${p.take(600)}")
+    assert(!p.contains("FileScan"),
+      "served hybrid plan re-reads an on-disk artifact:\n" +
+        p.split("\n").filter(_.contains("FileScan"))
+          .map(_.take(200)).mkString("\n"))
+    // and the result is identical to recomputing the fusion directly
+    val direct = graft.operators.Rrf.topDocs(
+      graft.queries.TextQueries.hybridRrfFused(spark, sf001), k = 5)
+      .collect().map(_.toString).sorted
+    val served = graft.queries.TextQueries.hybridRrfTopDocs(spark, sf001)
+      .collect().map(_.toString).sorted
+    assert(served.sameElements(direct),
+      "served fused artifact diverges from direct arm recomputation")
   }
 }
