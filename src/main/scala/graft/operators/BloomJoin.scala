@@ -24,9 +24,11 @@ import org.apache.spark.util.sketch.BloomFilter
   * the pre-filter applies even when the optimizer would not inject one
   * (e.g. probe side behind a custom operator).
   *
-  * The membership probe is a deliberate UDF, not a codegen Expression:
-  * it evaluates once per row against a broadcast sketch, and the
-  * surrounding scan/filter stages stay in whole-stage codegen around it.
+  * The membership probe is the codegen [[graft.functions.BloomProbe]]
+  * expression: it evaluates once per row of the large side — exactly
+  * the path where a ScalaUDF's per-row boxing and catalyst↔Scala
+  * converters cost the most — and keeps the whole scan→filter stage in
+  * one whole-stage-codegen span with a primitive-typed probe.
   */
 object BloomJoin {
 
@@ -59,8 +61,33 @@ object BloomJoin {
     * Integral keys probe as long (matching `stat.bloomFilter`'s widened
     * inserts), strings as UTF-8; nulls never match (a Bloom filter has
     * no null slot — consistent with semi-join null semantics).
+    *
+    * The probe is the codegen [[graft.functions.BloomProbe]] expression
+    * — it runs once per row of the LARGE side (the 100 TB scan), where
+    * the previous `udf(...)` form paid per-row boxing + converters
+    * (measured A/B in SCALE.md round 12; bit-parity with the UDF form
+    * gated in BloomJoinSpec).
     */
   def mightContain(large: DataFrame, largeKey: String, bf: BloomFilter): Column = {
+    val bc = large.sparkSession.sparkContext.broadcast(bf)
+    val key = col(largeKey)
+    large.schema(largeKey).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        key.isNotNull && graft.functions.BloomProbe.col(key.cast(LongType), bc)
+      case StringType =>
+        key.isNotNull && graft.functions.BloomProbe.col(key, bc)
+      case dt => throw new IllegalArgumentException(
+        s"BloomJoin key type $dt unsupported (integral or string required)")
+    }
+  }
+
+  /** The pre-round-12 ScalaUDF probe, kept private for the A/B
+    * measurement (DebugBloomProbe) and the BloomJoinSpec parity gate —
+    * semantically identical to [[mightContain]] including
+    * null-never-matches.
+    */
+  private[graft] def mightContainUdf(large: DataFrame, largeKey: String,
+      bf: BloomFilter): Column = {
     val bc = large.sparkSession.sparkContext.broadcast(bf)
     large.schema(largeKey).dataType match {
       case ByteType | ShortType | IntegerType | LongType =>

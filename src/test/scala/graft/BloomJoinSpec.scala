@@ -109,4 +109,55 @@ class BloomJoinSpec extends SparkSpec {
     assert(BloomJoin.semi(large, "k", keys, "k2").count() == 0)
     assert(BloomJoin.anti(large, "k", keys, "k2").count() == 100000)
   }
+
+  test("codegen probe expression is bit-parity with the UDF form " +
+      "(long + string, nulls and edge values)") {
+    import spark.implicits._
+    // longs: edges, negatives, nulls interleaved with members
+    val longRows = Seq[java.lang.Long](0L, 1L, -1L, Long.MaxValue,
+      Long.MinValue, null, 42L, 43L, null, 50L, 100L, 1234567890123L)
+    val large = longRows.toDF("k")
+    val keys = Seq(0L, -1L, Long.MaxValue, 42L, 50L).toDF("k2")
+    val bf = BloomJoin.build(keys, "k2")
+    val expr = large.where(BloomJoin.mightContain(large, "k", bf))
+      .collect().map(r => Option(r.get(0))).toSeq
+    val viaUdf = large.where(BloomJoin.mightContainUdf(large, "k", bf))
+      .collect().map(r => Option(r.get(0))).toSeq
+    assert(expr == viaUdf, s"long probe forms disagree: $expr vs $viaUdf")
+    assert(expr.nonEmpty && !expr.contains(None),
+      "null keys must never match")
+
+    // strings: empty, unicode, null
+    val strRows = Seq("", "a", "key", "ümläut", null,
+      "中文", "miss1", "miss2")
+    val largeS = strRows.toDF("k")
+    val keysS = Seq("", "key", "ümläut", "中文").toDF("k2")
+    val bfS = BloomJoin.build(keysS, "k2")
+    val exprS = largeS.where(BloomJoin.mightContain(largeS, "k", bfS))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    val udfS = largeS.where(BloomJoin.mightContainUdf(largeS, "k", bfS))
+      .collect().map(r => Option(r.getString(0))).toSeq
+    assert(exprS == udfS, s"string probe forms disagree: $exprS vs $udfS")
+    assert(exprS.contains(Some("")) && exprS.contains(Some("中文")),
+      "UTF-8 probe must match the insert path for empty and multibyte strings")
+  }
+
+  test("probe predicate stays native: no ScalaUDF in the filter plan") {
+    import spark.implicits._
+    val large = spark.range(0, 1000).toDF("k")
+    val keys = spark.range(0, 100).toDF("k2")
+    val bf = BloomJoin.build(keys, "k2")
+    val plan = large.where(BloomJoin.mightContain(large, "k", bf))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"probe fell back to a UDF:\n${plan.take(600)}")
+    assert(plan.toLowerCase.contains("bloomprobe"),
+      s"native probe expression missing from the plan:\n${plan.take(600)}")
+    // and the filter participates in whole-stage codegen: the compact
+    // plan prefixes codegen'd operators with `*(stageId)` — the Filter
+    // line itself must carry the marker
+    val filterLines = plan.split("\n").filter(_.contains("Filter"))
+    assert(filterLines.exists(_.trim.stripPrefix("+- ").startsWith("*(")),
+      s"probe filter not inside a codegen span:\n${plan.take(600)}")
+  }
 }
