@@ -676,11 +676,9 @@ object Ivf {
     // config, including a binding maxNProbe cap
     val np = math.min(math.min(nProbe, index.config.maxNProbe),
       index.centroids.length)
-    val probeUdf = udf((q: Seq[Float]) =>
-      routerB.value.topN(q.toArray, np).toSeq)
     // P1 on the distributed query side too, enforced map-side in the
     // same pass (the append-guard pattern): a NULL query embedding
-    // would NPE inside the probe UDF task-side with no context, and a
+    // would silently drop at the explode with no context, and a
     // wrong-dimension one would route by prefix distance and return
     // arbitrary ids behind NULL distances
     val qdim = index.centroids(0).length
@@ -691,7 +689,12 @@ object Ivf {
             lit(s"annJoin: query embedding dimension != $qdim for "),
             col(qidCol).cast("string"))))
           .otherwise(col(qembCol)))
-      .withColumn("centroid_id", explode(probeUdf(col(qembCol))))
+      // codegen routing — the query side of an ANN join is corpus-
+      // sized, so the probe kernel gets the ArgMinCentroid treatment
+      // (RouteTopN: Tungsten ArrayData in, primitive int[] out, zero
+      // per-element boxing; bitwise probe parity gated in IvfSpec)
+      .withColumn("centroid_id",
+        explode(RouteTopN.col(col(qembCol), routerB, np)))
     // bounded-state per-query top-k (see searchBatch): the post-join
     // exchange on the query id carries ≤ k·P rows per query, which is
     // what keeps a hot query (or a hot probed cell fanning out to many

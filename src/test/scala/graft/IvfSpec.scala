@@ -61,6 +61,41 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("annJoin probe routing expression is bitwise-identical to the " +
+      "boxed-UDF form and stays native in the plan") {
+    import spark.implicits._
+    val np = 7
+    val routerB = spark.sparkContext.broadcast(index.router)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    // the retired UDF form, reconstructed here as the parity reference
+    val probeUdf = udf((q: Seq[Float]) =>
+      routerB.value.topN(q.toArray, np).toSeq)
+    val viaExpr = emb.select(col("vec_id"),
+        graft.operators.RouteTopN.col(col("embedding"), routerB, np)
+          .as("probes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val viaUdf = emb.select(col("vec_id"),
+        probeUdf(col("embedding")).as("probes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    assert(viaExpr.size == viaUdf.size && viaExpr.nonEmpty)
+    viaExpr.foreach { case (id, probes) =>
+      assert(probes == viaUdf(id),
+        s"vec $id: expression probes $probes != UDF ${viaUdf(id)}")
+      assert(probes.length == math.min(np, index.centroids.length))
+    }
+    // and the annJoin plan carries the native expression, not a ScalaUDF
+    val qDf = emb.limit(4).select(col("vec_id").as("query_id"),
+      col("embedding").as("qe"))
+    val plan = Ivf.annJoin(qDf, index, k = 3, nProbe = np)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ScalaUDF"),
+      s"annJoin probe routing fell back to a UDF:\n${plan.take(600)}")
+    assert(plan.toLowerCase.contains("routetopn"),
+      s"native routing expression missing from the annJoin plan:\n" +
+        plan.take(600))
+  }
+
   test("save/load roundtrip preserves the routing table") {
     val loaded = Ivf.load(spark, indexDir)
     assert(loaded.k == index.k)
