@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.Ivf
+
+/** A live IVF index under continuous streaming ingest, measured: a
+  * file-source stream delivers fixed-size vector batches into
+  * `VectorsStreaming.appendVectorBatch` (the marker-idempotent
+  * foreachBatch → `Ivf.append` path behind `stream_index_append`), and
+  * the harness records per-batch append seconds as the index grows —
+  * the claim under measurement is that append cost is O(batch),
+  * independent of accumulated index size (routing through the frozen
+  * centroids + a clustered write of only the new rows). Alongside:
+  * parquet file-count growth (the merge-on-read cost appends DO
+  * accumulate), search latency + completeness before/after
+  * `Ivf.compact`, and the compact cost that resets the file count.
+  *
+  * Usage: runMain graft.DebugStreamAppend [n0] [nb] [batches] [dim] [cpus]
+  */
+object DebugStreamAppend {
+  def main(args: Array[String]): Unit = {
+    val n0 = if (args.length > 0) args(0).toLong else 100000L
+    val nb = if (args.length > 1) args(1).toLong else 10000L
+    val batches = if (args.length > 2) args(2).toInt else 10
+    val dim = if (args.length > 3) args(3).toInt else 32
+    val cpus = if (args.length > 4) args(4).toInt else 16
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_stream_append").toString
+    val in = s"$root/in"
+    val all = graft.sources.VectorFormats
+      .generate(spark, n0 + batches * nb, dim, 42L)
+
+    var t0 = System.nanoTime()
+    val idx = Ivf.build(all.where(col("vec_id") < n0),
+      "vec_id", "embedding", s"$root/index")
+    println(f"BUILD n0=$n0 dim=$dim k=${idx.centroids.length} " +
+      f"shards=${idx.numShards} ${(System.nanoTime() - t0) / 1e9}%.2f s")
+
+    def fileCount(): Int = {
+      val fs = new org.apache.hadoop.fs.Path(idx.vectorsPath).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(idx.vectorsPath), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    println(s"FILES after build: ${fileCount()}")
+
+    // one delivery file per micro-batch (maxFilesPerTrigger=1)
+    (0 until batches).foreach { b =>
+      all.where(col("vec_id") >= n0 + b * nb &&
+          col("vec_id") < n0 + (b + 1) * nb)
+        .repartition(1).write.mode("append").parquet(in)
+    }
+
+    val timings = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val q = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val b0 = System.nanoTime()
+        graft.streaming.VectorsStreaming.appendVectorBatch(
+          idx, batch, "vec_id", "embedding", batchId, s"$root/applied")
+        timings.add((batchId, (System.nanoTime() - b0) / 1e9))
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    import scala.jdk.CollectionConverters._
+    timings.asScala.toSeq.sortBy(_._1).foreach { case (b, s) =>
+      println(f"APPEND batch=$b rows=$nb ${s}%.2f s")
+    }
+    println(s"FILES after ${batches} appends: ${fileCount()}")
+
+    val qs = all.where(col("vec_id") < 20)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def searchTime(index: Ivf.Index, label: String): Unit =
+      (1 to 2).foreach { i =>
+        val s0 = System.nanoTime()
+        val n = Ivf.searchBatch(spark, index, qs, k0 = 10, nProbe0 = 20).count()
+        println(f"SEARCH $label run$i ${(System.nanoTime() - s0) / 1e9}%.2f s rows=$n")
+      }
+    val live = spark.read.parquet(idx.vectorsPath).count()
+    assert(live == n0 + batches * nb,
+      s"completeness: $live != ${n0 + batches * nb}")
+    println(s"COMPLETE rows=$live")
+    searchTime(idx, "pre-compact ")
+
+    t0 = System.nanoTime()
+    val compacted = Ivf.compact(spark, idx, s"$root/compacted")
+    println(f"COMPACT ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val fsC = new org.apache.hadoop.fs.Path(compacted.vectorsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val itC = fsC.listFiles(
+      new org.apache.hadoop.fs.Path(compacted.vectorsPath), true)
+    var nC = 0
+    while (itC.hasNext) {
+      if (itC.next().getPath.getName.endsWith(".parquet")) nC += 1
+    }
+    println(s"FILES after compact: $nC")
+    val liveC = spark.read.parquet(compacted.vectorsPath).count()
+    assert(liveC == live, s"compact changed row count: $liveC != $live")
+    searchTime(compacted, "post-compact")
+    spark.stop()
+  }
+}
