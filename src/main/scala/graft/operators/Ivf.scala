@@ -421,6 +421,53 @@ object Ivf {
     out
   }
 
+  /** Maintenance posture of a live index — the decision input for the
+    * compact-on-file-count rule SCALE.md round 12 measured (each
+    * append adds ~one file per shard; ten appends made warm search
+    * 2.3× slower until one compact reset it). Metadata-only: one
+    * recursive FS listing plus the (tiny) tombstone sidecar count — no
+    * data-file scan, so it is safe to poll from an ingest loop.
+    */
+  case class MaintenanceStats(dataFiles: Int, numShards: Int,
+      filesPerShardMax: Int, dataBytes: Long, tombstones: Long) {
+
+    /** True once any shard has fragmented past `maxFilesPerShard` —
+      * the threshold form of the measured rule (compact when file
+      * debt, which is what search pays for, accumulates; not on a
+      * schedule). The default of 8 sits well inside the measured 11×
+      * fragmentation that cost 2.3× warm-search latency.
+      */
+    def compactRecommended(maxFilesPerShard: Int = 8): Boolean =
+      filesPerShardMax > maxFilesPerShard || tombstones > 0
+  }
+
+  def maintenanceStats(spark: SparkSession, index: Index): MaintenanceStats = {
+    val root = new org.apache.hadoop.fs.Path(index.vectorsPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val perShard = scala.collection.mutable.Map.empty[String, Int]
+    var files = 0
+    var bytes = 0L
+    val it = fs.listFiles(root, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        files += 1
+        bytes += f.getLen
+        val shard = f.getPath.getParent.getName // shard_id=N partition dir
+        perShard(shard) = perShard.getOrElse(shard, 0) + 1
+      }
+    }
+    val tombs = {
+      val tp = new org.apache.hadoop.fs.Path(tombstonesPath(index))
+      if (fs.exists(tp))
+        spark.read.schema("__deleted_id LONG")
+          .parquet(tombstonesPath(index)).count()
+      else 0L
+    }
+    MaintenanceStats(files, index.numShards,
+      if (perShard.isEmpty) 0 else perShard.values.max, bytes, tombs)
+  }
+
   /** Load the routing table back (S6). */
   def load(spark: SparkSession, indexDir: String, config: Config = Config()): Index = {
     val sidecar = spark.read.parquet(s"$indexDir/centroids")

@@ -677,6 +677,40 @@ class IvfSpec extends SparkSpec {
     assert(got == bruteKnn(q, 10))
   }
 
+  test("maintenanceStats tracks file debt and tombstones; " +
+      "compactRecommended flips and compact resets it") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_maint").toString
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = Ivf.build(emb.where(col("vec_id") < 300), "vec_id", "embedding", dir)
+    val s0 = Ivf.maintenanceStats(spark, idx)
+    assert(s0.dataFiles > 0 && s0.dataBytes > 0 && s0.tombstones == 0L)
+    assert(s0.numShards == idx.numShards)
+    val base = s0.filesPerShardMax
+    // two appends → per-shard file debt grows by ~one file per append
+    Ivf.append(idx, emb.where(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding")
+    Ivf.append(idx, emb.where(col("vec_id") >= 400), "vec_id", "embedding")
+    val s1 = Ivf.maintenanceStats(spark, idx)
+    assert(s1.dataFiles > s0.dataFiles && s1.filesPerShardMax > base,
+      s"append did not grow file debt: $s0 -> $s1")
+    assert(!s1.compactRecommended(maxFilesPerShard = 1000),
+      "threshold 1000 must not recommend yet (no tombstones)")
+    assert(s1.compactRecommended(maxFilesPerShard = base),
+      s"filesPerShardMax ${s1.filesPerShardMax} > $base must recommend")
+    // a delete adds tombstones → recommended regardless of file debt
+    Ivf.delete(spark, idx, Seq(5L))
+    val s2 = Ivf.maintenanceStats(spark, idx)
+    assert(s2.tombstones == 1L && s2.compactRecommended(maxFilesPerShard = 1000))
+    // compact materializes the delete and resets the file debt
+    val compacted = Ivf.compact(spark, idx, s"$dir/compacted")
+    val s3 = Ivf.maintenanceStats(spark, compacted)
+    assert(s3.dataFiles < s1.dataFiles &&
+      s3.filesPerShardMax <= base,
+      s"compact did not reset file debt: $s1 -> $s3")
+    assert(spark.read.parquet(compacted.vectorsPath).count() == 499L)
+  }
+
   test("build seed persists through the sidecar so append assigns consistently") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft_seed").toString
