@@ -421,6 +421,49 @@ object Ivf {
     out
   }
 
+  /** [[compact]] for a LIVE handle: rewrite into a scratch sibling of
+    * the index directory, then swap the compacted `vectors/` over the
+    * fragmented one — the existing [[Index]] (whose `vectorsPath` is
+    * unchanged) keeps serving, which is what an ingest loop holding the
+    * handle inside a foreachBatch closure needs. The tombstone sidecar
+    * is untouched in place (compact's carry-forward contract — the
+    * scratch copy compact makes is deleted with the scratch dir).
+    *
+    * Single-writer contract: the caller owns exclusive write access for
+    * the duration (a micro-batch loop is serial, so this holds there by
+    * construction); a concurrent reader can catch the instant between
+    * the two renames and fail one scan — retry-safe, but true
+    * concurrent-swap isolation needs a transactional table format, the
+    * same boundary [[graft.streaming.VectorsStreaming.appendVectorBatch]]
+    * documents for exactly-once. Crash windows: before the first rename
+    * — only scratch garbage, cleaned on the next call; between the
+    * renames — the live dir is missing but intact at
+    * `__compact_trash/vectors` (recover by renaming back); after — only
+    * trash/scratch garbage.
+    */
+  def compactInPlace(spark: SparkSession, index: Index,
+      idCol: String = "vec_id"): Unit = {
+    val base = index.vectorsPath.stripSuffix("/vectors")
+    require(base != index.vectorsPath,
+      s"compactInPlace: vectorsPath must end in /vectors (got " +
+        s"${index.vectorsPath}) — the scratch/trash siblings live beside it")
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val scratch = s"$base/__compact_scratch"
+    val trash = new org.apache.hadoop.fs.Path(s"$base/__compact_trash")
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true) // crashed prior run
+    fs.delete(trash, true)
+    val out = compact(spark, index, scratch, idCol)
+    val live = new org.apache.hadoop.fs.Path(index.vectorsPath)
+    require(fs.rename(live, trash),
+      s"compactInPlace: could not move $live aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(out.vectorsPath), live),
+      s"compactInPlace: could not install compacted vectors at $live — " +
+        s"the previous layout is intact at $trash/vectors")
+    fs.delete(trash, true)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+  }
+
   /** Maintenance posture of a live index — the decision input for the
     * compact-on-file-count rule SCALE.md round 12 measured (each
     * append adds ~one file per shard; ten appends made warm search

@@ -228,6 +228,42 @@ object VectorsStreaming {
     }
   }
 
+  /** [[appendVectorBatch]] plus the compact-on-file-debt maintenance
+    * rule, closing the ingest loop SCALE.md round 12 measured: appends
+    * are O(batch) but each leaves ~one file per shard, and it is search
+    * that pays the accumulated debt (2.3× warmer latency after ten
+    * appends, reset by one compact). After a batch that actually
+    * applied, the metadata-only [[Ivf.maintenanceStats]] listing runs;
+    * past `maxFilesPerShard` the index is compacted IN PLACE
+    * ([[Ivf.compactInPlace]] — directory swap, the held handle keeps
+    * serving).
+    *
+    * The trigger is file debt alone, NOT
+    * [[Ivf.MaintenanceStats.compactRecommended]]: that predicate also
+    * flags tombstones, which compact deliberately carries forward
+    * (coded siblings built before the deletes still need the filter),
+    * so keying the loop on it would compact every subsequent batch
+    * forever. Retry semantics compose with the marker: a replayed batch
+    * id applies nothing and therefore compacts nothing; a crash after
+    * the marker but before the compact just defers it — the next
+    * applied batch re-reads the same over-threshold listing and
+    * compacts then (the rule is self-healing because it reads current
+    * state, not an increment). Returns true iff the batch was applied.
+    */
+  def appendVectorBatchMaintained(index: Ivf.Index, batch: DataFrame,
+      idCol: String, embCol: String, batchId: Long, markerDir: String,
+      maxFilesPerShard: Int = 8): Boolean = {
+    val applied = appendVectorBatch(index, batch, idCol, embCol, batchId,
+      markerDir)
+    if (applied) {
+      val spark = batch.sparkSession
+      val stats = Ivf.maintenanceStats(spark, index)
+      if (stats.filesPerShardMax > maxFilesPerShard)
+        Ivf.compactInPlace(spark, index, idCol)
+    }
+    applied
+  }
+
   /** Catalog query `stream_index_append`: stream-ingest → index append,
     * end to end. The index is built from vec_id < 300 only; the
     * remaining 200 vectors arrive as a TWO-trigger stream whose

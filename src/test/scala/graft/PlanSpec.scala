@@ -43,7 +43,12 @@ class PlanSpec extends SparkSpec {
   test("bloom semi: probe side pre-filtered before an exact semi join") {
     val p = plan("bloom_semi_revenue")
     assert(p.contains("LeftSemi"), "exact semi join missing")
-    assert(p.contains("UDF"), "bloom might-contain pre-filter missing from plan")
+    // the pre-filter is the codegen BloomProbe expression (round 12 —
+    // the ScalaUDF form it replaced would surface here as "UDF")
+    assert(p.toLowerCase.contains("bloomprobe"),
+      "bloom might-contain pre-filter missing from plan")
+    assert(!p.contains("UDF"),
+      "boxed UDF reappeared on the bloom probe path")
   }
 
   test("incremental dedup: bloom short-circuit union around a left anti join") {

@@ -851,6 +851,71 @@ class StreamingSpec extends SparkSpec {
     assert(sA.filter(_._2 == 1).forall(t => t._1 == t._3 && t._4 == 0.0))
   }
 
+  test("maintained stream append: in-place compaction bounds file debt " +
+      "while the held handle keeps serving, answers identical to the " +
+      "uncompacted twin, replay still a no-op") {
+    import graft.streaming.VectorsStreaming
+    import graft.operators.Ivf
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_idx_maint").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    // seed-deterministic builds → identical centroids/routing, so any
+    // divergence below is the maintenance path's fault
+    val idxA = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", s"$root/a")
+    val idxB = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", s"$root/b")
+    val cuts = Seq(300, 340, 380, 420, 460, 500)
+    for ((Seq(lo, hi), i) <- cuts.sliding(2).zipWithIndex) {
+      val batch = emb.where(col("vec_id") >= lo && col("vec_id") < hi)
+      assert(VectorsStreaming.appendVectorBatchMaintained(idxA, batch,
+        "vec_id", "embedding", i.toLong, s"$root/a_m", maxFilesPerShard = 2))
+      assert(VectorsStreaming.appendVectorBatch(idxB, batch,
+        "vec_id", "embedding", i.toLong, s"$root/b_m"))
+    }
+    val statsA = Ivf.maintenanceStats(spark, idxA)
+    val statsB = Ivf.maintenanceStats(spark, idxB)
+    // non-vacuity: the unmaintained twin really fragmented past the
+    // threshold, so at least one in-place compact must have fired on A
+    assert(statsB.filesPerShardMax > 2,
+      s"twin did not fragment — the gate is vacuous: $statsB")
+    assert(statsA.filesPerShardMax < statsB.filesPerShardMax,
+      s"no compact fired on the maintained index: $statsA vs $statsB")
+    assert(statsA.filesPerShardMax <= 3,
+      s"maintained index kept file debt past threshold+1: $statsA")
+    // completeness and placement equality through the directory swap
+    def placements(idx: Ivf.Index): Set[(Long, Int, Int)] =
+      spark.read.parquet(idx.vectorsPath)
+        .select("vec_id", "centroid_id", "shard_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val pA = placements(idxA)
+    assert(pA.size == 500 && pA == placements(idxB),
+      "in-place compaction changed vector→(centroid, shard) placements")
+    // the HELD handle (vectorsPath never changed) answers identically
+    def search(idx: Ivf.Index): Seq[(Long, Int, Long, Double)] =
+      Ivf.annJoin(
+          emb.where(col("vec_id") >= 480)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+          idx, k = 3, nProbe = 10000)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.sorted
+    val sA = search(idxA)
+    assert(sA.nonEmpty && sA == search(idxB),
+      "maintained and unmaintained twins disagree after compaction")
+    // replay through the MAINTAINED path: marker short-circuits before
+    // both the append and the maintenance listing — no rows, no compact
+    val filesBefore = statsA.dataFiles
+    assert(!VectorsStreaming.appendVectorBatchMaintained(idxA,
+      emb.where(col("vec_id") >= 460 && col("vec_id") < 500),
+      "vec_id", "embedding", 4L, s"$root/a_m", maxFilesPerShard = 2),
+      "replayed batch id was re-applied on the maintained path")
+    assert(Ivf.maintenanceStats(spark, idxA).dataFiles == filesBefore
+      && placements(idxA) == pA,
+      "replay mutated the maintained index layout")
+  }
+
   test("stream_vectors_eventtime: late vectors are dropped from every " +
       "emitted count, the open tail is withheld, and kept windows equal " +
       "the batch recomputation (VERDICT r11 #1)") {
