@@ -16,7 +16,15 @@ import graft.operators.Ivf
   * accumulate), search latency + completeness before/after
   * `Ivf.compact`, and the compact cost that resets the file count.
   *
-  * Usage: runMain graft.DebugStreamAppend [n0] [nb] [batches] [dim] [cpus]
+  * A second mode measures the SELF-MAINTAINING loop
+  * (`appendVectorBatchMaintained`): the sink compacts in place when
+  * file debt passes the threshold, so the claim flips — per-batch cost
+  * is O(batch) except on compact batches (which pay the rewrite
+  * inline), and warm search stays near post-compact latency instead of
+  * degrading with append count.
+  *
+  * Usage: runMain graft.DebugStreamAppend [n0] [nb] [batches] [dim]
+  *   [cpus] [mode: plain|maintained] [maxFilesPerShard]
   */
 object DebugStreamAppend {
   def main(args: Array[String]): Unit = {
@@ -25,6 +33,8 @@ object DebugStreamAppend {
     val batches = if (args.length > 2) args(2).toInt else 10
     val dim = if (args.length > 3) args(3).toInt else 32
     val cpus = if (args.length > 4) args(4).toInt else 16
+    val maintained = args.length > 5 && args(5) == "maintained"
+    val maxFilesPerShard = if (args.length > 6) args(6).toInt else 4
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -61,15 +71,21 @@ object DebugStreamAppend {
         .repartition(1).write.mode("append").parquet(in)
     }
 
-    val timings = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double)]()
+    val timings =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Int)]()
     val q = spark.readStream.schema(all.schema)
       .option("maxFilesPerTrigger", 1).parquet(in)
       .writeStream
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val b0 = System.nanoTime()
-        graft.streaming.VectorsStreaming.appendVectorBatch(
-          idx, batch, "vec_id", "embedding", batchId, s"$root/applied")
-        timings.add((batchId, (System.nanoTime() - b0) / 1e9))
+        if (maintained)
+          graft.streaming.VectorsStreaming.appendVectorBatchMaintained(
+            idx, batch, "vec_id", "embedding", batchId, s"$root/applied",
+            maxFilesPerShard)
+        else
+          graft.streaming.VectorsStreaming.appendVectorBatch(
+            idx, batch, "vec_id", "embedding", batchId, s"$root/applied")
+        timings.add((batchId, (System.nanoTime() - b0) / 1e9, fileCount()))
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
@@ -77,8 +93,9 @@ object DebugStreamAppend {
     try q.processAllAvailable() finally q.stop()
 
     import scala.jdk.CollectionConverters._
-    timings.asScala.toSeq.sortBy(_._1).foreach { case (b, s) =>
-      println(f"APPEND batch=$b rows=$nb ${s}%.2f s")
+    val tag = if (maintained) s"MAINT(max=$maxFilesPerShard)" else "APPEND"
+    timings.asScala.toSeq.sortBy(_._1).foreach { case (b, s, files) =>
+      println(f"$tag batch=$b rows=$nb ${s}%.2f s files=$files")
     }
     println(s"FILES after ${batches} appends: ${fileCount()}")
 
