@@ -431,7 +431,13 @@ object Ivf {
     *
     * Single-writer contract: the caller owns exclusive write access for
     * the duration (a micro-batch loop is serial, so this holds there by
-    * construction); a concurrent reader can catch the instant between
+    * construction) — and the contract is GUARDED, not just documented:
+    * the live layout is fingerprinted (name/length/mtime listing)
+    * before the rewrite reads it and re-checked before the swap, so a
+    * concurrent append that would otherwise be silently dropped by the
+    * directory replacement aborts the compact by name with the index
+    * untouched (IvfSpec gates this with a writer injected at the worst
+    * instant). A concurrent reader can still catch the instant between
     * the two renames and fail one scan — retry-safe, but true
     * concurrent-swap isolation needs a transactional table format, the
     * same boundary [[graft.streaming.VectorsStreaming.appendVectorBatch]]
@@ -442,7 +448,8 @@ object Ivf {
     * trash/scratch garbage.
     */
   def compactInPlace(spark: SparkSession, index: Index,
-      idCol: String = "vec_id"): Unit = {
+      idCol: String = "vec_id",
+      beforeSwap: () => Unit = () => ()): Unit = {
     val base = index.vectorsPath.stripSuffix("/vectors")
     require(base != index.vectorsPath,
       s"compactInPlace: vectorsPath must end in /vectors (got " +
@@ -453,7 +460,38 @@ object Ivf {
     val trash = new org.apache.hadoop.fs.Path(s"$base/__compact_trash")
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true) // crashed prior run
     fs.delete(trash, true)
+    // fingerprint of the live layout BEFORE the rewrite reads it: the
+    // swap below replaces the whole directory, so any file appended
+    // while the rewrite ran would be silently DROPPED — the one
+    // data-loss shape a violated single-writer contract produces here.
+    // Re-checking the fingerprint right before the swap turns that from
+    // silent loss into a named abort (metadata-only, one listing), and
+    // shrinks the unguarded window from the whole O(index) rewrite to
+    // the instant between the check and the rename.
+    def layoutFingerprint(): Seq[(String, Long, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(index.vectorsPath),
+        true)
+      val acc = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          acc += ((f.getPath.toString, f.getLen, f.getModificationTime))
+      }
+      acc.sortBy(_._1).toSeq
+    }
+    val before = layoutFingerprint()
     val out = compact(spark, index, scratch, idCol)
+    beforeSwap() // test seam: simulate a concurrent writer at the worst instant
+    val after = layoutFingerprint()
+    if (after != before) {
+      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+      throw new IllegalStateException(
+        "compactInPlace: the live vectors layout changed while the " +
+          "compacted rewrite was running (single-writer contract " +
+          "violated — a concurrent append's rows would have been " +
+          "dropped by the swap). The index is untouched; retry once " +
+          "the competing writer is quiesced.")
+    }
     val live = new org.apache.hadoop.fs.Path(index.vectorsPath)
     require(fs.rename(live, trash),
       s"compactInPlace: could not move $live aside")

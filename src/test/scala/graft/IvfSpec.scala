@@ -711,6 +711,36 @@ class IvfSpec extends SparkSpec {
     assert(spark.read.parquet(compacted.vectorsPath).count() == 499L)
   }
 
+  test("compactInPlace: a writer racing the rewrite aborts the swap by " +
+      "name with every row (including the racer's) intact") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_swapguard").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", dir)
+    Ivf.append(idx, emb.where(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding")
+    // inject the contract violation at the worst instant: after the
+    // scratch rewrite (which read the 400-row layout), before the swap
+    val e = intercept[IllegalStateException] {
+      Ivf.compactInPlace(spark, idx, beforeSwap = () =>
+        Ivf.append(idx, emb.where(col("vec_id") >= 400),
+          "vec_id", "embedding"))
+    }
+    assert(e.getMessage.contains("single-writer contract"), e.getMessage)
+    // the index is untouched: all 500 rows present — had the swap gone
+    // through, the racer's 100 rows would have been silently dropped
+    assert(spark.read.parquet(idx.vectorsPath).count() == 500L,
+      "aborted compact lost rows")
+    // and no scratch/trash garbage survives the abort
+    assert(!new java.io.File(s"$dir/__compact_scratch").exists())
+    assert(!new java.io.File(s"$dir/__compact_trash").exists())
+    // a quiesced retry then succeeds and keeps all 500
+    Ivf.compactInPlace(spark, idx)
+    assert(spark.read.parquet(idx.vectorsPath).count() == 500L)
+  }
+
   test("build seed persists through the sidecar so append assigns consistently") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft_seed").toString
