@@ -96,6 +96,21 @@ object CountMin {
       least((0 until depth).map(i => coalesce(col(s"c_$i"), lit(0L))): _*))
       .select(col(keyCol), col("cms_c"))
 
+  /** The bounded sketch collected to the driver (≤ depth·width rows by
+    * construction) — the artifact form long-lived consumers memoize per
+    * data version: build (or incrementally [[merge]]) once, then every
+    * estimate/heavy-hitter call serves from the collected cells without
+    * re-scanning the corpus. Feed back via
+    * [[heavyHitters]](prebuiltCells = …) or `cells.toDF("fn","cell","c")`
+    * into [[estimate]].
+    */
+  def collectSketch(rows: DataFrame, keyCol: String, depth: Int,
+      width: Int,
+      hashFn: (Column, Int) => Column =
+        graft.functions.Hash60.md5Salted): Seq[(Int, Long, Long)] =
+    build(rows, keyCol, depth, width, hashFn)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+
   /** EXACT heavy hitters over `rows(keyCol)` with the sketch as a
     * lossless candidate pre-filter: keys occurring ≥ ⌈total/phiInverse⌉
     * times, with `total` read exactly from the sketch's own fn=0 cells
@@ -108,21 +123,26 @@ object CountMin {
     * is EXACT while the corpus-keyed shuffle carries only candidate
     * occurrences (CountMinSpec equality gate, PlanSpec shape gate).
     *
-    * Triggers one corpus action: the bounded sketch is collected to
-    * the driver (≤ depth·width rows by construction) and re-shipped as
-    * a local relation, so nothing is pinned in the executor cache and
-    * the threshold read costs no extra job. Callers whose `rows` is
-    * expensive to recompute should persist it across the two corpus
-    * passes. Returns (keyCol, exact_c, cms_c, threshold).
+    * Triggers one corpus action (none with `prebuiltCells`): the
+    * bounded sketch is collected to the driver (≤ depth·width rows by
+    * construction) and re-shipped as a local relation, so nothing is
+    * pinned in the executor cache and the threshold read costs no
+    * extra job. Callers whose `rows` is expensive to recompute should
+    * persist it across the two corpus passes — or pass a memoized
+    * [[collectSketch]] result as `prebuiltCells`, which removes the
+    * build pass entirely (the estimate + exact-cut pass over `rows` is
+    * inherent to EXACTNESS and remains). Returns (keyCol, exact_c,
+    * cms_c, threshold).
     */
   def heavyHitters(rows: DataFrame, keyCol: String, phiInverse: Long,
       depth: Int, width: Int,
       hashFn: (Column, Int) => Column =
-        graft.functions.Hash60.md5Salted): DataFrame = {
+        graft.functions.Hash60.md5Salted,
+      prebuiltCells: Option[Seq[(Int, Long, Long)]] = None): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
-    val cells = build(rows, keyCol, depth, width, hashFn)
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val cells = prebuiltCells.getOrElse(
+      collectSketch(rows, keyCol, depth, width, hashFn))
     val total = cells.iterator.filter(_._1 == 0).map(_._3).sum
     val threshold = (total + phiInverse - 1L) / phiInverse
     val sketch = cells.toDF("fn", "cell", "c")

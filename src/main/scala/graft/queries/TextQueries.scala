@@ -89,22 +89,43 @@ object TextQueries {
     * partitionings; the CMS guarantee (estimate ≥ exact) is asserted by
     * the oracle comparing `overestimate` too.
     */
+  /** The corpus token CMS (depth 4 × width 1024), collected ONCE per
+    * (data version, hash family) and served to every consumer
+    * thereafter — the sketch-is-the-artifact production shape the
+    * Round-9 merge gate exists for (sketch(A ⊎ B) == merge(sketches)
+    * is exactly what lets a deployment maintain this artifact
+    * incrementally instead of rebuilding it per query). Bounded at
+    * depth·width cells by construction, so the driver copy is ≤4096
+    * rows. The hash family keys the memo: an xx-family bench run and
+    * the md5-oracled default can never serve each other's cells.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 1024
+  private val cmsSketchCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Int, Long, Long)]]()
+
+  private[graft] def corpusTokenSketch(spark: SparkSession,
+      dir: String): Seq[(Int, Long, Long)] =
+    cmsSketchCache.computeIfAbsent(
+      s"${Tables.dataKey(dir)}#${graft.functions.Hash60.catalogFamily}", { _ =>
+        graft.operators.CountMin.collectSketch(
+          Tables.documents(spark, dir)
+            .select(explode(tokens(col("text"))).as("token")),
+          "token", CmsDepth, CmsWidth,
+          hashFn = graft.functions.Hash60.catalogSalted)
+      })
+
   def cmsTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.CountMin
-    val depth = 4
-    val width = 1024
-    // persist: the exploded token stream feeds both the sketch build
-    // and the exact top-20 — one tokenization pass, not two
-    val toks = Tables.documents(spark, dir)
+    import spark.implicits._
+    val sketch = corpusTokenSketch(spark, dir).toDF("fn", "cell", "c")
+    val top = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
-      .persist()
-    val sketch = CountMin.build(toks, "token", depth, width,
-      hashFn = graft.functions.Hash60.catalogSalted)
-    val top = toks.groupBy(col("token"))
+      .groupBy(col("token"))
       .agg(count(lit(1)).as("exact_c"))
       .orderBy(col("exact_c").desc, col("token"))
       .limit(20)
-    CountMin.estimate(sketch, top, "token", depth, width,
+    CountMin.estimate(sketch, top, "token", CmsDepth, CmsWidth,
         hashFn = graft.functions.Hash60.catalogSalted)
       .withColumn("overestimate", (col("cms_c") - col("exact_c")).cast("long"))
       .select(col("token"), col("exact_c"), col("cms_c"), col("overestimate"))
@@ -142,24 +163,24 @@ object TextQueries {
     * ([[graft.operators.CountMin.heavyHitters]]): tokens occurring in
     * ≥ φ = 1/200 of all occurrences, computed exactly with the
     * exact-count shuffle bounded to candidate occurrences only — see
-    * the operator Scaladoc for the guarantee argument. The exploded
-    * token stream is persisted across the operator's two corpus passes
-    * (sketch build + map-side estimate) and unpersisted here: the final
-    * cut bounds the result at ≤ φ⁻¹ rows by construction, so it
-    * collects to a local relation and the cache releases with the call
-    * instead of leaking a corpus-sized RDD into the block manager
-    * (CacheHygieneSpec pins this).
+    * the operator Scaladoc for the guarantee argument. The sketch
+    * serves from the memoized [[corpusTokenSketch]] artifact, so the
+    * call makes exactly ONE corpus pass (map-side estimate + exact
+    * cut) — the pass EXACTNESS inherently requires; nothing is
+    * persisted, and the final cut bounds the result at ≤ φ⁻¹ rows by
+    * construction, so it collects to a local relation
+    * (CacheHygieneSpec pins both the local relation and the
+    * no-cache-residue contract).
     */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
-      .persist()
-    try graft.operators.Eager.localize(
+    graft.operators.Eager.localize(
       graft.operators.CountMin
-        .heavyHitters(toks, "token", phiInverse = 200L, depth = 4,
-          width = 1024, hashFn = graft.functions.Hash60.catalogSalted)
+        .heavyHitters(toks, "token", phiInverse = 200L, depth = CmsDepth,
+          width = CmsWidth, hashFn = graft.functions.Hash60.catalogSalted,
+          prebuiltCells = Some(corpusTokenSketch(spark, dir)))
         .orderBy(col("exact_c").desc, col("token")))
-    finally toks.unpersist()
   }
 
   private val cmsHeavyHittersSql =

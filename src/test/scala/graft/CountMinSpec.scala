@@ -139,6 +139,22 @@ class CountMinSpec extends SparkSpec {
     assert(hh.nonEmpty, "threshold admits no tokens — test is vacuous")
   }
 
+  test("prebuilt-cells heavyHitters is bitwise the inline-build form " +
+      "(the memoized-artifact serving path changes cost, never results)") {
+    import spark.implicits._
+    val df = (Seq.fill(300)("hot") ++ (0 until 2000).map(i => s"cold_$i"))
+      .toDF("k")
+    val inline = CountMin.heavyHitters(df, "k", phiInverse = 10L,
+      depth, width).collect().map(_.toSeq).toSet
+    val cells = CountMin.collectSketch(df, "k", depth, width)
+    val served = CountMin.heavyHitters(df, "k", phiInverse = 10L,
+      depth, width, prebuiltCells = Some(cells))
+      .collect().map(_.toSeq).toSet
+    assert(inline.nonEmpty, "no heavy hitters — parity gate is vacuous")
+    assert(served == inline,
+      s"prebuilt-cells path diverges from inline build: $served vs $inline")
+  }
+
   test("one-sided guarantee and heavy-hitter exactness hold under the " +
       "xxhash64 production family; md5 defaults bit-unchanged (VERDICT r9 #1)") {
     val xx = graft.functions.Hash60.xxSalted
