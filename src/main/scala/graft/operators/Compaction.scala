@@ -20,14 +20,16 @@ import org.apache.spark.sql.functions._
   */
 object Compaction {
 
-  /** Total bytes of the data files under a path (recursive). */
+  /** Total bytes of the data files under a path (recursive,
+    * non-located — a size probe has no use for block locations, and
+    * the located listing costs ~100× more per file; see
+    * [[FsList]]).
+    */
   def dataBytes(spark: SparkSession, path: String): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(new Path(path), true)
     val root = new Path(path).toUri.getPath
     var total = 0L
-    while (it.hasNext) {
-      val f = it.next()
+    FsList.files(fs, new Path(path)).foreach { f =>
       // hidden check on EVERY path component below the root, not just
       // the leaf: a crashed write's _temporary/.../part-*.parquet would
       // otherwise inflate the size estimate while the parquet read

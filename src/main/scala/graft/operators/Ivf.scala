@@ -468,17 +468,11 @@ object Ivf {
     // silent loss into a named abort (metadata-only, one listing), and
     // shrinks the unguarded window from the whole O(index) rewrite to
     // the instant between the check and the rename.
-    def layoutFingerprint(): Seq[(String, Long, Long)] = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(index.vectorsPath),
-        true)
-      val acc = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
-      while (it.hasNext) {
-        val f = it.next()
-        if (f.getPath.getName.endsWith(".parquet"))
-          acc += ((f.getPath.toString, f.getLen, f.getModificationTime))
-      }
-      acc.sortBy(_._1).toSeq
-    }
+    def layoutFingerprint(): Seq[(String, Long, Long)] =
+      FsList.files(fs, new org.apache.hadoop.fs.Path(index.vectorsPath))
+        .collect { case f if f.getPath.getName.endsWith(".parquet") =>
+          (f.getPath.toString, f.getLen, f.getModificationTime)
+        }.sortBy(_._1)
     val before = layoutFingerprint()
     val out = compact(spark, index, scratch, idCol)
     beforeSwap() // test seam: simulate a concurrent writer at the worst instant
@@ -528,9 +522,10 @@ object Ivf {
     val perShard = scala.collection.mutable.Map.empty[String, Int]
     var files = 0
     var bytes = 0L
-    val it = fs.listFiles(root, true)
-    while (it.hasNext) {
-      val f = it.next()
+    // non-located listing (FsList): the located recursive form made
+    // this probe O(index)·~5 ms/file — a growing stall per ingest
+    // micro-batch, the opposite of its poll-safely contract
+    FsList.files(fs, root).foreach { f =>
       if (f.getPath.getName.endsWith(".parquet")) {
         files += 1
         bytes += f.getLen
