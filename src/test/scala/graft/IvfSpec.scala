@@ -741,6 +741,34 @@ class IvfSpec extends SparkSpec {
     assert(spark.read.parquet(idx.vectorsPath).count() == 500L)
   }
 
+  test("compactInPlace with tombstones: deletes materialize in the " +
+      "swapped files, the sidecar is carried in place, clear ends it") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_inplace_tomb").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 400),
+      "vec_id", "embedding", dir)
+    Ivf.delete(spark, idx, Seq(7L, 11L))
+    Ivf.compactInPlace(spark, idx)
+    // deletes are materialized: the rewritten float files no longer
+    // hold the ids at all (not merely filtered at read time)
+    val raw = spark.read.parquet(idx.vectorsPath)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(raw.size == 398 && !raw(7L) && !raw(11L),
+      s"in-place compact did not materialize deletes: ${raw.size}")
+    // the sidecar is carried IN PLACE (coded siblings built before the
+    // deletes still need the filter) — at the original location, since
+    // the handle's paths never changed
+    assert(new java.io.File(s"$dir/tombstones").exists(),
+      "tombstone sidecar vanished in the in-place swap")
+    assert(Ivf.maintenanceStats(spark, idx).tombstones == 2L)
+    // clearTombstones ends the lifecycle; the ids stay gone
+    Ivf.clearTombstones(spark, idx)
+    assert(Ivf.maintenanceStats(spark, idx).tombstones == 0L)
+    assert(Ivf.liveVectors(spark, idx).count() == 398L)
+  }
+
   test("build seed persists through the sidecar so append assigns consistently") {
     import java.nio.file.{Files => JFiles}
     val dir = JFiles.createTempDirectory("graft_seed").toString

@@ -916,6 +916,43 @@ class StreamingSpec extends SparkSpec {
       "replay mutated the maintained index layout")
   }
 
+  test("maintained append self-heals a missed compact: debt accumulated " +
+      "outside the maintained path is cleared by the next applied batch") {
+    // the scaladoc's crash-window claim — a crash after the marker but
+    // before the compact just DEFERS it — reduced to its testable core:
+    // the maintenance rule reads current state, not an increment, so
+    // debt from appends that never ran maintenance (a crashed window,
+    // an old client) is seen and cleared by the next maintained batch
+    import graft.streaming.VectorsStreaming
+    import graft.operators.Ivf
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_idx_heal").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", s"$root/a")
+    // accumulate file debt past the threshold WITHOUT maintenance
+    // (plain appends stand in for the crashed-after-marker window)
+    Seq((300, 360, 0L), (360, 420, 1L), (420, 460, 2L)).foreach {
+      case (lo, hi, id) =>
+        assert(VectorsStreaming.appendVectorBatch(idx,
+          emb.where(col("vec_id") >= lo && col("vec_id") < hi),
+          "vec_id", "embedding", id, s"$root/m"))
+    }
+    val debt = Ivf.maintenanceStats(spark, idx).filesPerShardMax
+    assert(debt > 2, s"setup did not accumulate debt: $debt")
+    // the next MAINTAINED batch sees the over-threshold listing and
+    // compacts, even though its own append contributed one file
+    assert(VectorsStreaming.appendVectorBatchMaintained(idx,
+      emb.where(col("vec_id") >= 460), "vec_id", "embedding", 3L,
+      s"$root/m", maxFilesPerShard = 2))
+    val healed = Ivf.maintenanceStats(spark, idx)
+    assert(healed.filesPerShardMax <= 2,
+      s"deferred compact did not fire: $healed")
+    assert(spark.read.parquet(idx.vectorsPath).count() == 500L,
+      "self-healing compact lost rows")
+  }
+
   test("stream_vectors_eventtime: late vectors are dropped from every " +
       "emitted count, the open tail is withheld, and kept windows equal " +
       "the batch recomputation (VERDICT r11 #1)") {
