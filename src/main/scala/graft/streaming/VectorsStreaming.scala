@@ -300,8 +300,13 @@ object VectorsStreaming {
       .option("maxFilesPerTrigger", 1).parquet(in)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        appendVectorBatch(idx, batch, "vec_id", "embedding", batchId,
-          s"$root/applied")
+        // the MAINTAINED sink — the production entrypoint — so the
+        // oracled path exercises the full ingest loop; whether the
+        // threshold fires here is config-determined, and either way
+        // the answers are invariant (compaction preserves results by
+        // contract, gated in StreamingSpec/IvfSpec)
+        appendVectorBatchMaintained(idx, batch, "vec_id", "embedding",
+          batchId, s"$root/applied")
         ()
       }
       .option("checkpointLocation", ckpt)
