@@ -289,6 +289,25 @@ class SketchSpec extends SparkSpec {
     assert(again == md5Hll)
   }
 
+  test("corpusTokenSketch memo is family-keyed: an xx run never serves " +
+      "the md5-oracled cells, and the md5 entry survives the round-trip") {
+    // the catalog-output test above cannot catch memo poisoning at this
+    // SF (CMS top-20 counts coincide under both families), so gate the
+    // CELLS directly: placements always differ across hash families
+    import graft.functions.Hash60
+    assert(Hash60.catalogFamily == "md5", "test must start at the default")
+    val md5Cells = graft.queries.TextQueries.corpusTokenSketch(spark, sf0001)
+    val xxCells =
+      try {
+        Hash60.catalogFamily = "xx"
+        graft.queries.TextQueries.corpusTokenSketch(spark, sf0001)
+      } finally Hash60.catalogFamily = "md5"
+    assert(xxCells != md5Cells,
+      "xx-family call served the md5 memo entry — the key ignores family")
+    assert(graft.queries.TextQueries.corpusTokenSketch(spark, sf0001)
+      == md5Cells, "family round-trip corrupted the md5 memo entry")
+  }
+
   test("HLL: estimate is bit-identical under any input partitioning") {
     def run(parts: Int): Seq[(String, Long, Long)] =
       Hll.estimate(
