@@ -6,14 +6,9 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_HASH_FAMILY=xx benches the batch sketch entries (HLL,
     // CMS) under the production hash family; default md5 = the oracled
-    // family. Bench-only: Verify never reads this, so oracle runs are
-    // always md5 (Hash60.catalogFamily scaladoc).
+    // family. Bench-only: Verify never sets the session conf, so oracle
+    // runs are always md5 (Hash60.FamilyConfKey scaladoc).
     val hashFamily = sys.env.getOrElse("SPARK_GRAFT_HASH_FAMILY", "md5")
-    graft.functions.Hash60.catalogFamily = hashFamily
-    // fail fast on a typo'd family — otherwise every sketch query would
-    // quietly record -1 via timedPass's catch and the multi-minute run
-    // would produce a corrupt artifact
-    graft.functions.Hash60.catalog
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,6 +18,11 @@ object Bench {
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    spark.conf.set(graft.functions.Hash60.FamilyConfKey, hashFamily)
+    // fail fast on a typo'd family — otherwise every sketch query would
+    // quietly record -1 via timedPass's catch and the multi-minute run
+    // would produce a corrupt artifact
+    graft.functions.Hash60.catalog(spark)
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/committer warm-up BEFORE any timed entry: ivf_build
     // runs first and would otherwise absorb ~5 s of one-time costs that

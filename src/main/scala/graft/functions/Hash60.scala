@@ -72,29 +72,44 @@ object Hash60 {
     (key, seed) => when(key.isNull, lit(null).cast("long"))
       .otherwise(xxhash64(lit(seed), key).bitwiseAND(lit(Mask)))
 
-  /** Catalog-wide family selector for the BATCH sketch queries (HLL
-    * distinct/overlap, CMS counts/heavy hitters): "md5" (default — the
-    * family every sketch oracle recomputes) or "xx" (production).
-    * `graft.Bench` sets it from `SPARK_GRAFT_HASH_FAMILY` so a
-    * deployment measures its own catalog under xx WITHOUT touching
-    * oracle defaults — `graft.Verify` never sets it, and SketchSpec's
-    * family gates pin that the two families genuinely diverge (so a
-    * default regression cannot hide) while md5 stays the oracled
-    * default. Streaming sketch twins stay md5-pinned: their contract
-    * is bit-equality with the batch ORACLE, not a perf surface.
+  /** Per-SESSION conf key selecting the catalog family for the BATCH
+    * sketch queries (HLL distinct/overlap, CMS counts/heavy hitters):
+    * "md5" (default — the family every sketch oracle recomputes) or
+    * "xx" (production). `graft.Bench` sets it from
+    * `SPARK_GRAFT_HASH_FAMILY` so a deployment measures its own catalog
+    * under xx WITHOUT touching oracle defaults — `graft.Verify` never
+    * sets it, and SketchSpec's family gates pin that the two families
+    * genuinely diverge (so a default regression cannot hide) while md5
+    * stays the oracled default. Streaming sketch twins stay md5-pinned:
+    * their contract is bit-equality with the batch ORACLE, not a perf
+    * surface.
+    *
+    * A session conf rather than the previous process-global mutable
+    * (VERDICT r12 what's-wrong #3): two sessions in one JVM — an
+    * xx-family bench beside an md5-oracled Verify — resolve
+    * independently at expression construction and can never race each
+    * other's family (SketchSpec twin-session gate).
     */
-  @volatile var catalogFamily: String = "md5"
+  val FamilyConfKey = "spark.graft.hashFamily"
 
-  private def resolve[T](md5Form: T, xxForm: T): T = catalogFamily match {
-    case "md5" => md5Form
-    case "xx" => xxForm
-    case other => throw new IllegalArgumentException(
-      s"unknown hash family '$other' (valid: md5, xx)")
-  }
+  /** The session's catalog family, validated ("md5" | "xx"). */
+  def family(spark: org.apache.spark.sql.SparkSession): String =
+    spark.conf.get(FamilyConfKey, "md5") match {
+      case f @ ("md5" | "xx") => f
+      case other => throw new IllegalArgumentException(
+        s"unknown hash family '$other' in $FamilyConfKey (valid: md5, xx)")
+    }
 
-  /** The selected unsalted family ([[catalogFamily]]). */
-  def catalog: Column => Column = resolve(md5, xx)
+  private def resolve[T](spark: org.apache.spark.sql.SparkSession)(
+      md5Form: T, xxForm: T): T =
+    family(spark) match { case "md5" => md5Form; case _ => xxForm }
 
-  /** The selected salted family ([[catalogFamily]]). */
-  def catalogSalted: (Column, Int) => Column = resolve(md5Salted, xxSalted)
+  /** The session's unsalted family ([[FamilyConfKey]]). */
+  def catalog(spark: org.apache.spark.sql.SparkSession): Column => Column =
+    resolve(spark)(md5, xx)
+
+  /** The session's salted family ([[FamilyConfKey]]). */
+  def catalogSalted(
+      spark: org.apache.spark.sql.SparkSession): (Column, Int) => Column =
+    resolve(spark)(md5Salted, xxSalted)
 }

@@ -96,20 +96,43 @@ object CountMin {
       least((0 until depth).map(i => coalesce(col(s"c_$i"), lit(0L))): _*))
       .select(col(keyCol), col("cms_c"))
 
+  /** A collected sketch plus the parameters it was built under. The
+    * parameters travel WITH the cells because a consumer fed a
+    * mismatched artifact (different width, depth, or hash family) does
+    * not fail — it silently computes wrong cell lookups and
+    * underestimates, breaking the one-sided guarantee [[heavyHitters]]
+    * relies on for losslessness (ADVICE r12). Consumers `require` the
+    * match instead.
+    */
+  final case class SketchArtifact(depth: Int, width: Int,
+      familyTag: String, cells: Seq[(Int, Long, Long)])
+
+  /** Stable tag of a salted hash family for artifact compatibility
+    * checks. The two library families tag by identity ("md5"/"xx" are
+    * single shared function values); an ad-hoc function gets a per-JVM
+    * identity tag — safe, since an in-JVM artifact can only match an
+    * artifact built with the SAME function instance.
+    */
+  private[graft] def familyTag(hashFn: (Column, Int) => Column): String =
+    if (hashFn eq graft.functions.Hash60.md5Salted) "md5"
+    else if (hashFn eq graft.functions.Hash60.xxSalted) "xx"
+    else s"custom@${System.identityHashCode(hashFn)}"
+
   /** The bounded sketch collected to the driver (≤ depth·width rows by
     * construction) — the artifact form long-lived consumers memoize per
     * data version: build (or incrementally [[merge]]) once, then every
     * estimate/heavy-hitter call serves from the collected cells without
     * re-scanning the corpus. Feed back via
-    * [[heavyHitters]](prebuiltCells = …) or `cells.toDF("fn","cell","c")`
-    * into [[estimate]].
+    * [[heavyHitters]](prebuiltCells = …) or
+    * `artifact.cells.toDF("fn","cell","c")` into [[estimate]].
     */
   def collectSketch(rows: DataFrame, keyCol: String, depth: Int,
       width: Int,
       hashFn: (Column, Int) => Column =
-        graft.functions.Hash60.md5Salted): Seq[(Int, Long, Long)] =
-    build(rows, keyCol, depth, width, hashFn)
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+        graft.functions.Hash60.md5Salted): SketchArtifact =
+    SketchArtifact(depth, width, familyTag(hashFn),
+      build(rows, keyCol, depth, width, hashFn)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq)
 
   /** EXACT heavy hitters over `rows(keyCol)` with the sketch as a
     * lossless candidate pre-filter: keys occurring ≥ ⌈total/phiInverse⌉
@@ -138,11 +161,21 @@ object CountMin {
       depth: Int, width: Int,
       hashFn: (Column, Int) => Column =
         graft.functions.Hash60.md5Salted,
-      prebuiltCells: Option[Seq[(Int, Long, Long)]] = None): DataFrame = {
+      prebuiltCells: Option[SketchArtifact] = None): DataFrame = {
     val spark = rows.sparkSession
     import spark.implicits._
+    prebuiltCells.foreach { a =>
+      require(a.depth == depth && a.width == width &&
+        a.familyTag == familyTag(hashFn),
+        s"heavyHitters: prebuilt sketch artifact (depth=${a.depth}, " +
+          s"width=${a.width}, family=${a.familyTag}) does not match the " +
+          s"call (depth=$depth, width=$width, " +
+          s"family=${familyTag(hashFn)}) — a mismatched artifact " +
+          "silently underestimates and breaks the lossless pre-filter " +
+          "guarantee")
+    }
     val cells = prebuiltCells.getOrElse(
-      collectSketch(rows, keyCol, depth, width, hashFn))
+      collectSketch(rows, keyCol, depth, width, hashFn)).cells
     val total = cells.iterator.filter(_._1 == 0).map(_._3).sum
     val threshold = (total + phiInverse - 1L) / phiInverse
     val sketch = cells.toDF("fn", "cell", "c")

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Filesystem lease for fencing index writers: an exclusive marker file
+  * created with `overwrite = false`, which HDFS-like filesystems make an
+  * atomic create-if-absent. Holding the lease = the file exists and you
+  * created it; release = delete it.
+  *
+  * Stale-holder recovery: a holder that crashes leaves the file behind,
+  * so acquisition treats a lease file older than `staleTtlMs` as
+  * abandoned and breaks it (deletes + retries). The TTL must therefore
+  * exceed the longest legitimate hold — callers that hold across a
+  * Spark write job size it to the job, not the default.
+  *
+  * Scope of the guarantee: create-if-absent is atomic on HDFS and on
+  * object stores with conditional-put semantics; Hadoop's local
+  * filesystem approximates it with exists-then-create, which is fine
+  * for same-host processes (this engine's test/demo surface) but not a
+  * distributed lock manager. True multi-writer transactional isolation
+  * needs a table format — the same boundary
+  * [[graft.streaming.VectorsStreaming.appendVectorBatch]] documents.
+  * What the lease buys within that boundary: ingest appends and an
+  * async [[Ivf.maintain]] compact cannot interleave destructively —
+  * the failure mode becomes "wait briefly" or a NAMED
+  * [[LeaseHeldException]], never a silent drop.
+  */
+object FsLease {
+
+  /** A lease acquisition that found the lease held (and fresh) past its
+    * wait budget. Typed so callers can distinguish "another writer is
+    * active — defer" from genuine failures.
+    */
+  final class LeaseHeldException(msg: String)
+    extends IllegalStateException(msg)
+
+  /** Default stale-holder TTL: generous enough for an append write job
+    * at test/demo scale; production holders sizing multi-minute jobs
+    * pass their own.
+    */
+  val DefaultStaleTtlMs: Long = 10L * 60 * 1000
+
+  /** Default acquisition wait: long enough to wait out a competing
+    * append or a maintenance swap (both sub-minute critical sections).
+    */
+  val DefaultTimeoutMs: Long = 10L * 60 * 1000
+
+  /** Acquire the lease at `path`, waiting up to `timeoutMs` for a
+    * fresh competing holder and breaking holders staler than
+    * `staleTtlMs`. `timeoutMs = 0` = fail fast if held.
+    */
+  def acquire(fs: FileSystem, path: Path, owner: String,
+      staleTtlMs: Long = DefaultStaleTtlMs,
+      timeoutMs: Long = DefaultTimeoutMs): Unit = {
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    var acquired = false
+    while (!acquired) {
+      val created =
+        try {
+          val out = fs.create(path, false)
+          out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          out.close()
+          true
+        } catch { case _: java.io.IOException => false }
+      if (created) acquired = true
+      else {
+        val st =
+          try Option(fs.getFileStatus(path))
+          catch { case _: java.io.FileNotFoundException => None }
+        st match {
+          case Some(s)
+            if System.currentTimeMillis() - s.getModificationTime > staleTtlMs =>
+            // abandoned by a crashed holder — break it and retry
+            fs.delete(path, false)
+          case Some(_) if System.nanoTime() >= deadline =>
+            throw new LeaseHeldException(
+              s"lease $path is held by another writer (fresh within " +
+                s"$staleTtlMs ms) and did not release within $timeoutMs ms " +
+                "— a competing append/maintenance is active; defer or retry")
+          case Some(_) => Thread.sleep(25)
+          case None => () // vanished between create and stat — retry now
+        }
+      }
+    }
+  }
+
+  def release(fs: FileSystem, path: Path): Unit = fs.delete(path, false)
+
+  /** Run `body` holding the lease; always released, including on throw. */
+  def withLease[T](fs: FileSystem, path: Path, owner: String,
+      staleTtlMs: Long = DefaultStaleTtlMs,
+      timeoutMs: Long = DefaultTimeoutMs)(body: => T): T = {
+    acquire(fs, path, owner, staleTtlMs, timeoutMs)
+    try body finally release(fs, path)
+  }
+}

@@ -304,7 +304,7 @@ object EventQueries {
     graft.operators.Hll.pairwiseOverlap(
         Tables.events(spark, dir).select(col("event_type"), col("user_id")),
         "event_type", col("user_id"),
-        hashFn = graft.functions.Hash60.catalog)
+        hashFn = graft.functions.Hash60.catalog(spark))
       .select(col("key_a").as("type_a"), col("key_b").as("type_b"),
         col("distinct_a").as("users_a"), col("distinct_b").as("users_b"),
         col("union_distinct").as("union_users"), col("overlap_est"))

@@ -101,24 +101,32 @@ object TextQueries {
     */
   private val CmsDepth = 4
   private val CmsWidth = 1024
+  // keyed by (dir, family) and holding (data fingerprint, artifact):
+  // a regenerated data version REPLACES its entry instead of adding a
+  // new forever-live one (ADVICE r12 — the old fingerprint-in-key form
+  // grew without bound in a long-lived driver), so the cache is bounded
+  // at #dirs × #families entries of ≤ depth·width cells each
   private val cmsSketchCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Seq[(Int, Long, Long)]]()
+    String, (String, graft.operators.CountMin.SketchArtifact)]()
 
   private[graft] def corpusTokenSketch(spark: SparkSession,
-      dir: String): Seq[(Int, Long, Long)] =
-    cmsSketchCache.computeIfAbsent(
-      s"${Tables.dataKey(dir)}#${graft.functions.Hash60.catalogFamily}", { _ =>
-        graft.operators.CountMin.collectSketch(
+      dir: String): graft.operators.CountMin.SketchArtifact = {
+    val dataKey = Tables.dataKey(dir)
+    cmsSketchCache.compute(
+      s"$dir#${graft.functions.Hash60.family(spark)}", { (_, prev) =>
+        if (prev != null && prev._1 == dataKey) prev
+        else (dataKey, graft.operators.CountMin.collectSketch(
           Tables.documents(spark, dir)
             .select(explode(tokens(col("text"))).as("token")),
           "token", CmsDepth, CmsWidth,
-          hashFn = graft.functions.Hash60.catalogSalted)
-      })
+          hashFn = graft.functions.Hash60.catalogSalted(spark)))
+      })._2
+  }
 
   def cmsTokenCounts(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.CountMin
     import spark.implicits._
-    val sketch = corpusTokenSketch(spark, dir).toDF("fn", "cell", "c")
+    val sketch = corpusTokenSketch(spark, dir).cells.toDF("fn", "cell", "c")
     val top = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
@@ -126,7 +134,7 @@ object TextQueries {
       .orderBy(col("exact_c").desc, col("token"))
       .limit(20)
     CountMin.estimate(sketch, top, "token", CmsDepth, CmsWidth,
-        hashFn = graft.functions.Hash60.catalogSalted)
+        hashFn = graft.functions.Hash60.catalogSalted(spark))
       .withColumn("overestimate", (col("cms_c") - col("exact_c")).cast("long"))
       .select(col("token"), col("exact_c"), col("cms_c"), col("overestimate"))
       .orderBy(col("exact_c").desc, col("token"))
@@ -178,7 +186,8 @@ object TextQueries {
     graft.operators.Eager.localize(
       graft.operators.CountMin
         .heavyHitters(toks, "token", phiInverse = 200L, depth = CmsDepth,
-          width = CmsWidth, hashFn = graft.functions.Hash60.catalogSalted,
+          width = CmsWidth,
+          hashFn = graft.functions.Hash60.catalogSalted(spark),
           prebuiltCells = Some(corpusTokenSketch(spark, dir)))
         .orderBy(col("exact_c").desc, col("token")))
   }

@@ -24,6 +24,8 @@ import graft.operators.Ivf
   */
 object VectorsStreaming {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Streaming read of the embeddings parquet (stand-in for a Kafka
     * query feed).
     */
@@ -259,7 +261,15 @@ object VectorsStreaming {
       val spark = batch.sparkSession
       val stats = Ivf.maintenanceStats(spark, index)
       if (stats.filesPerShardMax > maxFilesPerShard)
-        Ivf.compactInPlace(spark, index, idCol)
+        try Ivf.compactInPlace(spark, index, idCol)
+        catch {
+          // an out-of-band Ivf.maintain is mid-flight: it will compact
+          // this debt itself — defer, don't fail the batch (the rule is
+          // self-healing: the next applied batch re-reads current state)
+          case e: graft.operators.FsLease.LeaseHeldException =>
+            log.info(s"appendVectorBatchMaintained: compact deferred — " +
+              s"maintenance already running (${e.getMessage})")
+        }
     }
     applied
   }

@@ -155,6 +155,35 @@ class CountMinSpec extends SparkSpec {
       s"prebuilt-cells path diverges from inline build: $served vs $inline")
   }
 
+  test("a mismatched prebuilt artifact is REJECTED by name, not " +
+      "silently applied (ADVICE r12: wrong width/depth/family would " +
+      "underestimate and break the lossless pre-filter)") {
+    import spark.implicits._
+    val df = (Seq.fill(300)("hot") ++ (0 until 500).map(i => s"cold_$i"))
+      .toDF("k")
+    val artifact = CountMin.collectSketch(df, "k", depth, width)
+    // wrong width: the cell derivation would mod into a different range
+    val e1 = intercept[IllegalArgumentException] {
+      CountMin.heavyHitters(df, "k", phiInverse = 10L, depth, width * 2,
+        prebuiltCells = Some(artifact))
+    }
+    assert(e1.getMessage.contains("does not match the call"), e1.getMessage)
+    // wrong depth: min over a different number of hash rows
+    intercept[IllegalArgumentException] {
+      CountMin.heavyHitters(df, "k", phiInverse = 10L, depth + 1, width,
+        prebuiltCells = Some(artifact))
+    }
+    // wrong hash family: same geometry, different placements
+    intercept[IllegalArgumentException] {
+      CountMin.heavyHitters(df, "k", phiInverse = 10L, depth, width,
+        hashFn = graft.functions.Hash60.xxSalted,
+        prebuiltCells = Some(artifact))
+    }
+    // the matching call still serves
+    assert(CountMin.heavyHitters(df, "k", phiInverse = 10L, depth, width,
+      prebuiltCells = Some(artifact)).count() > 0)
+  }
+
   test("one-sided guarantee and heavy-hitter exactness hold under the " +
       "xxhash64 production family; md5 defaults bit-unchanged (VERDICT r9 #1)") {
     val xx = graft.functions.Hash60.xxSalted

@@ -250,18 +250,18 @@ class SketchSpec extends SparkSpec {
       viaExplicitMd5.exceptAll(viaDefault).isEmpty)
   }
 
-  test("catalogFamily selector: default md5 is the oracled output, xx " +
+  test("catalog family conf: default md5 is the oracled output, xx " +
       "genuinely re-routes the catalog sketch queries, bad names are " +
       "rejected (VERDICT r11 #5)") {
     import graft.functions.Hash60
-    assert(Hash60.catalogFamily == "md5",
+    assert(Hash60.family(spark) == "md5",
       "oracle default regressed - Verify would run the wrong family")
     val md5Hll = graft.queries.RelationalQueries
       .approxDistinctParts(spark, sf0001).collect().map(_.toSeq).toSeq
     val md5Cms = graft.queries.TextQueries
       .cmsTokenCounts(spark, sf0001).collect().map(_.toSeq).toSeq
     try {
-      Hash60.catalogFamily = "xx"
+      spark.conf.set(Hash60.FamilyConfKey, "xx")
       val xxHll = graft.queries.RelationalQueries
         .approxDistinctParts(spark, sf0001).collect().map(_.toSeq).toSeq
       val xxCms = graft.queries.TextQueries
@@ -276,13 +276,13 @@ class SketchSpec extends SparkSpec {
       // catalogSalted must resolve to a different placement than md5
       val probe = spark.range(1).select(
         Hash60.md5Salted(lit("tok"), 1).as("m"),
-        Hash60.catalogSalted(lit("tok"), 1).as("c")).head()
+        Hash60.catalogSalted(spark)(lit("tok"), 1).as("c")).head()
       assert(probe.getLong(0) != probe.getLong(1),
         "catalogSalted did not re-route to xxSalted under family=xx")
-      Hash60.catalogFamily = "bogus"
-      intercept[IllegalArgumentException](Hash60.catalog)
-      intercept[IllegalArgumentException](Hash60.catalogSalted)
-    } finally Hash60.catalogFamily = "md5"
+      spark.conf.set(Hash60.FamilyConfKey, "bogus")
+      intercept[IllegalArgumentException](Hash60.catalog(spark))
+      intercept[IllegalArgumentException](Hash60.catalogSalted(spark))
+    } finally spark.conf.unset(Hash60.FamilyConfKey)
     // and after restore the oracled output is bit-unchanged
     val again = graft.queries.RelationalQueries
       .approxDistinctParts(spark, sf0001).collect().map(_.toSeq).toSeq
@@ -295,17 +295,59 @@ class SketchSpec extends SparkSpec {
     // SF (CMS top-20 counts coincide under both families), so gate the
     // CELLS directly: placements always differ across hash families
     import graft.functions.Hash60
-    assert(Hash60.catalogFamily == "md5", "test must start at the default")
+    assert(Hash60.family(spark) == "md5", "test must start at the default")
     val md5Cells = graft.queries.TextQueries.corpusTokenSketch(spark, sf0001)
     val xxCells =
       try {
-        Hash60.catalogFamily = "xx"
+        spark.conf.set(Hash60.FamilyConfKey, "xx")
         graft.queries.TextQueries.corpusTokenSketch(spark, sf0001)
-      } finally Hash60.catalogFamily = "md5"
-    assert(xxCells != md5Cells,
+      } finally spark.conf.unset(Hash60.FamilyConfKey)
+    assert(xxCells.cells != md5Cells.cells,
       "xx-family call served the md5 memo entry — the key ignores family")
+    assert(xxCells.familyTag == "xx" && md5Cells.familyTag == "md5",
+      "artifact family tags do not record the building family")
     assert(graft.queries.TextQueries.corpusTokenSketch(spark, sf0001)
       == md5Cells, "family round-trip corrupted the md5 memo entry")
+  }
+
+  test("hash family is PER-SESSION, not process-global: an xx session " +
+      "and the md5 default coexist in one JVM, both bit-correct, memos " +
+      "unpoisoned (VERDICT r12 #5)") {
+    import graft.functions.Hash60
+    val xxs = spark.newSession()
+    xxs.conf.set(Hash60.FamilyConfKey, "xx")
+    // resolution is call-time per-session — the xx session never leaks
+    // into the default (oracled) session's family, in either order
+    assert(Hash60.family(spark) == "md5" && Hash60.family(xxs) == "xx")
+    val viaDefault = spark.range(1)
+      .select(Hash60.catalogSalted(spark)(lit("tok"), 1).as("h"))
+      .head().getLong(0)
+    val viaXx = xxs.range(1)
+      .select(Hash60.catalogSalted(xxs)(lit("tok"), 1).as("h"))
+      .head().getLong(0)
+    val md5Ref = spark.range(1)
+      .select(Hash60.md5Salted(lit("tok"), 1).as("h")).head().getLong(0)
+    val xxRef = spark.range(1)
+      .select(Hash60.xxSalted(lit("tok"), 1).as("h")).head().getLong(0)
+    assert(viaDefault == md5Ref, "md5 session resolved the wrong family")
+    assert(viaXx == xxRef, "xx session resolved the wrong family")
+    assert(viaDefault != viaXx)
+    // interleaved memo use: an xx-session bench running BESIDE an
+    // md5-oracled Verify in one JVM cannot poison its memo — this is
+    // exactly the mixed-use race the process-global mutable had
+    val md5Cells = graft.queries.TextQueries.corpusTokenSketch(spark, sf0001)
+    val xxCells = graft.queries.TextQueries.corpusTokenSketch(xxs, sf0001)
+    assert(xxCells.cells != md5Cells.cells)
+    assert(graft.queries.TextQueries.corpusTokenSketch(spark, sf0001)
+      == md5Cells, "xx session poisoned the md5 memo entry")
+    // and an oracled catalog consumer in the md5 session is
+    // bit-unchanged while the xx session is live
+    val md5Counts = graft.queries.TextQueries
+      .cmsTokenCounts(spark, sf0001).collect().map(_.toSeq).toSeq
+    graft.queries.TextQueries.cmsTokenCounts(xxs, sf0001).collect()
+    assert(graft.queries.TextQueries.cmsTokenCounts(spark, sf0001)
+      .collect().map(_.toSeq).toSeq == md5Counts,
+      "an xx-session run changed the md5 session's oracled output")
   }
 
   test("HLL: estimate is bit-identical under any input partitioning") {

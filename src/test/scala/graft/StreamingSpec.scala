@@ -953,6 +953,85 @@ class StreamingSpec extends SparkSpec {
       "self-healing compact lost rows")
   }
 
+  test("maintained ingest recovers a crashed compact swap: the next " +
+      "batch restores the trashed copy and applies (VERDICT r12 #1)") {
+    import graft.streaming.VectorsStreaming
+    import graft.operators.Ivf
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_idx_crash").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", s"$root/a")
+    assert(VectorsStreaming.appendVectorBatchMaintained(idx,
+      emb.where(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding", 0L, s"$root/m", maxFilesPerShard = 1000))
+    // simulate the process dying between the swap's two renames — the
+    // crash window whose recovery used to exist only as a comment
+    intercept[RuntimeException] {
+      Ivf.compactInPlace(spark, idx, betweenRenames =
+        () => throw new RuntimeException("simulated crash"))
+    }
+    assert(!new java.io.File(idx.vectorsPath).exists(),
+      "crash simulation did not leave the window state")
+    // the NEXT maintained batch restores the trashed copy, applies its
+    // rows, and the index is complete — no path ever served the
+    // near-empty recreate the old code produced
+    assert(VectorsStreaming.appendVectorBatchMaintained(idx,
+      emb.where(col("vec_id") >= 400), "vec_id", "embedding", 1L,
+      s"$root/m", maxFilesPerShard = 1000))
+    val vecs = spark.read.parquet(idx.vectorsPath)
+    assert(vecs.count() == 500L &&
+      vecs.select("vec_id").distinct().count() == 500L,
+      "recovery lost or duplicated rows")
+    // and the recovered index answers searches over ALL its rows
+    val got = Ivf.annJoin(
+        emb.where(col("vec_id") >= 480)
+          .select(col("vec_id").as("query_id"), col("embedding").as("qe")),
+        idx, k = 1, nProbe = 10000)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(got.forall { case (q, hit) => q == hit },
+      s"self-retrieval failed after crash recovery: $got")
+  }
+
+  test("maintained ingest defers its inline compact while out-of-band " +
+      "maintenance holds the lease — the batch still applies") {
+    import graft.streaming.VectorsStreaming
+    import graft.operators.{FsLease, Ivf}
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_idx_fence").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", s"$root/a")
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = Ivf.maintainerLeasePath(idx)
+    FsLease.acquire(fs, lease, "async-maintainer", timeoutMs = 0L)
+    val debtBefore =
+      try {
+        // over-threshold batch: would compact inline, but the lease says
+        // an async maintain owns the rewrite — the batch must APPLY and
+        // the compact must defer, not fail the micro-batch
+        assert(VectorsStreaming.appendVectorBatchMaintained(idx,
+          emb.where(col("vec_id") >= 300 && col("vec_id") < 400),
+          "vec_id", "embedding", 0L, s"$root/m", maxFilesPerShard = 0))
+        assert(spark.read.parquet(idx.vectorsPath).count() == 400L,
+          "batch did not apply while maintenance held the lease")
+        val d = Ivf.maintenanceStats(spark, idx).filesPerShardMax
+        assert(d > 0, "deferred compact should leave the file debt")
+        d
+      } finally FsLease.release(fs, lease)
+    // lease released (maintenance done): the next batch compacts as usual
+    assert(VectorsStreaming.appendVectorBatchMaintained(idx,
+      emb.where(col("vec_id") >= 400), "vec_id", "embedding", 1L,
+      s"$root/m", maxFilesPerShard = 0))
+    val after = Ivf.maintenanceStats(spark, idx)
+    assert(after.filesPerShardMax <= debtBefore,
+      s"compact did not resume after the lease released: $after")
+    assert(spark.read.parquet(idx.vectorsPath).count() == 500L)
+  }
+
   test("stream_vectors_eventtime: late vectors are dropped from every " +
       "emitted count, the open tail is withheld, and kept windows equal " +
       "the batch recomputation (VERDICT r11 #1)") {
