@@ -86,6 +86,18 @@ object FsLease {
 
   def release(fs: FileSystem, path: Path): Unit = fs.delete(path, false)
 
+  /** True iff the lease file exists and its holder is presumed alive
+    * (mtime within `staleTtlMs`). Observers use this to distinguish "a
+    * maintainer is mid-operation — wait" from "a crashed holder left
+    * state behind — recover".
+    */
+  def isHeldFresh(fs: FileSystem, path: Path,
+      staleTtlMs: Long = DefaultStaleTtlMs): Boolean =
+    try {
+      System.currentTimeMillis() -
+        fs.getFileStatus(path).getModificationTime <= staleTtlMs
+    } catch { case _: java.io.FileNotFoundException => false }
+
   /** Run `body` holding the lease; always released, including on throw. */
   def withLease[T](fs: FileSystem, path: Path, owner: String,
       staleTtlMs: Long = DefaultStaleTtlMs,

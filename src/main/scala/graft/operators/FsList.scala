@@ -19,11 +19,38 @@ import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
   */
 object FsList {
 
-  /** All plain files under `root`, recursive, non-located. */
+  /** All COMMITTED plain files under `root`, recursive, non-located.
+    *
+    * Hidden entries (names starting with `_` or `.` — `_temporary`,
+    * `_SUCCESS`, committer attempt dirs) are skipped: they are an
+    * in-flight or bookkeeping artifact, not data, and including them
+    * poisons every consumer — maintenance stats would count a running
+    * append's uncommitted task files as shard debt, and a compaction
+    * snapshot containing them would read `_temporary` attempt paths as
+    * conflicting partition directories and abort. A subtree that
+    * VANISHES mid-walk (a concurrent task commit renaming its attempt
+    * dir away) is likewise skipped rather than thrown: the walk's
+    * contract is "committed files at some instant during the listing",
+    * which a vanished uncommitted subtree never contains.
+    */
   def files(fs: FileSystem, root: Path): Seq[FileStatus] = {
     val out = scala.collection.mutable.ArrayBuffer[FileStatus]()
-    def walk(p: Path): Unit = fs.listStatus(p).foreach { s =>
-      if (s.isDirectory) walk(s.getPath) else out += s
+    def hidden(p: Path): Boolean = {
+      val n = p.getName
+      n.startsWith("_") || n.startsWith(".")
+    }
+    def walk(p: Path): Unit = {
+      val entries =
+        try fs.listStatus(p)
+        catch {
+          case _: java.io.FileNotFoundException if p != root =>
+            Array.empty[FileStatus]
+        }
+      entries.foreach { s =>
+        if (!hidden(s.getPath)) {
+          if (s.isDirectory) walk(s.getPath) else out += s
+        }
+      }
     }
     walk(root)
     out.toSeq

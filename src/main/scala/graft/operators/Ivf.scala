@@ -538,7 +538,7 @@ object Ivf {
     // a prior call that crashed between its two renames left the ONLY
     // copy of the data at trash — restore it BEFORE any delete below,
     // or the cleanup would destroy it (VERDICT r12 what's-wrong #1)
-    recoverFromCrashedCompact(spark, index)
+    recoverOwningLease(spark, index)
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true) // crashed prior run
     fs.delete(trash, true)
     // fingerprint of the live layout BEFORE the rewrite reads it: the
@@ -601,7 +601,18 @@ object Ivf {
     * confidently wrong near-empty answers until the eventual compact
     * destroyed the real data). Returns true iff a restore happened.
     */
-  def recoverFromCrashedCompact(spark: SparkSession, index: Index): Boolean = {
+  def recoverFromCrashedCompact(spark: SparkSession, index: Index): Boolean =
+    recoverImpl(spark, index, ownLease = false)
+
+  /** [[recoverFromCrashedCompact]] for callers already HOLDING the
+    * maintainer lease ([[compactInPlace]], [[maintain]]): their own
+    * fresh lease must not read as "another maintainer is mid-swap".
+    */
+  private def recoverOwningLease(spark: SparkSession, index: Index): Boolean =
+    recoverImpl(spark, index, ownLease = true)
+
+  private def recoverImpl(spark: SparkSession, index: Index,
+      ownLease: Boolean): Boolean = {
     val base = index.vectorsPath.stripSuffix("/vectors")
     require(base != index.vectorsPath,
       s"recoverFromCrashedCompact: vectorsPath must end in /vectors " +
@@ -611,14 +622,40 @@ object Ivf {
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(live) || !fs.exists(trash)) false
     else {
-      require(fs.rename(trash, live),
-        s"recoverFromCrashedCompact: could not restore $trash to $live — " +
-          "the index data is intact at the trash path; retry or restore " +
-          "manually before any append/compact runs")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$base/__compact_scratch"), true)
-      log.warn(s"recoverFromCrashedCompact: restored $live from $trash " +
-        "(a prior compactInPlace crashed between its swap renames)")
-      true
+      // a LIVE maintainer mid-swap produces exactly this state for an
+      // instant — its fresh lease says "wait", not "crashed": yanking
+      // the trash back here would break the in-flight swap. Wait out
+      // the (sub-second) swap; restore only once the lease is absent or
+      // stale. A maintainer that dies mid-swap therefore delays
+      // recovery by at most the lease TTL — loud (callers fail by
+      // name meanwhile), never wrong. Lease owners skip the wait: the
+      // fresh lease is their own.
+      val mLease = maintainerLeasePath(index)
+      var waitedMs = 0L
+      while (!ownLease && waitedMs < 60000L && !fs.exists(live) &&
+          FsLease.isHeldFresh(fs, mLease)) {
+        Thread.sleep(50); waitedMs += 50
+      }
+      if (fs.exists(live)) false // the swap completed
+      else if (!ownLease && FsLease.isHeldFresh(fs, mLease))
+        throw new IllegalStateException(
+          s"recoverFromCrashedCompact: the vectors dir $live has been " +
+            s"missing for ${waitedMs} ms while a fresh maintainer lease " +
+            s"($mLease) is held — a swap is stuck or its holder died " +
+            "within the lease TTL. Refusing to restore under a live " +
+            "lease; retry after it releases or goes stale.")
+      else {
+        require(fs.rename(trash, live),
+          s"recoverFromCrashedCompact: could not restore $trash to $live — " +
+            "the index data is intact at the trash path; retry or restore " +
+            "manually before any append/compact runs")
+        fs.delete(new org.apache.hadoop.fs.Path(s"$base/__compact_scratch"),
+          true)
+        log.warn(s"recoverFromCrashedCompact: restored $live from $trash " +
+          "(a prior compactInPlace/maintain crashed between its swap " +
+          "renames)")
+        true
+      }
     }
   }
 
@@ -696,7 +733,8 @@ object Ivf {
     FsLease.withLease(fs, maintainerLeasePath(index),
       s"maintain@${java.util.UUID.randomUUID()}", leaseStaleTtlMs,
       timeoutMs = 0L) {
-      val stats = maintenanceStats(spark, index) // also crash-recovers
+      recoverOwningLease(spark, index) // a crashed predecessor's state
+      val stats = maintenanceStats(spark, index)
       if (stats.filesPerShardMax <= maxFilesPerShard) MaintainSkipped
       else {
         val scratch = s"$base/__compact_scratch"

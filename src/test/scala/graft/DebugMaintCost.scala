@@ -34,6 +34,29 @@ object DebugMaintCost {
       val locatedMs = (System.nanoTime() - t0) / 1e6
       println(f"files=${s.dataFiles} stats=${statsMs}%.1f ms located=${locatedMs}%.1f ms")
     }
+
+    // the poll-safety claim, witnessed at the job level: with live
+    // tombstones, the steady-state probe must launch ZERO Spark jobs
+    // (count memoized per sidecar fingerprint) — only the first probe
+    // after a sidecar change pays the count job
+    Ivf.delete(spark, idx, (0L until 1000L).toSeq)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); ()
+        }
+      })
+    (0 until 6).foreach { i =>
+      val before = jobs.get()
+      val t0 = System.nanoTime()
+      val s = Ivf.maintenanceStats(spark, idx)
+      val ms = (System.nanoTime() - t0) / 1e6
+      Thread.sleep(300) // listener bus drain
+      println(f"probe=$i tombstones=${s.tombstones} ${ms}%.1f ms " +
+        s"sparkJobs=${jobs.get() - before}")
+    }
     spark.stop()
   }
 }

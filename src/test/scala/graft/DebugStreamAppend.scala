@@ -23,8 +23,17 @@ import graft.operators.Ivf
   * inline), and warm search stays near post-compact latency instead of
   * degrading with append count.
   *
+  * A third mode (`async`) measures OUT-OF-BAND maintenance
+  * (`Ivf.maintain`): the sink runs plain appends while a separate
+  * maintainer thread polls file debt and compacts concurrently,
+  * merging whatever the stream appended during the rewrite at swap
+  * time. The claim under measurement is the async-maintenance design
+  * point: per-batch latency stays flat through a running compact
+  * (appends pay only the swap fence, not the rewrite), vs the inline
+  * mode where the compacting batch pays the whole rewrite.
+  *
   * Usage: runMain graft.DebugStreamAppend [n0] [nb] [batches] [dim]
-  *   [cpus] [mode: plain|maintained] [maxFilesPerShard]
+  *   [cpus] [mode: plain|maintained|async] [maxFilesPerShard]
   */
 object DebugStreamAppend {
   def main(args: Array[String]): Unit = {
@@ -33,7 +42,9 @@ object DebugStreamAppend {
     val batches = if (args.length > 2) args(2).toInt else 10
     val dim = if (args.length > 3) args(3).toInt else 32
     val cpus = if (args.length > 4) args(4).toInt else 16
-    val maintained = args.length > 5 && args(5) == "maintained"
+    val mode = if (args.length > 5) args(5) else "plain"
+    val maintained = mode == "maintained"
+    val async = mode == "async"
     val maxFilesPerShard = if (args.length > 6) args(6).toInt else 4
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -54,14 +65,20 @@ object DebugStreamAppend {
     println(f"BUILD n0=$n0 dim=$dim k=${idx.centroids.length} " +
       f"shards=${idx.numShards} ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
-    def fileCount(): Int = {
-      val fs = new org.apache.hadoop.fs.Path(idx.vectorsPath).getFileSystem(
-        spark.sparkContext.hadoopConfiguration)
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(idx.vectorsPath), true)
-      var n = 0
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-      n
-    }
+    def fileCount(): Int =
+      try {
+        val fs = new org.apache.hadoop.fs.Path(idx.vectorsPath).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val it = fs.listFiles(new org.apache.hadoop.fs.Path(idx.vectorsPath), true)
+        var n = 0
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      } catch {
+        // async mode: the listing can catch the swap's rename instant
+        // (FNF, or the local FS's permission `ls` shelling out against
+        // a vanished file) — diagnostic only, report and move on
+        case scala.util.control.NonFatal(_) => -1
+      }
     println(s"FILES after build: ${fileCount()}")
 
     // one delivery file per micro-batch (maxFilesPerTrigger=1)
@@ -70,6 +87,30 @@ object DebugStreamAppend {
           col("vec_id") < n0 + (b + 1) * nb)
         .repartition(1).write.mode("append").parquet(in)
     }
+
+    // async mode: a maintainer thread polls file debt and compacts
+    // OUT-OF-BAND while the stream keeps appending — the production
+    // shape once the index is old enough that an inline rewrite would
+    // stall the ingest loop
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val maintainer = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val stats = Ivf.maintenanceStats(spark, idx)
+          if (stats.filesPerShardMax > maxFilesPerShard) {
+            val m0 = System.nanoTime()
+            val out = Ivf.maintain(spark, idx,
+              maxFilesPerShard = maxFilesPerShard)
+            println(f"MAINTAIN $out ${(System.nanoTime() - m0) / 1e9}%.2f s")
+          }
+        } catch {
+          case e: Throwable => println(s"MAINTAIN error: ${e.getMessage}")
+        }
+        Thread.sleep(200)
+      }
+    }, "graft-maintainer")
+    maintainer.setDaemon(true) // never outlive a failed main
+    if (async) maintainer.start()
 
     val timings =
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Int)]()
@@ -90,10 +131,26 @@ object DebugStreamAppend {
       }
       .option("checkpointLocation", s"$root/ckpt")
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try {
+      try q.processAllAvailable() finally q.stop()
+      if (async) {
+        // let the maintainer clear any remaining debt, then stop it
+        var waited = 0
+        while (waited < 300 && Ivf.maintenanceStats(spark, idx)
+            .filesPerShardMax > maxFilesPerShard) {
+          Thread.sleep(1000); waited += 1
+        }
+      }
+    } finally {
+      stop.set(true)
+      if (async) maintainer.join()
+    }
 
     import scala.jdk.CollectionConverters._
-    val tag = if (maintained) s"MAINT(max=$maxFilesPerShard)" else "APPEND"
+    val tag =
+      if (maintained) s"MAINT(max=$maxFilesPerShard)"
+      else if (async) s"ASYNC(max=$maxFilesPerShard)"
+      else "APPEND"
     timings.asScala.toSeq.sortBy(_._1).foreach { case (b, s, files) =>
       println(f"$tag batch=$b rows=$nb ${s}%.2f s files=$files")
     }

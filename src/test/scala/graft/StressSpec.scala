@@ -67,6 +67,62 @@ class StressSpec extends SparkSpec {
     } finally pool.shutdown()
   }
 
+  test("readers racing maintained compaction: every warm search is " +
+      "either complete-correct or a retried transient (the scaladoc's " +
+      "last unverified lifecycle claim, now a gate)") {
+    // the swap between compactInPlace's two renames can fail ONE scan —
+    // the documented retry-safe boundary. This drives a reader thread
+    // through many swaps and asserts the only observable outcomes are
+    // (a) the exact probe-all answer or (b) a transient error whose
+    // retry yields the exact answer. Wrong-but-successful results (the
+    // silent near-empty index shape) fail the gate.
+    val dir2 = Files.createTempDirectory("graft_readrace").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 400),
+      "vec_id", "embedding", dir2)
+    val q = emb.where(col("vec_id") === 3)
+      .head().getSeq[Float](1).toArray
+    def run(): Seq[(Long, Double)] =
+      Ivf.search(spark, idx, q, 10, 10000).collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val expected = run()
+    assert(expected.nonEmpty && expected.head._1 == 3L)
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val transients = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      while (!stop.get()) {
+        var attempt = 0
+        var done = false
+        while (!done && attempt < 10) {
+          try {
+            val got = run()
+            if (got != expected)
+              failures.add(s"wrong successful result (attempt $attempt): " +
+                s"${got.take(3)}…")
+            done = true
+            reads.incrementAndGet()
+          } catch {
+            case _: Throwable => // transient mid-swap scan failure
+              transients.incrementAndGet(); attempt += 1; Thread.sleep(50)
+          }
+        }
+        if (!done) failures.add("a transient never recovered in 10 retries")
+      }
+    }, "graft-race-reader")
+    reader.start()
+    try {
+      (0 until 6).foreach { _ => Ivf.compactInPlace(spark, idx) }
+    } finally {
+      stop.set(true)
+      reader.join()
+    }
+    assert(failures.isEmpty, s"reader observed: ${failures.peek()}")
+    assert(reads.get() > 0, "reader made no successful reads — vacuous")
+  }
+
   test("approximate probe routing does O(√k + 16n) centroid work per query") {
     // the opt-in huge-k routing contract (k > ApproxRoutingThreshold at
     // reference parity N ≳ 4M): per-query distance computations are
