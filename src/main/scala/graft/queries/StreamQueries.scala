@@ -227,6 +227,14 @@ object StreamQueries {
     "stream_index_append" -> QueryDef(
       graft.streaming.VectorsStreaming.indexAppendQuery,
       Some(IndexQueries.annJoinTopKSql), bench = false),
+    // stream-ingest → forced OUT-OF-BAND Ivf.maintain with the last
+    // 100 rows entering through the delta-merge (appended after the
+    // rewrite snapshot) → the same exact probe-all search, so the
+    // brute-force oracle hash-checks the async compact AND the merge:
+    // the 480–500 query vectors are themselves delta rows
+    "stream_index_maintain" -> QueryDef(
+      graft.streaming.VectorsStreaming.indexMaintainQuery,
+      Some(IndexQueries.annJoinTopKSql), bench = false),
     // watermarked Append drift centroids over a deterministic
     // two-trigger delivery: late-drop, withheld-tail, and the
     // per-(window, pos) means all recomputed by DuckDB from the

@@ -332,6 +332,68 @@ object VectorsStreaming {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Catalog query `stream_index_maintain`: stream-ingest →
+    * OUT-OF-BAND maintenance ([[Ivf.maintain]]) → search, with the
+    * final 100 vectors entering through maintain's DELTA-MERGE path:
+    * they are appended after the rewrite snapshot (the `beforeFence`
+    * seam — deterministic, not a race), so the compacted layout gets
+    * them as whole files moved at swap time. The result is the same
+    * probe-all top-3 workload as `stream_index_append`, sharing
+    * `ann_join_topk`'s brute-force DuckDB oracle verbatim — which
+    * makes the oracle sharp against the merge itself: a dropped,
+    * duplicated, or mis-sharded delta file breaks self-retrieval or
+    * the neighbor sets (queries 480–500 ARE delta rows) and
+    * hash-mismatches.
+    */
+  def indexMaintainQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_stream_idx_m/${graft.Tables.cacheDirName(dir)}"
+    val in = s"$root/in"; val ckpt = s"${root}_ckpt"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", s"$root/index")
+    emb.where(col("vec_id") >= 300 && col("vec_id") < 350)
+      .repartition(1).write.mode("append").parquet(in)
+    emb.where(col("vec_id") >= 350 && col("vec_id") < 400)
+      .repartition(1).write.mode("append").parquet(in)
+    val q = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendVectorBatch(idx, batch, "vec_id", "embedding",
+          batchId, s"$root/applied")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // forced maintain (threshold 0) with the last batch landing after
+    // the snapshot: the oracled answer flows through the async-compact
+    // swap AND the delta merge
+    val outcome = Ivf.maintain(spark, idx, maxFilesPerShard = 0,
+      beforeFence = () =>
+        Ivf.append(idx, emb.where(col("vec_id") >= 400 && col("vec_id") < 500),
+          "vec_id", "embedding"))
+    outcome match {
+      case Ivf.MaintainCompacted(d) if d > 0 => ()
+      case other => throw new IllegalStateException(
+        s"stream_index_maintain: expected a compact with merged delta " +
+          s"files, got $other — the query would not be exercising the " +
+          "maintenance path it exists to oracle")
+    }
+
+    val queries = emb.where(col("vec_id") >= 480 && col("vec_id") < 500)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+    Ivf.annJoin(queries, idx, k = 3, nProbe = 10000)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Catalog query `stream_ann_search`: the same 20-query workload as
     * `ann_join_topk`, fed through the stream path with probe-all
     * (exact ⇒ shares the batch oracle). Output goes to a per-(process,
