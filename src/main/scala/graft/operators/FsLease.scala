@@ -84,7 +84,29 @@ object FsLease {
     }
   }
 
-  def release(fs: FileSystem, path: Path): Unit = fs.delete(path, false)
+  /** Release the lease IF still owned. The owner check matters for the
+    * stale-break path: a holder that STALLS (GC pause, not death) past
+    * the TTL can have its lease broken and re-acquired by another
+    * writer — an unconditional delete in the stalled holder's `finally`
+    * would then destroy the NEW holder's lease and let a third writer
+    * in. Reading the owner tag first turns that into a no-op (the
+    * check-then-delete is not atomic, but it shrinks the vulnerable
+    * window from "every stale-broken release" to the instant between
+    * read and delete — and a stalled holder's work is already
+    * fingerprint-guarded downstream). Returns true iff this call
+    * deleted the lease.
+    */
+  def release(fs: FileSystem, path: Path, owner: String): Boolean = {
+    val current =
+      try {
+        val in = fs.open(path)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      } catch { case _: java.io.IOException => return false } // already gone
+    if (current == owner) { fs.delete(path, false); true }
+    else false // broken while we stalled; the new holder owns it now
+  }
 
   /** True iff the lease file exists and its holder is presumed alive
     * (mtime within `staleTtlMs`). Observers use this to distinguish "a
@@ -98,11 +120,13 @@ object FsLease {
         fs.getFileStatus(path).getModificationTime <= staleTtlMs
     } catch { case _: java.io.FileNotFoundException => false }
 
-  /** Run `body` holding the lease; always released, including on throw. */
+  /** Run `body` holding the lease; always released (owner-verified),
+    * including on throw.
+    */
   def withLease[T](fs: FileSystem, path: Path, owner: String,
       staleTtlMs: Long = DefaultStaleTtlMs,
       timeoutMs: Long = DefaultTimeoutMs)(body: => T): T = {
     acquire(fs, path, owner, staleTtlMs, timeoutMs)
-    try body finally release(fs, path)
+    try body finally release(fs, path, owner)
   }
 }

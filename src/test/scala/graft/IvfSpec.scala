@@ -878,7 +878,7 @@ class IvfSpec extends SparkSpec {
       intercept[FsLease.LeaseHeldException] {
         Ivf.maintain(spark, idx, maxFilesPerShard = 0)
       }
-    } finally FsLease.release(fs, mLease)
+    } finally FsLease.release(fs, mLease, "test-maintainer")
     val wLease = Ivf.writerLeasePath(idx)
     FsLease.acquire(fs, wLease, "test-writer", timeoutMs = 0L)
     try {
@@ -888,7 +888,7 @@ class IvfSpec extends SparkSpec {
       }
       assert(spark.read.parquet(idx.vectorsPath).count() == 200L,
         "append wrote despite a held writer lease")
-    } finally FsLease.release(fs, wLease)
+    } finally FsLease.release(fs, wLease, "test-writer")
     Ivf.append(idx, emb.where(col("vec_id") >= 200 && col("vec_id") < 250),
       "vec_id", "embedding")
     assert(spark.read.parquet(idx.vectorsPath).count() == 250L)
@@ -899,7 +899,16 @@ class IvfSpec extends SparkSpec {
     assert(lf.setLastModified(System.currentTimeMillis() - 60000L))
     FsLease.acquire(fs, wLease, "new-holder", staleTtlMs = 1000L,
       timeoutMs = 0L) // succeeds by breaking the stale lease
-    FsLease.release(fs, wLease)
+    // release is owner-verified: the STALLED (not dead) original
+    // holder's finally-release must not destroy the new holder's lease
+    // and let a third writer in
+    assert(!FsLease.release(fs, wLease, "crashed-holder"),
+      "a stale-broken holder released the new holder's lease")
+    intercept[FsLease.LeaseHeldException] {
+      FsLease.acquire(fs, wLease, "third-writer", timeoutMs = 0L)
+    }
+    assert(FsLease.release(fs, wLease, "new-holder"),
+      "the rightful owner could not release")
   }
 
   test("maintenanceStats steady-state probe launches ZERO Spark jobs " +

@@ -1021,7 +1021,7 @@ class StreamingSpec extends SparkSpec {
         val d = Ivf.maintenanceStats(spark, idx).filesPerShardMax
         assert(d > 0, "deferred compact should leave the file debt")
         d
-      } finally FsLease.release(fs, lease)
+      } finally FsLease.release(fs, lease, "async-maintainer")
     // lease released (maintenance done): the next batch compacts as usual
     assert(VectorsStreaming.appendVectorBatchMaintained(idx,
       emb.where(col("vec_id") >= 400), "vec_id", "embedding", 1L,
