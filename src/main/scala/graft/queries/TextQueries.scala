@@ -109,6 +109,15 @@ object TextQueries {
   private val cmsSketchCache = new java.util.concurrent.ConcurrentHashMap[
     String, (String, graft.operators.CountMin.SketchArtifact)]()
 
+  /** Test window into the memo: (dir#family key → data fingerprint) —
+    * SketchSpec gates that a regenerated data version REPLACES its
+    * entry instead of accumulating one per fingerprint forever.
+    */
+  private[graft] def cmsCacheSnapshot: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    cmsSketchCache.asScala.map { case (k, v) => k -> v._1 }.toMap
+  }
+
   private[graft] def corpusTokenSketch(spark: SparkSession,
       dir: String): graft.operators.CountMin.SketchArtifact = {
     val dataKey = Tables.dataKey(dir)

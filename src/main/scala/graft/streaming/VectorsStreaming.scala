@@ -216,17 +216,85 @@ object VectorsStreaming {
     * duplicate one batch on recovery — true exactly-once ingest needs a
     * transactional table format, out of scope for a parquet layout.
     * StreamingSpec gates the replay-no-op and batch-split invariance.
+    *
+    * Marker GC: one marker per micro-batch forever is a namespace leak
+    * at production cadence (a year of 10 s triggers ≈ 3M filesystem
+    * entries). Once the marker count passes `markerRetention`, applied
+    * ids are rolled up into a WATERMARK file (`applied_upto_N` — its
+    * name IS the state) and the covered markers are deleted: a
+    * replayed id ≤ N stays a no-op without its marker existing. The
+    * watermark only advances over a CONTIGUOUS applied prefix — which
+    * foreachBatch ids are (0,1,2,… per checkpoint) — so arbitrary
+    * out-of-order callers never have an unapplied id silently covered;
+    * their markers simply stop being GC'd past the first gap. Crash
+    * ordering is write-new-watermark, delete-markers, delete-old-
+    * watermarks: a crash anywhere leaves extra files, never missing
+    * state. Steady-state marker-dir size is O(markerRetention).
     */
   def appendVectorBatch(index: Ivf.Index, batch: DataFrame, idCol: String,
-      embCol: String, batchId: Long, markerDir: String): Boolean = {
+      embCol: String, batchId: Long, markerDir: String,
+      markerRetention: Int = 64): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(markerDir).getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$markerDir/batch_$batchId")
-    if (fs.exists(marker)) false
+    if (batchId <= markerWatermark(fs, markerDir) || fs.exists(marker)) false
     else {
       Ivf.append(index, batch, idCol, embCol)
       fs.mkdirs(marker)
+      compactMarkers(fs, markerDir, markerRetention)
       true
+    }
+  }
+
+  private val UptoPrefix = "applied_upto_"
+
+  /** Highest id N such that a rolled-up `applied_upto_N` file records
+    * "every id ≤ N applied"; -1 with no roll-up yet.
+    */
+  private[streaming] def markerWatermark(
+      fs: org.apache.hadoop.fs.FileSystem, markerDir: String): Long =
+    listMarkerDir(fs, markerDir)._2
+
+  /** (applied marker ids, watermark) from one listing. */
+  private def listMarkerDir(fs: org.apache.hadoop.fs.FileSystem,
+      markerDir: String): (Seq[Long], Long) = {
+    val entries =
+      try fs.listStatus(new org.apache.hadoop.fs.Path(markerDir))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus]
+      }
+    val names = entries.map(_.getPath.getName)
+    val ids = names.collect {
+      case n if n.startsWith("batch_") => n.stripPrefix("batch_").toLong
+    }.toSeq
+    val w = names.collect {
+      case n if n.startsWith(UptoPrefix) => n.stripPrefix(UptoPrefix).toLong
+    }.foldLeft(-1L)(math.max)
+    (ids, w)
+  }
+
+  /** Roll the contiguous applied prefix into the watermark and delete
+    * the covered markers, once the marker count passes `retention`.
+    */
+  private def compactMarkers(fs: org.apache.hadoop.fs.FileSystem,
+      markerDir: String, retention: Int): Unit = {
+    val (ids, w0) = listMarkerDir(fs, markerDir)
+    if (ids.length <= retention) return
+    val idSet = ids.toSet
+    var w = w0
+    while (idSet.contains(w + 1)) w += 1
+    if (w > w0) {
+      // new watermark FIRST: every subsequent delete is covered by it
+      fs.create(new org.apache.hadoop.fs.Path(
+        s"$markerDir/$UptoPrefix$w"), true).close()
+      ids.filter(_ <= w).foreach { id =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$markerDir/batch_$id"),
+          true)
+      }
+      if (w0 >= 0)
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$markerDir/$UptoPrefix$w0"), false)
     }
   }
 

@@ -310,6 +310,34 @@ class SketchSpec extends SparkSpec {
       == md5Cells, "family round-trip corrupted the md5 memo entry")
   }
 
+  test("cms sketch memo evicts stale data versions: a regenerated dir " +
+      "REPLACES its entry instead of accumulating one per fingerprint " +
+      "(ADVICE r12)") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_cms_evict").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      java.nio.file.Paths.get(s"$tmp/documents.parquet"))
+    val a = graft.queries.TextQueries.corpusTokenSketch(spark, tmp)
+    def entriesFor(d: String): Map[String, String] =
+      graft.queries.TextQueries.cmsCacheSnapshot
+        .filter(_._1.startsWith(s"$d#"))
+    val snap0 = entriesFor(tmp)
+    assert(snap0.size == 1, s"expected one memo entry: $snap0")
+    // regenerate the data version: same bytes, new mtime → new dataKey
+    assert(new java.io.File(s"$tmp/documents.parquet")
+      .setLastModified(System.currentTimeMillis() + 5000))
+    val b = graft.queries.TextQueries.corpusTokenSketch(spark, tmp)
+    val snap1 = entriesFor(tmp)
+    assert(snap1.size == 1,
+      s"regeneration ACCUMULATED a memo entry instead of replacing: " +
+        s"$snap1 — the long-lived-driver leak ADVICE r12 named")
+    assert(snap1.values.head != snap0.values.head,
+      "the entry was not refreshed for the new data version")
+    // same bytes → same cells: the refresh re-built, not served stale
+    assert(b.cells == a.cells && b.familyTag == a.familyTag)
+  }
+
   test("hash family is PER-SESSION, not process-global: an xx session " +
       "and the md5 default coexist in one JVM, both bit-correct, memos " +
       "unpoisoned (VERDICT r12 #5)") {

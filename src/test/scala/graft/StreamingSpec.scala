@@ -953,6 +953,51 @@ class StreamingSpec extends SparkSpec {
       "self-healing compact lost rows")
   }
 
+  test("marker GC bounds the idempotence ledger: rolled-up ids stay " +
+      "no-op replays, the marker dir stays O(retention)") {
+    import graft.streaming.VectorsStreaming
+    import graft.operators.Ivf
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_idx_markers").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", s"$root/a")
+    val m = s"$root/m"
+    (0 until 10).foreach { i =>
+      assert(VectorsStreaming.appendVectorBatch(idx,
+        emb.where(col("vec_id") >= 300 + i * 20 &&
+          col("vec_id") < 300 + (i + 1) * 20),
+        "vec_id", "embedding", i.toLong, m, markerRetention = 4))
+    }
+    // ledger bounded: ten applied batches, at most ~retention markers
+    // plus one watermark file survive
+    val entries = new java.io.File(m).list().toSeq
+    assert(entries.count(_.startsWith("batch_")) <= 5,
+      s"marker GC did not bound the ledger: $entries")
+    val uptos = entries.filter(_.startsWith("applied_upto_"))
+    assert(uptos.length == 1, s"expected one watermark file: $entries")
+    // a replayed id whose marker was GC'd is STILL a no-op (covered by
+    // the watermark) — the idempotence contract survives the roll-up
+    assert(!VectorsStreaming.appendVectorBatch(idx,
+      emb.where(col("vec_id") >= 300 && col("vec_id") < 320),
+      "vec_id", "embedding", 0L, m, markerRetention = 4),
+      "a rolled-up batch id was re-applied")
+    // a recent id (marker may still exist) is a no-op too
+    assert(!VectorsStreaming.appendVectorBatch(idx,
+      emb.where(col("vec_id") >= 480),
+      "vec_id", "embedding", 9L, m, markerRetention = 4))
+    // and a genuinely new id applies
+    assert(VectorsStreaming.appendVectorBatch(idx,
+      emb.where(col("vec_id") >= 320 && col("vec_id") < 340)
+        .withColumn("vec_id", col("vec_id") + 10000L),
+      "vec_id", "embedding", 10L, m, markerRetention = 4))
+    val vecs = spark.read.parquet(idx.vectorsPath)
+    assert(vecs.count() == 520L &&
+      vecs.select("vec_id").distinct().count() == 520L,
+      "marker GC lost or duplicated rows")
+  }
+
   test("maintained ingest recovers a crashed compact swap: the next " +
       "batch restores the trashed copy and applies (VERDICT r12 #1)") {
     import graft.streaming.VectorsStreaming
