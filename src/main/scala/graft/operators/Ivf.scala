@@ -704,11 +704,13 @@ object Ivf {
     *  3. takes the WRITER lease (waiting out at most one in-flight
     *     append — appends hold it for their write), then MERGES the
     *     delta (files committed after the snapshot) into the scratch
-    *     layout by metadata rename: delta files are whole committed
-    *     parquet files in `shard_id=N/` partition dirs, so moving them
-    *     into the scratch's matching dirs is exact, and the snapshot ⊆
-    *     current check turns any lease-less rewrite into a named abort
-    *     rather than row duplication;
+    *     layout by file COPY: delta files are whole committed parquet
+    *     files in `shard_id=N/` partition dirs, so placing them into
+    *     the scratch's matching dirs is exact (copy rather than rename
+    *     so the originals ride into trash and stay recoverable — see
+    *     the inline comment), and the snapshot ⊆ current check turns
+    *     any lease-less rewrite into a named abort rather than row
+    *     duplication;
     *  4. swaps scratch over live (same two-rename window as the inline
     *     form — [[recoverFromCrashedCompact]] owns the crash recovery)
     *     and releases both leases.
