@@ -64,7 +64,7 @@ case class ArgMinCentroid(child: Expression,
         s"argmin_centroid: null element at index $i of the embedding")
       i += 1
     }
-    holder.assign(a.toFloatArray)._1
+    holder.assign(a.toFloatArray())._1
   }
 
   override protected def nullSafeEval(input: Any): Any =

@@ -209,7 +209,7 @@ object CountMin {
     val keyCols = keys.columns.map(col)
     exploded
       .join(broadcast(sketch), Seq("fn", "cell"), "left")
-      .groupBy(keyCols: _*)
+      .groupBy(keyCols.toIndexedSeq: _*)
       .agg(min(coalesce(col("c"), lit(0L))).as("cms_c"))
   }
 }

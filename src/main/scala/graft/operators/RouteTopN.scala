@@ -59,7 +59,7 @@ case class RouteTopN(child: Expression,
         s"route_topn: null element at index $i of the query embedding")
       i += 1
     }
-    UnsafeArrayData.fromPrimitiveArray(router.topN(a.toFloatArray, nProbe))
+    UnsafeArrayData.fromPrimitiveArray(router.topN(a.toFloatArray(), nProbe))
   }
 
   override protected def nullSafeEval(input: Any): Any =

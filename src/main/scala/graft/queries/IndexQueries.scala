@@ -253,7 +253,7 @@ object IndexQueries {
        |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
        |    (a, b) -> a + b) AS distance
        |FROM embeddings e CROSS JOIN q
-       |WHERE e.vec_id IN (${OracleGen.lits(ids.map(_.toString))})
+       |WHERE e.vec_id IN (${OracleGen.lits(ids.toIndexedSeq.map(_.toString))})
        |ORDER BY distance, e.vec_id LIMIT 10""".stripMargin
   }
 
@@ -816,7 +816,7 @@ object IndexQueries {
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b)) AS na,
        |    sqrt(list_reduce(list_transform(q.qe, x -> x * x), (a, b) -> a + b)) AS nb
        |  FROM embeddings e CROSS JOIN q
-       |  WHERE e.vec_id IN (${OracleGen.lits(ids.map(_.toString))}))
+       |  WHERE e.vec_id IN (${OracleGen.lits(ids.toIndexedSeq.map(_.toString))}))
        |SELECT vec_id,
        |  CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dp / (na * nb) END AS cos_sim
        |FROM p ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin

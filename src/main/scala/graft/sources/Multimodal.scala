@@ -69,7 +69,7 @@ object Multimodal {
   private def fakeFeatures(content: Array[Byte]): Array[Float] = {
     val s = new String(content, "UTF-8")
     Array.tabulate(FeatureDim)(j =>
-      ((md5Long60(j + ":" + s) % 1000000L) / 1000000.0).toFloat)
+      ((md5Long60(s"$j:$s") % 1000000L) / 1000000.0).toFloat)
   }
 
   final case class Asset(asset_id: Long, modality: String, content: Array[Byte])
