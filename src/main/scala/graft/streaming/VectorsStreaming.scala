@@ -400,6 +400,75 @@ object VectorsStreaming {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Handle to a running out-of-band maintenance loop
+    * ([[startMaintenanceLoop]]): observe progress, then [[stop]] it
+    * (idempotent; waits for an in-flight compact to finish — the swap
+    * is never abandoned halfway by a stop).
+    */
+  final class MaintenanceLoop private[streaming] (
+      thread: Thread,
+      stopFlag: java.util.concurrent.atomic.AtomicBoolean,
+      compactsDone: java.util.concurrent.atomic.AtomicInteger,
+      errorQueue: java.util.concurrent.ConcurrentLinkedQueue[Throwable]) {
+    def stop(): Unit = { stopFlag.set(true); thread.join() }
+    /** Compactions completed since start. */
+    def compacts: Int = compactsDone.get()
+    /** Most recent unexpected errors (bounded at 8; lease-held skips
+      * are normal coordination, not errors, and are not recorded).
+      */
+    def recentErrors: Seq[Throwable] = {
+      import scala.jdk.CollectionConverters._
+      errorQueue.asScala.toSeq
+    }
+  }
+
+  /** The production form of the maintenance poller the measurement
+    * harness hand-rolls: a daemon thread that polls
+    * [[Ivf.maintenanceStats]] (metadata-only, zero Spark jobs at
+    * steady state) every `pollIntervalMs` and runs the lease-fenced
+    * [[Ivf.maintain]] when any shard's file debt passes
+    * `maxFilesPerShard` — so an ingest query started with
+    * [[appendVectorBatch]] never pays an O(index) rewrite inside a
+    * micro-batch (SCALE.md r13 measured the difference at 2M×128:
+    * inline compact stalls a batch 29–70 s; with the loop out-of-band
+    * all batches stay flat). Error policy is self-healing: a
+    * [[graft.operators.FsLease.LeaseHeldException]] means another
+    * maintainer owns this cycle (normal — skip); anything else is
+    * recorded on the handle and polling continues, because the
+    * maintenance rule reads current state, not an increment.
+    */
+  def startMaintenanceLoop(spark: org.apache.spark.sql.SparkSession,
+      index: Ivf.Index, idCol: String = "vec_id",
+      maxFilesPerShard: Int = 8,
+      pollIntervalMs: Long = 1000L): MaintenanceLoop = {
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val compacts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t = new Thread(() => {
+      while (!stop.get()) {
+        try {
+          val stats = Ivf.maintenanceStats(spark, index)
+          if (stats.filesPerShardMax > maxFilesPerShard) {
+            Ivf.maintain(spark, index, idCol,
+              maxFilesPerShard = maxFilesPerShard) match {
+              case Ivf.MaintainCompacted(_) => compacts.incrementAndGet()
+              case Ivf.MaintainSkipped => ()
+            }
+          }
+        } catch {
+          case _: graft.operators.FsLease.LeaseHeldException => () // theirs
+          case scala.util.control.NonFatal(e) =>
+            errors.add(e)
+            while (errors.size() > 8) errors.poll()
+        }
+        Thread.sleep(pollIntervalMs)
+      }
+    }, s"graft-maintenance-${index.vectorsPath.hashCode}")
+    t.setDaemon(true)
+    t.start()
+    new MaintenanceLoop(t, stop, compacts, errors)
+  }
+
   /** Catalog query `stream_index_maintain`: stream-ingest →
     * OUT-OF-BAND maintenance ([[Ivf.maintain]]) → search, with the
     * final 100 vectors entering through maintain's DELTA-MERGE path:

@@ -88,29 +88,16 @@ object DebugStreamAppend {
         .repartition(1).write.mode("append").parquet(in)
     }
 
-    // async mode: a maintainer thread polls file debt and compacts
-    // OUT-OF-BAND while the stream keeps appending — the production
+    // async mode: the PRODUCTION maintenance loop polls file debt and
+    // compacts OUT-OF-BAND while the stream keeps appending — the
     // shape once the index is old enough that an inline rewrite would
     // stall the ingest loop
-    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val maintainer = new Thread(() => {
-      while (!stop.get()) {
-        try {
-          val stats = Ivf.maintenanceStats(spark, idx)
-          if (stats.filesPerShardMax > maxFilesPerShard) {
-            val m0 = System.nanoTime()
-            val out = Ivf.maintain(spark, idx,
-              maxFilesPerShard = maxFilesPerShard)
-            println(f"MAINTAIN $out ${(System.nanoTime() - m0) / 1e9}%.2f s")
-          }
-        } catch {
-          case e: Throwable => println(s"MAINTAIN error: ${e.getMessage}")
-        }
-        Thread.sleep(200)
-      }
-    }, "graft-maintainer")
-    maintainer.setDaemon(true) // never outlive a failed main
-    if (async) maintainer.start()
+    val loop =
+      if (async)
+        Some(graft.streaming.VectorsStreaming.startMaintenanceLoop(
+          spark, idx, maxFilesPerShard = maxFilesPerShard,
+          pollIntervalMs = 200L))
+      else None
 
     val timings =
       new java.util.concurrent.ConcurrentLinkedQueue[(Long, Double, Int)]()
@@ -141,9 +128,10 @@ object DebugStreamAppend {
           Thread.sleep(1000); waited += 1
         }
       }
-    } finally {
-      stop.set(true)
-      if (async) maintainer.join()
+    } finally loop.foreach { l =>
+      l.stop()
+      println(s"MAINTAIN loop: compacts=${l.compacts} " +
+        s"errors=${l.recentErrors.map(_.getMessage)}")
     }
 
     import scala.jdk.CollectionConverters._

@@ -953,6 +953,48 @@ class StreamingSpec extends SparkSpec {
       "self-healing compact lost rows")
   }
 
+  test("maintenance loop: ingest with plain appends plus the production " +
+      "poller converges to bounded file debt with no loss — and stop() " +
+      "is clean") {
+    import graft.streaming.VectorsStreaming
+    import graft.operators.Ivf
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_maint_loop").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", s"$root/a")
+    val loop = VectorsStreaming.startMaintenanceLoop(spark, idx,
+      maxFilesPerShard = 2, pollIntervalMs = 100L)
+    try {
+      val cuts = Seq(300, 340, 380, 420, 460, 500)
+      for ((Seq(lo, hi), i) <- cuts.sliding(2).zipWithIndex) {
+        assert(VectorsStreaming.appendVectorBatch(idx,
+          emb.where(col("vec_id") >= lo && col("vec_id") < hi),
+          "vec_id", "embedding", i.toLong, s"$root/m"))
+      }
+      // the loop converges the debt without the ingest path ever
+      // running a compact itself
+      var waited = 0
+      while (waited < 120 &&
+          Ivf.maintenanceStats(spark, idx).filesPerShardMax > 2) {
+        Thread.sleep(500); waited += 1
+      }
+      val stats = Ivf.maintenanceStats(spark, idx)
+      assert(stats.filesPerShardMax <= 2,
+        s"maintenance loop never converged the debt: $stats")
+      assert(loop.compacts > 0, "loop reported no compacts")
+      assert(loop.recentErrors.isEmpty,
+        s"loop recorded errors: ${loop.recentErrors.map(_.getMessage)}")
+    } finally loop.stop()
+    val vecs = spark.read.parquet(idx.vectorsPath)
+    assert(vecs.count() == 500L &&
+      vecs.select("vec_id").distinct().count() == 500L,
+      "maintenance loop lost or duplicated rows")
+    // stop() is idempotent and the thread is gone
+    loop.stop()
+  }
+
   test("marker GC bounds the idempotence ledger: rolled-up ids stay " +
       "no-op replays, the marker dir stays O(retention)") {
     import graft.streaming.VectorsStreaming
