@@ -114,6 +114,23 @@ final class VectorIndexer private (
     this
   }
 
+  /** Engine extension: current maintenance posture (file debt,
+    * tombstones) — metadata-only, safe to poll. See
+    * `Ivf.maintenanceStats`.
+    */
+  def maintenanceStats: Ivf.MaintenanceStats =
+    Ivf.maintenanceStats(spark, index)
+
+  /** Engine extension: lease-fenced out-of-band compaction — rewrites
+    * the index concurrently with appends and merges files appended
+    * during the rewrite at swap time (see `Ivf.maintain`; the held
+    * handle keeps serving through the swap). Returns whether a compact
+    * ran.
+    */
+  def maintain(maxFilesPerShard: Int = 8): Ivf.MaintainOutcome =
+    Ivf.maintain(spark, index, "vec_id",
+      maxFilesPerShard = maxFilesPerShard)
+
   private def ingestTimestamp(): Long = System.currentTimeMillis() / 1000L
 
   /** Top-k search with config defaults (k=10, n_probe=20). */

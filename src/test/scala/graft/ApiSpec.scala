@@ -180,6 +180,32 @@ class ApiSpec extends SparkSpec {
       .map(_.getLong(0)).contains(17L))
   }
 
+  test("maintenance on the facade: stats expose file debt, maintain " +
+      "compacts it, answers unchanged through the swap") {
+    import graft.operators.Ivf
+    val vi = VectorIndexer.create(spark, freshCfg()).buildFromRecords(ramp(150, 4))
+    // fragment with three incremental adds
+    val extra = ramp(300, 4).drop(150)
+    extra.grouped(50).foreach(g => vi.addRecords(g))
+    val s0 = vi.maintenanceStats
+    assert(s0.filesPerShardMax > 1, s"adds did not fragment: $s0")
+    val q = extra(20)._2 // id 170
+    val before = vi.search(q, k = 5, nProbe = 1000000).collect().map(_.toSeq).toSeq
+    vi.maintain(maxFilesPerShard = 0) match {
+      case Ivf.MaintainCompacted(_) => ()
+      case other => fail(s"expected a compact, got $other")
+    }
+    val s1 = vi.maintenanceStats
+    assert(s1.filesPerShardMax < s0.filesPerShardMax,
+      s"maintain did not reduce debt: $s0 -> $s1")
+    // the SAME facade handle answers identically through the swap
+    assert(vi.search(q, k = 5, nProbe = 1000000).collect()
+      .map(_.toSeq).toSeq == before,
+      "maintain changed search answers")
+    // under threshold now: maintain is a no-op skip
+    assert(vi.maintain() == Ivf.MaintainSkipped)
+  }
+
   test("P1 on every search entry point: batch, annJoin, direct build") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
