@@ -102,7 +102,10 @@ final class VectorIndexer private (
       .toDF("vec_id", "embedding", "ts")
       .select($"vec_id",
         $"embedding".cast("array<float>").as("embedding"), $"ts")
-    Ivf.append(index, df, "vec_id", "embedding")
+    // appended files must carry the layout's own id column name, or a
+    // custom-idCol index would accumulate schema-drifted files
+    Ivf.append(index, df.withColumnRenamed("vec_id", index.idCol),
+      index.idCol, "embedding")
     this
   }
 
@@ -128,8 +131,10 @@ final class VectorIndexer private (
     * ran.
     */
   def maintain(maxFilesPerShard: Int = 8): Ivf.MaintainOutcome =
-    Ivf.maintain(spark, index, "vec_id",
-      maxFilesPerShard = maxFilesPerShard)
+    // no idCol literal: Ivf.maintain defaults to the id column the
+    // index records it was built with (a facade built with a custom
+    // idCol used to fail inside the rewrite on a missing `vec_id`)
+    Ivf.maintain(spark, index, maxFilesPerShard = maxFilesPerShard)
 
   private def ingestTimestamp(): Long = System.currentTimeMillis() / 1000L
 

@@ -9,9 +9,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Stale-holder recovery: a holder that crashes leaves the file behind,
   * so acquisition treats a lease file older than `staleTtlMs` as
-  * abandoned and breaks it (deletes + retries). The TTL must therefore
-  * exceed the longest legitimate hold — callers that hold across a
-  * Spark write job size it to the job, not the default.
+  * abandoned and breaks it (verified rename-away + retry). Holds taken
+  * through [[withLease]] heartbeat the mtime while they run, so the TTL
+  * bounds how long a CRASHED holder blocks contenders — not how long a
+  * legitimate hold may last; raw [[acquire]]/[[release]] callers (no
+  * heartbeat) must still size the TTL past their longest hold.
   *
   * Scope of the guarantee: create-if-absent is atomic on HDFS and on
   * object stores with conditional-put semantics; Hadoop's local
@@ -34,9 +36,10 @@ object FsLease {
   final class LeaseHeldException(msg: String)
     extends IllegalStateException(msg)
 
-  /** Default stale-holder TTL: generous enough for an append write job
-    * at test/demo scale; production holders sizing multi-minute jobs
-    * pass their own.
+  /** Default stale-holder TTL. With [[withLease]]'s heartbeat this is
+    * purely the crash-detection horizon (a dead holder blocks writers
+    * for at most this long); it no longer needs to exceed the longest
+    * write job.
     */
   val DefaultStaleTtlMs: Long = 10L * 60 * 1000
 
@@ -70,8 +73,25 @@ object FsLease {
         st match {
           case Some(s)
             if System.currentTimeMillis() - s.getModificationTime > staleTtlMs =>
-            // abandoned by a crashed holder — break it and retry
-            fs.delete(path, false)
+            // abandoned by a crashed holder — break it and retry.
+            // Break = re-verify + rename-to-tombstone, NOT a blind
+            // delete (ADVICE r13): two contenders observing the same
+            // stale file could otherwise interleave as break → fresh
+            // re-create → second delete destroys the FRESH lease and
+            // lets a third writer in. The re-stat skips the break when
+            // the file changed since observation (someone broke it and
+            // re-created first), and the rename serializes simultaneous
+            // breakers — exactly one rename succeeds, the loser loops
+            // and sees the winner's fresh lease. The leftover window is
+            // the stat→rename instant, the same class release() accepts.
+            val still =
+              try Option(fs.getFileStatus(path))
+              catch { case _: java.io.FileNotFoundException => None }
+            if (still.exists(_.getModificationTime == s.getModificationTime)) {
+              val tomb = new Path(path.getParent,
+                s".${path.getName}.broken-${java.util.UUID.randomUUID()}")
+              if (fs.rename(path, tomb)) fs.delete(tomb, false)
+            }
           case Some(_) if System.nanoTime() >= deadline =>
             throw new LeaseHeldException(
               s"lease $path is held by another writer (fresh within " +
@@ -96,17 +116,21 @@ object FsLease {
     * fingerprint-guarded downstream). Returns true iff this call
     * deleted the lease.
     */
-  def release(fs: FileSystem, path: Path, owner: String): Boolean = {
-    val current =
-      try {
-        val in = fs.open(path)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      } catch { case _: java.io.IOException => return false } // already gone
-    if (current == owner) { fs.delete(path, false); true }
-    else false // broken while we stalled; the new holder owns it now
-  }
+  def release(fs: FileSystem, path: Path, owner: String): Boolean =
+    currentOwner(fs, path) match {
+      case Some(current) if current == owner =>
+        fs.delete(path, false); true
+      case _ => false // gone, or broken while we stalled — not ours
+    }
+
+  /** Owner tag currently written in the lease file, if readable. */
+  private def currentOwner(fs: FileSystem, path: Path): Option[String] =
+    try {
+      val in = fs.open(path)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
 
   /** True iff the lease file exists and its holder is presumed alive
     * (mtime within `staleTtlMs`). Observers use this to distinguish "a
@@ -122,11 +146,51 @@ object FsLease {
 
   /** Run `body` holding the lease; always released (owner-verified),
     * including on throw.
+    *
+    * The hold is HEARTBEAT-protected (VERDICT r13 #4 / ADVICE r13): a
+    * daemon thread refreshes the lease mtime every
+    * min(staleTtlMs, DefaultStaleTtlMs)/3 while `body` runs, so a
+    * legitimate hold longer than the TTL — an append write job at
+    * 100 TB, a maintain rewrite over a big index — is never mistaken
+    * for a crashed holder and broken mid-write. The min() keeps a
+    * long-TTL holder fresh in the eyes of observers using the DEFAULT
+    * TTL (recoverFromCrashedCompact's isHeldFresh checks), so the TTL
+    * bounds CRASH-DETECTION latency, not hold length. Each beat
+    * re-reads the owner tag and stops if the lease was broken anyway
+    * (a full-process stall can still outlast a beat) — a zombie's beat
+    * must never refresh the NEW holder's lease; the downstream
+    * snapshot/fingerprint guards own that residual window.
     */
   def withLease[T](fs: FileSystem, path: Path, owner: String,
       staleTtlMs: Long = DefaultStaleTtlMs,
       timeoutMs: Long = DefaultTimeoutMs)(body: => T): T = {
     acquire(fs, path, owner, staleTtlMs, timeoutMs)
-    try body finally release(fs, path, owner)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val beatMs = math.max(50L, math.min(staleTtlMs, DefaultStaleTtlMs) / 3)
+    val beater = new Thread(() => {
+      while (!stop.get()) {
+        try Thread.sleep(beatMs)
+        catch { case _: InterruptedException => () }
+        if (!stop.get()) {
+          try {
+            if (currentOwner(fs, path).contains(owner))
+              fs.setTimes(path, System.currentTimeMillis(), -1)
+            else stop.set(true) // broken during a stall — ours no more
+          } catch {
+            // a filesystem without setTimes degrades to the pre-
+            // heartbeat behavior (TTL must exceed the hold) — never
+            // fail the holder's work over a refresh
+            case _: Throwable => stop.set(true)
+          }
+        }
+      }
+    }, s"graft-lease-heartbeat-${path.getName}")
+    beater.setDaemon(true)
+    beater.start()
+    try body finally {
+      stop.set(true)
+      beater.interrupt()
+      release(fs, path, owner)
+    }
   }
 }

@@ -55,7 +55,12 @@ object Ivf {
       approxRouting: Int = KMeans.ApproxRoutingThreshold,
       // Meta-cell expansion floor on the approximate path — the sweep
       // hook behind the [[KMeans.DefaultMetaProbe]] default.
-      metaProbe: Int = KMeans.DefaultMetaProbe) {
+      metaProbe: Int = KMeans.DefaultMetaProbe,
+      // Id column the index was BUILT with, persisted in the sidecar —
+      // maintenance entry points reached through a handle (the facade's
+      // maintain(), a generic scheduler) must rewrite with the SAME id
+      // column or the compact job fails on a missing `vec_id` reference.
+      idCol: String = "vec_id") {
     def k: Int = centroids.length
     def numShards: Int = centroidToShard.distinct.length
     /** Probe router shared by every search path (single, batch, join,
@@ -121,12 +126,13 @@ object Ivf {
   /** Routing-table sidecar write (replaces bincode index.bin — S5/S6). */
   private def writeSidecar(spark: SparkSession,
       centroids: Array[Array[Float]], centroidToShard: Array[Int],
-      seed: Long, indexDir: String): Unit = {
+      seed: Long, idCol: String, indexDir: String): Unit = {
     import spark.implicits._
     centroids.indices
       .map(i => (i, centroidToShard(i), centroids(i).toSeq))
       .toDF("centroid_id", "shard_id", "centroid")
       .withColumn("build_seed", lit(seed)) // metadata append() needs back
+      .withColumn("id_col", lit(idCol))   // ...and maintain()/compact()
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$indexDir/centroids")
   }
@@ -219,9 +225,10 @@ object Ivf {
     assigned.unpersist()
 
     staged("sidecar")(
-      writeSidecar(spark, centroids, centroidToShard, seed, indexDir))
+      writeSidecar(spark, centroids, centroidToShard, seed, idCol, indexDir))
 
-    Index(s"$indexDir/vectors", centroids, centroidToShard, seed = seed)
+    Index(s"$indexDir/vectors", centroids, centroidToShard, seed = seed,
+      idCol = idCol)
   }
 
   /** Incrementally add vectors to an EXISTING index without retraining:
@@ -342,13 +349,147 @@ object Ivf {
   /** Drop the tombstone sidecar — the final step of the delete
     * lifecycle, once a compact + coded-sibling rebuild has materialized
     * the deletes everywhere.
+    *
+    * The precondition is VERIFIED, not trusted (VERDICT r13 #7): the
+    * documented rule — clear LAST, after a compact and a rebuild of
+    * every coded sibling that predates the deletes — used to rest on
+    * caller ordering, and a mis-ordered clear silently RESURRECTS
+    * deleted rows (often compliance-motivated deletes) on whichever
+    * path still physically holds them. Now:
+    *
+    *  - compact/maintain record the tombstone-sidecar fingerprint they
+    *    materialized ([[writeMaterializedMarker]]); a clear whose
+    *    current fingerprint has no matching marker means the newest
+    *    delete was never compacted into the float files — refused by
+    *    name;
+    *  - sibling builds ([[IvfPq.buildCodes]], [[IvfPq.buildResidualCodes]],
+    *    [[IvfSq.buildCodes]]) register the fingerprint they were built
+    *    under ([[registerSibling]]); a registered sibling that still
+    *    exists but predates the newest tombstone is refused by path.
+    *
+    * `force = true` skips both checks — the operational escape for an
+    * operator who has verified the lifecycle out of band (e.g. a
+    * sibling dataset intentionally retired without deleting its files).
     */
-  def clearTombstones(spark: SparkSession, index: Index): Unit = {
+  def clearTombstones(spark: SparkSession, index: Index,
+      force: Boolean = false): Unit = {
     val path = new org.apache.hadoop.fs.Path(tombstonesPath(index))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = tombstoneFp(fs, index)
+    if (fp.nonEmpty && !force) {
+      if (!materializedFp(fs, index).contains(fp))
+        throw new IllegalStateException(
+          s"clearTombstones: no compact postdates the newest tombstone " +
+            s"of ${tombstonesPath(index)} — clearing now would resurrect " +
+            "deleted ids on the float search path (the rewritten files " +
+            "do not yet exclude them). Run compact/compactInPlace/" +
+            "maintain first, or pass force = true if the float layout " +
+            "was rebuilt out of band.")
+      val stale = listSiblings(fs, index).filter { case (p, sfp) =>
+        sfp != fp && fs.exists(new org.apache.hadoop.fs.Path(p))
+      }
+      if (stale.nonEmpty)
+        throw new IllegalStateException(
+          s"clearTombstones: coded sibling dataset(s) " +
+            s"${stale.map(_._1).mkString(", ")} were built before the " +
+            "newest tombstone and still physically contain the deleted " +
+            "rows — rebuild them (or delete their files) first, or pass " +
+            "force = true.")
+    }
     fs.delete(path, true)
+    fs.delete(materializedMarkerPath(index), false)
     tombstonePresence.put(index.vectorsPath,
       TombMemo(present = false, System.nanoTime() + memoTtlNanos))
+  }
+
+  /** Sorted name:length:mtime fingerprint of the tombstone sidecar's
+    * committed data files — "" when there are none. Parquet part-file
+    * names embed write-job UUIDs, so any delete batch changes the
+    * fingerprint even within one mtime granule.
+    */
+  private[operators] def tombstoneFp(fs: org.apache.hadoop.fs.FileSystem,
+      index: Index): String = {
+    val tp = new org.apache.hadoop.fs.Path(tombstonesPath(index))
+    if (!fs.exists(tp)) ""
+    else FsList.files(fs, tp)
+      .filter(_.getPath.getName.endsWith(".parquet"))
+      .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("|")
+  }
+
+  /** Marker recording the tombstone fingerprint the last compact
+    * materialized into the float files — sibling of `vectors/`, like
+    * the leases. Its presence-with-matching-fingerprint is what lets
+    * [[MaintenanceStats.compactRecommended]] converge (tombstone debt
+    * is flagged until ONE compact pays it, not forever) and what
+    * [[clearTombstones]] verifies.
+    */
+  private def materializedMarkerPath(index: Index): org.apache.hadoop.fs.Path = {
+    require(index.vectorsPath.endsWith("/vectors"),
+      s"index vectorsPath must end in /vectors (got ${index.vectorsPath})")
+    new org.apache.hadoop.fs.Path(
+      index.vectorsPath.stripSuffix("/vectors") + "/__tombstones_materialized")
+  }
+
+  private def writeMaterializedMarker(fs: org.apache.hadoop.fs.FileSystem,
+      index: Index, fp: String): Unit = {
+    val out = fs.create(materializedMarkerPath(index), true)
+    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def materializedFp(fs: org.apache.hadoop.fs.FileSystem,
+      index: Index): Option[String] =
+    try {
+      val in = fs.open(materializedMarkerPath(index))
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    } catch { case _: java.io.IOException => None }
+
+  /** Coded-sibling registry (`__siblings/` beside the sidecars): each
+    * sibling build records (its path, the tombstone fingerprint it was
+    * built under) so [[clearTombstones]] can verify every registered
+    * sibling postdates the newest delete. One tiny file per sibling
+    * path (name = hash of the path → rebuilds overwrite in place).
+    */
+  private[operators] def registerSibling(spark: SparkSession, index: Index,
+      siblingPath: String, fp: String): Unit = {
+    val dir = siblingsDir(index)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val name = java.lang.Long.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(siblingPath).toLong & 0xffffffffL)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"sib_$name"), true)
+    try out.write(s"$siblingPath\n$fp"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def siblingsDir(index: Index): org.apache.hadoop.fs.Path = {
+    require(index.vectorsPath.endsWith("/vectors"),
+      s"index vectorsPath must end in /vectors (got ${index.vectorsPath})")
+    new org.apache.hadoop.fs.Path(
+      index.vectorsPath.stripSuffix("/vectors") + "/__siblings")
+  }
+
+  private def listSiblings(fs: org.apache.hadoop.fs.FileSystem,
+      index: Index): Seq[(String, String)] = {
+    val dir = siblingsDir(index)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.filter(_.isFile).flatMap { st =>
+      val content =
+        try {
+          val in = fs.open(st.getPath)
+          try Some(new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8))
+          finally in.close()
+        } catch { case _: java.io.IOException => None } // racing rewrite
+      content.flatMap(_.split("\n", 2) match {
+        case Array(p, f) => Some((p, f))
+        case _ => None
+      })
+    }
   }
 
   /** Per-JVM memo of "does this index have tombstones" so the hot
@@ -421,8 +562,9 @@ object Ivf {
     * read, so deleted vectors don't leak through side surfaces either.
     */
   def liveVectors(spark: SparkSession, index: Index,
-      idCol: String = "vec_id"): DataFrame =
-    liveRows(spark, index, spark.read.parquet(index.vectorsPath), idCol)
+      idCol: String = null): DataFrame =
+    liveRows(spark, index, spark.read.parquet(index.vectorsPath),
+      effectiveIdCol(index, idCol))
 
   /** Compact an append-fragmented index: every `append` adds files per
     * shard directory and interleaves centroid_id ranges across them,
@@ -436,9 +578,19 @@ object Ivf {
     * [[Compaction]].
     */
   def compact(spark: SparkSession, index: Index, outDir: String,
-      idCol: String = "vec_id"): Index =
+      idCol: String = null): Index =
     compactSource(spark, index,
-      spark.read.parquet(index.vectorsPath), outDir, idCol)
+      spark.read.parquet(index.vectorsPath), outDir,
+      effectiveIdCol(index, idCol))
+
+  /** The layout id column a maintenance/search entry point should use:
+    * the caller's explicit choice, else the column the index records it
+    * was built with (`null` default — a same-parameter-list default
+    * cannot reference `index`). Pre-field handles default to "vec_id"
+    * through [[Index.idCol]] itself, so behavior is unchanged there.
+    */
+  private def effectiveIdCol(index: Index, idCol: String): String =
+    if (idCol == null) index.idCol else idCol
 
   /** [[compact]] body over an explicit source view of the vectors
     * dataset — [[maintain]] feeds a SNAPSHOT file list here so rows
@@ -453,17 +605,29 @@ object Ivf {
     // deleted rows — clearTombstones ends the lifecycle once those are
     // rebuilt. The carried filter is a no-op against the rewritten
     // float files (the ids are gone), so it costs only the broadcast.
+    val srcFs = new org.apache.hadoop.fs.Path(tombstonesPath(index))
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fingerprint BEFORE the rewrite reads the live view: the
+    // materialization marker below may only claim tombstones whose
+    // files the rewrite's anti-join definitely read — a delete racing
+    // the rewrite leaves the marker unwritten, compactRecommended
+    // stays true, and the next maintenance cycle converges it
+    val fpBefore = tombstoneFp(srcFs, index)
     writeVectors(
       liveRows(spark, index, source, idCol),
       idCol, index.numShards, s"$outDir/vectors", "overwrite")
     writeSidecar(spark, index.centroids, index.centroidToShard,
-      index.seed, outDir)
+      index.seed, index.idCol, outDir)
     val out = index.copy(vectorsPath = s"$outDir/vectors")
     val src = new org.apache.hadoop.fs.Path(tombstonesPath(index))
-    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = srcFs
     if (fs.exists(src)) {
       spark.read.schema("__deleted_id LONG").parquet(tombstonesPath(index))
         .coalesce(1).write.mode("overwrite").parquet(tombstonesPath(out))
+      // the OUT index's marker fingerprints its own copied sidecar —
+      // valid only if no delete landed after the rewrite's snapshot
+      if (fpBefore.nonEmpty && tombstoneFp(fs, index) == fpBefore)
+        writeMaterializedMarker(fs, out, tombstoneFp(fs, out))
       tombstonePresence.put(out.vectorsPath,
         TombMemo(present = true, System.nanoTime() + memoTtlNanos))
     }
@@ -508,9 +672,11 @@ object Ivf {
     *   a process death at the worst instant and then assert recovery.
     */
   def compactInPlace(spark: SparkSession, index: Index,
-      idCol: String = "vec_id",
+      idCol: String = null,
       beforeSwap: () => Unit = () => (),
-      betweenRenames: () => Unit = () => ()): Unit = {
+      betweenRenames: () => Unit = () => (),
+      leaseStaleTtlMs: Long = FsLease.DefaultStaleTtlMs,
+      fenceTimeoutMs: Long = FsLease.DefaultTimeoutMs): Unit = {
     val base = index.vectorsPath.stripSuffix("/vectors")
     require(base != index.vectorsPath,
       s"compactInPlace: vectorsPath must end in /vectors (got " +
@@ -525,14 +691,15 @@ object Ivf {
     FsLease.withLease(fs, maintainerLeasePath(index),
       s"compactInPlace@${java.util.UUID.randomUUID()}",
       timeoutMs = 0L) {
-      compactInPlaceBody(spark, index, idCol, fs, base, beforeSwap,
-        betweenRenames)
+      compactInPlaceBody(spark, index, effectiveIdCol(index, idCol), fs,
+        base, beforeSwap, betweenRenames, leaseStaleTtlMs, fenceTimeoutMs)
     }
   }
 
   private def compactInPlaceBody(spark: SparkSession, index: Index,
       idCol: String, fs: org.apache.hadoop.fs.FileSystem, base: String,
-      beforeSwap: () => Unit, betweenRenames: () => Unit): Unit = {
+      beforeSwap: () => Unit, betweenRenames: () => Unit,
+      leaseStaleTtlMs: Long, fenceTimeoutMs: Long): Unit = {
     val scratch = s"$base/__compact_scratch"
     val trash = new org.apache.hadoop.fs.Path(s"$base/__compact_trash")
     // a prior call that crashed between its two renames left the ONLY
@@ -555,28 +722,44 @@ object Ivf {
           (f.getPath.toString, f.getLen, f.getModificationTime)
         }.sortBy(_._1)
     val before = layoutFingerprint()
+    val tombFpBefore = tombstoneFp(fs, index)
     val out = compact(spark, index, scratch, idCol)
     beforeSwap() // test seam: simulate a concurrent writer at the worst instant
-    val after = layoutFingerprint()
-    if (after != before) {
-      fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
-      throw new IllegalStateException(
-        "compactInPlace: the live vectors layout changed while the " +
-          "compacted rewrite was running (single-writer contract " +
-          "violated — a concurrent append's rows would have been " +
-          "dropped by the swap). The index is untouched; retry once " +
-          "the competing writer is quiesced.")
+    // the re-check + swap hold the WRITER lease (ADVICE r13): without
+    // it, a lease-holding append that commits between the fingerprint
+    // re-check and the live→trash rename would ride into trash and be
+    // deleted — the exact silent-loss shape the fingerprint guard
+    // exists to prevent (it only catches appends committing BEFORE the
+    // re-check). The fence is metadata-only; an in-flight append is
+    // waited out, then its files fail the re-check into a named abort.
+    FsLease.withLease(fs, writerLeasePath(index),
+      s"compact-swap@${java.util.UUID.randomUUID()}", leaseStaleTtlMs,
+      fenceTimeoutMs) {
+      val after = layoutFingerprint()
+      if (after != before) {
+        fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+        throw new IllegalStateException(
+          "compactInPlace: the live vectors layout changed while the " +
+            "compacted rewrite was running (single-writer contract " +
+            "violated — a concurrent append's rows would have been " +
+            "dropped by the swap). The index is untouched; retry once " +
+            "the competing writer is quiesced.")
+      }
+      val live = new org.apache.hadoop.fs.Path(index.vectorsPath)
+      require(fs.rename(live, trash),
+        s"compactInPlace: could not move $live aside")
+      betweenRenames() // test seam: simulate a crash in the swap window
+      require(fs.rename(new org.apache.hadoop.fs.Path(out.vectorsPath), live),
+        s"compactInPlace: could not install compacted vectors at $live — " +
+          s"the previous layout is intact at $trash (the old vectors " +
+          "directory itself; recoverFromCrashedCompact restores it)")
     }
-    val live = new org.apache.hadoop.fs.Path(index.vectorsPath)
-    require(fs.rename(live, trash),
-      s"compactInPlace: could not move $live aside")
-    betweenRenames() // test seam: simulate a crash in the swap window
-    require(fs.rename(new org.apache.hadoop.fs.Path(out.vectorsPath), live),
-      s"compactInPlace: could not install compacted vectors at $live — " +
-        s"the previous layout is intact at $trash (the old vectors " +
-        "directory itself; recoverFromCrashedCompact restores it)")
     fs.delete(trash, true)
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    // record the tombstone set this rewrite materialized (skipped if a
+    // delete raced the rewrite — the next cycle pays the debt)
+    if (tombFpBefore.nonEmpty && tombstoneFp(fs, index) == tombFpBefore)
+      writeMaterializedMarker(fs, index, tombFpBefore)
   }
 
   /** Crash recovery for [[compactInPlace]]'s swap window: if a prior
@@ -722,11 +905,12 @@ object Ivf {
     * forward unchanged (the [[compact]] contract).
     */
   def maintain(spark: SparkSession, index: Index,
-      idCol: String = "vec_id", maxFilesPerShard: Int = 8,
+      idCol: String = null, maxFilesPerShard: Int = 8,
       leaseStaleTtlMs: Long = FsLease.DefaultStaleTtlMs,
       fenceTimeoutMs: Long = FsLease.DefaultTimeoutMs,
       beforeFence: () => Unit = () => (),
       betweenRenames: () => Unit = () => ()): MaintainOutcome = {
+    val id = effectiveIdCol(index, idCol)
     val base = index.vectorsPath.stripSuffix("/vectors")
     require(base != index.vectorsPath,
       s"maintain: vectorsPath must end in /vectors (got ${index.vectorsPath})")
@@ -737,7 +921,12 @@ object Ivf {
       timeoutMs = 0L) {
       recoverOwningLease(spark, index) // a crashed predecessor's state
       val stats = maintenanceStats(spark, index)
-      if (stats.filesPerShardMax <= maxFilesPerShard) MaintainSkipped
+      // trigger MATCHES compactRecommended (VERDICT r13 #1): the
+      // documented poll-recommend→maintain loop must converge, so
+      // tombstone debt compacts here too — and because the compact
+      // writes the materialization marker, recommended then goes false
+      // instead of re-flagging the same (carried) sidecar forever
+      if (!stats.compactRecommended(maxFilesPerShard)) MaintainSkipped
       else {
         val scratch = s"$base/__compact_scratch"
         val trash = new org.apache.hadoop.fs.Path(s"$base/__compact_trash")
@@ -753,7 +942,8 @@ object Ivf {
         val snapshotDf = spark.read
           .option("basePath", index.vectorsPath)
           .parquet(snapshot.toSeq.sorted: _*)
-        val out = compactSource(spark, index, snapshotDf, scratch, idCol)
+        val tombFpBefore = tombstoneFp(fs, index)
+        val out = compactSource(spark, index, snapshotDf, scratch, id)
         beforeFence() // test seam: appends racing the rewrite land here
         val merged = FsLease.withLease(fs, writerLeasePath(index),
           s"maintain-swap@${java.util.UUID.randomUUID()}", leaseStaleTtlMs,
@@ -804,6 +994,10 @@ object Ivf {
         }
         fs.delete(trash, true)
         fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+        // record the tombstone set the rewrite materialized (skipped if
+        // a delete raced it — the next cycle pays the remaining debt)
+        if (tombFpBefore.nonEmpty && tombstoneFp(fs, index) == tombFpBefore)
+          writeMaterializedMarker(fs, index, tombFpBefore)
         MaintainCompacted(merged)
       }
     }
@@ -821,16 +1015,27 @@ object Ivf {
     * it is genuinely safe to poll from an ingest loop.
     */
   case class MaintenanceStats(dataFiles: Int, numShards: Int,
-      filesPerShardMax: Int, dataBytes: Long, tombstones: Long) {
+      filesPerShardMax: Int, dataBytes: Long, tombstones: Long,
+      /** Tombstones no compact has yet materialized into the float
+        * files (sidecar fingerprint ≠ the materialization marker).
+        * Zero once one compact/maintain pays the debt, even though
+        * `tombstones` stays nonzero while the sidecar is carried for
+        * coded siblings — the distinction that lets the poll→maintain
+        * loop converge (VERDICT r13 #1).
+        */
+      unmaterializedTombstones: Long) {
 
     /** True once any shard has fragmented past `maxFilesPerShard` —
       * the threshold form of the measured rule (compact when file
       * debt, which is what search pays for, accumulates; not on a
       * schedule). The default of 8 sits well inside the measured 11×
-      * fragmentation that cost 2.3× warm-search latency.
+      * fragmentation that cost 2.3× warm-search latency. Tombstone
+      * debt recommends too, but only while UNMATERIALIZED: one
+      * compact amortizes the per-search anti-join's miss cost and
+      * drops the flag; the carried sidecar alone never re-raises it.
       */
     def compactRecommended(maxFilesPerShard: Int = 8): Boolean =
-      filesPerShardMax > maxFilesPerShard || tombstones > 0
+      filesPerShardMax > maxFilesPerShard || unmaterializedTombstones > 0
   }
 
   /** Tombstone-count memo keyed by sidecar listing fingerprint: the
@@ -861,14 +1066,10 @@ object Ivf {
         perShard(shard) = perShard.getOrElse(shard, 0) + 1
       }
     }
-    val tombs = {
-      val tp = new org.apache.hadoop.fs.Path(tombstonesPath(index))
-      if (!fs.exists(tp)) 0L
+    val fp = tombstoneFp(fs, index)
+    val tombs =
+      if (fp.isEmpty) 0L
       else {
-        val fp = FsList.files(fs, tp)
-          .filter(_.getPath.getName.endsWith(".parquet"))
-          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
-          .sorted.mkString("|")
         val memo = tombCountMemo.get(index.vectorsPath)
         if (memo != null && memo._1 == fp) memo._2
         else {
@@ -878,9 +1079,14 @@ object Ivf {
           n
         }
       }
-    }
+    // metadata-only like the rest of the probe: one marker read per
+    // poll (no Spark job), against the same listing fingerprint
+    val unmat =
+      if (tombs == 0L) 0L
+      else if (materializedFp(fs, index).contains(fp)) 0L
+      else tombs
     MaintenanceStats(files, index.numShards,
-      if (perShard.isEmpty) 0 else perShard.values.max, bytes, tombs)
+      if (perShard.isEmpty) 0 else perShard.values.max, bytes, tombs, unmat)
   }
 
   /** Load the routing table back (S6). */
@@ -892,6 +1098,11 @@ object Ivf {
       if (sidecar.columns.contains("build_seed"))
         sidecar.select("build_seed").head().getLong(0)
       else 42L
+    // sidecars written before id_col existed default to the build default
+    val idCol =
+      if (sidecar.columns.contains("id_col"))
+        sidecar.select("id_col").head().getString(0)
+      else "vec_id"
     val rows = sidecar
       .select("centroid_id", "shard_id", "centroid")
       .collect()
@@ -901,7 +1112,8 @@ object Ivf {
       rows.map(_.getSeq[Float](2).toArray),
       rows.map(_.getInt(1)),
       config,
-      seed)
+      seed,
+      idCol = idCol)
   }
 
   /** Probe selection against the driver-held routing table: the nProbe
@@ -934,9 +1146,10 @@ object Ivf {
     *   return < k rows even when k matches exist).
     */
   def search(spark: SparkSession, index: Index, query: Array[Float], k0: Int,
-      nProbe0: Int, idCol: String = "vec_id", embCol: String = "embedding",
+      nProbe0: Int, idCol: String = null, embCol: String = "embedding",
       includeVectors: Boolean = false,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val id = effectiveIdCol(index, idCol)
     val k = math.min(k0, index.config.maxK)           // src/api.rs:189
     val nProbe = math.min(nProbe0, index.config.maxNProbe)
     require(k > 0, "k must be > 0")                   // src/ivf_index.rs:197-202
@@ -954,14 +1167,14 @@ object Ivf {
     val qLit = lit(query)
     val pruned = liveRows(spark, index,
       probePrunedScan(spark, index.vectorsPath, probes, shards, index.k),
-      idCol)
+      id)
     val base = filter.map(pruned.where).getOrElse(pruned)
       .withColumn("distance", Vec.squaredL2(col(embCol), qLit))
       // nulls last: a ragged/null-element embedding yields NULL distance,
       // which default nulls-first ordering would rank above real neighbors
-      .orderBy(col("distance").asc_nulls_last, col(idCol))
+      .orderBy(col("distance").asc_nulls_last, col(id))
       .limit(k)
-    val out = base.select(col(idCol).as("external_id"), col("distance"),
+    val out = base.select(col(id).as("external_id"), col("distance"),
       col(embCol).as("vector"))
     if (includeVectors) out else out.drop("vector") // P3
   }
@@ -978,9 +1191,10 @@ object Ivf {
     * the top-k path.
     */
   def rangeSearch(spark: SparkSession, index: Index, query: Array[Float],
-      radius: Double, nProbe0: Int, idCol: String = "vec_id",
+      radius: Double, nProbe0: Int, idCol: String = null,
       embCol: String = "embedding",
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val id = effectiveIdCol(index, idCol)
     val nProbe = math.min(nProbe0, index.config.maxNProbe)
     require(nProbe > 0, "n_probe must be > 0")
     require(query.length == index.centroids(0).length,
@@ -989,12 +1203,12 @@ object Ivf {
     val qLit = lit(query)
     val pruned = liveRows(spark, index,
       probePrunedScan(spark, index.vectorsPath, probes, shards, index.k),
-      idCol)
+      id)
     filter.map(pruned.where).getOrElse(pruned)
       .withColumn("distance", Vec.squaredL2(col(embCol), qLit))
       .where(col("distance") < radius)
-      .orderBy(col("distance"), col(idCol))
-      .select(col(idCol).as("external_id"), col("distance"))
+      .orderBy(col("distance"), col(id))
+      .select(col(id).as("external_id"), col("distance"))
   }
 
   /** Batch ANN: top-k for a whole query set in ONE pruned scan.
@@ -1013,9 +1227,10 @@ object Ivf {
     */
   def searchBatch(spark: SparkSession, index: Index,
       queries: Array[(Long, Array[Float])], k0: Int, nProbe0: Int,
-      idCol: String = "vec_id", embCol: String = "embedding",
+      idCol: String = null, embCol: String = "embedding",
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
+    val id = effectiveIdCol(index, idCol)
     val k = math.min(k0, index.config.maxK)
     val nProbe = math.min(nProbe0, index.config.maxNProbe)
     require(k > 0, "k must be > 0")
@@ -1043,7 +1258,7 @@ object Ivf {
     val pruned = liveRows(spark, index,
       spark.read.parquet(index.vectorsPath)
         .where(col("shard_id").isin(shards: _*)),
-      idCol)
+      id)
     // same filtered-search contract as single-query search: the
     // predicate narrows candidates inside the pruned scan (pushed to
     // the reader), BEFORE per-query ranking. Per-query top-k is the
@@ -1054,7 +1269,7 @@ object Ivf {
       .join(broadcast(probeDf), Seq("centroid_id"))
       .join(broadcast(queryDf), Seq("query_id"))
       .withColumn("distance", graft.functions.Vec.squaredL2(col(embCol), col("qe")))
-    TopNByKey.topN(candidates, Seq("query_id"), col("distance"), col(idCol), k)
+    TopNByKey.topN(candidates, Seq("query_id"), col("distance"), col(id), k)
       .select(col("query_id"), col("rk").as("rank"),
         col("id").as("external_id"), col("ord").as("distance"))
   }
@@ -1094,8 +1309,9 @@ object Ivf {
     */
   def annJoin(queries: DataFrame, index: Index, k: Int, nProbe: Int,
       qidCol: String = "query_id", qembCol: String = "qe",
-      idCol: String = "vec_id", embCol: String = "embedding",
+      idCol: String = null, embCol: String = "embedding",
       pairFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val id = effectiveIdCol(index, idCol)
     require(k > 0, "k must be > 0")
     require(nProbe > 0, "n_probe must be > 0")
     val spark = queries.sparkSession
@@ -1162,12 +1378,12 @@ object Ivf {
     // what keeps a hot query (or a hot probed cell fanning out to many
     // queries) from becoming one reducer sorting its whole candidate set
     val joined =
-      liveRows(spark, index, spark.read.parquet(index.vectorsPath), idCol)
+      liveRows(spark, index, spark.read.parquet(index.vectorsPath), id)
         .join(probed, Seq("centroid_id"))
     val candidates = pairFilter.map(joined.where).getOrElse(joined)
       .withColumn("distance",
         graft.functions.Vec.squaredL2(col(embCol), col(qembCol)))
-    TopNByKey.topN(candidates, Seq(qidCol), col("distance"), col(idCol), k)
+    TopNByKey.topN(candidates, Seq(qidCol), col("distance"), col(id), k)
       .select(col(qidCol), col("rk").as("rank"),
         col("id").as("external_id"), col("ord").as("distance"))
   }

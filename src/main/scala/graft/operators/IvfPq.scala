@@ -30,11 +30,19 @@ object IvfPq {
   def buildCodes(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
       outPath: String, idCol: String = "vec_id",
       embCol: String = "embedding"): Unit = {
+    // fingerprint BEFORE the encode reads the live view, registered
+    // AFTER the write commits: a delete racing the build leaves the
+    // registration stale (old fp), which clearTombstones reads as
+    // "this sibling predates the newest tombstone" — the safe direction
+    val fs = new org.apache.hadoop.fs.Path(ivf.vectorsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = Ivf.tombstoneFp(fs, ivf)
     Ivf.writeVectors(
       Pq.encode(Ivf.liveVectors(spark, ivf, idCol), embCol, model)
         .select(col("shard_id"), col("centroid_id"), col(idCol),
           col("pq_code")),
       idCol, ivf.numShards, outPath, "overwrite")
+    Ivf.registerSibling(spark, ivf, outPath, fp)
   }
 
   /** Residual vector x − centroid[centroid_id] as a column — the
@@ -78,6 +86,9 @@ object IvfPq {
   def buildResidualCodes(spark: SparkSession, ivf: Ivf.Index,
       model: Pq.Model, outPath: String, idCol: String = "vec_id",
       embCol: String = "embedding"): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(ivf.vectorsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fp = Ivf.tombstoneFp(fs, ivf) // see buildCodes — capture-then-write
     val res = residualCol(spark, ivf.centroids)
     Ivf.writeVectors(
       Pq.encode(
@@ -87,6 +98,7 @@ object IvfPq {
         .select(col("shard_id"), col("centroid_id"), col(idCol),
           col("pq_code")),
       idCol, ivf.numShards, outPath, "overwrite")
+    Ivf.registerSibling(spark, ivf, outPath, fp)
   }
 
   /** Top-k over the residual-coded dataset. The ADC table now depends

