@@ -117,6 +117,17 @@ final class VectorIndexer private (
     this
   }
 
+  /** Engine extension: end the delete lifecycle — drop the tombstone
+    * sidecar once a compact AND every registered coded-sibling rebuild
+    * postdate the newest delete. Verified, refuses by name when the
+    * order is wrong (see `Ivf.clearTombstones`); `force` is the
+    * documented operational escape.
+    */
+  def clearTombstones(force: Boolean = false): this.type = {
+    Ivf.clearTombstones(spark, index, force)
+    this
+  }
+
   /** Engine extension: current maintenance posture (file debt,
     * tombstones) — metadata-only, safe to poll. See
     * `Ivf.maintenanceStats`.

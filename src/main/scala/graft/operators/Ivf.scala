@@ -251,6 +251,14 @@ object Ivf {
       leaseStaleTtlMs: Long = FsLease.DefaultStaleTtlMs,
       leaseTimeoutMs: Long = FsLease.DefaultTimeoutMs): Unit = {
     val spark = df.sparkSession
+    // the batch's id column must BE the layout's id column: writeVectors
+    // writes the frame as-is, so a differently-named id column would
+    // append schema-drifted files that every later scan unions into
+    // null ids — fail here by name instead
+    require(idCol == index.idCol,
+      s"append: batch id column '$idCol' != the index's id column " +
+        s"'${index.idCol}' — rename the batch column " +
+        s"(withColumnRenamed) so appended files match the layout schema")
     // crash-recover / fail-fast BEFORE the write: parquet append would
     // happily recreate a missing vectors dir containing only this
     // batch — the silent near-empty-index failure shape

@@ -206,6 +206,31 @@ class ApiSpec extends SparkSpec {
     assert(vi.maintain() == Ivf.MaintainSkipped)
   }
 
+  test("delete lifecycle on the facade: delete → maintain materializes " +
+      "→ verified clearTombstones; out-of-order clear refused") {
+    import graft.operators.Ivf
+    val vi = VectorIndexer.create(spark, freshCfg()).buildFromRecords(ramp(120, 4))
+    vi.deleteIds(Seq(17L))
+    val s0 = vi.maintenanceStats
+    assert(s0.tombstones == 1L && s0.unmaterializedTombstones == 1L)
+    // the guard: clearing before any compact would resurrect row 17
+    intercept[IllegalStateException] { vi.clearTombstones() }
+    // tombstone-only debt (file threshold huge) still compacts — the
+    // converging-trigger contract through the facade
+    vi.maintain(maxFilesPerShard = 1000000) match {
+      case Ivf.MaintainCompacted(_) => ()
+      case other => fail(s"expected a tombstone-debt compact, got $other")
+    }
+    val s1 = vi.maintenanceStats
+    assert(s1.unmaterializedTombstones == 0L && s1.tombstones == 1L)
+    vi.clearTombstones()
+    assert(vi.maintenanceStats.tombstones == 0L)
+    // the row is physically gone, not resurrected by the clear
+    val q = ramp(120, 4)(17)._2
+    assert(!vi.search(q, nProbe = 1000000).collect()
+      .map(_.getLong(0)).contains(17L))
+  }
+
   test("P1 on every search entry point: batch, annJoin, direct build") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -1032,6 +1032,15 @@ class IvfSpec extends SparkSpec {
     Ivf.delete(spark, loaded, Seq(42L))
     assert(!Ivf.search(spark, loaded, q, 10, 10000)
       .collect().map(_.getLong(0)).contains(42L))
+    // a batch whose id column differs from the layout's is refused by
+    // name — appended files would otherwise carry a drifted schema that
+    // every later scan unions into null ids
+    val e = intercept[IllegalArgumentException] {
+      Ivf.append(loaded,
+        emb.where(col("doc_id") >= 300).withColumnRenamed("doc_id", "vec_id"),
+        "vec_id", "embedding")
+    }
+    assert(e.getMessage.contains("id column"), e.getMessage)
   }
 
   test("maintain compacts tombstone-only debt and the poll-recommend → " +

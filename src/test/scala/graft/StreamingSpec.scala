@@ -974,9 +974,12 @@ class StreamingSpec extends SparkSpec {
           "vec_id", "embedding", i.toLong, s"$root/m"))
       }
       // the loop converges the debt without the ingest path ever
-      // running a compact itself
+      // running a compact itself. Budget 120 s: under a full-suite run
+      // (37 suites sharing the box) each poller compact can take
+      // several seconds — the 60 s budget flaked exactly once there
+      // while passing in isolation every time
       var waited = 0
-      while (waited < 120 &&
+      while (waited < 240 &&
           Ivf.maintenanceStats(spark, idx).filesPerShardMax > 2) {
         Thread.sleep(500); waited += 1
       }
