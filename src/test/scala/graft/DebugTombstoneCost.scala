@@ -20,7 +20,8 @@ import graft.operators.Ivf
   * the old trigger mismatch refused to pay while flagging it forever.
   * Warm medians over repeated probe-pruned searches. One JSON line.
   *
-  * Usage: runMain graft.DebugTombstoneCost [n] [dim] [cpus] [reps]
+  * Usage: runMain graft.DebugTombstoneCost [n] [dim] [cpus] [reps] [stride]
+  * (stride: delete every stride-th id — 20 ⇒ 5%, 4 ⇒ 25%)
   */
 object DebugTombstoneCost {
   def main(args: Array[String]): Unit = {
@@ -28,6 +29,7 @@ object DebugTombstoneCost {
     val dim = if (args.length > 1) args(1).toInt else 32
     val cpus = if (args.length > 2) args(2).toInt else 16
     val reps = if (args.length > 3) args(3).toInt else 15
+    val stride = if (args.length > 4) args(4).toLong else 20L
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -58,7 +60,7 @@ object DebugTombstoneCost {
       ts(ts.length / 2)
     }
 
-    val delIds = (0L until n by 20L).toSeq // 5%
+    val delIds = (0L until n by stride).toSeq
     Ivf.delete(spark, idx, delIds)
     require(!Ivf.search(spark, idx, q, 10, 64).collect()
       .map(_.getLong(0)).contains(20L))
