@@ -135,6 +135,18 @@ final class VectorIndexer private (
   def maintenanceStats: Ivf.MaintenanceStats =
     Ivf.maintenanceStats(spark, index)
 
+  /** Engine extension: the production maintenance poller — a daemon
+    * that watches this index's debt (metadata-only, zero Spark jobs at
+    * steady state) and runs the lease-fenced out-of-band `maintain`
+    * when `compactRecommended` fires, so an ingest loop never pays an
+    * O(index) rewrite inside a micro-batch. Stop the returned handle
+    * when done (see `VectorsStreaming.startMaintenanceLoop`).
+    */
+  def startMaintenanceLoop(maxFilesPerShard: Int = 8,
+      pollIntervalMs: Long = 1000L): graft.streaming.VectorsStreaming.MaintenanceLoop =
+    graft.streaming.VectorsStreaming.startMaintenanceLoop(spark, index,
+      index.idCol, maxFilesPerShard, pollIntervalMs)
+
   /** Engine extension: lease-fenced out-of-band compaction — rewrites
     * the index concurrently with appends and merges files appended
     * during the rewrite at swap time (see `Ivf.maintain`; the held

@@ -980,7 +980,13 @@ object IndexQueries {
     "recall_sweep" -> QueryDef(recallSweep,
       OracleGen.sql("recall_sweep")(recallSweepOracle)),
     "ivf_search_probe_all" -> QueryDef(searchProbeAll, Some(searchProbeAllSql)),
-    "ivf_search_deleted" -> QueryDef(searchDeleted, Some(searchDeletedSql)),
+    // bench = false like ann_quality_summary: a per-call build + delete
+    // + compact lifecycle is a correctness surface whose components
+    // (ivf_build, ivf_search_*, the compact family) are benched
+    // individually — including it would shift the headline t1/t2 series
+    // by a constant ~2.6 s of index-build overhead, not serving cost
+    "ivf_search_deleted" -> QueryDef(searchDeleted, Some(searchDeletedSql),
+      bench = false),
     "ivf_range_search" -> QueryDef(rangeSearchAll, Some(rangeSearchAllSql)),
     "ivf_search_filtered" -> QueryDef(searchFilteredAll, Some(searchFilteredAllSql)),
     "ann_join_topk" -> QueryDef(annJoinTopK, Some(annJoinTopKSql)),

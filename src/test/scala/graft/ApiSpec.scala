@@ -206,6 +206,34 @@ class ApiSpec extends SparkSpec {
     assert(vi.maintain() == Ivf.MaintainSkipped)
   }
 
+  test("maintenance loop on the facade: the poller converges incremental " +
+      "add debt out of band, answers unchanged") {
+    val vi = VectorIndexer.create(spark, freshCfg()).buildFromRecords(ramp(150, 4))
+    val extra = ramp(300, 4).drop(150)
+    val loop = vi.startMaintenanceLoop(maxFilesPerShard = 2,
+      pollIntervalMs = 100L)
+    try {
+      extra.grouped(30).foreach(g => vi.addRecords(g))
+      var waited = 0
+      while (waited < 240 && vi.maintenanceStats.filesPerShardMax > 2) {
+        Thread.sleep(500); waited += 1
+      }
+      assert(vi.maintenanceStats.filesPerShardMax <= 2,
+        s"facade loop never converged: ${vi.maintenanceStats}")
+      assert(loop.compacts > 0 && loop.recentErrors.isEmpty,
+        s"facade loop errors: ${loop.recentErrors.map(_.getMessage)}")
+    } finally loop.stop()
+    // no loss, no duplication through however many swaps the loop ran
+    // (result-preservation through a single swap is gated in the facade
+    // maintain test above; here the adds legitimately change top-k)
+    assert(vi.search(ramp(150, 4)(3)._2, k = 1, nProbe = 1000000)
+      .head().getLong(0) == 3L, "base self-retrieval lost")
+    assert(vi.search(extra.head._2, k = 1, nProbe = 1000000)
+      .head().getLong(0) == extra.head._1, "added self-retrieval lost")
+    assert(vi.search(extra.head._2, k = 10000, nProbe = 1000000)
+      .collect().length == 300, "rows lost or duplicated across swaps")
+  }
+
   test("delete lifecycle on the facade: delete → maintain materializes " +
       "→ verified clearTombstones; out-of-order clear refused") {
     import graft.operators.Ivf
