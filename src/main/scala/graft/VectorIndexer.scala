@@ -117,6 +117,13 @@ final class VectorIndexer private (
     this
   }
 
+  /** Engine extension: distributed bulk delete of every live row
+    * matching `predicate` — the id set never visits the driver (see
+    * `Ivf.deleteWhere`). Returns the number of newly tombstoned ids.
+    */
+  def deleteWhere(predicate: org.apache.spark.sql.Column): Long =
+    Ivf.deleteWhere(spark, index, predicate)
+
   /** Engine extension: end the delete lifecycle — drop the tombstone
     * sidecar once a compact AND every registered coded-sibling rebuild
     * postdate the newest delete. Verified, refuses by name when the

@@ -354,6 +354,54 @@ object Ivf {
       TombMemo(present = true, System.nanoTime() + memoTtlNanos))
   }
 
+  /** [[delete]] over a DataFrame of ids — the streaming/bulk form: the
+    * id set flows into the sidecar without visiting the driver (a
+    * delete feed at production cadence is itself a stream; collecting
+    * it to a Seq caps it at driver memory). Ids are cast to long and
+    * deduplication is NOT applied — the anti-join is idempotent over
+    * duplicates, and a delete batch is typically already distinct.
+    */
+  def delete(spark: SparkSession, index: Index, ids: DataFrame,
+      idCol: String): Unit = {
+    ids.select(col(idCol).cast("long").as("__deleted_id"))
+      .coalesce(1).write.mode("append").parquet(tombstonesPath(index))
+    tombstonePresence.put(index.vectorsPath,
+      TombMemo(present = true, System.nanoTime() + memoTtlNanos))
+  }
+
+  /** Distributed bulk delete: tombstone every LIVE row matching
+    * `predicate` (over the vectors dataset's own columns — id, metadata
+    * passthroughs, centroid/shard). The id set flows scan → filter →
+    * sidecar append without ever visiting the driver, which is the
+    * shape a compliance delete takes at 100 TB ("remove every row from
+    * source X") — [[delete]]'s Seq[Long] form is for driver-known ids
+    * only. Matching rows already tombstoned are skipped (live view), so
+    * repeated calls don't grow the sidecar unboundedly. Returns the
+    * number of newly tombstoned ids (one count job — this is an
+    * explicit bulk operation, not a hot-path probe).
+    */
+  def deleteWhere(spark: SparkSession, index: Index,
+      predicate: org.apache.spark.sql.Column,
+      idCol: String = null): Long = {
+    val id = effectiveIdCol(index, idCol)
+    val matching = liveVectors(spark, index, id)
+      .where(predicate)
+      .select(col(id).cast("long").as("__deleted_id"))
+      .persist() // count + write read it once each
+    val n = matching.count()
+    if (n > 0) {
+      // id-sized output: bound the file count without a single-task
+      // funnel on huge deletes (~24 MB of Long ids per partition)
+      val parts = math.max(1, math.min(64, (n / 3000000L).toInt))
+      matching.coalesce(parts).write.mode("append")
+        .parquet(tombstonesPath(index))
+      tombstonePresence.put(index.vectorsPath,
+        TombMemo(present = true, System.nanoTime() + memoTtlNanos))
+    }
+    matching.unpersist()
+    n
+  }
+
   /** Drop the tombstone sidecar — the final step of the delete
     * lifecycle, once a compact + coded-sibling rebuild has materialized
     * the deletes everywhere.
@@ -466,8 +514,13 @@ object Ivf {
     val dir = siblingsDir(index)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(dir)
-    val name = java.lang.Long.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(siblingPath).toLong & 0xffffffffL)
+    // full SHA-256 of the path: a (vanishingly unlikely) filename
+    // collision would OVERWRITE another sibling's registration and
+    // mask it from the clearTombstones check — the unsafe direction,
+    // so the name must be collision-free, not merely well-spread
+    val name = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(siblingPath.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
     val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"sib_$name"), true)
     try out.write(s"$siblingPath\n$fp"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))

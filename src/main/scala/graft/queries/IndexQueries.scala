@@ -137,6 +137,21 @@ object IndexQueries {
       .orderBy(col("phase"), col("distance"), col("external_id"))
   }
 
+  /** Exact top-10 over the delete survivors (`vec_id < 300 AND
+    * vec_id % 7 <> 3`) for the embedding of vec_id 10 — the oracle of
+    * the streamed delete path (`stream_index_delete`), and the
+    * per-phase body of [[searchDeletedSql]].
+    */
+  private[queries] val deletedSurvivorTop10Sql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 10)
+      |SELECT e.vec_id AS external_id,
+      |  list_reduce(list_transform(list_zip(e.embedding, q.qe),
+      |    p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+      |    (a, b) -> a + b) AS distance
+      |FROM embeddings e CROSS JOIN q
+      |WHERE e.vec_id < 300 AND e.vec_id % 7 <> 3
+      |ORDER BY distance, e.vec_id LIMIT 10""".stripMargin
+
   private val searchDeletedSql: String =
     """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 10),
       |s AS (

@@ -235,6 +235,13 @@ object StreamQueries {
     "stream_index_maintain" -> QueryDef(
       graft.streaming.VectorsStreaming.indexMaintainQuery,
       Some(IndexQueries.annJoinTopKSql), bench = false),
+    // stream of DELETE requests → per-batch tombstone ingest
+    // (marker-idempotent) → exact probe-all search over the survivors;
+    // the query vector is itself a streamed-in deletion, so a dropped
+    // delete batch resurrects it at rank 1 and breaks the hash
+    "stream_index_delete" -> QueryDef(
+      graft.streaming.VectorsStreaming.indexDeleteQuery,
+      Some(IndexQueries.deletedSurvivorTop10Sql), bench = false),
     // watermarked Append drift centroids over a deterministic
     // two-trigger delivery: late-drop, withheld-tail, and the
     // per-(window, pos) means all recomputed by DuckDB from the

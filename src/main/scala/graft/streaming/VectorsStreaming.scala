@@ -298,6 +298,83 @@ object VectorsStreaming {
     }
   }
 
+  /** Idempotent per-batch DELETE ingest — the tombstone twin of
+    * [[appendVectorBatch]] for a stream of delete requests (the shape
+    * compliance deletes arrive in at production: a feed of ids, not a
+    * driver-held list). Each applied batch appends one sidecar file via
+    * the distributed [[Ivf.delete]] DataFrame form; the same marker
+    * ledger makes a replayed batch id a no-op — which matters more here
+    * than for appends: a replayed delete is semantically harmless to
+    * the anti-join but would CHANGE the sidecar fingerprint, spuriously
+    * re-raising `unmaterializedTombstones` after a compact already paid
+    * that debt (a phantom re-compact per replay). Same
+    * crash-between-apply-and-marker caveat as the append form.
+    */
+  def deleteVectorBatch(index: Ivf.Index, batch: DataFrame, idCol: String,
+      batchId: Long, markerDir: String,
+      markerRetention: Int = 64): Boolean = {
+    val fs = new org.apache.hadoop.fs.Path(markerDir).getFileSystem(
+      batch.sparkSession.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(s"$markerDir/batch_$batchId")
+    if (batchId <= markerWatermark(fs, markerDir) || fs.exists(marker)) false
+    else {
+      Ivf.delete(batch.sparkSession, index, batch, idCol)
+      fs.mkdirs(marker)
+      compactMarkers(fs, markerDir, markerRetention)
+      true
+    }
+  }
+
+  /** Catalog query `stream_index_delete`: a stream of DELETE requests
+    * applied to a live index — the write-side twin of
+    * `stream_index_append` for the tombstone path. The index is built
+    * on `vec_id < 300`; the deterministic delete set `vec_id % 7 = 3`
+    * arrives as a TWO-trigger stream (ids < 150, ids ≥ 150) that
+    * [[deleteVectorBatch]] routes into the sidecar per micro-batch.
+    * The result is the probe-all (exact) top-10 for the embedding of
+    * vec_id 10 — itself a streamed-in deletion, so a dropped delete
+    * batch resurrects it at rank 1 (distance 0) and hash-mismatches;
+    * the oracle recomputes the survivor top-10 in DuckDB
+    * ([[graft.queries.IndexQueries.deletedSurvivorTop10Sql]]).
+    * Batch boundaries cannot change the answer (tombstones are a set
+    * union); StreamingSpec pins replay-idempotence, including that a
+    * replayed delete does NOT change the sidecar fingerprint.
+    */
+  def indexDeleteQuery(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_stream_idx_d/${graft.Tables.cacheDirName(dir)}"
+    val in = s"$root/in"; val ckpt = s"${root}_ckpt"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    fs.delete(new org.apache.hadoop.fs.Path(ckpt), true)
+
+    val emb = graft.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", s"$root/index")
+    val dels = emb.where(col("vec_id") < 300 && col("vec_id") % 7 === 3)
+      .select(col("vec_id"))
+    dels.where(col("vec_id") < 150)
+      .repartition(1).write.mode("append").parquet(in)
+    dels.where(col("vec_id") >= 150)
+      .repartition(1).write.mode("append").parquet(in)
+    val q = spark.readStream.schema(dels.schema)
+      .option("maxFilesPerTrigger", 1).parquet(in)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        deleteVectorBatch(idx, batch, "vec_id", batchId, s"$root/applied")
+        ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val queryVec = emb.where(col("vec_id") === 10L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    Ivf.search(spark, idx, queryVec, k0 = 10, nProbe0 = 10000)
+      .orderBy(col("distance"), col("external_id"))
+  }
+
   /** [[appendVectorBatch]] plus the compact-on-file-debt maintenance
     * rule, closing the ingest loop SCALE.md round 12 measured: appends
     * are O(batch) but each leaves ~one file per shard, and it is search

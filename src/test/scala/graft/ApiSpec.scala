@@ -174,10 +174,13 @@ class ApiSpec extends SparkSpec {
     assert(joined.length == 20)
     joined.foreach(row => assert(row.getLong(2) == row.getLong(0),
       s"query ${row.getLong(0)} top-1 is ${row.getLong(2)}"))
-    // deletes flow through the facade too
+    // deletes flow through the facade too — both forms
     vi.deleteIds(Seq(17L))
     assert(!vi.search(q, nProbe = 10000).collect()
       .map(_.getLong(0)).contains(17L))
+    assert(vi.deleteWhere(col("vec_id") === 18L) == 1L)
+    assert(!vi.search(q, nProbe = 10000).collect()
+      .map(_.getLong(0)).contains(18L))
   }
 
   test("maintenance on the facade: stats expose file debt, maintain " +

@@ -998,6 +998,54 @@ class StreamingSpec extends SparkSpec {
     loop.stop()
   }
 
+  test("streamed deletes: batches apply once; a replayed batch is a " +
+      "no-op that leaves the sidecar fingerprint (and the materialized " +
+      "debt) unchanged") {
+    import graft.streaming.VectorsStreaming
+    import graft.operators.Ivf
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_idx_del_stream").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", s"$root/a")
+    val m = s"$root/m"
+    val dels = emb.where(col("vec_id") < 300 && col("vec_id") % 7 === 3)
+      .select(col("vec_id"))
+    assert(VectorsStreaming.deleteVectorBatch(idx,
+      dels.where(col("vec_id") < 150), "vec_id", 0L, m))
+    assert(VectorsStreaming.deleteVectorBatch(idx,
+      dels.where(col("vec_id") >= 150), "vec_id", 1L, m))
+    val s0 = Ivf.maintenanceStats(spark, idx)
+    assert(s0.tombstones == 43L, s"expected 43 streamed tombstones: $s0")
+    // replay before compact: no sidecar growth, no fingerprint change
+    assert(!VectorsStreaming.deleteVectorBatch(idx,
+      dels.where(col("vec_id") < 150), "vec_id", 0L, m))
+    assert(Ivf.maintenanceStats(spark, idx).tombstones == 43L)
+    // the deleted ids are gone from search (vec 10 is a streamed delete)
+    val q = emb.where(col("vec_id") === 10L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    assert(!Ivf.search(spark, idx, q, 10, 10000).collect()
+      .map(_.getLong(0)).contains(10L))
+    // after a compact pays the debt, a REPLAYED delete must not
+    // re-raise it — this is why delete ingest is marker-idempotent at
+    // all (a replay is harmless to the anti-join but a fresh sidecar
+    // file would spuriously flag unmaterialized debt forever after)
+    assert(Ivf.maintain(spark, idx, maxFilesPerShard = 1000000)
+      .isInstanceOf[Ivf.MaintainCompacted])
+    assert(Ivf.maintenanceStats(spark, idx).unmaterializedTombstones == 0L)
+    assert(!VectorsStreaming.deleteVectorBatch(idx,
+      dels.where(col("vec_id") >= 150), "vec_id", 1L, m))
+    val s1 = Ivf.maintenanceStats(spark, idx)
+    assert(s1.unmaterializedTombstones == 0L,
+      "a replayed delete batch re-raised materialized debt")
+    // a genuinely NEW delete batch applies and re-raises the flag
+    assert(VectorsStreaming.deleteVectorBatch(idx,
+      emb.where(col("vec_id") === 0L).select("vec_id"), "vec_id", 2L, m))
+    val s2 = Ivf.maintenanceStats(spark, idx)
+    assert(s2.tombstones == 44L && s2.unmaterializedTombstones == 44L)
+  }
+
   test("marker GC bounds the idempotence ledger: rolled-up ids stay " +
       "no-op replays, the marker dir stays O(retention)") {
     import graft.streaming.VectorsStreaming
