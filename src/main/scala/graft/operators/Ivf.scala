@@ -345,11 +345,35 @@ object Ivf {
     * that [[clearTombstones]] comes LAST — after a compact AND a
     * rebuild of every coded sibling that predates the deletes.
     */
-  def delete(spark: SparkSession, index: Index, ids: Seq[Long]): Unit = {
+  def delete(spark: SparkSession, index: Index, ids: Seq[Long],
+      leaseStaleTtlMs: Long = FsLease.DefaultStaleTtlMs,
+      leaseTimeoutMs: Long = FsLease.DefaultTimeoutMs): Unit = {
     import spark.implicits._
     require(ids.nonEmpty, "delete: empty id list")
-    ids.toDF("__deleted_id").coalesce(1).write.mode("append")
-      .parquet(tombstonesPath(index))
+    writeTombstones(spark, index,
+      ids.toDF("__deleted_id").coalesce(1), leaseStaleTtlMs, leaseTimeoutMs)
+  }
+
+  /** The ONE sidecar-append body, writer-lease fenced: a tombstone file
+    * committing in the instant between [[clearTombstones]]' fingerprint
+    * verification and its recursive delete would be silently LOST (the
+    * clear was verified against a listing that predates it) — with the
+    * fence, a delete either lands before the clear's verification (and
+    * fails it by fingerprint, refusing the clear) or after its release
+    * (recreating the sidecar fresh). Two metadata ops per delete batch,
+    * the same price append pays for the same guarantee.
+    */
+  private def writeTombstones(spark: SparkSession, index: Index,
+      out: DataFrame,
+      leaseStaleTtlMs: Long = FsLease.DefaultStaleTtlMs,
+      leaseTimeoutMs: Long = FsLease.DefaultTimeoutMs): Unit = {
+    val leasePath = writerLeasePath(index)
+    val fs = leasePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    FsLease.withLease(fs, leasePath,
+      s"delete@${java.util.UUID.randomUUID()}", leaseStaleTtlMs,
+      leaseTimeoutMs) {
+      out.write.mode("append").parquet(tombstonesPath(index))
+    }
     tombstonePresence.put(index.vectorsPath,
       TombMemo(present = true, System.nanoTime() + memoTtlNanos))
   }
@@ -362,12 +386,9 @@ object Ivf {
     * duplicates, and a delete batch is typically already distinct.
     */
   def delete(spark: SparkSession, index: Index, ids: DataFrame,
-      idCol: String): Unit = {
-    ids.select(col(idCol).cast("long").as("__deleted_id"))
-      .coalesce(1).write.mode("append").parquet(tombstonesPath(index))
-    tombstonePresence.put(index.vectorsPath,
-      TombMemo(present = true, System.nanoTime() + memoTtlNanos))
-  }
+      idCol: String): Unit =
+    writeTombstones(spark, index,
+      ids.select(col(idCol).cast("long").as("__deleted_id")).coalesce(1))
 
   /** Distributed bulk delete: tombstone every LIVE row matching
     * `predicate` (over the vectors dataset's own columns — id, metadata
@@ -384,19 +405,22 @@ object Ivf {
       predicate: org.apache.spark.sql.Column,
       idCol: String = null): Long = {
     val id = effectiveIdCol(index, idCol)
+    // persist is LOAD-BEARING for parallelism, not just reuse: the
+    // coalesce below would otherwise propagate its narrow partition
+    // count up through the WHOLE scan (the classic coalesce trap —
+    // a 100 TB filter running in ≤64 tasks); with the cache, count()
+    // materializes the id set at full scan parallelism and the write
+    // merely merges cached partitions
     val matching = liveVectors(spark, index, id)
       .where(predicate)
       .select(col(id).cast("long").as("__deleted_id"))
-      .persist() // count + write read it once each
+      .persist()
     val n = matching.count()
     if (n > 0) {
       // id-sized output: bound the file count without a single-task
       // funnel on huge deletes (~24 MB of Long ids per partition)
       val parts = math.max(1, math.min(64, (n / 3000000L).toInt))
-      matching.coalesce(parts).write.mode("append")
-        .parquet(tombstonesPath(index))
-      tombstonePresence.put(index.vectorsPath,
-        TombMemo(present = true, System.nanoTime() + memoTtlNanos))
+      writeTombstones(spark, index, matching.coalesce(parts))
     }
     matching.unpersist()
     n
@@ -428,32 +452,42 @@ object Ivf {
     * sibling dataset intentionally retired without deleting its files).
     */
   def clearTombstones(spark: SparkSession, index: Index,
-      force: Boolean = false): Unit = {
+      force: Boolean = false,
+      leaseStaleTtlMs: Long = FsLease.DefaultStaleTtlMs,
+      leaseTimeoutMs: Long = FsLease.DefaultTimeoutMs): Unit = {
     val path = new org.apache.hadoop.fs.Path(tombstonesPath(index))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val fp = tombstoneFp(fs, index)
-    if (fp.nonEmpty && !force) {
-      if (!materializedFp(fs, index).contains(fp))
-        throw new IllegalStateException(
-          s"clearTombstones: no compact postdates the newest tombstone " +
-            s"of ${tombstonesPath(index)} — clearing now would resurrect " +
-            "deleted ids on the float search path (the rewritten files " +
-            "do not yet exclude them). Run compact/compactInPlace/" +
-            "maintain first, or pass force = true if the float layout " +
-            "was rebuilt out of band.")
-      val stale = listSiblings(fs, index).filter { case (p, sfp) =>
-        sfp != fp && fs.exists(new org.apache.hadoop.fs.Path(p))
+    // verification + delete under the WRITER lease: without it, a
+    // delete batch committing between the fingerprint listing below and
+    // the recursive delete would be destroyed unverified (see
+    // writeTombstones — the two fence each other)
+    FsLease.withLease(fs, writerLeasePath(index),
+      s"clear@${java.util.UUID.randomUUID()}", leaseStaleTtlMs,
+      leaseTimeoutMs) {
+      val fp = tombstoneFp(fs, index)
+      if (fp.nonEmpty && !force) {
+        if (!materializedFp(fs, index).contains(fp))
+          throw new IllegalStateException(
+            s"clearTombstones: no compact postdates the newest tombstone " +
+              s"of ${tombstonesPath(index)} — clearing now would resurrect " +
+              "deleted ids on the float search path (the rewritten files " +
+              "do not yet exclude them). Run compact/compactInPlace/" +
+              "maintain first, or pass force = true if the float layout " +
+              "was rebuilt out of band.")
+        val stale = listSiblings(fs, index).filter { case (p, sfp) =>
+          sfp != fp && fs.exists(new org.apache.hadoop.fs.Path(p))
+        }
+        if (stale.nonEmpty)
+          throw new IllegalStateException(
+            s"clearTombstones: coded sibling dataset(s) " +
+              s"${stale.map(_._1).mkString(", ")} were built before the " +
+              "newest tombstone and still physically contain the deleted " +
+              "rows — rebuild them (or delete their files) first, or pass " +
+              "force = true.")
       }
-      if (stale.nonEmpty)
-        throw new IllegalStateException(
-          s"clearTombstones: coded sibling dataset(s) " +
-            s"${stale.map(_._1).mkString(", ")} were built before the " +
-            "newest tombstone and still physically contain the deleted " +
-            "rows — rebuild them (or delete their files) first, or pass " +
-            "force = true.")
+      fs.delete(path, true)
+      fs.delete(materializedMarkerPath(index), false)
     }
-    fs.delete(path, true)
-    fs.delete(materializedMarkerPath(index), false)
     tombstonePresence.put(index.vectorsPath,
       TombMemo(present = false, System.nanoTime() + memoTtlNanos))
   }

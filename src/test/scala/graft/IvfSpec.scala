@@ -893,6 +893,17 @@ class IvfSpec extends SparkSpec {
       }
       assert(spark.read.parquet(idx.vectorsPath).count() == 200L,
         "append wrote despite a held writer lease")
+      // tombstone writes and the clear are writer-fenced too: a delete
+      // landing between clearTombstones' fingerprint verification and
+      // its recursive delete would otherwise be destroyed unverified
+      intercept[FsLease.LeaseHeldException] {
+        Ivf.delete(spark, idx, Seq(5L), leaseTimeoutMs = 200L)
+      }
+      assert(!new java.io.File(s"$dir/tombstones").exists(),
+        "delete wrote despite a held writer lease")
+      intercept[FsLease.LeaseHeldException] {
+        Ivf.clearTombstones(spark, idx, leaseTimeoutMs = 200L)
+      }
     } finally FsLease.release(fs, wLease, "test-writer")
     Ivf.append(idx, emb.where(col("vec_id") >= 200 && col("vec_id") < 250),
       "vec_id", "embedding")
