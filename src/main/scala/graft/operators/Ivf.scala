@@ -466,7 +466,7 @@ object Ivf {
       leaseTimeoutMs) {
       val fp = tombstoneFp(fs, index)
       if (fp.nonEmpty && !force) {
-        if (!materializedFp(fs, index).contains(fp))
+        if (!materializedMarker(fs, index).exists(_._1 == fp))
           throw new IllegalStateException(
             s"clearTombstones: no compact postdates the newest tombstone " +
               s"of ${tombstonesPath(index)} — clearing now would resurrect " +
@@ -522,19 +522,27 @@ object Ivf {
   }
 
   private def writeMaterializedMarker(fs: org.apache.hadoop.fs.FileSystem,
-      index: Index, fp: String): Unit = {
+      index: Index, fp: String, count: Long): Unit = {
     val out = fs.create(materializedMarkerPath(index), true)
-    try out.write(fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(s"$count\n$fp"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
 
-  private def materializedFp(fs: org.apache.hadoop.fs.FileSystem,
-      index: Index): Option[String] =
+  /** (materialized fingerprint, materialized id count), if recorded. */
+  private def materializedMarker(fs: org.apache.hadoop.fs.FileSystem,
+      index: Index): Option[(String, Long)] =
     try {
       val in = fs.open(materializedMarkerPath(index))
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally in.close()
+      val content =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      content.split("\n", 2) match {
+        case Array(n, fp) if n.forall(_.isDigit) && n.nonEmpty =>
+          Some((fp, n.toLong))
+        case _ => None // unreadable marker reads as "not materialized"
+      }
     } catch { case _: java.io.IOException => None }
 
   /** Coded-sibling registry (`__siblings/` beside the sidecars): each
@@ -722,7 +730,8 @@ object Ivf {
       // the OUT index's marker fingerprints its own copied sidecar —
       // valid only if no delete landed after the rewrite's snapshot
       if (fpBefore.nonEmpty && tombstoneFp(fs, index) == fpBefore)
-        writeMaterializedMarker(fs, out, tombstoneFp(fs, out))
+        writeMaterializedMarker(fs, out, tombstoneFp(fs, out),
+          tombstoneCountFor(spark, index, fpBefore))
       tombstonePresence.put(out.vectorsPath,
         TombMemo(present = true, System.nanoTime() + memoTtlNanos))
     }
@@ -854,7 +863,8 @@ object Ivf {
     // record the tombstone set this rewrite materialized (skipped if a
     // delete raced the rewrite — the next cycle pays the debt)
     if (tombFpBefore.nonEmpty && tombstoneFp(fs, index) == tombFpBefore)
-      writeMaterializedMarker(fs, index, tombFpBefore)
+      writeMaterializedMarker(fs, index, tombFpBefore,
+        tombstoneCountFor(spark, index, tombFpBefore))
   }
 
   /** Crash recovery for [[compactInPlace]]'s swap window: if a prior
@@ -1001,6 +1011,7 @@ object Ivf {
     */
   def maintain(spark: SparkSession, index: Index,
       idCol: String = null, maxFilesPerShard: Int = 8,
+      maxUnmaterializedTombstones: Long = 0L,
       leaseStaleTtlMs: Long = FsLease.DefaultStaleTtlMs,
       fenceTimeoutMs: Long = FsLease.DefaultTimeoutMs,
       beforeFence: () => Unit = () => (),
@@ -1021,7 +1032,8 @@ object Ivf {
       // tombstone debt compacts here too — and because the compact
       // writes the materialization marker, recommended then goes false
       // instead of re-flagging the same (carried) sidecar forever
-      if (!stats.compactRecommended(maxFilesPerShard)) MaintainSkipped
+      if (!stats.compactRecommended(maxFilesPerShard,
+        maxUnmaterializedTombstones)) MaintainSkipped
       else {
         val scratch = s"$base/__compact_scratch"
         val trash = new org.apache.hadoop.fs.Path(s"$base/__compact_trash")
@@ -1092,7 +1104,8 @@ object Ivf {
         // record the tombstone set the rewrite materialized (skipped if
         // a delete raced it — the next cycle pays the remaining debt)
         if (tombFpBefore.nonEmpty && tombstoneFp(fs, index) == tombFpBefore)
-          writeMaterializedMarker(fs, index, tombFpBefore)
+          writeMaterializedMarker(fs, index, tombFpBefore,
+            tombstoneCountFor(spark, index, tombFpBefore))
         MaintainCompacted(merged)
       }
     }
@@ -1112,11 +1125,15 @@ object Ivf {
   case class MaintenanceStats(dataFiles: Int, numShards: Int,
       filesPerShardMax: Int, dataBytes: Long, tombstones: Long,
       /** Tombstones no compact has yet materialized into the float
-        * files (sidecar fingerprint ≠ the materialization marker).
-        * Zero once one compact/maintain pays the debt, even though
-        * `tombstones` stays nonzero while the sidecar is carried for
-        * coded siblings — the distinction that lets the poll→maintain
-        * loop converge (VERDICT r13 #1).
+        * files. Zero once one compact/maintain pays the debt, even
+        * though `tombstones` stays nonzero while the sidecar is
+        * carried for coded siblings — the distinction that lets the
+        * poll→maintain loop converge (VERDICT r13 #1). Counted
+        * PRECISELY when the materialized files are all still present
+        * (total − materialized count: one new delete batch after a
+        * compact reports its own size, not the whole sidecar), falling
+        * back to the whole sidecar when the marker's file set no
+        * longer subsets the current one.
         */
       unmaterializedTombstones: Long) {
 
@@ -1128,9 +1145,19 @@ object Ivf {
       * debt recommends too, but only while UNMATERIALIZED: one
       * compact amortizes the per-search anti-join's miss cost and
       * drops the flag; the carried sidecar alone never re-raises it.
+      * `maxUnmaterializedTombstones` bounds HOW MUCH unmaterialized
+      * debt is tolerated before recommending: the default 0 converges
+      * every delete into the next maintenance cycle (the r13 contract),
+      * while a delete-heavy deployment at large index scale raises it
+      * so each small delete batch does not trigger its own O(index)
+      * rewrite — the anti-join tax is proportional to the UNCOMPACTED
+      * delete volume (measured in SCALE.md round 14), so the knob
+      * trades exactly that tax against rewrite frequency.
       */
-    def compactRecommended(maxFilesPerShard: Int = 8): Boolean =
-      filesPerShardMax > maxFilesPerShard || unmaterializedTombstones > 0
+    def compactRecommended(maxFilesPerShard: Int = 8,
+        maxUnmaterializedTombstones: Long = 0L): Boolean =
+      filesPerShardMax > maxFilesPerShard ||
+        unmaterializedTombstones > maxUnmaterializedTombstones
   }
 
   /** Tombstone-count memo keyed by sidecar listing fingerprint: the
@@ -1140,6 +1167,25 @@ object Ivf {
     */
   private val tombCountMemo =
     new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Tombstone id count for the sidecar state fingerprinted by `fp` —
+    * memoized per fingerprint, so the count job runs once per sidecar
+    * CHANGE, not per poll. Callers pass a `fp` they have verified is
+    * current (the memo is keyed on it).
+    */
+  private def tombstoneCountFor(spark: SparkSession, index: Index,
+      fp: String): Long =
+    if (fp.isEmpty) 0L
+    else {
+      val memo = tombCountMemo.get(index.vectorsPath)
+      if (memo != null && memo._1 == fp) memo._2
+      else {
+        val n = spark.read.schema("__deleted_id LONG")
+          .parquet(tombstonesPath(index)).count()
+        tombCountMemo.put(index.vectorsPath, (fp, n))
+        n
+      }
+    }
 
   def maintenanceStats(spark: SparkSession, index: Index): MaintenanceStats = {
     // never inspect a crashed-swap layout: the listing would describe a
@@ -1162,24 +1208,23 @@ object Ivf {
       }
     }
     val fp = tombstoneFp(fs, index)
-    val tombs =
-      if (fp.isEmpty) 0L
-      else {
-        val memo = tombCountMemo.get(index.vectorsPath)
-        if (memo != null && memo._1 == fp) memo._2
-        else {
-          val n = spark.read.schema("__deleted_id LONG")
-            .parquet(tombstonesPath(index)).count()
-          tombCountMemo.put(index.vectorsPath, (fp, n))
-          n
-        }
-      }
+    val tombs = tombstoneCountFor(spark, index, fp)
     // metadata-only like the rest of the probe: one marker read per
     // poll (no Spark job), against the same listing fingerprint
     val unmat =
       if (tombs == 0L) 0L
-      else if (materializedFp(fs, index).contains(fp)) 0L
-      else tombs
+      else materializedMarker(fs, index) match {
+        case Some((mfp, _)) if mfp == fp => 0L
+        case Some((mfp, mcount)) =>
+          // materialized files all still present + new delete files on
+          // top → only the additions are debt; anything else (files
+          // rewritten/vanished) falls back to the conservative whole
+          val cur = fp.split('|').toSet
+          if (mfp.split('|').toSet.subsetOf(cur))
+            math.max(0L, tombs - mcount)
+          else tombs
+        case None => tombs
+      }
     MaintenanceStats(files, index.numShards,
       if (perShard.isEmpty) 0 else perShard.values.max, bytes, tombs, unmat)
   }

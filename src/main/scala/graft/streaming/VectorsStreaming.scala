@@ -402,13 +402,15 @@ object VectorsStreaming {
     */
   def appendVectorBatchMaintained(index: Ivf.Index, batch: DataFrame,
       idCol: String, embCol: String, batchId: Long, markerDir: String,
-      maxFilesPerShard: Int = 8): Boolean = {
+      maxFilesPerShard: Int = 8,
+      maxUnmaterializedTombstones: Long = 0L): Boolean = {
     val applied = appendVectorBatch(index, batch, idCol, embCol, batchId,
       markerDir)
     if (applied) {
       val spark = batch.sparkSession
       val stats = Ivf.maintenanceStats(spark, index)
-      if (stats.compactRecommended(maxFilesPerShard))
+      if (stats.compactRecommended(maxFilesPerShard,
+        maxUnmaterializedTombstones))
         try Ivf.compactInPlace(spark, index, idCol)
         catch {
           // an out-of-band Ivf.maintain is mid-flight: it will compact
@@ -520,7 +522,8 @@ object VectorsStreaming {
   def startMaintenanceLoop(spark: org.apache.spark.sql.SparkSession,
       index: Ivf.Index, idCol: String = "vec_id",
       maxFilesPerShard: Int = 8,
-      pollIntervalMs: Long = 1000L): MaintenanceLoop = {
+      pollIntervalMs: Long = 1000L,
+      maxUnmaterializedTombstones: Long = 0L): MaintenanceLoop = {
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val compacts = new java.util.concurrent.atomic.AtomicInteger(0)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
@@ -528,9 +531,11 @@ object VectorsStreaming {
       while (!stop.get()) {
         try {
           val stats = Ivf.maintenanceStats(spark, index)
-          if (stats.compactRecommended(maxFilesPerShard)) {
+          if (stats.compactRecommended(maxFilesPerShard,
+              maxUnmaterializedTombstones)) {
             Ivf.maintain(spark, index, idCol,
-              maxFilesPerShard = maxFilesPerShard) match {
+              maxFilesPerShard = maxFilesPerShard,
+              maxUnmaterializedTombstones = maxUnmaterializedTombstones) match {
               case Ivf.MaintainCompacted(_) => compacts.incrementAndGet()
               case Ivf.MaintainSkipped => ()
             }

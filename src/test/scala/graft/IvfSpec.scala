@@ -1115,11 +1115,20 @@ class IvfSpec extends SparkSpec {
       "poll-recommend → maintain did not converge")
     assert(Ivf.maintain(spark, idx, maxFilesPerShard = 1000) ==
       Ivf.MaintainSkipped)
-    // a NEW delete re-raises the flag — exactly one more compact's worth
+    // a NEW delete re-raises the flag — and the debt count is the NEW
+    // batch alone (the materialized 2 are not re-counted), so a
+    // debt-bounded scheduler sees the true marginal cost
     Ivf.delete(spark, idx, Seq(30L))
     val s3 = Ivf.maintenanceStats(spark, idx)
-    assert(s3.unmaterializedTombstones == 3L &&
-      s3.compactRecommended(maxFilesPerShard = 1000))
+    assert(s3.tombstones == 3L && s3.unmaterializedTombstones == 1L, s"$s3")
+    assert(s3.compactRecommended(maxFilesPerShard = 1000))
+    // the debt threshold knob: tolerate up to 1 unmaterialized id and
+    // the recommendation (and maintain) go quiet; the default 0 keeps
+    // the converge-every-delete contract
+    assert(!s3.compactRecommended(maxFilesPerShard = 1000,
+      maxUnmaterializedTombstones = 1L))
+    assert(Ivf.maintain(spark, idx, maxFilesPerShard = 1000,
+      maxUnmaterializedTombstones = 1L) == Ivf.MaintainSkipped)
   }
 
   test("maintain: snapshot files vanishing under the rewrite (lease-less " +
