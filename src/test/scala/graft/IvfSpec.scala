@@ -1062,6 +1062,11 @@ class IvfSpec extends SparkSpec {
       .select(col("vec_id"), col("embedding"))
     val idx = Ivf.build(emb.where(col("vec_id") < 300),
       "vec_id", "embedding", dir)
+    // a no-match bulk delete is a clean no-op: no sidecar planted, no
+    // lease taken, zero returned
+    assert(Ivf.deleteWhere(spark, idx, lit(false)) == 0L)
+    assert(!new java.io.File(s"$dir/tombstones").exists(),
+      "a no-op deleteWhere planted an empty sidecar")
     val n1 = Ivf.deleteWhere(spark, idx, col("vec_id") % 7 === 3)
     assert(n1 == 43L, s"expected 43 tombstoned, got $n1") // 3,10,…,297
     // equals the id-list twin built the driver way
