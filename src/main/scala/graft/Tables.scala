@@ -64,32 +64,46 @@ object Tables {
     s"$dir@$fp"
   }
 
-  /** /tmp roots that hold per-pid cache dirs named by [[cacheDirName]]. */
-  private val CacheRoots =
-    Seq("/tmp/graft_index", "/tmp/graft_pairs", "/tmp/graft_stream_ann")
+  /** /tmp roots that hold per-pid cache dirs named by [[cacheDirName]].
+    * EVERY query that derives a disk path from [[cacheDirName]] must
+    * have its root here, or killed JVMs leak one dir per run forever —
+    * the round-14 audit found 100+ dead-pid orphans under the stream
+    * roots, which sat outside the original three-entry list.
+    */
+  private[graft] val CacheRoots =
+    Seq("/tmp/graft_index", "/tmp/graft_pairs", "/tmp/graft_stream_ann",
+      "/tmp/graft_stream_idx", "/tmp/graft_stream_idx_m",
+      "/tmp/graft_stream_idx_d", "/tmp/graft_stream_vec_et",
+      "/tmp/graft_index_del")
+
+  /** Sweep cache dirs orphaned by SIGKILL/OOM-killed runs: their
+    * shutdown hook never fired, and no later process reuses a
+    * foreign-pid dir, so any cache dir whose embedded pid is no
+    * longer alive is permanent garbage (round-6 ADVICE #1). Pid
+    * recycling only makes the sweep conservative — a recycled pid
+    * reads as alive and the dir survives until ITS owner dies.
+    * `private[graft]` so CacheHygieneSpec drives it directly.
+    */
+  private[graft] def sweepOrphanCacheDirs(): Unit = {
+    val anyPid = java.util.regex.Pattern.compile(".*_p(\\d+)(_.*)?")
+    CacheRoots.foreach { root =>
+      val entries = new java.io.File(root).listFiles()
+      if (entries != null) entries.foreach { e =>
+        val m = anyPid.matcher(e.getName)
+        // toLong guarded: a stray dir with a pid-like digit run
+        // longer than Long must not crash every future run's first
+        // cacheDirName call — leave it alone instead
+        if (m.matches() && scala.util.Try(m.group(1).toLong)
+            .toOption.exists(pid => ProcessHandle.of(pid).isEmpty))
+          deleteTree(e)
+      }
+    }
+  }
 
   private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean
   private def registerCacheCleanup(): Unit =
     if (cleanupRegistered.compareAndSet(false, true)) {
-      // First, sweep siblings orphaned by SIGKILL/OOM-killed runs: their
-      // shutdown hook never fired, and no later process reuses a
-      // foreign-pid dir, so any cache dir whose embedded pid is no
-      // longer alive is permanent garbage (round-6 ADVICE #1). Pid
-      // recycling only makes the sweep conservative — a recycled pid
-      // reads as alive and the dir survives until ITS owner dies.
-      val anyPid = java.util.regex.Pattern.compile(".*_p(\\d+)(_.*)?")
-      CacheRoots.foreach { root =>
-        val entries = new java.io.File(root).listFiles()
-        if (entries != null) entries.foreach { e =>
-          val m = anyPid.matcher(e.getName)
-          // toLong guarded: a stray dir with a pid-like digit run
-          // longer than Long must not crash every future run's first
-          // cacheDirName call — leave it alone instead
-          if (m.matches() && scala.util.Try(m.group(1).toLong)
-              .toOption.exists(pid => ProcessHandle.of(pid).isEmpty))
-            deleteTree(e)
-        }
-      }
+      sweepOrphanCacheDirs()
       // matches `..._p<pid>` and derived names like `..._p<pid>_signed`,
       // but not another process whose pid merely extends ours (_p12 vs
       // _p123)

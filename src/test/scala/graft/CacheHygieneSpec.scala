@@ -10,6 +10,28 @@ package graft
   */
 class CacheHygieneSpec extends SparkSpec {
 
+  test("orphan sweep covers EVERY cache root and spares live-pid dirs " +
+      "(round 14: the stream roots sat outside the sweep and leaked one " +
+      "dir per killed JVM forever)") {
+    // a pid that is certainly not alive: walk down from a huge value
+    val deadPid = Iterator.iterate(3999999L)(_ - 1)
+      .find(p => ProcessHandle.of(p).isEmpty).get
+    val myPid = ProcessHandle.current().pid()
+    val planted = Tables.CacheRoots.flatMap { root =>
+      val dead = new java.io.File(s"$root/d_test_sweep_p$deadPid")
+      val live = new java.io.File(s"$root/d_test_sweep_p$myPid")
+      assert(dead.mkdirs() && live.mkdirs(), s"could not plant under $root")
+      Seq(dead -> false, live -> true)
+    }
+    try {
+      Tables.sweepOrphanCacheDirs()
+      planted.foreach { case (f, shouldSurvive) =>
+        assert(f.exists() == shouldSurvive,
+          s"$f: expected survive=$shouldSurvive after the sweep")
+      }
+    } finally planted.foreach(_._1.delete())
+  }
+
   test("harness clearCache leaves no cached RDDs after persisting builders") {
     // two builders that persist() mid-plan and rely on the cache during
     // their action (the ones the round-5 audit called out as the
