@@ -150,9 +150,16 @@ final class VectorIndexer private (
     * when done (see `VectorsStreaming.startMaintenanceLoop`).
     */
   def startMaintenanceLoop(maxFilesPerShard: Int = 8,
-      pollIntervalMs: Long = 1000L): graft.streaming.VectorsStreaming.MaintenanceLoop =
+      pollIntervalMs: Long = 1000L,
+      maxUnmaterializedTombstones: Long = 0L): graft.streaming.VectorsStreaming.MaintenanceLoop =
+    // maxUnmaterializedTombstones is the deployment's delete-economics
+    // knob (README "Delete lifecycle"): 0 converges every delete batch
+    // into the next cycle; a delete-heavy deployment raises it so small
+    // batches don't each trigger an O(index) rewrite — the tombstone-tax
+    // table in SCALE.md r14 is the sizing input
     graft.streaming.VectorsStreaming.startMaintenanceLoop(spark, index,
-      index.idCol, maxFilesPerShard, pollIntervalMs)
+      index.idCol, maxFilesPerShard, pollIntervalMs,
+      maxUnmaterializedTombstones)
 
   /** Engine extension: lease-fenced out-of-band compaction — rewrites
     * the index concurrently with appends and merges files appended
@@ -160,11 +167,13 @@ final class VectorIndexer private (
     * handle keeps serving through the swap). Returns whether a compact
     * ran.
     */
-  def maintain(maxFilesPerShard: Int = 8): Ivf.MaintainOutcome =
+  def maintain(maxFilesPerShard: Int = 8,
+      maxUnmaterializedTombstones: Long = 0L): Ivf.MaintainOutcome =
     // no idCol literal: Ivf.maintain defaults to the id column the
     // index records it was built with (a facade built with a custom
     // idCol used to fail inside the rewrite on a missing `vec_id`)
-    Ivf.maintain(spark, index, maxFilesPerShard = maxFilesPerShard)
+    Ivf.maintain(spark, index, maxFilesPerShard = maxFilesPerShard,
+      maxUnmaterializedTombstones = maxUnmaterializedTombstones)
 
   private def ingestTimestamp(): Long = System.currentTimeMillis() / 1000L
 

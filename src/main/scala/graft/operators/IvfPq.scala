@@ -28,8 +28,13 @@ object IvfPq {
     * resurrected row is a silent violation.
     */
   def buildCodes(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
-      outPath: String, idCol: String = "vec_id",
+      outPath: String, idCol0: String = null,
       embCol: String = "embedding"): Unit = {
+    // null default resolves to the id column the index records it was
+    // built with (ADVICE r14: a literal "vec_id" default here failed a
+    // custom-idCol index inside the encode) — same contract as every
+    // Ivf maintenance/search entry point
+    val idCol = Ivf.effectiveIdCol(ivf, idCol0)
     // fingerprint BEFORE the encode reads the live view, registered
     // AFTER the write commits: a delete racing the build leaves the
     // registration stale (old fp), which clearTombstones reads as
@@ -71,7 +76,8 @@ object IvfPq {
     */
   def trainResidual(spark: SparkSession, ivf: Ivf.Index, m: Int = 8,
       ksub: Int = 256, iters: Int = 10, seed: Long = 42L,
-      idCol: String = "vec_id", embCol: String = "embedding"): Pq.Model = {
+      idCol0: String = null, embCol: String = "embedding"): Pq.Model = {
+    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
     val dim = ivf.centroids(0).length
     val res = residualCol(spark, ivf.centroids)
     val df = Ivf.liveVectors(spark, ivf, idCol)
@@ -84,8 +90,9 @@ object IvfPq {
     * encoded quantity differs).
     */
   def buildResidualCodes(spark: SparkSession, ivf: Ivf.Index,
-      model: Pq.Model, outPath: String, idCol: String = "vec_id",
+      model: Pq.Model, outPath: String, idCol0: String = null,
       embCol: String = "embedding"): Unit = {
+    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
     val fs = new org.apache.hadoop.fs.Path(ivf.vectorsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fp = Ivf.tombstoneFp(fs, ivf) // see buildCodes — capture-then-write
@@ -109,8 +116,9 @@ object IvfPq {
     */
   def searchResidual(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
       codesPath: String, query: Array[Float], k0: Int, nProbe0: Int,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol0: String = null): DataFrame = {
     import spark.implicits._
+    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
     val k = math.min(k0, ivf.config.maxK)
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     require(k > 0, "k must be > 0")
@@ -143,8 +151,9 @@ object IvfPq {
   def searchBatchResidual(spark: SparkSession, ivf: Ivf.Index,
       model: Pq.Model, codesPath: String,
       queries: Array[(Long, Array[Float])], k0: Int, nProbe0: Int,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol0: String = null): DataFrame = {
     import spark.implicits._
+    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
     val k = math.min(k0, ivf.config.maxK)
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     require(k > 0, "k must be > 0")
@@ -188,8 +197,9 @@ object IvfPq {
     */
   def searchRefine(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
       codesPath: String, query: Array[Float], k0: Int, nProbe0: Int,
-      refine: Int = 4, idCol: String = "vec_id",
+      refine: Int = 4, idCol0: String = null,
       embCol: String = "embedding"): DataFrame = {
+    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
     require(refine >= 1, s"refine must be >= 1: $refine")
     val k = math.min(k0, ivf.config.maxK)
     val shortlist = search(spark, ivf, model, codesPath, query,
@@ -219,8 +229,9 @@ object IvfPq {
     */
   def searchBatch(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
       codesPath: String, queries: Array[(Long, Array[Float])], k0: Int,
-      nProbe0: Int, idCol: String = "vec_id"): DataFrame = {
+      nProbe0: Int, idCol0: String = null): DataFrame = {
     import spark.implicits._
+    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
     val k = math.min(k0, ivf.config.maxK)
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     require(k > 0, "k must be > 0")
@@ -262,7 +273,8 @@ object IvfPq {
   /** Top-k by ADC over the probe-pruned coded dataset. */
   def search(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
       codesPath: String, query: Array[Float], k0: Int, nProbe0: Int,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol0: String = null): DataFrame = {
+    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
     val k = math.min(k0, ivf.config.maxK)
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     require(k > 0, "k must be > 0")

@@ -25,7 +25,10 @@ object IvfSq {
     * deleted rows regardless of where in the delete lifecycle it runs.
     */
   def buildCodes(spark: SparkSession, ivf: Ivf.Index, outPath: String,
-      idCol: String = "vec_id", embCol: String = "embedding"): Unit = {
+      idCol0: String = null, embCol: String = "embedding"): Unit = {
+    // null default resolves to the index's recorded id column — see
+    // IvfPq.buildCodes (ADVICE r14)
+    val idCol = Ivf.effectiveIdCol(ivf, idCol0)
     val fs = new org.apache.hadoop.fs.Path(ivf.vectorsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // see IvfPq.buildCodes — capture-then-write keeps a racing delete
@@ -44,7 +47,8 @@ object IvfSq {
     */
   def search(spark: SparkSession, ivf: Ivf.Index, codesPath: String,
       query: Array[Float], k0: Int, nProbe0: Int,
-      idCol: String = "vec_id"): DataFrame = {
+      idCol0: String = null): DataFrame = {
+    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
     val k = math.min(k0, ivf.config.maxK)
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     require(k > 0, "k must be > 0")

@@ -97,7 +97,11 @@ object IndexQueries {
     * `liveRows`' broadcast tombstone anti-join, oracled end to end in
     * BOTH lifecycle phases. A fresh index is built on `vec_id < 300`,
     * a deterministic id set (`vec_id % 7 = 3`, ~43 ids spread across
-    * clusters) is deleted, and the probe-all (exact) top-10 for the
+    * clusters) is deleted — the even half via the id-list [[Ivf.delete]],
+    * the rest via [[Ivf.deleteWhere]] with the full predicate, putting
+    * both bulk forms AND deleteWhere's live-view skip of already-
+    * tombstoned ids under this oracle — and the probe-all (exact)
+    * top-10 for the
     * embedding of vec_id 10 — ITSELF a deleted id, so the undeleted
     * rank-1 would be (10, distance 0) and any tombstone leak on any
     * phase hash-mismatches at rank 1 — is taken twice:
@@ -125,7 +129,18 @@ object IndexQueries {
       .select(col("vec_id"), col("embedding"))
     val idx = Ivf.build(emb.where(col("vec_id") < 300),
       "vec_id", "embedding", root)
-    Ivf.delete(spark, idx, (0L until 300L).filter(_ % 7 == 3))
+    // the delete set enters through BOTH bulk forms so each is under
+    // this oracle (VERDICT r14 #2 — deleteWhere's predicate plumbing
+    // was previously gated only by the IvfSpec twin-equivalence test):
+    // the even half by driver-held id list, then deleteWhere with the
+    // FULL predicate — its live-view filter must skip the already-
+    // tombstoned evens, so the returned count is exactly the odd half
+    // (live-view idempotence asserted here, the survivors by DuckDB)
+    val ids = (0L until 300L).filter(_ % 7 == 3)
+    Ivf.delete(spark, idx, ids.filter(_ % 2 == 0))
+    val n = Ivf.deleteWhere(spark, idx, col("vec_id") % 7 === 3)
+    require(n == ids.count(_ % 2 == 1),
+      s"deleteWhere tombstoned $n live ids, expected ${ids.count(_ % 2 == 1)}")
     val q = queryVec(spark, dir, 10L)
     def phase(): DataFrame =
       Ivf.search(spark, idx, q, k0 = 10, nProbe0 = 10000)

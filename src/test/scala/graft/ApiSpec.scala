@@ -262,6 +262,43 @@ class ApiSpec extends SparkSpec {
       .map(_.getLong(0)).contains(17L))
   }
 
+  test("facade threads maxUnmaterializedTombstones end to end: debt " +
+      "under the deployment knob is tolerated, compacts once crossed " +
+      "(VERDICT r14 #7)") {
+    import graft.operators.Ivf
+    val vi = VectorIndexer.create(spark, freshCfg()).buildFromRecords(ramp(120, 4))
+    // one-shot maintain honors the knob: 1 unmaterialized id ≤ 5 → skip
+    // (the default 0 keeps the converge-every-delete contract, gated in
+    // the lifecycle test above)
+    vi.deleteIds(Seq(3L))
+    assert(vi.maintain(maxFilesPerShard = 1000000,
+      maxUnmaterializedTombstones = 5L) == Ivf.MaintainSkipped)
+    // the facade poller threads the same knob: tolerated debt never
+    // triggers a compact...
+    val loop = vi.startMaintenanceLoop(maxFilesPerShard = 1000000,
+      pollIntervalMs = 50L, maxUnmaterializedTombstones = 5L)
+    try {
+      Thread.sleep(600)
+      assert(loop.compacts == 0,
+        "loop compacted debt the deployment knob says to tolerate")
+      assert(vi.maintenanceStats.unmaterializedTombstones == 1L)
+      // ...and pays it exactly when it crosses the threshold
+      vi.deleteIds((10L to 15L).toSeq) // debt now 7 > 5
+      var waited = 0
+      while (waited < 240 &&
+          vi.maintenanceStats.unmaterializedTombstones > 0L) {
+        Thread.sleep(250); waited += 1
+      }
+      assert(vi.maintenanceStats.unmaterializedTombstones == 0L,
+        s"loop never paid the crossed debt: ${vi.maintenanceStats}")
+      assert(loop.compacts > 0 && loop.recentErrors.isEmpty,
+        s"loop errors: ${loop.recentErrors.map(_.getMessage)}")
+    } finally loop.stop()
+    // the compact materialized the deletes; search stays clean
+    assert(!vi.search(ramp(120, 4)(12)._2, nProbe = 1000000).collect()
+      .map(_.getLong(0)).contains(12L))
+  }
+
   test("P1 on every search entry point: batch, annJoin, direct build") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

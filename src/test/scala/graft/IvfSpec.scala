@@ -1136,6 +1136,88 @@ class IvfSpec extends SparkSpec {
       maxUnmaterializedTombstones = 1L) == Ivf.MaintainSkipped)
   }
 
+  test("maintenanceStats falls back to the conservative whole-sidecar " +
+      "count when the marker's file set stops subsetting the live " +
+      "listing (VERDICT r14 #6)") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_marker_fb").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", dir)
+    Ivf.delete(spark, idx, Seq(10L, 20L))
+    assert(Ivf.maintain(spark, idx, maxFilesPerShard = 1000)
+      .isInstanceOf[Ivf.MaintainCompacted])
+    Ivf.delete(spark, idx, Seq(30L))
+    // precise arm: the marker's files all still present + one new batch
+    // on top — only the addition is debt
+    val precise = Ivf.maintenanceStats(spark, idx)
+    assert(precise.tombstones == 3L &&
+      precise.unmaterializedTombstones == 1L, s"$precise")
+    // an out-of-band sidecar rewrite (same ids, fresh file names — e.g.
+    // a manual coalesce) breaks the marker's file-set subset: the
+    // precise split is no longer provable, so the count must fall back
+    // to the conservative WHOLE sidecar instead of reporting stale
+    // precision (the fallback arm of the precise-count code path)
+    val tp = s"$dir/tombstones"
+    val ids = spark.read.parquet(tp).collect().map(_.getLong(0)).toSeq
+    import spark.implicits._
+    ids.toDF("__deleted_id").coalesce(1)
+      .write.mode("overwrite").parquet(tp)
+    val fallback = Ivf.maintenanceStats(spark, idx)
+    assert(fallback.tombstones == 3L, s"$fallback")
+    assert(fallback.unmaterializedTombstones == 3L,
+      s"expected conservative fallback to the whole sidecar: $fallback")
+    // conservative means a debt-bounded scheduler re-compacts — the
+    // safe direction (an extra rewrite, never a skipped one)
+    assert(fallback.compactRecommended(maxFilesPerShard = 1000,
+      maxUnmaterializedTombstones = 2L))
+  }
+
+  test("compact(outDir) carries the coded-sibling registry: a stale " +
+      "sibling refuses clearTombstones on the compacted index too " +
+      "(ADVICE r14)") {
+    import java.nio.file.{Files => JFiles}
+    val dir = JFiles.createTempDirectory("graft_sibcarry").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 300),
+      "vec_id", "embedding", dir)
+    // sibling built BEFORE any delete — it physically contains every row
+    val model = graft.operators.Pq.train(emb.where(col("vec_id") < 300),
+      "embedding", embAll.head._2.length, m = 8, ksub = 16,
+      orderCol = Some("vec_id"))
+    val pqDir = JFiles.createTempDirectory("graft_sibcarry_pq").toString
+    graft.operators.IvfPq.buildCodes(spark, idx, model, pqDir)
+    Ivf.delete(spark, idx, Seq(10L))
+    assert(spark.read.parquet(pqDir).where(col("vec_id") === 10L).count()
+      == 1L, "fixture broken: the stale sibling must physically hold id 10")
+    val outDir = JFiles.createTempDirectory("graft_sibcarry_out").toString
+    val compacted = Ivf.compact(spark, idx, outDir)
+    // the registry rides along with the tombstone sidecar: clearing the
+    // COMPACTED index while the pre-delete sibling still exists must
+    // refuse by path (previously the registry was not carried, the
+    // sibling check passed vacuously, and the clear resurrected id 10
+    // on the PQ search path)
+    val e = intercept[IllegalStateException] {
+      Ivf.clearTombstones(spark, compacted)
+    }
+    assert(e.getMessage.contains(pqDir), e.getMessage)
+    val q10 = embAll.find(_._1 == 10L).get._2
+    assert(!graft.operators.IvfPq.search(spark, compacted, model, pqDir,
+      q10, 10, 10000).collect().map(_.getLong(0)).contains(10L),
+      "the carried sidecar must keep filtering the stale sibling")
+    // a post-delete rebuild re-registers the sibling as current against
+    // the compacted index's own sidecar copy → the clear proceeds, and
+    // the id stays dead because the rebuild read the live view
+    graft.operators.IvfPq.buildCodes(spark, compacted, model, pqDir)
+    Ivf.clearTombstones(spark, compacted)
+    assert(!graft.operators.IvfPq.search(spark, compacted, model, pqDir,
+      q10, 10, 10000).collect().map(_.getLong(0)).contains(10L))
+    assert(!Ivf.search(spark, compacted, q10, 10, 10000)
+      .collect().map(_.getLong(0)).contains(10L))
+  }
+
   test("maintain: snapshot files vanishing under the rewrite (lease-less " +
       "writer) abort by name with the index untouched (VERDICT r13 #5)") {
     import java.nio.file.{Files => JFiles}
