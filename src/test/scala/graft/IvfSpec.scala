@@ -1279,6 +1279,50 @@ class IvfSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/__compact_scratch").exists())
   }
 
+  test("lease acquisition is race-safe within one JVM: simultaneous " +
+      "creators yield exactly one holder with an intact owner tag " +
+      "(the observed local-fs interleaved-tag leak, r15)") {
+    // Hadoop's local fs emulates create-if-absent with exists-then-
+    // create; before the per-path JVM monitor + verify-read, two
+    // same-process racers could BOTH hold the lease with their tags
+    // interleaved in one file — which neither owner-verified release
+    // matched, leaking the lease for a full stale TTL (observed live:
+    // an append racing the maintenance poller's swap fence). Owners
+    // here have DIFFERENT lengths, the shape that produced the mangled
+    // tag. Metadata-only, so many rounds are cheap.
+    import java.nio.file.{Files => JFiles}
+    import graft.operators.FsLease
+    val dir = JFiles.createTempDirectory("graft_leaserace").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    (0 until 40).foreach { round =>
+      val path = new org.apache.hadoop.fs.Path(s"$dir/__lease_$round")
+      val owners = (0 until 8).map(i => s"owner-$round-$i-" + ("x" * (i * 3)))
+      val winners = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val barrier = new java.util.concurrent.CyclicBarrier(owners.length)
+      val ts = owners.map { o =>
+        val t = new Thread(() => {
+          barrier.await()
+          try { FsLease.acquire(fs, path, o, timeoutMs = 0L); winners.add(o) }
+          catch { case _: FsLease.LeaseHeldException => () }
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join(30000L))
+      assert(ts.forall(!_.isAlive), s"round $round: an acquirer hung")
+      assert(winners.size == 1, s"round $round: ${winners.size} holders")
+      val content = {
+        val in = fs.open(path)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      }
+      assert(content == winners.peek(),
+        s"round $round: mangled owner tag '$content'")
+      assert(FsLease.release(fs, path, winners.peek()))
+    }
+  }
+
   test("withLease heartbeats the hold: a legitimate hold longer than " +
       "the stale TTL is not broken (VERDICT r13 #4)") {
     import java.nio.file.{Files => JFiles}
