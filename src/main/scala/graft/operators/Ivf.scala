@@ -183,46 +183,53 @@ object Ivf {
     // full assignment (map-side, broadcast centroids, no shuffle).
     // persisted: both the counts collect and the partitioned write below
     // consume it — without the barrier the (hierarchical) assignment UDF
-    // runs over the full table twice.
+    // runs over the full table twice. Unpersisted in a finally: a build
+    // failing mid-write (e.g. the dimension raise_error firing in the
+    // corpus pass) must not leak a corpus-sized cache entry for the
+    // life of the JVM (the r15 retry-poisoning class, memory edition).
     val assigned = KMeans
       .withAssignment(checked, embCol, model, seed, "raw_centroid_id")
       .persist()
+    val (centroids, centroidToShard) =
+      try {
+        // drop empty clusters, re-densify ids in ascending raw-id order
+        // (P2, src/ivf_index.rs:122-146)
+        val counts = staged("assign_count")(
+          assigned.groupBy("raw_centroid_id").count()
+            .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+        val nonEmpty =
+          (0 until model.k).filter(c => counts.getOrElse(c, 0L) > 0L)
+        val remap = nonEmpty.zipWithIndex.toMap // raw -> dense
+        val centroids = nonEmpty.map(model.centroids(_)).toArray
 
-    // drop empty clusters, re-densify ids in ascending raw-id order (P2,
-    // src/ivf_index.rs:122-146)
-    val counts = staged("assign_count")(
-      assigned.groupBy("raw_centroid_id").count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
-    val nonEmpty = (0 until model.k).filter(c => counts.getOrElse(c, 0L) > 0L)
-    val remap = nonEmpty.zipWithIndex.toMap // raw -> dense
-    val centroids = nonEmpty.map(model.centroids(_)).toArray
+        // super-k-means over surviving centroids → shards
+        // (num_shards = ⌈√k⌉, 100 iters, seed*31+7 — src/ivf_index.rs:104-109)
+        val numShards =
+          math.max(1, math.ceil(math.sqrt(centroids.length.toDouble)).toInt)
+        val centroidToShard = staged("shard_model") {
+          val sm = KMeans.trainDriver(centroids, numShards, 100, seed * 31 + 7)
+          centroids.map(c => KMeans.nearest(c, sm.centroids)._1)
+        }
 
-    // super-k-means over surviving centroids → shards
-    // (num_shards = ⌈√k⌉, 100 iters, seed*31+7 — src/ivf_index.rs:104-109)
-    val numShards = math.max(1, math.ceil(math.sqrt(centroids.length.toDouble)).toInt)
-    val centroidToShard = staged("shard_model") {
-      val sm = KMeans.trainDriver(centroids, numShards, 100, seed * 31 + 7)
-      centroids.map(c => KMeans.nearest(c, sm.centroids)._1)
-    }
-
-    // persist vectors partitioned by shard, clustered by centroid, so
-    // probe filters prune directories and row-groups. Both remaps are
-    // literal-array element_at lookups (whole-stage codegen, no boxing)
-    // rather than UDFs — this is the one pass over the FULL corpus on
-    // the write path. Empty raw ids hold sentinel -1 but are
-    // unreachable: a raw id reaches this projection only if some row
-    // was assigned to it, which is the non-emptiness condition.
-    val rawToDense = Array.fill(model.k)(-1)
-    for ((raw, dense) <- remap) rawToDense(raw) = dense
-    staged("shard_write")(writeVectors(
-      assigned
-        .withColumn("centroid_id",
-          element_at(typedLit(rawToDense.toSeq), col("raw_centroid_id") + 1))
-        .withColumn("shard_id",
-          element_at(typedLit(centroidToShard.toSeq), col("centroid_id") + 1))
-        .drop("raw_centroid_id"),
-      idCol, numShards, s"$indexDir/vectors", "overwrite"))
-    assigned.unpersist()
+        // persist vectors partitioned by shard, clustered by centroid, so
+        // probe filters prune directories and row-groups. Both remaps are
+        // literal-array element_at lookups (whole-stage codegen, no boxing)
+        // rather than UDFs — this is the one pass over the FULL corpus on
+        // the write path. Empty raw ids hold sentinel -1 but are
+        // unreachable: a raw id reaches this projection only if some row
+        // was assigned to it, which is the non-emptiness condition.
+        val rawToDense = Array.fill(model.k)(-1)
+        for ((raw, dense) <- remap) rawToDense(raw) = dense
+        staged("shard_write")(writeVectors(
+          assigned
+            .withColumn("centroid_id",
+              element_at(typedLit(rawToDense.toSeq), col("raw_centroid_id") + 1))
+            .withColumn("shard_id",
+              element_at(typedLit(centroidToShard.toSeq), col("centroid_id") + 1))
+            .drop("raw_centroid_id"),
+          idCol, numShards, s"$indexDir/vectors", "overwrite"))
+        (centroids, centroidToShard)
+      } finally assigned.unpersist()
 
     staged("sidecar")(
       writeSidecar(spark, centroids, centroidToShard, seed, idCol, indexDir))
