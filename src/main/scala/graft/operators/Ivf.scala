@@ -436,14 +436,20 @@ object Ivf {
     // into a permanent failure until the cache is dropped
     try {
       val n = ids.count()
-      if (n > 0) {
-        val parts = math.max(1, math.min(64, (n / 3000000L).toInt))
-        writeTombstones(spark, index, ids.coalesce(parts),
+      if (n > 0)
+        writeTombstones(spark, index, ids.coalesce(tombstonePartitions(n)),
           leaseStaleTtlMs, leaseTimeoutMs)
-      }
       n
     } finally ids.unpersist()
   }
+
+  /** Sidecar output partition count for an n-id delete batch: ~3M Long
+    * ids (≈24 MB as parquet) per file, capped at 64 files so the
+    * broadcast read side stays a bounded listing regardless of delete
+    * volume. Pure — unit-gated across the volume range in IvfSpec.
+    */
+  private[graft] def tombstonePartitions(n: Long): Int =
+    math.max(1, math.min(64, (n / 3000000L).toInt))
 
   /** Distributed bulk delete: tombstone every LIVE row matching
     * `predicate` (over the vectors dataset's own columns — id, metadata
