@@ -109,16 +109,23 @@ object IndexQueries {
     *  - `merge_on_read`: tombstones filtered at scan time by the
     *    broadcast anti-join (data files still hold all 300 rows);
     *  - `compacted`: after [[Ivf.compactInPlace]] materializes the
-    *    deletes into rewritten files (and, this round, records the
-    *    materialization marker + fences the swap under the writer
-    *    lease — the oracled path exercises both).
+    *    deletes into rewritten files (recording the materialization
+    *    marker + fencing the swap under the writer lease — the oracled
+    *    path exercises both);
+    *  - `cleared`: after the VERIFIED [[Ivf.clearTombstones]] — the
+    *    lifecycle END, previously ScalaTest-only. The clear's marker
+    *    precondition is satisfied by the compact above; a clear that
+    *    wrongly dropped the sidecar before materialization (or a
+    *    search path that still depended on it) would resurrect id 10
+    *    at rank 1 / distance 0 and hash-mismatch.
     *
     * The oracle recomputes exact top-10 over the surviving rows once
-    * and expects it verbatim in each phase — merge-on-read and
-    * post-compact answers must be identical, which is the compaction
-    * result-preservation contract under oracle instead of only
-    * ScalaTest. Phase 1 is materialized BEFORE the compact (its lazy
-    * plan pins pre-swap file names that the swap deletes).
+    * and expects it verbatim in each phase — all three answers must be
+    * identical, which is the compaction + clear result-preservation
+    * contract under oracle instead of only ScalaTest. Phases 1 and 2
+    * are materialized before the next lifecycle step (phase 1's lazy
+    * plan pins pre-swap file names the swap deletes; phase 2's pins
+    * the tombstone scan the clear deletes).
     */
   def searchDeleted(spark: SparkSession, dir: String): DataFrame = {
     val root = s"/tmp/graft_index_del/${Tables.cacheDirName(dir)}"
@@ -142,13 +149,21 @@ object IndexQueries {
     require(n == ids.count(_ % 2 == 1),
       s"deleteWhere tombstoned $n live ids, expected ${ids.count(_ % 2 == 1)}")
     val q = queryVec(spark, dir, 10L)
-    def phase(): DataFrame =
-      Ivf.search(spark, idx, q, k0 = 10, nProbe0 = 10000)
-    val beforeRows = phase().withColumn("phase", lit("merge_on_read"))
-    val before = spark.createDataFrame(
-      java.util.Arrays.asList(beforeRows.collect(): _*), beforeRows.schema)
+    def phase(name: String): DataFrame = {
+      val rows = Ivf.search(spark, idx, q, k0 = 10, nProbe0 = 10000)
+        .withColumn("phase", lit(name))
+      // materialize: the next lifecycle step deletes files this lazy
+      // plan pins (swap: the data files; clear: the tombstone sidecar)
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.collect(): _*), rows.schema)
+    }
+    val before = phase("merge_on_read")
     Ivf.compactInPlace(spark, idx)
-    before.union(phase().withColumn("phase", lit("compacted")))
+    val compacted = phase("compacted")
+    Ivf.clearTombstones(spark, idx)
+    before.union(compacted)
+      .union(Ivf.search(spark, idx, q, k0 = 10, nProbe0 = 10000)
+        .withColumn("phase", lit("cleared")))
       .orderBy(col("phase"), col("distance"), col("external_id"))
   }
 
@@ -178,7 +193,7 @@ object IndexQueries {
       |  WHERE e.vec_id < 300 AND e.vec_id % 7 <> 3
       |  ORDER BY distance, e.vec_id LIMIT 10)
       |SELECT p.phase, s.external_id, s.distance
-      |FROM s CROSS JOIN (VALUES ('merge_on_read'), ('compacted')) p(phase)
+      |FROM s CROSS JOIN (VALUES ('merge_on_read'), ('compacted'), ('cleared')) p(phase)
       |ORDER BY p.phase, s.distance, s.external_id""".stripMargin
 
   /** Distributed ANN join, probe-all form: top-3 indexed neighbors for
