@@ -1057,6 +1057,38 @@ class IvfSpec extends SparkSpec {
     Ivf.delete(spark, loaded, Seq(42L))
     assert(!Ivf.search(spark, loaded, q, 10, 10000)
       .collect().map(_.getLong(0)).contains(42L))
+    // the coded-sibling builders and searches resolve the recorded id
+    // column too (ADVICE r14: their literal vec_id defaults failed a
+    // custom-idCol index inside the encode) — and honor the tombstone
+    val model = graft.operators.Pq.train(emb.where(col("doc_id") < 300),
+      "embedding", embAll.head._2.length, m = 8, ksub = 16,
+      orderCol = Some("doc_id"))
+    val pqDir = JFiles.createTempDirectory("graft_idcol_pq").toString
+    graft.operators.IvfPq.buildCodes(spark, loaded, model, pqDir)
+    assert(spark.read.parquet(pqDir).columns.contains("doc_id"),
+      "coded sibling did not inherit the index's id column")
+    val pqTop = graft.operators.IvfPq.search(spark, loaded, model, pqDir,
+      q, 10, 10000).collect().map(_.getLong(0))
+    assert(pqTop.nonEmpty && !pqTop.contains(42L))
+    val sqDir = JFiles.createTempDirectory("graft_idcol_sq").toString
+    graft.operators.IvfSq.buildCodes(spark, loaded, sqDir)
+    val sqTop = graft.operators.IvfSq.search(spark, loaded, sqDir,
+      q, 10, 10000).collect().map(_.getLong(0))
+    assert(sqTop.nonEmpty && !sqTop.contains(42L))
+    // the streaming maintenance poller's null default resolves too: the
+    // tombstone debt from the delete above triggers one compact through
+    // the loop with no explicit id column
+    val loop = graft.streaming.VectorsStreaming.startMaintenanceLoop(
+      spark, loaded, maxFilesPerShard = 1000000, pollIntervalMs = 50L)
+    try {
+      var waited = 0
+      while (waited < 200 && loop.compacts == 0) {
+        Thread.sleep(100); waited += 1
+      }
+      assert(loop.compacts > 0 && loop.recentErrors.isEmpty,
+        s"poller on the custom-id index: " +
+          s"${loop.recentErrors.map(_.getMessage)}")
+    } finally loop.stop()
     // a batch whose id column differs from the layout's is refused by
     // name — appended files would otherwise carry a drifted schema that
     // every later scan unions into null ids
