@@ -1045,6 +1045,16 @@ class StreamingSpec extends SparkSpec {
     val s2 = Ivf.maintenanceStats(spark, idx)
     assert(s2.tombstones == 44L && s2.unmaterializedTombstones == 1L,
       s"precise debt count expected (only the NEW batch): $s2")
+    // an EMPTY micro-batch (streams deliver them) marks applied but
+    // writes NOTHING: the old DataFrame-delete path planted an empty
+    // sidecar file, which changed the fingerprint and would spuriously
+    // re-raise paid debt — the same failure class replay idempotence
+    // exists to prevent, entering through the front door
+    assert(VectorsStreaming.deleteVectorBatch(idx,
+      emb.where(lit(false)).select("vec_id"), "vec_id", 3L, m))
+    val s3 = Ivf.maintenanceStats(spark, idx)
+    assert(s3.tombstones == 44L && s3.unmaterializedTombstones == 1L,
+      s"an empty delete batch changed the sidecar: $s3")
   }
 
   test("marker GC bounds the idempotence ledger: rolled-up ids stay " +
