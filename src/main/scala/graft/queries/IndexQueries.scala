@@ -196,6 +196,63 @@ object IndexQueries {
       |FROM s CROSS JOIN (VALUES ('merge_on_read'), ('compacted'), ('cleared')) p(phase)
       |ORDER BY p.phase, s.distance, s.external_id""".stripMargin
 
+  /** Custom-id-column lifecycle search (`ivf_search_custom_id`): the
+    * hardcoded-`vec_id` regression class — which bit twice (the r14
+    * search-rewrite fix, then the r15 coded-sibling/poller extension)
+    * and was ScalaTest-only — put under the DuckDB oracle. The index is
+    * built with its id column named `doc_id`, so EVERY plumbing step
+    * that wrongly assumes `vec_id` (the tombstone anti-join, the
+    * deleteWhere live-view filter, compaction's re-densify rewrite, the
+    * search projection) either fails analysis on the missing column or
+    * resurrects deleted id 10 at rank 1 / distance 0 and
+    * hash-mismatches. Same survivor set and query vector as
+    * [[searchDeleted]] (`id < 300`, delete `id % 7 = 3`, query id 10 —
+    * itself deleted), taken in two phases: merge-on-read (broadcast
+    * anti-join on the RECORDED id column) and compacted
+    * ([[Ivf.compactInPlace]]'s rewrite + marker under the custom
+    * column). Phase 1 is materialized before the swap deletes the file
+    * names its lazy plan pins.
+    */
+  def searchCustomId(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"/tmp/graft_index_cid/${Tables.cacheDirName(dir)}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+    val emb = Tables.embeddings(spark, dir)
+      .select(col("vec_id").as("doc_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("doc_id") < 300),
+      "doc_id", "embedding", root)
+    val n = Ivf.deleteWhere(spark, idx, col("doc_id") % 7 === 3)
+    require(n == (0L until 300L).count(_ % 7 == 3),
+      s"deleteWhere on doc_id tombstoned $n ids, expected 43")
+    val q = queryVec(spark, dir, 10L)
+    def phase(name: String): DataFrame = {
+      val rows = Ivf.search(spark, idx, q, k0 = 10, nProbe0 = 10000)
+        .withColumn("phase", lit(name))
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows.collect(): _*), rows.schema)
+    }
+    val before = phase("merge_on_read")
+    Ivf.compactInPlace(spark, idx)
+    before.union(Ivf.search(spark, idx, q, k0 = 10, nProbe0 = 10000)
+        .withColumn("phase", lit("compacted")))
+      .orderBy(col("phase"), col("distance"), col("external_id"))
+  }
+
+  private val searchCustomIdSql: String =
+    """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 10),
+      |s AS (
+      |  SELECT e.vec_id AS external_id,
+      |    list_reduce(list_transform(list_zip(e.embedding, q.qe),
+      |      p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))),
+      |      (a, b) -> a + b) AS distance
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE e.vec_id < 300 AND e.vec_id % 7 <> 3
+      |  ORDER BY distance, e.vec_id LIMIT 10)
+      |SELECT p.phase, s.external_id, s.distance
+      |FROM s CROSS JOIN (VALUES ('merge_on_read'), ('compacted')) p(phase)
+      |ORDER BY p.phase, s.distance, s.external_id""".stripMargin
+
   /** Distributed ANN join, probe-all form: top-3 indexed neighbors for
     * each row of a (bounded) query table, with the query side staying
     * distributed — no driver collect ([[Ivf.annJoin]]). Probe-all ⇒
@@ -1031,6 +1088,8 @@ object IndexQueries {
     // individually — including it would shift the headline t1/t2 series
     // by a constant ~2.6 s of index-build overhead, not serving cost
     "ivf_search_deleted" -> QueryDef(searchDeleted, Some(searchDeletedSql),
+      bench = false),
+    "ivf_search_custom_id" -> QueryDef(searchCustomId, Some(searchCustomIdSql),
       bench = false),
     "ivf_range_search" -> QueryDef(rangeSearchAll, Some(rangeSearchAllSql)),
     "ivf_search_filtered" -> QueryDef(searchFilteredAll, Some(searchFilteredAllSql)),
