@@ -74,7 +74,7 @@ object Tables {
     Seq("/tmp/graft_index", "/tmp/graft_pairs", "/tmp/graft_stream_ann",
       "/tmp/graft_stream_idx", "/tmp/graft_stream_idx_m",
       "/tmp/graft_stream_idx_d", "/tmp/graft_stream_vec_et",
-      "/tmp/graft_index_del")
+      "/tmp/graft_index_del", "/tmp/graft_index_cid")
 
   /** Sweep cache dirs orphaned by SIGKILL/OOM-killed runs: their
     * shutdown hook never fired, and no later process reuses a
