@@ -61,9 +61,15 @@ object FsLease {
     * TTL. A per-path JVM monitor closes the same-process window — the
     * only surface where the local fs is used; cross-process atomicity
     * stays the filesystem's contract (the documented boundary above).
+    * Striped rather than per-path: a map keyed by path string would
+    * grow one interned monitor per lease path for the life of the JVM
+    * (a long-lived driver touches unboundedly many index dirs); hash
+    * collisions merely serialize two unrelated paths' create ATTEMPTS —
+    * a sub-millisecond critical section — never their holds.
     */
-  private val jvmCreateLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val jvmCreateLocks = Array.fill(64)(new Object)
+  private def createLockFor(path: Path): Object =
+    jvmCreateLocks(math.floorMod(path.toString.hashCode, jvmCreateLocks.length))
 
   /** Acquire the lease at `path`, waiting up to `timeoutMs` for a
     * fresh competing holder and breaking holders staler than
@@ -73,24 +79,28 @@ object FsLease {
       staleTtlMs: Long = DefaultStaleTtlMs,
       timeoutMs: Long = DefaultTimeoutMs): Unit = {
     val deadline = System.nanoTime() + timeoutMs * 1000000L
-    val monitor =
-      jvmCreateLocks.computeIfAbsent(path.toString, _ => new Object)
+    val monitor = createLockFor(path)
     var acquired = false
     while (!acquired) {
-      val created = monitor.synchronized {
+      monitor.synchronized {
         try {
           val out = fs.create(path, false)
           out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
           out.close()
-          true
-        } catch { case _: java.io.IOException => false }
+        } catch { case _: java.io.IOException => () }
       }
       // verify OUR tag survived the write: a cross-process local-fs
       // racer can still truncate-and-interleave concurrently (the JVM
       // monitor only serializes this process). Losing the verify means
       // losing the acquisition — loop and contend again; never delete
-      // (the file may be the rightful winner's fresh lease).
-      if (created && currentOwner(fs, path).contains(owner)) acquired = true
+      // (the file may be the rightful winner's fresh lease). The check
+      // deliberately ignores WHICH iteration created the file: owner
+      // tags are per-acquisition UUIDs, so a file carrying our tag can
+      // only be our own successful create whose verify read failed
+      // transiently on an earlier pass — without this, that pass would
+      // contend against its own lease until timeout and leave a
+      // heartbeat-less file blocking every writer for the stale TTL.
+      if (currentOwner(fs, path).contains(owner)) acquired = true
       else {
         val st =
           try Option(fs.getFileStatus(path))

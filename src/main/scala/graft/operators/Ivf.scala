@@ -777,7 +777,10 @@ object Ivf {
     val out = index.copy(vectorsPath = s"$outDir/vectors")
     val src = new org.apache.hadoop.fs.Path(tombstonesPath(index))
     val fs = srcFs
-    if (fs.exists(src)) {
+    // repoint = Some(sourceFp -> outFp) iff the sidecar was copied and
+    // no delete raced the copy — the condition under which a sibling
+    // CURRENT against the source sidecar may follow it to the copy
+    val repoint: Option[(String, String)] = if (fs.exists(src)) {
       spark.read.schema("__deleted_id LONG").parquet(tombstonesPath(index))
         .coalesce(1).write.mode("overwrite").parquet(tombstonesPath(out))
       // the OUT index's marker fingerprints its own copied sidecar —
@@ -790,29 +793,27 @@ object Ivf {
         try writeMaterializedMarker(fs, out, outFp,
           tombstoneCountFor(spark, index, fpBefore))
         catch { case scala.util.control.NonFatal(_) => () }
-      // carry the coded-sibling registry (ADVICE r14 medium: without
-      // it, clearTombstones on a compact(outDir)-produced index passed
-      // the sibling check VACUOUSLY and could resurrect deleted ids on
-      // PQ/SQ paths built before the deletes). The copied sidecar has
-      // fresh file names, so a sibling that was CURRENT against the
-      // source sidecar (sfp == fpBefore) is re-registered against the
-      // out fingerprint — it covers the same id set; a stale one keeps
-      // its recorded fingerprint and stays refusable by mismatch. If a
-      // delete raced the copy (fp moved), nothing may be re-pointed:
-      // the copy includes ids no sibling has materialized.
-      listSiblings(fs, index).foreach { case (p, sfp) =>
-        registerSibling(spark, out, p,
-          if (fpStable && sfp == fpBefore) outFp else sfp)
-      }
       tombstonePresence.put(out.vectorsPath,
         TombMemo(present = true, System.nanoTime() + memoTtlNanos))
-    } else
-      // tombstone-free compact: carry the registry verbatim — the out
-      // index must still know which coded siblings exist so deletes
-      // issued AFTER the compact refuse a clear until those rebuild
-      listSiblings(fs, index).foreach { case (p, sfp) =>
-        registerSibling(spark, out, p, sfp)
-      }
+      if (fpStable) Some(fpBefore -> outFp) else None
+    } else None
+    // carry the coded-sibling registry (ADVICE r14 medium: without
+    // it, clearTombstones on a compact(outDir)-produced index passed
+    // the sibling check VACUOUSLY and could resurrect deleted ids on
+    // PQ/SQ paths built before the deletes). The copied sidecar has
+    // fresh file names, so a sibling that was CURRENT against the
+    // source sidecar is re-registered against the out fingerprint — it
+    // covers the same id set; any other sibling (stale, tombstone-free
+    // compact, or a delete raced the copy) keeps its recorded
+    // fingerprint: stale ones stay refusable by mismatch, and the out
+    // index still knows which coded siblings exist so deletes issued
+    // AFTER the compact refuse a clear until those rebuild.
+    listSiblings(fs, index).foreach { case (p, sfp) =>
+      registerSibling(spark, out, p, repoint match {
+        case Some((from, to)) if sfp == from => to
+        case _ => sfp
+      })
+    }
     out
   }
 

@@ -28,13 +28,13 @@ object IvfPq {
     * resurrected row is a silent violation.
     */
   def buildCodes(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
-      outPath: String, idCol0: String = null,
+      outPath: String, idCol: String = null,
       embCol: String = "embedding"): Unit = {
     // null default resolves to the id column the index records it was
     // built with (ADVICE r14: a literal "vec_id" default here failed a
-    // custom-idCol index inside the encode) — same contract as every
+    // custom-id index inside the encode) — same contract as every
     // Ivf maintenance/search entry point
-    val idCol = Ivf.effectiveIdCol(ivf, idCol0)
+    val id = Ivf.effectiveIdCol(ivf, idCol)
     // fingerprint BEFORE the encode reads the live view, registered
     // AFTER the write commits: a delete racing the build leaves the
     // registration stale (old fp), which clearTombstones reads as
@@ -43,10 +43,10 @@ object IvfPq {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fp = Ivf.tombstoneFp(fs, ivf)
     Ivf.writeVectors(
-      Pq.encode(Ivf.liveVectors(spark, ivf, idCol), embCol, model)
-        .select(col("shard_id"), col("centroid_id"), col(idCol),
+      Pq.encode(Ivf.liveVectors(spark, ivf, id), embCol, model)
+        .select(col("shard_id"), col("centroid_id"), col(id),
           col("pq_code")),
-      idCol, ivf.numShards, outPath, "overwrite")
+      id, ivf.numShards, outPath, "overwrite")
     Ivf.registerSibling(spark, ivf, outPath, fp)
   }
 
@@ -76,13 +76,13 @@ object IvfPq {
     */
   def trainResidual(spark: SparkSession, ivf: Ivf.Index, m: Int = 8,
       ksub: Int = 256, iters: Int = 10, seed: Long = 42L,
-      idCol0: String = null, embCol: String = "embedding"): Pq.Model = {
-    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
+      idCol: String = null, embCol: String = "embedding"): Pq.Model = {
+    val id = Ivf.effectiveIdCol(ivf, idCol) // see buildCodes
     val dim = ivf.centroids(0).length
     val res = residualCol(spark, ivf.centroids)
-    val df = Ivf.liveVectors(spark, ivf, idCol)
+    val df = Ivf.liveVectors(spark, ivf, id)
       .withColumn("residual", res(col(embCol), col("centroid_id")))
-    Pq.train(df, "residual", dim, m, ksub, iters, seed, orderCol = Some(idCol))
+    Pq.train(df, "residual", dim, m, ksub, iters, seed, orderCol = Some(id))
   }
 
   /** Write the residual-coded sibling dataset (layout identical to
@@ -90,21 +90,21 @@ object IvfPq {
     * encoded quantity differs).
     */
   def buildResidualCodes(spark: SparkSession, ivf: Ivf.Index,
-      model: Pq.Model, outPath: String, idCol0: String = null,
+      model: Pq.Model, outPath: String, idCol: String = null,
       embCol: String = "embedding"): Unit = {
-    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
+    val id = Ivf.effectiveIdCol(ivf, idCol) // see buildCodes
     val fs = new org.apache.hadoop.fs.Path(ivf.vectorsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val fp = Ivf.tombstoneFp(fs, ivf) // see buildCodes — capture-then-write
     val res = residualCol(spark, ivf.centroids)
     Ivf.writeVectors(
       Pq.encode(
-        Ivf.liveVectors(spark, ivf, idCol)
+        Ivf.liveVectors(spark, ivf, id)
           .withColumn("residual", res(col(embCol), col("centroid_id"))),
         "residual", model)
-        .select(col("shard_id"), col("centroid_id"), col(idCol),
+        .select(col("shard_id"), col("centroid_id"), col(id),
           col("pq_code")),
-      idCol, ivf.numShards, outPath, "overwrite")
+      id, ivf.numShards, outPath, "overwrite")
     Ivf.registerSibling(spark, ivf, outPath, fp)
   }
 
@@ -116,9 +116,9 @@ object IvfPq {
     */
   def searchResidual(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
       codesPath: String, query: Array[Float], k0: Int, nProbe0: Int,
-      idCol0: String = null): DataFrame = {
+      idCol: String = null): DataFrame = {
     import spark.implicits._
-    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
+    val id = Ivf.effectiveIdCol(ivf, idCol) // see buildCodes
     val k = math.min(k0, ivf.config.maxK)
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     require(k > 0, "k must be > 0")
@@ -137,12 +137,12 @@ object IvfPq {
     // for the chunking/probe-all contract
     Ivf.liveRows(spark, ivf,
         Ivf.probePrunedScan(spark, codesPath, probes, shards, ivf.k),
-        idCol)
+        id)
       .join(broadcast(lutDf), Seq("centroid_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
-      .orderBy(col("distance").asc_nulls_last, col(idCol))
+      .orderBy(col("distance").asc_nulls_last, col(id))
       .limit(k)
-      .select(col(idCol).as("external_id"), col("distance"))
+      .select(col(id).as("external_id"), col("distance"))
   }
 
   /** Batch residual ANN: one pruned scan for the whole query set; the
@@ -151,9 +151,9 @@ object IvfPq {
   def searchBatchResidual(spark: SparkSession, ivf: Ivf.Index,
       model: Pq.Model, codesPath: String,
       queries: Array[(Long, Array[Float])], k0: Int, nProbe0: Int,
-      idCol0: String = null): DataFrame = {
+      idCol: String = null): DataFrame = {
     import spark.implicits._
-    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
+    val id = Ivf.effectiveIdCol(ivf, idCol) // see buildCodes
     val k = math.min(k0, ivf.config.maxK)
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     require(k > 0, "k must be > 0")
@@ -177,10 +177,10 @@ object IvfPq {
     val candidates = Ivf.liveRows(spark, ivf,
         Ivf.probePrunedScan(spark, codesPath, probedCentroids.toSeq,
           shards.toSeq, ivf.k),
-        idCol)
+        id)
       .join(broadcast(lutDf), Seq("centroid_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
-    TopNByKey.topN(candidates, Seq("query_id"), col("distance"), col(idCol), k)
+    TopNByKey.topN(candidates, Seq("query_id"), col("distance"), col(id), k)
       .select(col("query_id"), col("rk").as("rank"),
         col("id").as("external_id"), col("ord").as("distance"))
   }
@@ -197,27 +197,27 @@ object IvfPq {
     */
   def searchRefine(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
       codesPath: String, query: Array[Float], k0: Int, nProbe0: Int,
-      refine: Int = 4, idCol0: String = null,
+      refine: Int = 4, idCol: String = null,
       embCol: String = "embedding"): DataFrame = {
-    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
+    val id = Ivf.effectiveIdCol(ivf, idCol) // see buildCodes
     require(refine >= 1, s"refine must be >= 1: $refine")
     val k = math.min(k0, ivf.config.maxK)
     val shortlist = search(spark, ivf, model, codesPath, query,
       math.min(k.toLong * refine, ivf.config.maxK.toLong).toInt, nProbe0,
-      idCol)
-      .select(col("external_id").as(idCol))
+      id)
+      .select(col("external_id").as(id))
     // the float fetch prunes by the SAME probed cells as the coded scan
     // (the shortlist can only contain rows from them), so the exact math
     // reads probed bytes ∩ shortlist — never the whole float dataset
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
     Ivf.probePrunedScan(spark, ivf.vectorsPath, probes, shards, ivf.k)
-      .join(broadcast(shortlist), Seq(idCol), "left_semi")
+      .join(broadcast(shortlist), Seq(id), "left_semi")
       .withColumn("distance",
         graft.functions.Vec.squaredL2(col(embCol), lit(query)))
-      .orderBy(col("distance").asc_nulls_last, col(idCol))
+      .orderBy(col("distance").asc_nulls_last, col(id))
       .limit(k)
-      .select(col(idCol).as("external_id"), col("distance"))
+      .select(col(id).as("external_id"), col("distance"))
   }
 
   /** Batch ANN over the coded dataset: ONE pruned scan serves the whole
@@ -229,9 +229,9 @@ object IvfPq {
     */
   def searchBatch(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
       codesPath: String, queries: Array[(Long, Array[Float])], k0: Int,
-      nProbe0: Int, idCol0: String = null): DataFrame = {
+      nProbe0: Int, idCol: String = null): DataFrame = {
     import spark.implicits._
-    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
+    val id = Ivf.effectiveIdCol(ivf, idCol) // see buildCodes
     val k = math.min(k0, ivf.config.maxK)
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     require(k > 0, "k must be > 0")
@@ -261,11 +261,11 @@ object IvfPq {
     // discard the excess after decode in the join
     val candidates = Ivf.liveRows(spark, ivf,
         Ivf.probePrunedScan(spark, codesPath, probedCentroids, shards, ivf.k),
-        idCol)
+        id)
       .join(broadcast(probeDf), Seq("centroid_id"))
       .join(broadcast(lutDf), Seq("query_id"))
       .withColumn("distance", Pq.adc(col("pq_code"), col("lut")))
-    TopNByKey.topN(candidates, Seq("query_id"), col("distance"), col(idCol), k)
+    TopNByKey.topN(candidates, Seq("query_id"), col("distance"), col(id), k)
       .select(col("query_id"), col("rk").as("rank"),
         col("id").as("external_id"), col("ord").as("distance"))
   }
@@ -273,8 +273,8 @@ object IvfPq {
   /** Top-k by ADC over the probe-pruned coded dataset. */
   def search(spark: SparkSession, ivf: Ivf.Index, model: Pq.Model,
       codesPath: String, query: Array[Float], k0: Int, nProbe0: Int,
-      idCol0: String = null): DataFrame = {
-    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
+      idCol: String = null): DataFrame = {
+    val id = Ivf.effectiveIdCol(ivf, idCol) // see buildCodes
     val k = math.min(k0, ivf.config.maxK)
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     require(k > 0, "k must be > 0")
@@ -282,10 +282,10 @@ object IvfPq {
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
     Ivf.liveRows(spark, ivf,
         Ivf.probePrunedScan(spark, codesPath, probes, shards, ivf.k),
-        idCol)
+        id)
       .withColumn("distance", Pq.adc(col("pq_code"), Pq.lutFor(query, model)))
-      .orderBy(col("distance").asc_nulls_last, col(idCol))
+      .orderBy(col("distance").asc_nulls_last, col(id))
       .limit(k)
-      .select(col(idCol).as("external_id"), col("distance"))
+      .select(col(id).as("external_id"), col("distance"))
   }
 }

@@ -25,20 +25,20 @@ object IvfSq {
     * deleted rows regardless of where in the delete lifecycle it runs.
     */
   def buildCodes(spark: SparkSession, ivf: Ivf.Index, outPath: String,
-      idCol0: String = null, embCol: String = "embedding"): Unit = {
+      idCol: String = null, embCol: String = "embedding"): Unit = {
     // null default resolves to the index's recorded id column — see
     // IvfPq.buildCodes (ADVICE r14)
-    val idCol = Ivf.effectiveIdCol(ivf, idCol0)
+    val id = Ivf.effectiveIdCol(ivf, idCol)
     val fs = new org.apache.hadoop.fs.Path(ivf.vectorsPath)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     // see IvfPq.buildCodes — capture-then-write keeps a racing delete
     // on the safe (stale-registration) side
     val fp = Ivf.tombstoneFp(fs, ivf)
     Ivf.writeVectors(
-      Quantize.withInt8(Ivf.liveVectors(spark, ivf, idCol), embCol)
-        .select(col("shard_id"), col("centroid_id"), col(idCol),
+      Quantize.withInt8(Ivf.liveVectors(spark, ivf, id), embCol)
+        .select(col("shard_id"), col("centroid_id"), col(id),
           col("q_scale"), col("q_emb")),
-      idCol, ivf.numShards, outPath, "overwrite")
+      id, ivf.numShards, outPath, "overwrite")
     Ivf.registerSibling(spark, ivf, outPath, fp)
   }
 
@@ -47,8 +47,8 @@ object IvfSq {
     */
   def search(spark: SparkSession, ivf: Ivf.Index, codesPath: String,
       query: Array[Float], k0: Int, nProbe0: Int,
-      idCol0: String = null): DataFrame = {
-    val idCol = Ivf.effectiveIdCol(ivf, idCol0) // see buildCodes
+      idCol: String = null): DataFrame = {
+    val id = Ivf.effectiveIdCol(ivf, idCol) // see buildCodes
     val k = math.min(k0, ivf.config.maxK)
     val nProbe = math.min(nProbe0, ivf.config.maxNProbe)
     require(k > 0, "k must be > 0")
@@ -58,12 +58,12 @@ object IvfSq {
     val (probes, shards) = Ivf.probeSelection(ivf, query, nProbe)
     Ivf.liveRows(spark, ivf,
         Ivf.probePrunedScan(spark, codesPath, probes, shards, ivf.k),
-        idCol)
+        id)
       .withColumn("distance",
         Vec.squaredL2(Quantize.dequantize(col("q_emb"), col("q_scale")),
           lit(query)))
-      .orderBy(col("distance").asc_nulls_last, col(idCol))
+      .orderBy(col("distance").asc_nulls_last, col(id))
       .limit(k)
-      .select(col(idCol).as("external_id"), col("distance"))
+      .select(col(id).as("external_id"), col("distance"))
   }
 }
