@@ -128,7 +128,14 @@ object FsLease {
               if (fs.rename(path, tomb)) fs.delete(tomb, false)
             }
           case Some(_) if System.nanoTime() >= deadline =>
-            throw new LeaseHeldException(
+            // last look before giving up: with timeoutMs = 0 (the
+            // maintainer fail-fast) this is the ONLY second read — if
+            // the earlier verify failed transiently on our own
+            // just-created file, throwing here would orphan it (no
+            // heartbeat, no release) and block every writer for the
+            // stale TTL
+            if (currentOwner(fs, path).contains(owner)) acquired = true
+            else throw new LeaseHeldException(
               s"lease $path is held by another writer (fresh within " +
                 s"$staleTtlMs ms) and did not release within $timeoutMs ms " +
                 "— a competing append/maintenance is active; defer or retry")
@@ -158,14 +165,36 @@ object FsLease {
       case _ => false // gone, or broken while we stalled — not ours
     }
 
-  /** Owner tag currently written in the lease file, if readable. */
-  private def currentOwner(fs: FileSystem, path: Path): Option[String] =
-    try {
-      val in = fs.open(path)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8))
-      finally in.close()
-    } catch { case _: java.io.IOException => None }
+  /** Owner tag currently written in the lease file, if readable.
+    *
+    * Transient read failures (an object-store throttle, a
+    * read-after-write hiccup) RETRY briefly before concluding None:
+    * every caller treats None as "not mine", and for the acquire verify
+    * that conclusion is load-bearing — a false None right after a
+    * successful create would send the fail-fast (`timeoutMs = 0`) path
+    * into LeaseHeldException with its own heartbeat-less lease file
+    * left blocking every writer for the stale TTL (the multi-pass
+    * self-heal in [[acquire]] has no second pass there). A missing
+    * file is a definitive state, not a transient, and returns
+    * immediately.
+    */
+  private def currentOwner(fs: FileSystem, path: Path): Option[String] = {
+    var attempt = 0
+    while (true) {
+      try {
+        val in = fs.open(path)
+        try return Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } catch {
+        case _: java.io.FileNotFoundException => return None
+        case _: java.io.IOException if attempt < 3 =>
+          attempt += 1; Thread.sleep(10)
+        case _: java.io.IOException => return None
+      }
+    }
+    None // unreachable
+  }
 
   /** True iff the lease file exists and its holder is presumed alive
     * (mtime within `staleTtlMs`). Observers use this to distinguish "a

@@ -233,13 +233,17 @@ object VectorsStreaming {
     */
   def appendVectorBatch(index: Ivf.Index, batch: DataFrame, idCol: String,
       embCol: String, batchId: Long, markerDir: String,
-      markerRetention: Int = 64): Boolean = {
+      markerRetention: Int = 64,
+      leaseStaleTtlMs: Long = graft.operators.FsLease.DefaultStaleTtlMs,
+      leaseTimeoutMs: Long = graft.operators.FsLease.DefaultTimeoutMs): Boolean = {
     val fs = new org.apache.hadoop.fs.Path(markerDir).getFileSystem(
       batch.sparkSession.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(s"$markerDir/batch_$batchId")
     if (batchId <= markerWatermark(fs, markerDir) || fs.exists(marker)) false
     else {
-      Ivf.append(index, batch, idCol, embCol)
+      // lease knobs thread through like the delete sink — one signature
+      // shape across all three writer forms (append/delete/maintained)
+      Ivf.append(index, batch, idCol, embCol, leaseStaleTtlMs, leaseTimeoutMs)
       fs.mkdirs(marker)
       compactMarkers(fs, markerDir, markerRetention)
       true
@@ -408,15 +412,19 @@ object VectorsStreaming {
   def appendVectorBatchMaintained(index: Ivf.Index, batch: DataFrame,
       idCol: String, embCol: String, batchId: Long, markerDir: String,
       maxFilesPerShard: Int = 8,
-      maxUnmaterializedTombstones: Long = 0L): Boolean = {
+      maxUnmaterializedTombstones: Long = 0L,
+      markerRetention: Int = 64,
+      leaseStaleTtlMs: Long = graft.operators.FsLease.DefaultStaleTtlMs,
+      leaseTimeoutMs: Long = graft.operators.FsLease.DefaultTimeoutMs): Boolean = {
     val applied = appendVectorBatch(index, batch, idCol, embCol, batchId,
-      markerDir)
+      markerDir, markerRetention, leaseStaleTtlMs, leaseTimeoutMs)
     if (applied) {
       val spark = batch.sparkSession
       val stats = Ivf.maintenanceStats(spark, index)
       if (stats.compactRecommended(maxFilesPerShard,
         maxUnmaterializedTombstones))
-        try Ivf.compactInPlace(spark, index, idCol)
+        try Ivf.compactInPlace(spark, index, idCol,
+          leaseStaleTtlMs = leaseStaleTtlMs, fenceTimeoutMs = leaseTimeoutMs)
         catch {
           // an out-of-band Ivf.maintain is mid-flight: it will compact
           // this debt itself — defer, don't fail the batch (the rule is
@@ -495,9 +503,14 @@ object VectorsStreaming {
   final class MaintenanceLoop private[streaming] (
       thread: Thread,
       stopFlag: java.util.concurrent.atomic.AtomicBoolean,
+      stopLatch: java.util.concurrent.CountDownLatch,
       compactsDone: java.util.concurrent.atomic.AtomicInteger,
       errorQueue: java.util.concurrent.ConcurrentLinkedQueue[Throwable]) {
-    def stop(): Unit = { stopFlag.set(true); thread.join() }
+    // the latch wakes the poll thread out of its idle wait immediately
+    // (a bare sleep would make stop block up to a full pollIntervalMs);
+    // deliberately NOT thread.interrupt() — an in-flight compact must
+    // run its swap to completion, which is the handle's contract
+    def stop(): Unit = { stopFlag.set(true); stopLatch.countDown(); thread.join() }
     /** Compactions completed since start. */
     def compacts: Int = compactsDone.get()
     /** Most recent unexpected errors (bounded at 8; lease-held skips
@@ -533,6 +546,7 @@ object VectorsStreaming {
     // id column (ADVICE r14: the literal "vec_id" default here failed a
     // custom-idCol index inside the rewrite)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val stopLatch = new java.util.concurrent.CountDownLatch(1)
     val compacts = new java.util.concurrent.atomic.AtomicInteger(0)
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val t = new Thread(() => {
@@ -554,12 +568,13 @@ object VectorsStreaming {
             errors.add(e)
             while (errors.size() > 8) errors.poll()
         }
-        Thread.sleep(pollIntervalMs)
+        stopLatch.await(pollIntervalMs,
+          java.util.concurrent.TimeUnit.MILLISECONDS)
       }
     }, s"graft-maintenance-${index.vectorsPath.hashCode}")
     t.setDaemon(true)
     t.start()
-    new MaintenanceLoop(t, stop, compacts, errors)
+    new MaintenanceLoop(t, stop, stopLatch, compacts, errors)
   }
 
   /** Catalog query `stream_index_maintain`: stream-ingest →

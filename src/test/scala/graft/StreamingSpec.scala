@@ -943,9 +943,12 @@ class StreamingSpec extends SparkSpec {
     assert(debt > 2, s"setup did not accumulate debt: $debt")
     // the next MAINTAINED batch sees the over-threshold listing and
     // compacts, even though its own append contributed one file
+    // named knobs drive the full production signature (marker GC cadence
+    // + lease sizing thread through to append and the in-place compact)
     assert(VectorsStreaming.appendVectorBatchMaintained(idx,
       emb.where(col("vec_id") >= 460), "vec_id", "embedding", 3L,
-      s"$root/m", maxFilesPerShard = 2))
+      s"$root/m", maxFilesPerShard = 2, markerRetention = 8,
+      leaseStaleTtlMs = 60000L, leaseTimeoutMs = 60000L))
     val healed = Ivf.maintenanceStats(spark, idx)
     assert(healed.filesPerShardMax <= 2,
       s"deferred compact did not fire: $healed")
@@ -996,6 +999,30 @@ class StreamingSpec extends SparkSpec {
       "maintenance loop lost or duplicated rows")
     // stop() is idempotent and the thread is gone
     loop.stop()
+  }
+
+  test("maintenance loop: stop() returns promptly from an idle poll wait") {
+    import graft.streaming.VectorsStreaming
+    import graft.operators.Ivf
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_maint_stop").toString
+    val emb = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding"))
+    val idx = Ivf.build(emb.where(col("vec_id") < 100),
+      "vec_id", "embedding", s"$root/a")
+    // a production-cadence interval: a stop() that slept out the poll
+    // would block its caller the full minute — the latch must wake the
+    // idle wait immediately (an in-flight compact is still awaited by
+    // contract, but this loop never accumulates debt, so any delay
+    // here IS the idle wait)
+    val loop = VectorsStreaming.startMaintenanceLoop(spark, idx,
+      maxFilesPerShard = 1000000, pollIntervalMs = 60000L)
+    Thread.sleep(200) // let the thread enter its wait
+    val t0 = System.nanoTime()
+    loop.stop()
+    val stopMs = (System.nanoTime() - t0) / 1000000L
+    assert(stopMs < 5000L,
+      s"stop() blocked ${stopMs} ms against a 60 s poll interval")
   }
 
   test("streamed deletes: batches apply once; a replayed batch is a " +
