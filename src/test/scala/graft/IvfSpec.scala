@@ -1383,6 +1383,45 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("lease acquisition self-heals transient verify-read failures, " +
+      "including on the fail-fast path (r15 review)") {
+    // The owner-verify after a successful create depends on a read; a
+    // transient read failure used to conclude "not mine" and — on the
+    // timeoutMs = 0 maintainer path, which has no second loop pass —
+    // throw LeaseHeldException with the caller's OWN heartbeat-less
+    // lease file left blocking every writer for the stale TTL. The fix
+    // is two-layer (currentOwner retries transients; the deadline arm
+    // takes one last ownership read), exercised here by injecting
+    // failures through a FilterFileSystem whose open() throws for the
+    // first N calls.
+    import java.nio.file.{Files => JFiles}
+    import graft.operators.FsLease
+    import org.apache.hadoop.fs.{FSDataInputStream, FilterFileSystem, Path => HPath}
+    val dir = JFiles.createTempDirectory("graft_leaseflaky").toString
+    val raw = new HPath(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    class FlakyOpenFs(failFirst: Int) extends FilterFileSystem(raw) {
+      private val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+      override def open(f: HPath, bufferSize: Int): FSDataInputStream =
+        if (opens.incrementAndGet() <= failFirst)
+          throw new java.io.IOException(
+            s"injected transient read failure ${opens.get()}")
+        else super.open(f, bufferSize)
+    }
+    // 2 failures: absorbed inside currentOwner's own retry budget
+    val p1 = new HPath(s"$dir/__lease_flaky1")
+    FsLease.acquire(new FlakyOpenFs(2), p1, "owner-a", timeoutMs = 0L)
+    assert(FsLease.release(raw, p1, "owner-a"),
+      "owner-a did not hold its lease after transient read failures")
+    // 5 failures: the FIRST verify exhausts its whole budget (4 reads)
+    // and fails; the fail-fast deadline arm's last look must recover
+    // ownership instead of orphaning the file
+    val p2 = new HPath(s"$dir/__lease_flaky2")
+    FsLease.acquire(new FlakyOpenFs(5), p2, "owner-b", timeoutMs = 0L)
+    assert(FsLease.release(raw, p2, "owner-b"),
+      "owner-b did not recover its lease on the fail-fast path")
+  }
+
   test("withLease heartbeats the hold: a legitimate hold longer than " +
       "the stale TTL is not broken (VERDICT r13 #4)") {
     import java.nio.file.{Files => JFiles}
