@@ -45,21 +45,30 @@ final class VectorIndexer private (
     * 0/absent timestamp defaults to ingest wall-clock seconds
     * (`src/vector_store.rs:36-40`).
     */
-  def buildFromRecords(records: Seq[(Long, Array[Float], Long)]): this.type = {
-    require(records.nonEmpty, "cannot build an index from zero records")
+  def buildFromRecords(records: Seq[(Long, Array[Float], Long)]): this.type =
+    build(recordsToDf(records, "cannot build an index from zero records"))
+
+  /** The ONE records→DataFrame ingestion shape (dimension check,
+    * wall-clock timestamp default, array<float> cast) shared by
+    * [[buildFromRecords]] and [[addRecords]] — previously duplicated
+    * verbatim, so a change to either (e.g. the timestamp default)
+    * could silently fork build vs append semantics (r15 review).
+    */
+  private def recordsToDf(records: Seq[(Long, Array[Float], Long)],
+      emptyMsg: String): DataFrame = {
+    require(records.nonEmpty, emptyMsg)
     records.find(_._2.length != config.dimension).foreach { r =>
       throw new IllegalArgumentException(
         s"record ${r._1} has dimension ${r._2.length}, expected ${config.dimension}")
     }
     import spark.implicits._
     val now = ingestTimestamp()
-    val df = records.map { case (id, v, ts) =>
+    records.map { case (id, v, ts) =>
         (id, v.toSeq, if (ts != 0L) ts else now)
       }
       .toDF("vec_id", "embedding", "ts")
       .select($"vec_id",
         $"embedding".cast("array<float>").as("embedding"), $"ts")
-    build(df)
   }
 
   /** Build from a vector file on disk — the reference's second build
@@ -89,19 +98,7 @@ final class VectorIndexer private (
     * the existing routing table; see `Ivf.append` for the scale contract.
     */
   def addRecords(records: Seq[(Long, Array[Float], Long)]): this.type = {
-    require(records.nonEmpty, "cannot add zero records")
-    records.find(_._2.length != config.dimension).foreach { r =>
-      throw new IllegalArgumentException(
-        s"record ${r._1} has dimension ${r._2.length}, expected ${config.dimension}")
-    }
-    import spark.implicits._
-    val now = ingestTimestamp()
-    val df = records.map { case (id, v, ts) =>
-        (id, v.toSeq, if (ts != 0L) ts else now)
-      }
-      .toDF("vec_id", "embedding", "ts")
-      .select($"vec_id",
-        $"embedding".cast("array<float>").as("embedding"), $"ts")
+    val df = recordsToDf(records, "cannot add zero records")
     // appended files must carry the layout's own id column name, or a
     // custom-idCol index would accumulate schema-drifted files
     Ivf.append(index, df.withColumnRenamed("vec_id", index.idCol),

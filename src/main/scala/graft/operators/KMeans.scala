@@ -456,8 +456,30 @@ object KMeans {
     * mini-batch semantics live on in [[trainMiniBatch]] and its quality
     * gate (mini-vs-full inertia < 1.5×, kmeans_tests.rs:541-579).
     */
+  /** Every pool row must share one dimension. Training runs BEFORE
+    * Ivf.build's map-side raise_error guard, so a ragged row here used
+    * to AIOOBE mid-training inside a parallel stream (or, with the
+    * short row on the query side, silently compute prefix distances) —
+    * and a short row landing at pool(0) would set the model dimension
+    * the downstream guard then enforces against every GOOD row,
+    * inverting the error (r15 review). A driver-side length scan of
+    * ≤50k rows is free next to the distance math.
+    */
+  private def requireUniformDim(pool: Array[Array[Float]]): Unit = {
+    val dim = pool(0).length
+    var i = 1
+    while (i < pool.length) {
+      if (pool(i).length != dim)
+        throw new IllegalArgumentException(
+          s"k-means: ragged training pool — row $i has dimension " +
+            s"${pool(i).length}, row 0 has $dim")
+      i += 1
+    }
+  }
+
   def trainDriver(pool: Array[Array[Float]], k0: Int, iters: Int, seed: Long): Model = {
     require(pool.nonEmpty, "k-means: empty input")
+    requireUniformDim(pool)
     val k = math.min(k0, pool.length)
     // loud, not silent: at reference parity k0 = 4*ceil(sqrt(n)) this
     // binds when n >~ 156M rows against the 50k reference pool cap —
@@ -474,11 +496,21 @@ object KMeans {
   }
 
   /** Reference-faithful mini-batch k-means (`src/kmeans.rs:64-150`):
-    * seeded batches, per-cluster learning rate, empty-cluster reseed, RMS
-    * delta early stop.
+    * seeded batches drawn WITHOUT replacement (shuffle-and-take,
+    * `src/kmeans.rs:722-726`), per-cluster learning rate applied ONCE
+    * per batch as a blend toward the cluster's batch MEAN with
+    * eta = 1/(count+1) where count advances once per batch hit
+    * (`src/kmeans.rs:729-787`), empty-cluster reseed, RMS delta early
+    * stop. The per-batch shape matters: a per-point update with a
+    * per-point count decays eta batch-size times faster and pins
+    * centroids near their k-means++ init, and a with-replacement draw
+    * double-weights duplicate points as the batch size approaches the
+    * pool (r15 review — both were silent divergences from the
+    * reference this docstring claims parity with).
     */
   def trainMiniBatch(pool: Array[Array[Float]], k0: Int, iters: Int, seed: Long): Model = {
     require(pool.nonEmpty, "k-means: empty input")
+    requireUniformDim(pool)
     val n = pool.length
     val k = math.min(k0, n)
     val rng = new Random(seed)
@@ -490,24 +522,41 @@ object KMeans {
     var converged = false
     while (iter < iters && !converged) {
       val prev = centroids.map(_.clone())
-      // seeded batch sample from the pool (T4)
-      val batch = Array.fill(bs)(pool(rng.nextInt(n)))
+      // seeded batch sample without replacement (T4, src/kmeans.rs:722)
+      val batch = rng.shuffle((0 until n).toVector).take(bs)
+        .map(pool(_)).toArray
       // assign batch (brute force — batch is tiny)
       val labels = batch.map(p => nearest(p, centroids)._1)
-      // per-cluster learning-rate update (src/kmeans.rs:729-787)
+      // one blend per hit cluster toward its batch mean
+      // (src/kmeans.rs:729-787): first hit jumps fully to the mean
+      // (eta = 1), later batches decay as 1/batches-seen
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val hits = new Array[Int](k)
       var b = 0
       while (b < batch.length) {
         val l = labels(b)
-        counts(l) += 1
-        val eta = 1.0 / (counts(l) + 1.0)
-        val cvec = centroids(l)
+        hits(l) += 1
         val pvec = batch(b)
+        val s = sums(l)
         var j = 0
-        while (j < dim) {
-          cvec(j) = ((1.0 - eta) * cvec(j) + eta * pvec(j)).toFloat
-          j += 1
-        }
+        while (j < dim) { s(j) += pvec(j); j += 1 }
         b += 1
+      }
+      var cu = 0
+      while (cu < k) {
+        if (hits(cu) > 0) {
+          counts(cu) += 1
+          val eta = 1.0 / counts(cu)
+          val cvec = centroids(cu)
+          val s = sums(cu)
+          var j = 0
+          while (j < dim) {
+            cvec(j) =
+              ((1.0 - eta) * cvec(j) + eta * (s(j) / hits(cu))).toFloat
+            j += 1
+          }
+        }
+        cu += 1
       }
       // empty-cluster reseed (src/kmeans.rs:313-331): clusters never hit
       // by any batch so far get re-centered on a random pool point
@@ -673,19 +722,17 @@ object KMeans {
           df.select(col(c), col(embCol)).where(col(embCol).isNotNull),
           c, embCol, poolCap, seed, Some(n))
       case None =>
-        val fraction = math.min(1.0, poolCap.toDouble * 1.2 / n.toDouble)
-        val sampled =
-          if (fraction >= 1.0) df.select(col(embCol)).where(col(embCol).isNotNull)
-          else df.select(col(embCol)).where(col(embCol).isNotNull)
-            .sample(withReplacement = false, fraction, seed)
-        // content-hash-ordered cut, NOT a bare limit: limit() satisfies
-        // itself from the earliest partitions scanned, so on e.g. a
-        // time-ordered table the tail would contribute zero pool rows —
-        // the exact bias the orderCol path exists to avoid. Hashing the
-        // embedding itself also makes the cut deterministic across
-        // partitionings (sort input is ~1.2*poolCap rows, not n).
-        sampled.orderBy(xxhash64(col(embCol), lit(seed)))
-          .limit(poolCap).collect().map(_.getSeq[Float](0).toArray)
+        // same hash-threshold + hash-ordered cut as the orderCol path,
+        // keyed on the embedding CONTENT itself — partitioning-
+        // independent end to end. The previous df.sample pre-cut seeded
+        // its RNG per partition, so the pool (and hence the centroids)
+        // silently depended on file splits / cluster size while the
+        // comment claimed determinism (r15 review); the threshold
+        // filter inside hashOrderedPool keeps the driver transfer at
+        // O(poolCap) exactly like the sample did, without the RNG.
+        hashOrderedPool(
+          df.select(col(embCol)).where(col(embCol).isNotNull),
+          embCol, embCol, poolCap, seed, Some(n))
     }
     trainDriver(pool, k, iters, seed)
   }

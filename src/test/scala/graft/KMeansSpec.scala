@@ -104,6 +104,39 @@ class KMeansSpec extends SparkSpec {
     assert(mini < 1.5 * full, s"mini=$mini full=$full")
   }
 
+  test("ragged training pool fails loudly before any distance math " +
+      "(r15 review)") {
+    // training runs BEFORE Ivf.build's map-side raise_error guard: a
+    // ragged row used to AIOOBE mid-training inside a parallel stream,
+    // and a SHORT row at pool(0) would set the model dimension the
+    // downstream guard then enforced against every good row
+    val pool = Array(Array(1f, 2f, 3f), Array(4f, 5f, 6f), Array(7f, 8f))
+    val e1 = intercept[IllegalArgumentException] {
+      KMeans.trainDriver(pool, 2, 5, 42L)
+    }
+    assert(e1.getMessage.contains("ragged training pool"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      KMeans.trainMiniBatch(pool, 2, 5, 42L)
+    }
+    assert(e2.getMessage.contains("ragged training pool"), e2.getMessage)
+  }
+
+  test("fit's default pool is partitioning-independent (r15 review)") {
+    // the previous df.sample pre-cut seeded its RNG per partition, so
+    // repartitioning the SAME data changed the pool and the centroids;
+    // the content-hash threshold cut must be bitwise-stable across
+    // partitionings
+    val emb = Tables.embeddings(spark, sf0001).select("embedding")
+    val m1 = KMeans.fit(emb.repartition(3), "embedding", 5, 20, 42L,
+      poolCap = 200)
+    val m2 = KMeans.fit(emb.repartition(11), "embedding", 5, 20, 42L,
+      poolCap = 200)
+    (m1.centroids zip m2.centroids).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b),
+        "centroids differ across partitionings of identical data")
+    }
+  }
+
   test("trainer produces balanced clusters on mixture data") {
     // engine-quality gate beyond the reference: no cluster should hold a
     // huge fraction of the data (IVF probe pruning depends on it)
