@@ -1,6 +1,5 @@
 package graft.functions
 
-import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
@@ -58,14 +57,9 @@ case class SquaredL2(left: Expression, right: Expression)
     s
   }
 
-  override def eval(input: InternalRow): Any = {
-    val a = left.eval(input)
-    if (a == null) null
-    else {
-      val b = right.eval(input)
-      if (b == null) null else nullSafeEval(a, b)
-    }
-  }
+  // interpreted eval: BinaryExpression's default (evaluate left,
+  // short-circuit on null, then right, then nullSafeEval) is exactly
+  // the contract here — an override would be a byte-for-byte copy
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -132,14 +126,9 @@ case class DotProduct(left: Expression, right: Expression)
     s
   }
 
-  override def eval(input: InternalRow): Any = {
-    val a = left.eval(input)
-    if (a == null) null
-    else {
-      val b = right.eval(input)
-      if (b == null) null else nullSafeEval(a, b)
-    }
-  }
+  // interpreted eval: BinaryExpression's default (evaluate left,
+  // short-circuit on null, then right, then nullSafeEval) is exactly
+  // the contract here — an override would be a byte-for-byte copy
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {

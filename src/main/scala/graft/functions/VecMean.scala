@@ -31,8 +31,14 @@ object VecMean extends Aggregator[Seq[Float], (Array[Double], Long), Seq[Float]]
   }
 
   override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
-    if (x._1.isEmpty) return y
-    if (y._1.isEmpty) return x
+    // only the UNTOUCHED zero buffer (count 0) may yield wholesale: an
+    // empty sums array with count > 0 means genuine zero-length input
+    // vectors were reduced, and dropping that count made the outcome
+    // partitioning-dependent — the ragged require below fires when such
+    // rows share a partition with d-length rows, but a partition
+    // boundary used to silently swallow them instead (r15 review)
+    if (x._1.isEmpty && x._2 == 0L) return y
+    if (y._1.isEmpty && y._2 == 0L) return x
     require(x._1.length == y._1.length,
       s"VecMean: ragged input — merging lengths ${x._1.length} and ${y._1.length}")
     val sums = x._1

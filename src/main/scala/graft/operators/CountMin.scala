@@ -202,14 +202,21 @@ object CountMin {
       depth: Int, width: Int,
       hashFn: (Column, Int) => Column =
         graft.functions.Hash60.md5Salted): DataFrame = {
+    // the join internals carry a __cms_ prefix: `keys` keeps ALL its
+    // caller columns through the group-by, so a caller column named
+    // fn/cell/c (c is a common count alias) used to either break the
+    // join key resolution or make the coalesce ambiguous (r15 review).
+    // The sketch's own (fn, cell, c) schema stays the documented
+    // artifact contract — it is renamed only inside this join.
+    val sk = sketch.toDF("__cms_fn", "__cms_cell", "__cms_c")
     val exploded = keys.where(col(keyCol).isNotNull).select(col("*"),
       posexplode(array(
         (0 until depth).map(s => cell(col(keyCol), s, width, hashFn)): _*))
-        .as(Seq("fn", "cell")))
+        .as(Seq("__cms_fn", "__cms_cell")))
     val keyCols = keys.columns.map(col)
     exploded
-      .join(broadcast(sketch), Seq("fn", "cell"), "left")
+      .join(broadcast(sk), Seq("__cms_fn", "__cms_cell"), "left")
       .groupBy(keyCols.toIndexedSeq: _*)
-      .agg(min(coalesce(col("c"), lit(0L))).as("cms_c"))
+      .agg(min(coalesce(col("__cms_c"), lit(0L))).as("cms_c"))
   }
 }

@@ -94,9 +94,16 @@ object Hll {
     // the hash family owns value canonicalization (md5 casts to string
     // for the oracle; xx hashes the native value — no per-row string)
     df.select(col(keyCol), hashFn(value).as("h"))
-      // nulls are ignored, matching countDistinct semantics — an
+      // nulls are ignored, matching countDistinct VALUE semantics — an
       // unfiltered null hash would otherwise become a phantom
-      // (bucket=null, r=null) register that inflates present_buckets
+      // (bucket=null, r=null) register that inflates present_buckets.
+      // Precise contract (r15 review): a key whose values are ALL null
+      // contributes no registers, so estimate emits NO row for it —
+      // whereas SQL count(DISTINCT v) GROUP BY key keeps the group
+      // with 0. Callers needing keep-the-group semantics left-join the
+      // estimates back onto their key set (an empty set has no sketch
+      // representation by construction; the same holds for
+      // QuantileSketch vs exact percentile of an all-null group)
       .where(col("h").isNotNull)
       .select(col(keyCol),
         shiftright(col("h"), wb).cast("int").as("bucket"),

@@ -50,6 +50,17 @@ object QuantileSketch {
       // unfiltered null would otherwise become a (lo=null, w=1) bucket
       // that inflates n and shifts every cumulative rank
       .where(col("v").isNotNull)
+      // the documented contract is non-negative: a negative long has
+      // bit length 64, so s = 64−sigBits and lo = (v>>s)<<s ≈ −2^58 — a
+      // huge negative bucket that sorts FIRST in the cumulative window
+      // and silently drags every quantile toward −2^58/divisor. Fail
+      // loudly map-side instead (the build dimension-guard idiom)
+      .withColumn("v",
+        when(col("v") < 0,
+          raise_error(concat(
+            lit("QuantileSketch: negative value (callers pre-scale to "
+              + "non-negative longs): "), col("v").cast("string"))))
+          .otherwise(col("v")))
       .withColumn("s", greatest(BitLength64.col(col("v")) - lit(sigBits), lit(0)))
       .select(col(keyCol),
         expr("shiftleft(shiftright(v, s), s)").as("lo"),
@@ -88,7 +99,19 @@ object QuantileSketch {
         (col("lo").cast("double") * 2 + col("w").cast("double") - 1)
           / lit(divisor))
     val aggs = qs.map { case (name, p) =>
-      min(when(col("cum") >= ceil(lit(p) * col("n")), col("est"))).as(name)
+      // EXACT nearest-rank test: p is the rational round(p·10^6)/10^6
+      // and cum ≥ ⌈p·n⌉ becomes the integer comparison
+      // cum·10^6 ≥ num·n — ceil(p·n) in double arithmetic overshoots a
+      // whole rank whenever p·n lands just above an integer (0.07·100
+      // = 7.000000000000001 → rank 8, a different bucket), a drift the
+      // oracle then had to replicate to hash-match (r15 review).
+      // decimal(38,0) keeps the products exact past the long range
+      // (DuckDB's side is HUGEINT for the same reason).
+      val num = math.round(p * 1000000L)
+      min(when(
+        col("cum").cast("decimal(38,0)") * lit(1000000L) >=
+          col("n").cast("decimal(38,0)") * lit(num),
+        col("est"))).as(name)
     }
     cum.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }

@@ -418,7 +418,11 @@ object RelationalQueries {
     // any magnitude (the integer form 2*lo+w-1 overflows BIGINT for
     // bit lengths ≥ 63), and the −1 rounds identically in both engines
     val reads = qs.map { case (name, p) =>
-      s"""  min(CASE WHEN cum >= ceil($p * n)
+      // exact scaled-integer rank test, mirroring QuantileSketch
+      // .quantiles: cum ≥ ⌈(num/10^6)·n⌉ ⟺ cum·10^6 ≥ num·n (DuckDB
+      // sums BIGINT into HUGEINT, so the products are exact int128)
+      val num = math.round(p * 1000000L)
+      s"""  min(CASE WHEN cum * 1000000 >= $num * n
          |           THEN (CAST(lo AS DOUBLE) * 2 + CAST(w AS DOUBLE) - 1) / $divisor END) AS $name""".stripMargin
     }.mkString(",\n")
     s"""WITH c AS (

@@ -82,7 +82,8 @@ object StreamQueries {
       |    CAST(octet_length(encode(text)) // 32 AS INT) AS n_frames
       |  FROM documents)
       |SELECT asset_id, modality, n_frames,
-      |  CAST(len(range(0, greatest(n_frames - 1, 0) + 1, 4)) AS INT) AS n_sampled
+      |  CASE WHEN n_frames = 0 THEN 0
+      |    ELSE CAST(len(range(0, n_frames, 4)) AS INT) END AS n_sampled
       |FROM a ORDER BY asset_id""".stripMargin
 
   /** The streamed LSH candidate set equals the batch band self-join

@@ -55,7 +55,10 @@ object Multimodal {
     * so the whole decode path is oracle-checkable.
     */
   private def fakeDecode(content: Array[Byte]): (Int, Int, Int) = {
-    val h = md5Long60(new String(content, "UTF-8"))
+    // hash the payload bytes directly — assets() constructs content as
+    // valid UTF-8, so a decode-to-String round-trip produced identical
+    // bytes at the cost of two allocations per row in the decode path
+    val h = graft.functions.Md5Long60.compute(content)
     val w = (h % 1920 + 1).toInt
     val ht = (h / 1920 % 1080 + 1).toInt
     (w, ht, 3)
@@ -113,8 +116,13 @@ object Multimodal {
   def frameSample(df: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     df.withColumn("n_frames",
         floor(length(col("content")) / frameBytes).cast("int"))
+      // a payload shorter than one frame has NOTHING to sample: the
+      // zero-frame arm must emit an empty list, not sequence's
+      // greatest-clamped [0] — that phantom frame made n_sampled exceed
+      // n_frames, an impossible state for downstream sums (r15 review)
       .withColumn("sampled_frames",
-        sequence(lit(0), greatest(col("n_frames") - 1, lit(0)), lit(stride)))
+        when(col("n_frames") === 0, array().cast("array<int>"))
+          .otherwise(sequence(lit(0), col("n_frames") - 1, lit(stride))))
       .withColumn("n_sampled", size(col("sampled_frames")))
       .select(col("asset_id"), col("modality"), col("n_frames"),
         col("n_sampled"))

@@ -53,7 +53,12 @@ object VectorFormats {
     */
   def generatedPath(spark: SparkSession, n: Long, dim: Int,
       seed: Long = 42L): String = {
-    val dataDir = s"/tmp/graft_ref_scale_${n}_$dim"
+    // seed is part of the directory key, not only the marker: two
+    // harnesses alternating seeds at the same (n, dim) would otherwise
+    // invalidate each other's marker and regenerate the full dataset on
+    // every alternation — and a concurrent reader of the old seed's
+    // data races the overwrite (r15 review)
+    val dataDir = s"/tmp/graft_ref_scale_${n}_${dim}_s$seed"
     val vecPath = s"$dataDir/embeddings.parquet"
     val marker = java.nio.file.Paths.get(dataDir, "GENERATOR")
     val want = s"v$GeneratorVersion n=$n dim=$dim seed=$seed"
