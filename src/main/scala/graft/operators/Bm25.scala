@@ -42,8 +42,12 @@ object Bm25 {
     */
   val SeekSelectivityCeiling = 0.10
 
+  // keyed by df-table PATH with the file fingerprint in the VALUE: a
+  // fingerprint-keyed map grew one entry per index rebuild for the life
+  // of the JVM (a streaming-append driver rebuilds per batch — r15
+  // review); replace-on-mismatch bounds it at one entry per index path
   private val vocabCache =
-    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, java.lang.Long)]()
 
   /** Vocabulary size (df-table row count — parquet metadata only, no
     * data read), cached per (df dir, file fingerprint) so index
@@ -64,8 +68,14 @@ object Bm25 {
         }.mkString(s"${index.dfPath}@", ",", ""))
     } catch { case _: Throwable => None }
     key match {
-      case Some(k) => vocabCache.computeIfAbsent(k,
-        _ => spark.read.parquet(index.dfPath).count())
+      case Some(fp) =>
+        val cached = vocabCache.get(index.dfPath)
+        if (cached != null && cached._1 == fp) cached._2
+        else {
+          val n: java.lang.Long = spark.read.parquet(index.dfPath).count()
+          vocabCache.put(index.dfPath, (fp, n))
+          n
+        }
       // fingerprint unavailable: a bare path key could outlive an
       // in-place rebuild and flip the seek-vs-scan rule on stale
       // data — recount (metadata-only, cheap) instead of caching
@@ -142,7 +152,12 @@ object Bm25 {
     // pushdown (tight per-chunk row-group seeks over a contiguous term
     // interval, since terms are sorted before chunking) for ANY query
     // batch size, at the cost of one scan node per chunk.
-    val qtermSorted = queryPairs.map(_._2).distinct.sorted.toSeq
+    // null terms are dropped: an equi-join on a null term matches no
+    // posting anyway (SQL null semantics), and leaving them in NPEd
+    // the driver-side sort below — the corpus build tolerates the same
+    // degraded rows, so the query side must too (r15 review)
+    val qtermSorted =
+      queryPairs.map(_._2).filter(_ != null).distinct.sorted.toSeq
     // chunk bound = min(session in-filter threshold, the global
     // Or-tree depth cap): past the threshold Spark degrades IN to a
     // range filter (no seek), and past ~5.9k literals the pushed

@@ -27,20 +27,11 @@ object Compaction {
     */
   def dataBytes(spark: SparkSession, path: String): Long = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val root = new Path(path).toUri.getPath
-    var total = 0L
-    FsList.files(fs, new Path(path)).foreach { f =>
-      // hidden check on EVERY path component below the root, not just
-      // the leaf: a crashed write's _temporary/.../part-*.parquet would
-      // otherwise inflate the size estimate while the parquet read
-      // (which skips hidden dirs) never sees it — over-planning exactly
-      // the small files compaction exists to remove
-      val rel = f.getPath.toUri.getPath.stripPrefix(root)
-      val hidden = rel.split('/').exists(seg =>
-        seg.startsWith("_") || seg.startsWith("."))
-      if (!hidden) total += f.getLen
-    }
-    total
+    // hidden filtering (a crashed write's _temporary/.../part-*.parquet
+    // must not inflate the estimate) is [[FsList.files]]' own contract:
+    // the walk never descends into a hidden directory and never emits a
+    // hidden leaf, so no per-component re-check is needed here
+    FsList.files(fs, new Path(path)).map(_.getLen).sum
   }
 
   /** Output file count for a given input size and per-file target. */

@@ -24,8 +24,18 @@ import org.apache.spark.sql.functions._
   * join's left side is capped at the `maxBandBucket` smallest ids per
   * bucket via the bounded-state [[TopNByKey]] aggregate, bounding a
   * degenerate m-member mega-bucket at B·m candidate pairs instead of
-  * C(m,2) while keeping every member paired with the bucket's rank-1
-  * member — connected components and keep-best see the same clusters.
+  * C(m,2) while keeping every member paired with ALL of the bucket's
+  * cap smallest members. Connected components and keep-best then see
+  * the same clusters PROVIDED each over-cap member verifies against at
+  * least one capped member of some shared bucket — true whenever a
+  * bucket holds one near-dup family (the mega-bucket shape the cap
+  * exists for). The residual loss case is a bucket mixing ≥2 distinct
+  * families where one family lies wholly past the cap in every band it
+  * collides in: its members' mutual pairs are never emitted and that
+  * family splits. At the default r=2 band width, distinct families
+  * sharing a band value requires a 120-bit signature collision —
+  * raise `maxBandBucket` rather than relying on it if exactness under
+  * adversarial buckets matters.
   * Verification joins carry no broadcast hint: AQE broadcasts the pair
   * set while it is small and falls back to id-keyed shuffle joins at
   * edge-graph scale.
@@ -94,7 +104,14 @@ object MinHashLsh {
       when(size(toks) >= k,
         transform(sequence(lit(1), size(toks) - (k - 1)),
           i => concat_ws(" ", (0 until k).map(o => element_at(toks, i + o)): _*)))
-        .otherwise(array(array_join(toks, " "))))
+        // coalesce: a NULL tokens column must collapse to the same [""]
+        // whole-document shingle as an empty one — array_join(null)
+        // is null, and a [null] shingle set yields all-null signatures
+        // whose concat_ws band values collapse to "", piling every
+        // null-terms doc into one degenerate bucket per band and
+        // clustering them apart from empty-terms docs, where the k=1
+        // branch merges the two (r15 review)
+        .otherwise(array(coalesce(array_join(toks, " "), lit("")))))
 
   /** Adds sig_0 … sig_{numHashes−1} to an already-shingled frame (any
     * id columns + a `sh: array<string>` column): sig_i = min over
@@ -190,10 +207,15 @@ object MinHashLsh {
       .select(col("a_id"), col("b_id"), col("jaccard"))
 
   /** End-to-end: verified near-dup pairs straight from a caller
-    * (idCol, termsCol) frame. Callers with a reusable corpus should
-    * materialize [[sign]]'s output once (the signature pass is the
-    * expensive half) and compose `candidates` + `verify` themselves —
-    * that is exactly what the catalog's build-once signed table does.
+    * (idCol, termsCol) frame. Convenience form: the returned plan
+    * references the signature subtree THREE times (once through the
+    * band join, twice through verify's a-/b-side joins) and Spark does
+    * not dedupe common subplans, so one action re-runs the expensive
+    * signature pass three times. Callers with a reusable corpus — or a
+    * corpus large enough that 3× matters — should materialize
+    * [[sign]]'s output once and compose `candidates` + `verify`
+    * themselves; that is exactly what the catalog's build-once signed
+    * table does.
     */
   def verifiedPairs(df: DataFrame, idCol: String, termsCol: String,
       p: Params = Params()): DataFrame = {

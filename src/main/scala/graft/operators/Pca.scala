@@ -38,14 +38,22 @@ object Pca {
     val a = a0.map(_.clone())
     // v starts as identity; columns accumulate the rotations
     val v = Array.tabulate(n, n)((i, j) => if (i == j) 1.0 else 0.0)
+    // the convergence cut is RELATIVE to the matrix scale: an absolute
+    // tolerance is unreachable for covariances with non-tiny entries
+    // (the off-norm floors at machine noise ~eps·‖A‖, e.g. ~2e-12 for
+    // entries ~1e4), so the loop burned all maxSweeps rotating on
+    // rounding noise — minutes of driver CPU at d≈1024 for a result
+    // the first ~10 sweeps already had (r15 review)
+    val fro = math.sqrt(a.iterator.map(r => r.iterator.map(x => x * x).sum).sum)
+    val cut = tol * math.max(fro, java.lang.Double.MIN_NORMAL)
     var sweep = 0
     var off = offNorm(a)
-    while (sweep < maxSweeps && off > tol) {
+    while (sweep < maxSweeps && off > cut) {
       var p = 0
       while (p < n - 1) {
         var q = p + 1
         while (q < n) {
-          if (math.abs(a(p)(q)) > tol / (n * n)) {
+          if (math.abs(a(p)(q)) > cut / (n * n)) {
             // rotation angle zeroing a(p)(q); theta == 0 → 45° rotation
             val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
             val t =

@@ -56,16 +56,13 @@ object Pq {
         KMeans.hashOrderedPool(clean.select(col(c), col(embCol)),
           c, embCol, KMeans.InitSampleCap, seed, knownCount = None)
       case None =>
-        val n = clean.count()
-        val fraction =
-          math.min(1.0, KMeans.InitSampleCap.toDouble * 1.2 / math.max(1L, n))
-        val sampled =
-          if (fraction >= 1.0) clean.select(col(embCol))
-          else clean.select(col(embCol))
-            .sample(withReplacement = false, fraction, seed)
-        sampled.orderBy(xxhash64(col(embCol), lit(seed)))
-          .limit(KMeans.InitSampleCap)
-          .collect().map(_.getSeq[Float](0).toArray)
+        // same content-hash threshold cut as KMeans.fit's default path:
+        // the previous df.sample pre-cut seeded its RNG per partition,
+        // so the pool — hence the codebooks and every downstream code —
+        // silently depended on the table's partitioning while the
+        // docstring above claimed determinism (r15 review)
+        KMeans.hashOrderedPool(clean.select(col(embCol)),
+          embCol, embCol, KMeans.InitSampleCap, seed, knownCount = None)
     }
     require(pool.nonEmpty, "PQ train: empty input")
     val codebooks = Array.tabulate(m) { j =>

@@ -106,6 +106,16 @@ object RecallEval {
     require(nProbes.forall(_ > 0), s"nProbes must be > 0: $nProbes")
     require(nProbes.distinct.size == nProbes.size,
       s"nProbes must be distinct: $nProbes")
+    // same dimension guard as Ivf.searchBatch: a SHORT query routes by
+    // prefix distance into plausible cells and then nulls every exact
+    // distance — recall numbers come out as nonsense with no error —
+    // while a LONG one AIOOBEs inside the driver-side router (r15
+    // review)
+    val dim = index.centroids(0).length
+    queries.find(_._2.length != dim).foreach { q =>
+      throw new IllegalArgumentException(
+        s"query ${q._1} has dimension ${q._2.length}, index has $dim")
+    }
     val gtProbe = math.min(index.config.maxNProbe, index.k)
     val probeRows = queries.flatMap { case (qid, q) =>
       // per-setting probe sets from the shared router (searchBatch
