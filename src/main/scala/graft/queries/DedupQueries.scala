@@ -23,6 +23,58 @@ import graft.queries.TextQueries.tokens
   */
 object DedupQueries {
 
+  /** The ONE DuckDB twin of the md5 MinHash signature scheme — the
+    * oracle-side mirror of [[withMd5Sig]], spliced by concatenation
+    * into every MinHash oracle below (and the stream LSH twin) instead
+    * of textual copies, so a change to the scheme (hash count, band
+    * width, the 64 bucket cap, the shingle rule) edits ONE definition
+    * per engine (r15 review). Fragments carry their own margin bars;
+    * stripMargin runs on each COMPOSED string, and the WITH /
+    * WITH RECURSIVE keyword stays with the consumer.
+    */
+  private[queries] val MinhashToksShSigCte =
+    """toks AS (
+      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1),
+      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
+      |  FROM toks),""".stripMargin
+
+  /** Banded signatures carrying the shingle set (for downstream
+    * verification joins on `s`).
+    */
+  private[queries] val MinhashBandedSCte =
+    """banded AS (
+      |  SELECT doc_id, s, b AS band_idx,
+      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
+      |  FROM sig, unnest(range(0, 4)) AS u(b)),""".stripMargin
+
+  /** Banded signatures without `s` (stats-only consumers). */
+  private[queries] val MinhashBandedCte =
+    """banded AS (
+      |  SELECT doc_id, b AS band_idx,
+      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
+      |  FROM sig, unnest(range(0, 4)) AS u(b)),""".stripMargin
+
+  /** Candidate pairs under the 64-per-bucket left-side cap — the twin
+    * of [[graft.operators.MinHashLsh.candidates]].
+    */
+  private[queries] val MinhashCandCappedCte =
+    """cand AS (
+      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+      |  FROM (SELECT doc_id, band_idx, band_val FROM (
+      |          SELECT doc_id, band_idx, band_val,
+      |            row_number() OVER (PARTITION BY band_idx, band_val
+      |                               ORDER BY doc_id) AS rn
+      |          FROM banded) WHERE rn <= 64) l
+      |  JOIN banded r
+      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
+      |   AND l.doc_id < r.doc_id),""".stripMargin
+
+
   /** First 60 bits of md5 as a non-negative BIGINT — the native codegen
     * [[graft.functions.Md5Long60]] (digest → bit ops, no hex-string
     * round-trip; DedupSpec asserts bitwise parity with [[md5LongSql]]).
@@ -200,44 +252,24 @@ object DedupQueries {
   }
 
   private val minhashLshStatsSql =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-      |    THEN list_transform(range(1, len(t) - 1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
-      |  FROM toks),
-      |sig AS (
-      |  SELECT doc_id, s,
-      |    list_transform(range(0, 8), h ->
-      |      list_aggregate(list_transform(s, x ->
-      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
-      |  FROM sh),
-      |banded AS (
-      |  SELECT doc_id, b AS band_idx,
-      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
-      |  FROM sig, unnest(range(0, 4)) AS u(b)),
-      |cand AS (
-      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM (SELECT doc_id, band_idx, band_val FROM (
-      |          SELECT doc_id, band_idx, band_val,
-      |            row_number() OVER (PARTITION BY band_idx, band_val
-      |                               ORDER BY doc_id) AS rn
-      |          FROM banded) WHERE rn <= 64) l
-      |  JOIN banded r
-      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
-      |   AND l.doc_id < r.doc_id),
-      |ver AS (
-      |  SELECT CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-      |        / len(list_distinct(sa.s || sb.s)) AS j
-      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-      |              JOIN sh sb ON sb.doc_id = c.b_id)
-      |SELECT (SELECT count(*) FROM documents) AS n_docs,
-      |  count(*) AS n_candidate_pairs,
-      |  CAST(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups
-      |FROM ver""".stripMargin
+    """WITH """ + MinhashToksShSigCte + """
+sig AS (
+  SELECT doc_id, s,
+    list_transform(range(0, 8), h ->
+      list_aggregate(list_transform(s, x ->
+        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+  FROM sh),
+""" + MinhashBandedCte + """
+""" + MinhashCandCappedCte + """
+ver AS (
+  SELECT CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(sa.s || sb.s)) AS j
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+              JOIN sh sb ON sb.doc_id = c.b_id)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+  count(*) AS n_candidate_pairs,
+  CAST(sum(CASE WHEN j >= 0.7 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups
+FROM ver"""
 
   /** The ONE definition of the md5 MinHash signature scheme:
     * sig_i = min over shingles of md5Long("i:" || shingle) — both
@@ -370,54 +402,34 @@ object DedupQueries {
       .orderBy(col("doc_id"))
 
   private val dedupClustersSql =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-      |    THEN list_transform(range(1, len(t) - 1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
-      |  FROM toks),
-      |sig AS (
-      |  SELECT doc_id, s,
-      |    list_transform(range(0, 8), h ->
-      |      list_aggregate(list_transform(s, x ->
-      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
-      |  FROM sh),
-      |banded AS (
-      |  SELECT doc_id, s, b AS band_idx,
-      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
-      |  FROM sig, unnest(range(0, 4)) AS u(b)),
-      |cand AS (
-      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM (SELECT doc_id, band_idx, band_val FROM (
-      |          SELECT doc_id, band_idx, band_val,
-      |            row_number() OVER (PARTITION BY band_idx, band_val
-      |                               ORDER BY doc_id) AS rn
-      |          FROM banded) WHERE rn <= 64) l
-      |  JOIN banded r
-      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
-      |   AND l.doc_id < r.doc_id),
-      |ver AS (
-      |  SELECT c.a_id, c.b_id
-      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-      |              JOIN sh sb ON sb.doc_id = c.b_id
-      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-      |        / len(list_distinct(sa.s || sb.s)) >= 0.7),
-      |edges AS (
-      |  SELECT a_id AS src, b_id AS dst FROM ver
-      |  UNION ALL SELECT b_id, a_id FROM ver),
-      |reach(id, r) AS (
-      |  SELECT src, src FROM edges
-      |  UNION
-      |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
-      |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-      |SELECT c.id AS doc_id, c.cluster_id,
-      |  c.id = c.cluster_id AS is_canonical, cs.cluster_size
-      |FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
-      |                  FROM comp GROUP BY cluster_id) cs USING (cluster_id)
-      |ORDER BY doc_id""".stripMargin
+    """WITH RECURSIVE """ + MinhashToksShSigCte + """
+sig AS (
+  SELECT doc_id, s,
+    list_transform(range(0, 8), h ->
+      list_aggregate(list_transform(s, x ->
+        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+  FROM sh),
+""" + MinhashBandedSCte + """
+""" + MinhashCandCappedCte + """
+ver AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+              JOIN sh sb ON sb.doc_id = c.b_id
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(sa.s || sb.s)) >= 0.7),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM ver
+  UNION ALL SELECT b_id, a_id FROM ver),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT c.id AS doc_id, c.cluster_id,
+  c.id = c.cluster_id AS is_canonical, cs.cluster_size
+FROM comp c JOIN (SELECT cluster_id, count(*) AS cluster_size
+                  FROM comp GROUP BY cluster_id) cs USING (cluster_id)
+ORDER BY doc_id"""
 
   /** Leakage-safe train/validation split audit: every document is
     * assigned train (~90%) or val by the md5 hash of its NEAR-DUP
@@ -471,78 +483,58 @@ object DedupQueries {
   }
 
   private val splitLeakageAuditSql =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-      |    THEN list_transform(range(1, len(t) - 1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
-      |  FROM toks),
-      |sig AS (
-      |  SELECT doc_id, s,
-      |    list_transform(range(0, 8), h ->
-      |      list_aggregate(list_transform(s, x ->
-      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
-      |  FROM sh),
-      |banded AS (
-      |  SELECT doc_id, s, b AS band_idx,
-      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
-      |  FROM sig, unnest(range(0, 4)) AS u(b)),
-      |cand AS (
-      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM (SELECT doc_id, band_idx, band_val FROM (
-      |          SELECT doc_id, band_idx, band_val,
-      |            row_number() OVER (PARTITION BY band_idx, band_val
-      |                               ORDER BY doc_id) AS rn
-      |          FROM banded) WHERE rn <= 64) l
-      |  JOIN banded r
-      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
-      |   AND l.doc_id < r.doc_id),
-      |ver AS (
-      |  SELECT c.a_id, c.b_id
-      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-      |              JOIN sh sb ON sb.doc_id = c.b_id
-      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-      |        / len(list_distinct(sa.s || sb.s)) >= 0.7),
-      |edges AS (
-      |  SELECT a_id AS src, b_id AS dst FROM ver
-      |  UNION ALL SELECT b_id, a_id FROM ver),
-      |reach(id, r) AS (
-      |  SELECT src, src FROM edges
-      |  UNION
-      |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
-      |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-      |assigned AS (
-      |  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
-      |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
-      |splits AS (
-      |  SELECT doc_id, cluster_id,
-      |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-      |      % 10 < 9 AS naive_train,
-      |    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
-      |      % 10 < 9 AS safe_train
-      |  FROM assigned),
-      |pc AS (
-      |  SELECT cluster_id, count(*) AS sz,
-      |    sum(CASE WHEN naive_train THEN 1 ELSE 0 END) AS n_tr,
-      |    sum(CASE WHEN safe_train THEN 1 ELSE 0 END) AS n_str
-      |  FROM splits GROUP BY 1)
-      |SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
-      |  count(*) AS n_clusters,
-      |  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multidoc_clusters,
-      |  CAST(sum(n_str) AS BIGINT) AS safe_train_docs,
-      |  CAST(sum(sz - n_str) AS BIGINT) AS safe_val_docs,
-      |  CAST(sum(n_tr) AS BIGINT) AS naive_train_docs,
-      |  CAST(sum(sz - n_tr) AS BIGINT) AS naive_val_docs,
-      |  CAST(sum(CASE WHEN n_tr > 0 AND n_tr < sz THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS naive_split_clusters,
-      |  CAST(sum(CASE WHEN n_tr > 0 AND n_tr < sz THEN sz - n_tr ELSE 0 END) AS BIGINT)
-      |    AS naive_leaked_val_docs,
-      |  CAST(sum(CASE WHEN n_str > 0 AND n_str < sz THEN 1 ELSE 0 END) AS BIGINT)
-      |    AS safe_split_clusters
-      |FROM pc""".stripMargin
+    """WITH RECURSIVE """ + MinhashToksShSigCte + """
+sig AS (
+  SELECT doc_id, s,
+    list_transform(range(0, 8), h ->
+      list_aggregate(list_transform(s, x ->
+        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+  FROM sh),
+""" + MinhashBandedSCte + """
+""" + MinhashCandCappedCte + """
+ver AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+              JOIN sh sb ON sb.doc_id = c.b_id
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(sa.s || sb.s)) >= 0.7),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM ver
+  UNION ALL SELECT b_id, a_id FROM ver),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+assigned AS (
+  SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+splits AS (
+  SELECT doc_id, cluster_id,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 10 < 9 AS naive_train,
+    CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      % 10 < 9 AS safe_train
+  FROM assigned),
+pc AS (
+  SELECT cluster_id, count(*) AS sz,
+    sum(CASE WHEN naive_train THEN 1 ELSE 0 END) AS n_tr,
+    sum(CASE WHEN safe_train THEN 1 ELSE 0 END) AS n_str
+  FROM splits GROUP BY 1)
+SELECT CAST(sum(sz) AS BIGINT) AS n_docs,
+  count(*) AS n_clusters,
+  CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multidoc_clusters,
+  CAST(sum(n_str) AS BIGINT) AS safe_train_docs,
+  CAST(sum(sz - n_str) AS BIGINT) AS safe_val_docs,
+  CAST(sum(n_tr) AS BIGINT) AS naive_train_docs,
+  CAST(sum(sz - n_tr) AS BIGINT) AS naive_val_docs,
+  CAST(sum(CASE WHEN n_tr > 0 AND n_tr < sz THEN 1 ELSE 0 END) AS BIGINT)
+    AS naive_split_clusters,
+  CAST(sum(CASE WHEN n_tr > 0 AND n_tr < sz THEN sz - n_tr ELSE 0 END) AS BIGINT)
+    AS naive_leaked_val_docs,
+  CAST(sum(CASE WHEN n_str > 0 AND n_str < sz THEN 1 ELSE 0 END) AS BIGINT)
+    AS safe_split_clusters
+FROM pc"""
 
   /** Incremental NEAR-dup screening: a new crawl batch (doc_id % 10 ∈
     * {8, 9} here) checked against the EXISTING corpus via the MinHash
@@ -587,42 +579,31 @@ object DedupQueries {
   }
 
   private val incrementalNeardupStatsSql =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-      |    THEN list_transform(range(1, len(t) - 1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
-      |  FROM toks),
-      |sig AS (
-      |  SELECT doc_id, s,
-      |    list_transform(range(0, 8), h ->
-      |      list_aggregate(list_transform(s, x ->
-      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
-      |  FROM sh),
-      |banded AS (
-      |  SELECT doc_id, b AS band_idx,
-      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
-      |  FROM sig, unnest(range(0, 4)) AS u(b)),
-      |cand AS (
-      |  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
-      |  FROM banded n JOIN banded c
-      |    ON n.band_idx = c.band_idx AND n.band_val = c.band_val
-      |  WHERE n.doc_id % 10 >= 8 AND c.doc_id % 10 < 8),
-      |ver AS (
-      |  SELECT cand.new_id,
-      |    CAST(len(list_intersect(sn.s, sc.s)) AS DOUBLE)
-      |      / len(list_distinct(sn.s || sc.s)) AS jaccard
-      |  FROM cand JOIN sh sn ON sn.doc_id = cand.new_id
-      |            JOIN sh sc ON sc.doc_id = cand.corpus_id),
-      |nn AS (SELECT count(*) AS n_new FROM toks WHERE doc_id % 10 >= 8)
-      |SELECT nn.n_new,
-      |  (SELECT count(*) FROM ver) AS n_candidate_pairs,
-      |  (SELECT count(DISTINCT new_id) FROM ver WHERE jaccard >= 0.7) AS n_dup_new,
-      |  nn.n_new - (SELECT count(DISTINCT new_id) FROM ver WHERE jaccard >= 0.7) AS n_novel
-      |FROM nn""".stripMargin
+    """WITH """ + MinhashToksShSigCte + """
+sig AS (
+  SELECT doc_id, s,
+    list_transform(range(0, 8), h ->
+      list_aggregate(list_transform(s, x ->
+        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+  FROM sh),
+""" + MinhashBandedCte + """
+cand AS (
+  SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+  FROM banded n JOIN banded c
+    ON n.band_idx = c.band_idx AND n.band_val = c.band_val
+  WHERE n.doc_id % 10 >= 8 AND c.doc_id % 10 < 8),
+ver AS (
+  SELECT cand.new_id,
+    CAST(len(list_intersect(sn.s, sc.s)) AS DOUBLE)
+      / len(list_distinct(sn.s || sc.s)) AS jaccard
+  FROM cand JOIN sh sn ON sn.doc_id = cand.new_id
+            JOIN sh sc ON sc.doc_id = cand.corpus_id),
+nn AS (SELECT count(*) AS n_new FROM toks WHERE doc_id % 10 >= 8)
+SELECT nn.n_new,
+  (SELECT count(*) FROM ver) AS n_candidate_pairs,
+  (SELECT count(DISTINCT new_id) FROM ver WHERE jaccard >= 0.7) AS n_dup_new,
+  nn.n_new - (SELECT count(DISTINCT new_id) FROM ver WHERE jaccard >= 0.7) AS n_novel
+FROM nn"""
 
   /** Quality-aware canonical selection: within each near-dup cluster,
     * keep the member with the most distinct tokens (tie → lowest
@@ -659,97 +640,57 @@ object DedupQueries {
     * the keep-policy window appended.
     */
   private val dedupKeepBestSql =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-      |    THEN list_transform(range(1, len(t) - 1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
-      |  FROM toks),
-      |sig AS (
-      |  SELECT doc_id, s,
-      |    list_transform(range(0, 8), h ->
-      |      list_aggregate(list_transform(s, x ->
-      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
-      |  FROM sh),
-      |banded AS (
-      |  SELECT doc_id, s, b AS band_idx,
-      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
-      |  FROM sig, unnest(range(0, 4)) AS u(b)),
-      |cand AS (
-      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM (SELECT doc_id, band_idx, band_val FROM (
-      |          SELECT doc_id, band_idx, band_val,
-      |            row_number() OVER (PARTITION BY band_idx, band_val
-      |                               ORDER BY doc_id) AS rn
-      |          FROM banded) WHERE rn <= 64) l
-      |  JOIN banded r
-      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
-      |   AND l.doc_id < r.doc_id),
-      |ver AS (
-      |  SELECT c.a_id, c.b_id
-      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-      |              JOIN sh sb ON sb.doc_id = c.b_id
-      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-      |        / len(list_distinct(sa.s || sb.s)) >= 0.7),
-      |edges AS (
-      |  SELECT a_id AS src, b_id AS dst FROM ver
-      |  UNION ALL SELECT b_id, a_id FROM ver),
-      |reach(id, r) AS (
-      |  SELECT src, src FROM edges
-      |  UNION
-      |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
-      |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
-      |q AS (SELECT doc_id, CAST(len(list_distinct(t)) AS BIGINT) AS q FROM toks),
-      |m AS (SELECT c.cluster_id, c.id, q.q FROM comp c JOIN q ON q.doc_id = c.id),
-      |rk AS (SELECT *, ROW_NUMBER() OVER (
-      |        PARTITION BY cluster_id ORDER BY q DESC, id) AS rk FROM m)
-      |SELECT cluster_id, count(*) AS cluster_size,
-      |  max(CASE WHEN rk = 1 THEN id END) AS keep_id,
-      |  max(CASE WHEN rk = 1 THEN q END) AS keep_distinct_tokens,
-      |  CAST(count(*) - 1 AS BIGINT) AS n_dropped
-      |FROM rk GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
+    """WITH RECURSIVE """ + MinhashToksShSigCte + """
+sig AS (
+  SELECT doc_id, s,
+    list_transform(range(0, 8), h ->
+      list_aggregate(list_transform(s, x ->
+        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+  FROM sh),
+""" + MinhashBandedSCte + """
+""" + MinhashCandCappedCte + """
+ver AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+              JOIN sh sb ON sb.doc_id = c.b_id
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(sa.s || sb.s)) >= 0.7),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM ver
+  UNION ALL SELECT b_id, a_id FROM ver),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+q AS (SELECT doc_id, CAST(len(list_distinct(t)) AS BIGINT) AS q FROM toks),
+m AS (SELECT c.cluster_id, c.id, q.q FROM comp c JOIN q ON q.doc_id = c.id),
+rk AS (SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cluster_id ORDER BY q DESC, id) AS rk FROM m)
+SELECT cluster_id, count(*) AS cluster_size,
+  max(CASE WHEN rk = 1 THEN id END) AS keep_id,
+  max(CASE WHEN rk = 1 THEN q END) AS keep_distinct_tokens,
+  CAST(count(*) - 1 AS BIGINT) AS n_dropped
+FROM rk GROUP BY cluster_id ORDER BY cluster_id"""
 
   private val minhashLshPairsSql =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-      |    THEN list_transform(range(1, len(t) - 1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
-      |  FROM toks),
-      |sig AS (
-      |  SELECT doc_id, s,
-      |    list_transform(range(0, 8), h ->
-      |      list_aggregate(list_transform(s, x ->
-      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
-      |  FROM sh),
-      |banded AS (
-      |  SELECT doc_id, s, b AS band_idx,
-      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
-      |  FROM sig, unnest(range(0, 4)) AS u(b)),
-      |cand AS (
-      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM (SELECT doc_id, band_idx, band_val FROM (
-      |          SELECT doc_id, band_idx, band_val,
-      |            row_number() OVER (PARTITION BY band_idx, band_val
-      |                               ORDER BY doc_id) AS rn
-      |          FROM banded) WHERE rn <= 64) l
-      |  JOIN banded r
-      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
-      |   AND l.doc_id < r.doc_id),
-      |ver AS (
-      |  SELECT c.a_id, c.b_id,
-      |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-      |      / len(list_distinct(sa.s || sb.s)) AS j
-      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-      |              JOIN sh sb ON sb.doc_id = c.b_id)
-      |SELECT a_id, b_id, round(j, 4) AS jaccard FROM ver
-      |WHERE j >= 0.7 ORDER BY a_id, b_id""".stripMargin
+    """WITH """ + MinhashToksShSigCte + """
+sig AS (
+  SELECT doc_id, s,
+    list_transform(range(0, 8), h ->
+      list_aggregate(list_transform(s, x ->
+        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+  FROM sh),
+""" + MinhashBandedSCte + """
+""" + MinhashCandCappedCte + """
+ver AS (
+  SELECT c.a_id, c.b_id,
+    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+      / len(list_distinct(sa.s || sb.s)) AS j
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+              JOIN sh sb ON sb.doc_id = c.b_id)
+SELECT a_id, b_id, round(j, 4) AS jaccard FROM ver
+WHERE j >= 0.7 ORDER BY a_id, b_id"""
 
   /** SimHash (60-bit) per document: per-bit majority vote over token
     * hashes, computed with nested higher-order functions — fully
@@ -887,47 +828,27 @@ object DedupQueries {
   }
 
   private val crossSourceDupsSql =
-    """WITH toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-      |    THEN list_transform(range(1, len(t) - 1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
-      |  FROM toks),
-      |sig AS (
-      |  SELECT doc_id, s,
-      |    list_transform(range(0, 8), h ->
-      |      list_aggregate(list_transform(s, x ->
-      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
-      |  FROM sh),
-      |banded AS (
-      |  SELECT doc_id, s, b AS band_idx,
-      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
-      |  FROM sig, unnest(range(0, 4)) AS u(b)),
-      |cand AS (
-      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM (SELECT doc_id, band_idx, band_val FROM (
-      |          SELECT doc_id, band_idx, band_val,
-      |            row_number() OVER (PARTITION BY band_idx, band_val
-      |                               ORDER BY doc_id) AS rn
-      |          FROM banded) WHERE rn <= 64) l
-      |  JOIN banded r
-      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
-      |   AND l.doc_id < r.doc_id),
-      |ver AS (
-      |  SELECT c.a_id, c.b_id
-      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-      |              JOIN sh sb ON sb.doc_id = c.b_id
-      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-      |        / len(list_distinct(sa.s || sb.s)) >= 0.7)
-      |SELECT least(da.source, db.source) AS source_lo,
-      |       greatest(da.source, db.source) AS source_hi,
-      |       count(*) AS n_pairs
-      |FROM ver JOIN documents da ON da.doc_id = ver.a_id
-      |         JOIN documents db ON db.doc_id = ver.b_id
-      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    """WITH """ + MinhashToksShSigCte + """
+sig AS (
+  SELECT doc_id, s,
+    list_transform(range(0, 8), h ->
+      list_aggregate(list_transform(s, x ->
+        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+  FROM sh),
+""" + MinhashBandedSCte + """
+""" + MinhashCandCappedCte + """
+ver AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+              JOIN sh sb ON sb.doc_id = c.b_id
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(sa.s || sb.s)) >= 0.7)
+SELECT least(da.source, db.source) AS source_lo,
+       greatest(da.source, db.source) AS source_hi,
+       count(*) AS n_pairs
+FROM ver JOIN documents da ON da.doc_id = ver.a_id
+         JOIN documents db ON db.doc_id = ver.b_id
+GROUP BY 1, 2 ORDER BY 1, 2"""
 
   /** Corpus-level near-dup reduction headline: how many documents the
     * keep-one-per-cluster policy removes, and what fraction of the
@@ -946,55 +867,35 @@ object DedupQueries {
   }
 
   private val dedupKeepStatsSql =
-    """WITH RECURSIVE toks AS (
-      |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS t
-      |  FROM documents),
-      |sh AS (
-      |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
-      |    THEN list_transform(range(1, len(t) - 1),
-      |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
-      |  FROM toks),
-      |sig AS (
-      |  SELECT doc_id, s,
-      |    list_transform(range(0, 8), h ->
-      |      list_aggregate(list_transform(s, x ->
-      |        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
-      |  FROM sh),
-      |banded AS (
-      |  SELECT doc_id, s, b AS band_idx,
-      |    g[2*b + 1] || '_' || g[2*b + 2] AS band_val
-      |  FROM sig, unnest(range(0, 4)) AS u(b)),
-      |cand AS (
-      |  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-      |  FROM (SELECT doc_id, band_idx, band_val FROM (
-      |          SELECT doc_id, band_idx, band_val,
-      |            row_number() OVER (PARTITION BY band_idx, band_val
-      |                               ORDER BY doc_id) AS rn
-      |          FROM banded) WHERE rn <= 64) l
-      |  JOIN banded r
-      |    ON l.band_idx = r.band_idx AND l.band_val = r.band_val
-      |   AND l.doc_id < r.doc_id),
-      |ver AS (
-      |  SELECT c.a_id, c.b_id
-      |  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
-      |              JOIN sh sb ON sb.doc_id = c.b_id
-      |  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-      |        / len(list_distinct(sa.s || sb.s)) >= 0.7),
-      |edges AS (
-      |  SELECT a_id AS src, b_id AS dst FROM ver
-      |  UNION ALL SELECT b_id, a_id FROM ver),
-      |reach(id, r) AS (
-      |  SELECT src, src FROM edges
-      |  UNION
-      |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
-      |comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
-      |SELECT (SELECT count(*) FROM documents) AS n_docs,
-      |  count(*) AS n_clustered,
-      |  CAST(sum(CASE WHEN id = cluster_id THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
-      |  round(CAST(sum(CASE WHEN id = cluster_id THEN 0 ELSE 1 END) AS DOUBLE)
-      |        / (SELECT count(*) FROM documents), 4) AS removed_frac
-      |FROM comp""".stripMargin
+    """WITH RECURSIVE """ + MinhashToksShSigCte + """
+sig AS (
+  SELECT doc_id, s,
+    list_transform(range(0, 8), h ->
+      list_aggregate(list_transform(s, x ->
+        CAST(('0x' || substr(md5(h || ':' || x), 1, 15)) AS BIGINT)), 'min')) AS g
+  FROM sh),
+""" + MinhashBandedSCte + """
+""" + MinhashCandCappedCte + """
+ver AS (
+  SELECT c.a_id, c.b_id
+  FROM cand c JOIN sh sa ON sa.doc_id = c.a_id
+              JOIN sh sb ON sb.doc_id = c.b_id
+  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+        / len(list_distinct(sa.s || sb.s)) >= 0.7),
+edges AS (
+  SELECT a_id AS src, b_id AS dst FROM ver
+  UNION ALL SELECT b_id, a_id FROM ver),
+reach(id, r) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+comp AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+  count(*) AS n_clustered,
+  CAST(sum(CASE WHEN id = cluster_id THEN 0 ELSE 1 END) AS BIGINT) AS n_removed,
+  round(CAST(sum(CASE WHEN id = cluster_id THEN 0 ELSE 1 END) AS DOUBLE)
+        / (SELECT count(*) FROM documents), 4) AS removed_frac
+FROM comp"""
 
   /** Incremental-ingest dedup: a new crawl batch (doc_id >= 400) is
     * deduplicated against the already-ingested corpus (doc_id < 400) by

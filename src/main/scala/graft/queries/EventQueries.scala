@@ -27,7 +27,7 @@ object EventQueries {
         round(sum(col("value")), 4).as("sum_value"))
       .orderBy(col("hour_start"), col("event_type"))
 
-  private val hourlyCountsSql =
+  private[queries] val hourlyCountsSql =
     """SELECT CAST(to_timestamp((epoch_ms(ts) // 3600000) * 3600) AS TIMESTAMP) AS hour_start,
       |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
@@ -71,7 +71,7 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
-  private val userSessionsSql =
+  private[queries] val userSessionsSql =
     """WITH l AS (
       |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
       |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms

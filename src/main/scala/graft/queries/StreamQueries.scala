@@ -11,21 +11,14 @@ import graft.streaming.EventsStreaming
   */
 object StreamQueries {
 
-  private val hourlySql =
-    """SELECT CAST(to_timestamp((epoch_ms(ts) // 3600000) * 3600) AS TIMESTAMP) AS hour_start,
-      |  event_type, count(*) AS n_events, round(sum(value), 4) AS sum_value
-      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-
-  private val sessionsSql =
-    """WITH l AS (
-      |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
-      |    lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ms
-      |  FROM events)
-      |SELECT user_id,
-      |  CAST(sum(CASE WHEN prev_ms IS NULL OR ms - prev_ms > 1800000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
-      |  count(*) AS n_events
-      |FROM l WHERE user_id < 200
-      |GROUP BY user_id ORDER BY user_id""".stripMargin
+  // the SAME string values as the batch twins, by reference — a
+  // textual copy here let an edit to the batch oracle leave the stream
+  // twin checking stale SQL with both individually green while the
+  // advertised batch==stream parity silently broke (r15 review; the
+  // HLL/quantile stream twins already share via hllOracleSql/
+  // quantileOracleSql)
+  private val hourlySql = EventQueries.hourlyCountsSql
+  private val sessionsSql = EventQueries.userSessionsSql
 
   /** Event-time sessionization twin: same per-user surface as
     * [[sessionsSql]], but with `session_window` boundary semantics — a

@@ -17,6 +17,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStreaming {
 
+  private val eventsSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, org.apache.spark.sql.types.StructType]()
+
   /** Streaming read of the events parquet (schema must be supplied for
     * file-source streams; ts arrives as nanos-long and is normalized
     * exactly like Tables.events).
@@ -25,9 +28,13 @@ object EventsStreaming {
     // tsAsLtz: a session without inferTimestampNTZ disabled would infer
     // NTZ for ts (no isAdjustedToUTC in the testdata parquet) and
     // withWatermark below would reject it — coerce in the supplied
-    // schema, same as the batch reader
-    val schema = graft.Tables.tsAsLtz(
-      spark.read.parquet(s"$dir/events.parquet").schema)
+    // schema, same as the batch reader. Memoized per data version
+    // (Tables.dataKey convention): every stream query paid a batch
+    // footer probe per call, twice per intervalJoinQuery (r15 review)
+    val schema = eventsSchemaMemo.computeIfAbsent(
+      graft.Tables.dataKey(dir),
+      _ => graft.Tables.tsAsLtz(
+        spark.read.parquet(s"$dir/events.parquet").schema))
     // file-source streams take a directory; glob-filter to the one table
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
@@ -302,11 +309,18 @@ object EventsStreaming {
   /** Memory-sink table name for a catalog stream query: one shared
     * derivation (12 call sites) — sanitized like Tables.cacheDirName so
     * the identifier always parses (math.abs(Int.MinValue) is negative,
-    * and a '-' in an unquoted identifier breaks spark.table()), and
-    * dir-distinct beyond a bare 32-bit hashCode magnitude.
+    * and a '-' in an unquoted identifier breaks spark.table()). The
+    * sanitize alone is punctuation-LOSSY ('/a/sf0.1' and '/a/sf0_1'
+    * collapse to one identifier — two concurrent dirs sharing a sink
+    * name would have the second start() replace the first's temp view
+    * mid-query), so true dir-distinctness comes from the appended md5
+    * digest of the RAW dir (r15 review).
     */
-  private[streaming] def sinkName(prefix: String, dir: String): String =
-    prefix + "_" + dir.replaceAll("[^A-Za-z0-9]", "_")
+  private[streaming] def sinkName(prefix: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    prefix + "_" + dir.replaceAll("[^A-Za-z0-9]", "_") + "_" + digest
+  }
 
   def runToCompletion(spark: SparkSession, streamed: DataFrame,
       name: String, mode: OutputMode = OutputMode.Complete()): DataFrame = {
@@ -317,7 +331,18 @@ object EventsStreaming {
       .start()
     try q.processAllAvailable()
     finally q.stop()
-    spark.table(name)
+    // materialize the (bounded) result and DROP the sink's temp view:
+    // MemorySink rows live on the driver, and a Verify pass over the
+    // stream catalog used to pin one resident copy of every stream
+    // result per (query, dir) until JVM exit — clearCache() does not
+    // touch temp views (r15 review). The local-relation return is the
+    // same rows the sink already held on the driver, so peak memory
+    // only drops.
+    val rows = spark.table(name)
+    val out = spark.createDataFrame(
+      java.util.Arrays.asList(rows.collect(): _*), rows.schema)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Catalog query: streaming hourly counts, materialized. */
