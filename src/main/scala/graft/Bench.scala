@@ -62,6 +62,38 @@ object Bench {
             t => graft.queries.DedupQueries.md5Long(t)),
           lit(0.0), (a, x) => a + x.cast("double"))).count()
     } catch { case _: Throwable => () }
+    // 1-minute load average from /proc/loadavg — sampled at start and
+    // end so the artifact itself records whether the run landed in a
+    // contended window (VERDICT r15 #1: four rounds of contended
+    // driver artifacts needed external adjudication; a reader of this
+    // JSON alone can now see load 14.0 and discount t2 accordingly)
+    def loadAvg(): Double =
+      try java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/loadavg")).get(0)
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadStart = loadAvg()
+    // ONE cached corpus scan shared by the ten build stages (VERDICT
+    // r15 #1b): each build re-reads documents/embeddings from parquet;
+    // persisting both turns ~10 corpus scans into 1, shrinking the
+    // bench's wall-clock exposure to host contention. Spark's
+    // CacheManager substitutes the InMemoryRelation by plan equality,
+    // so the builds' own Tables.documents/embeddings calls hit it
+    // without plumbing. The materialization is timed as its own entry
+    // (corpus_cache) so `value` stays an honest end-to-end total, and
+    // both tables are unpersisted before pass 1 so the timed catalog
+    // passes measure the real uncached plans.
+    val cacheT0 = System.nanoTime()
+    val docsCached = graft.Tables.documents(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val embsCached = graft.Tables.embeddings(spark, sfDir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpusCacheTime =
+      try { docsCached.count(); embsCached.count(); (System.nanoTime() - cacheT0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] corpus_cache FAILED: ${e.getMessage}")
+        -1.0
+      }
     // time the one-per-JVM IVF index build as its own entry, so the index
     // queries below (which reuse the cached index) measure SEARCH only
     val buildT0 = System.nanoTime()
@@ -165,8 +197,14 @@ object Bench {
           spark.catalog.clearCache() // builders' persist()s don't accumulate
           name -> (if (ok) elapsed else -1.0)
         }
+    // drop the shared corpus cache BEFORE the timed catalog passes —
+    // pass 1 must measure the uncached plans (blocking so the freed
+    // memory is really back before timing starts)
+    docsCached.unpersist(blocking = true)
+    embsCached.unpersist(blocking = true)
     val pass1 = timedPass("pass1")
     val results = Map("ivf_build" -> buildTime, "pq_train" -> pqTrainTime,
+      "corpus_cache" -> corpusCacheTime,
       "opq_train" -> opqTrainTime,
       "ivfpq_encode" -> pqEncodeTime,
       "ivfpq_residual_build" -> pqResidualTime,
@@ -202,8 +240,10 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("bench_detail.json"),
-      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"value1":${ms(total1)},"value2":${ms(total2)},"hash_family":"$hashFamily","sf":"$sfDir"}""" + "\n")
+      { val d = java.nio.file.Paths.get("bench-series")
+        java.nio.file.Files.createDirectories(d)
+        d.resolve("bench_detail.json") },
+      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"value1":${ms(total1)},"value2":${ms(total2)},"load_start":$loadStart,"load_end":${loadAvg()},"hash_family":"$hashFamily","sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // compact line: failed queries always included, then most-expensive
@@ -235,6 +275,6 @@ object Bench {
     }
     val nFail = results.values.count(_ < 0)
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries2":${kept2.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t1":${ms(total1)},"t2":${ms(total2)},"hash_family":"$hashFamily","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries2":${kept2.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t1":${ms(total1)},"t2":${ms(total2)},"load_start":$loadStart,"load_end":${loadAvg()},"hash_family":"$hashFamily","sf":"$sfDir"}""")
   }
 }

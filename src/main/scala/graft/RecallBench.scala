@@ -60,8 +60,10 @@ object RecallBench {
     val json =
       s"""{"metric":"recall_qps_bench","build_s":$buildS,"k":100,"nq":${queries.length},"settings":$js,"qps_sweep":$qpsJs,"sf":"$sfDir"}"""
     try {
+      val outDir = java.nio.file.Paths.get("bench-series")
+      java.nio.file.Files.createDirectories(outDir)
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("recall_qps_bench.json"),
+        outDir.resolve("recall_qps_bench.json"),
         (json + "\n").getBytes("UTF-8"))
       val md = new StringBuilder
       md ++= "# Recall / QPS bench (reference protocol)\n\n"
@@ -77,7 +79,7 @@ object RecallBench {
         md ++= f"| ${s.concurrency} | ${s.nProbe} | ${s.msPerQuery}%.3f | ${s.qps}%.1f |\n"
       }
       java.nio.file.Files.write(
-        java.nio.file.Paths.get("recall_qps_bench.md"),
+        outDir.resolve("recall_qps_bench.md"),
         md.toString.getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[recall-bench] artifact write failed: ${e.getMessage}")

@@ -74,6 +74,13 @@ object FsLease {
   /** Acquire the lease at `path`, waiting up to `timeoutMs` for a
     * fresh competing holder and breaking holders staler than
     * `staleTtlMs`. `timeoutMs = 0` = fail fast if held.
+    *
+    * `owner` MUST be unique per acquisition attempt (e.g. carry a
+    * UUID): the verify step concludes "acquired" from seeing its own
+    * tag in the file, so two processes acquiring with the SAME stable
+    * tag could both conclude they hold the lease. [[withLease]]
+    * enforces this internally; direct callers of acquire/release own
+    * the obligation.
     */
   def acquire(fs: FileSystem, path: Path, owner: String,
       staleTtlMs: Long = DefaultStaleTtlMs,
@@ -209,7 +216,10 @@ object FsLease {
     } catch { case _: java.io.FileNotFoundException => false }
 
   /** Run `body` holding the lease; always released (owner-verified),
-    * including on throw.
+    * including on throw. `owner` is a display prefix only: the actual
+    * tag written is `owner#<UUID>`, so callers may pass stable strings
+    * without violating [[acquire]]'s per-acquisition-uniqueness
+    * contract (ADVICE r15).
     *
     * The hold is HEARTBEAT-protected (VERDICT r13 #4 / ADVICE r13): a
     * daemon thread refreshes the lease mtime every
@@ -228,7 +238,12 @@ object FsLease {
   def withLease[T](fs: FileSystem, path: Path, owner: String,
       staleTtlMs: Long = DefaultStaleTtlMs,
       timeoutMs: Long = DefaultTimeoutMs)(body: => T): T = {
-    acquire(fs, path, owner, staleTtlMs, timeoutMs)
+    // per-acquisition unique tag regardless of what the caller passed:
+    // acquire's verify is only sound under unique tags (its scaladoc),
+    // and withLease controls both ends of the hold, so it can enforce
+    // the contract instead of exporting it (ADVICE r15)
+    val tag = s"$owner#${java.util.UUID.randomUUID()}"
+    acquire(fs, path, tag, staleTtlMs, timeoutMs)
     val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
     val beatMs = math.max(50L, math.min(staleTtlMs, DefaultStaleTtlMs) / 3)
     val beater = new Thread(() => {
@@ -237,7 +252,7 @@ object FsLease {
         catch { case _: InterruptedException => () }
         if (!stop.get()) {
           try {
-            if (currentOwner(fs, path).contains(owner))
+            if (currentOwner(fs, path).contains(tag))
               fs.setTimes(path, System.currentTimeMillis(), -1)
             else stop.set(true) // broken during a stall — ours no more
           } catch {
@@ -254,7 +269,7 @@ object FsLease {
     try body finally {
       stop.set(true)
       beater.interrupt()
-      release(fs, path, owner)
+      release(fs, path, tag)
     }
   }
 }

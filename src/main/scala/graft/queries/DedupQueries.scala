@@ -28,7 +28,10 @@ object DedupQueries {
     * into every MinHash oracle below (and the stream LSH twin) instead
     * of textual copies, so a change to the scheme (hash count, band
     * width, the 64 bucket cap, the shingle rule) edits ONE definition
-    * per engine (r15 review). Fragments carry their own margin bars;
+    * per engine (r15 review). The ELSE arm's coalesce mirrors the
+    * Spark rule's null-terms collapse (MinHashLsh.shingles): null text
+    * splits to a NULL list whose string_agg is NULL, and a [NULL]
+    * shingle set would diverge from Spark's [""] whole-doc shingle. Fragments carry their own margin bars;
     * stripMargin runs on each COMPOSED string, and the WITH /
     * WITH RECURSIVE keyword stays with the consumer.
     */
@@ -40,7 +43,7 @@ object DedupQueries {
       |  SELECT doc_id, list_distinct(CASE WHEN len(t) >= 3
       |    THEN list_transform(range(1, len(t) - 1),
       |         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
-      |    ELSE [list_aggregate(t, 'string_agg', ' ')] END) AS s
+      |    ELSE [coalesce(list_aggregate(t, 'string_agg', ' '), '')] END) AS s
       |  FROM toks),""".stripMargin
 
   /** Banded signatures carrying the shingle set (for downstream

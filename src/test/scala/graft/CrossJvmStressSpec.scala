@@ -1,0 +1,171 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.operators.Ivf
+import graft.sources.VectorFormats
+
+/** Cross-PROCESS lifecycle stress (VERDICT r15 next-round #2): every
+  * prior lease/lifecycle gate — including StressSpec's composed
+  * interleaving — ran its contenders as threads of ONE JVM, where the
+  * striped create-monitor and the shared `tombstonePresence` /
+  * `tombCountMemo` maps soften the race. FsLease's real adversary is a
+  * second JVM with its own heartbeat daemons and its own memo copies
+  * that a foreign delete cannot invalidate. This spec forks that JVM
+  * (java -cp <this test classpath> graft.CrossJvmStressRunner) and
+  * races the same op mix across the process boundary, then measures
+  * the one staleness window the design accepts: a foreign delete can
+  * hide behind this JVM's tombstone-absence memo for at most
+  * ~30 s (Ivf.memoTtlNanos).
+  */
+class CrossJvmStressSpec extends SparkSpec {
+
+  private def forkRunner(args: Seq[String], logPath: String): Process = {
+    val javaBin = java.nio.file.Paths
+      .get(System.getProperty("java.home"), "bin", "java").toString
+    // same JDK17 module opens the build gives every forked Spark JVM
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar",
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    val cmd = Seq(javaBin) ++ addOpens ++ Seq(
+      "-Xmx3g", "-Dspark.ui.enabled=false",
+      "-cp", System.getProperty("java.class.path"),
+      "graft.CrossJvmStressRunner") ++ args
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectErrorStream(true)
+    pb.redirectOutput(new java.io.File(logPath))
+    pb.start()
+  }
+
+  test("cross-process interleaving: a second JVM racing append + " +
+      "deleteWhere + maintain + clearTombstones preserves the exact " +
+      "id set, and a foreign delete is visible within the memo TTL") {
+    val dir = Files.createTempDirectory("graft_xjvm_idx").toString
+    val probeDir = Files.createTempDirectory("graft_xjvm_probe").toString
+    val commDir = Files.createTempDirectory("graft_xjvm_comm").toString
+    val logPath = s"$commDir/child.log"
+    val resultPath = s"$commDir/child.result"
+    val all = VectorFormats.generate(spark, 1200L, 8, 15L).cache()
+    val idx = Ivf.build(all.where(col("vec_id") < 600),
+      "vec_id", "embedding", dir)
+
+    val child = forkRunner(Seq(dir, probeDir, commDir, resultPath), logPath)
+    def childLog(): String =
+      try new String(Files.readAllBytes(
+        java.nio.file.Paths.get(logPath)), "UTF-8").takeRight(4000)
+      catch { case _: Throwable => "<no child log>" }
+    try {
+      // parent's half of the stress mix — id blocks and delete residues
+      // DISJOINT from the child's (child: appends 900..1199, deletes
+      // residues 6..11), so the expected final set is exact regardless
+      // of interleaving
+      val unexpected =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      import CrossJvmStress._
+      val threads = Seq(
+        worker("append", 1L, iters = 6, pauseMax = 80, unexpected) { i =>
+          Ivf.append(idx,
+            all.where(col("vec_id") >= 600 + 50 * i &&
+              col("vec_id") < 650 + 50 * i),
+            "vec_id", "embedding")
+        },
+        worker("deleteWhere", 2L, iters = 6, pauseMax = 80, unexpected) { i =>
+          Ivf.deleteWhere(spark, idx,
+            col("vec_id") < 600 && col("vec_id") % 31 === i)
+        },
+        worker("maintain", 3L, iters = 3, pauseMax = 300, unexpected) { _ =>
+          Ivf.maintain(spark, idx, maxFilesPerShard = 2)
+        },
+        worker("clear", 4L, iters = 4, pauseMax = 200, unexpected) { _ =>
+          Ivf.clearTombstones(spark, idx)
+        })
+      threads.foreach(_.join(240000L))
+      assert(threads.forall(!_.isAlive), "a parent interleaving worker hung")
+      assert(unexpected.isEmpty,
+        s"unexpected parent failures: $unexpected\nchild log: ${childLog()}")
+      assert(await(commDir, "child_stress_done", 300000L).isDefined,
+        s"child stress phase never finished; child log: ${childLog()}")
+
+      // exact-set invariant, staleness-tolerant: the child's LAST
+      // deletes may sit behind this JVM's tombstone memo for up to
+      // 30 s (its own clears/deletes refresh the parent memo at
+      // arbitrary points of the interleaving) — poll to convergence,
+      // then assert exact equality. Lost appends / resurrected ids
+      // never self-heal, so the poll can only mask staleness, not bugs.
+      val deleted = (0L until 600L).filter(id => (id % 31) < 12).toSet
+      val expected = (0L until 1200L).toSet -- deleted
+      val deadline = System.nanoTime() + 45L * 1000 * 1000 * 1000
+      var live = Set.empty[Long]
+      var liveSeq = Seq.empty[Long]
+      var converged = false
+      while (!converged) {
+        liveSeq = Ivf.liveVectors(spark, idx)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        live = liveSeq.toSet
+        converged = live == expected || System.nanoTime() > deadline
+        if (!converged) Thread.sleep(1000)
+      }
+      assert(liveSeq.length == liveSeq.distinct.length,
+        s"duplicate live rows: ${liveSeq.length} vs " +
+          s"${liveSeq.distinct.length}\nchild log: ${childLog()}")
+      assert(live == expected,
+        s"lost=${(expected -- live).take(10)} " +
+          s"resurrected=${(live -- expected).take(10)}\n" +
+          s"child log: ${childLog()}")
+      // self-retrieval of a CHILD-appended vector from the parent JVM
+      val qv = all.where(col("vec_id") === 951L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val top = Ivf.search(spark, idx, qv, 5, 10000).head()
+      assert(top.getLong(0) == 951L && top.getDouble(1) == 0.0,
+        "child-appended vector not retrievable from the parent JVM")
+
+      // directed memo-staleness probe: fresh tombstone-free index,
+      // prime THIS JVM's absence memo, then let the CHILD delete.
+      val probeIdx = Ivf.build(all.where(col("vec_id") < 100),
+        "vec_id", "embedding", probeDir)
+      val primed = Ivf.liveVectors(spark, probeIdx)
+        .select("vec_id").count() // memo now caches "no tombstones"
+      assert(primed == 100L)
+      signal(commDir, "parent_probe_ready")
+      val deletedAt = await(commDir, "child_deleted", 180000L)
+        .map(_.trim.toLong)
+        .getOrElse(fail(s"child never deleted; log: ${childLog()}"))
+      assert(deletedAt > 0, s"child probe delete failed; ${childLog()}")
+      val stalenessDeadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      var visibleAtMs = -1L
+      while (visibleAtMs < 0 && System.nanoTime() < stalenessDeadline) {
+        val ids = Ivf.liveVectors(spark, probeIdx)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        if (!ids.contains(13L)) visibleAtMs = System.currentTimeMillis()
+        else Thread.sleep(500)
+      }
+      val stalenessMs = visibleAtMs - deletedAt
+      assert(visibleAtMs > 0,
+        s"foreign delete still invisible after 60 s; ${childLog()}")
+      // the design bound: memoTtlNanos (30 s) + poll/lease slack
+      assert(stalenessMs <= 40000L,
+        s"foreign delete hidden ${stalenessMs} ms > 40 s bound")
+      info(s"foreign-delete staleness window: ${stalenessMs} ms " +
+        "(design bound: 30 s memo TTL)")
+
+      assert(child.waitFor(120L, java.util.concurrent.TimeUnit.SECONDS),
+        s"child JVM did not exit; log: ${childLog()}")
+      val result =
+        try new String(Files.readAllBytes(
+          java.nio.file.Paths.get(resultPath)), "UTF-8")
+        catch { case _: Throwable => "<no result file>" }
+      assert(child.exitValue() == 0 && result.startsWith("OK"),
+        s"child exit=${child.exitValue()} result=$result\n" +
+          s"child log: ${childLog()}")
+    } finally {
+      if (child.isAlive) child.destroyForcibly()
+    }
+  }
+}

@@ -169,6 +169,89 @@ class PropertySpec extends AnyFunSuite {
         s"unbalanced beyond the greedy bound: $sums")
     }
   }
+
+  test("quantile rank cut: the integer comparison cum*10^6 >= num*n " +
+      "equals the exact nearest-rank ceiling at every k/n boundary " +
+      "(VERDICT r15 #6)") {
+    // QuantileSketch.quantiles picks the first bucket whose cumulative
+    // count satisfies cum·10^6 ≥ round(p·10^6)·n — the claim is that
+    // this integer test implements rank = ⌈(num/10^6)·n⌉ EXACTLY, for
+    // any p, including the k/n boundary values where double ceil(p·n)
+    // drifted a whole rank (0.07·100 → 7.000000000000001 → 8). 1000
+    // cases: random n, random k ≤ n, p = k/n (the adversarial
+    // boundary), plus jittered p just above/below the boundary.
+    val gen = for {
+      n <- Gen.choose(1L, 2000000000L)
+      k <- Gen.choose(1L, n)
+      eps <- Gen.oneOf(0.0, 1e-12, -1e-12, 1e-9, -1e-9)
+    } yield (n, k, eps)
+    forAll(gen, n = 1000) { case (n, k, eps) =>
+      val p = math.min(1.0, math.max(0.0, k.toDouble / n + eps))
+      val num = math.round(p * 1000000L)
+      // the production predicate, verbatim semantics (decimal(38,0)
+      // products are exact BigInt products at these widths)
+      def admits(cum: Long): Boolean =
+        BigInt(cum) * 1000000 >= BigInt(num) * BigInt(n)
+      // independent oracle: ⌈(num/10^6)·n⌉ through BigDecimal CEILING
+      // (a different arithmetic path than the predicate's product form)
+      val exactRank = (java.math.BigDecimal.valueOf(num)
+        .multiply(java.math.BigDecimal.valueOf(n))
+        .divide(java.math.BigDecimal.valueOf(1000000L)))
+        .setScale(0, java.math.RoundingMode.CEILING).longValueExact()
+      // the predicate's admission boundary must sit exactly at the
+      // ceiling rank: admitted at exactRank, rejected one below
+      assert(admits(exactRank),
+        s"n=$n k=$k p=$p num=$num: rank $exactRank not admitted")
+      if (exactRank > 0)
+        assert(!admits(exactRank - 1),
+          s"n=$n k=$k p=$p num=$num: overshoot — " +
+            s"rank ${exactRank - 1} admitted below the ceiling")
+      // sanity on the contract's range: p ≤ 1 keeps the rank within n
+      assert(exactRank >= 0 && exactRank <= n,
+        s"rank $exactRank outside [0, $n]")
+    }
+  }
+
+  test("VecMean is partitioning-independent: any split into buffers " +
+      "(empty ones included) merged in any order equals the sequential " +
+      "fold (VERDICT r15 #6)") {
+    import graft.functions.VecMean
+    // integer-valued floats keep every partial sum exactly
+    // representable, so partitioning-independence is testable as exact
+    // equality (double addition is not associative on arbitrary reals)
+    val gen = for {
+      dim <- Gen.choose(0, 8)
+      n <- Gen.choose(0, 24)
+      vals <- Gen.listOfN(n,
+        Gen.oneOf(
+          Gen.const(null: Seq[Float]),
+          Gen.listOfN(dim, Gen.choose(-100, 100).map(_.toFloat))
+            .map(_.toSeq)))
+      cuts <- Gen.listOfN(5, Gen.choose(0, n)) // may produce empty slices
+      shuffleSeed <- Gen.choose(0L, Long.MaxValue)
+    } yield (vals, cuts.sorted, shuffleSeed)
+    forAll(gen, n = 1000) { case (vals, cuts, shuffleSeed) =>
+      val sequential = vals.foldLeft(VecMean.zero)(VecMean.reduce)
+      val expected = VecMean.finish(sequential)
+      // slice into 6 buffers (some empty), reduce each from a FRESH
+      // zero, then merge in a seeded random order — the cross-partition
+      // shape Catalyst's partial aggregation produces
+      val bounds = (0 +: cuts :+ vals.length).sliding(2).toSeq
+      val buffers = bounds.map { case Seq(a, b) =>
+        vals.slice(a, b).foldLeft(VecMean.zero)(VecMean.reduce)
+      }
+      val order = new scala.util.Random(shuffleSeed)
+        .shuffle(buffers.indices.toList)
+      val merged = order.map(buffers).reduceLeft(VecMean.merge)
+      assert(VecMean.finish(merged) == expected,
+        s"partitioning-dependent mean: cuts=$cuts order=$order " +
+          s"n=${vals.length}")
+      // the r15 bug class specifically: an all-empty-vector slice
+      // merged across a boundary must still contribute its COUNT
+      assert(merged._2 == sequential._2,
+        s"lost count across merge: ${merged._2} vs ${sequential._2}")
+    }
+  }
 }
 
 /** One lazily-created shared session for property tests (matches the
