@@ -150,11 +150,49 @@ object Tables {
     def probe: Boolean =
       df.rdd.getNumPartitions <
         df.sparkSession.sparkContext.defaultParallelism
+    // every regeneration of a dir writes fresh file names → a fresh
+    // entry whose KEY is the full path list; bound the map instead of
+    // leaking one list per rewrite (the r15/r16 memo-growth class —
+    // losing memos on overflow merely re-pays one probe each)
+    if (spreadMemo.size() > 1024) spreadMemo.clear()
     val need: Boolean =
       if (files.isEmpty) probe // non-file plan: decide per call
       else spreadMemo.computeIfAbsent(
         files.sorted.mkString(","), _ => probe)
     if (need) df.repartition(key) else df
+  }
+
+  /** Directory-keyed, fingerprint-revalidated memo — THE pattern for
+    * every JVM-lifetime cache derived from a data directory's
+    * contents. Keyed by the DIR (at most one live entry per directory
+    * ever seen), carrying [[dataKey]] in the value and rebuilding when
+    * the fingerprint changes: a mid-JVM regeneration of the same path
+    * can never serve a stale value, and — unlike keying by dataKey
+    * itself — superseded generations are REPLACED, not retained for
+    * the life of the JVM (ADVICE r15: Bm25.vocabCache, then
+    * EventsStreaming.eventsSchemaMemo; this class converts the
+    * remaining ~15 query-layer memos in one shape).
+    *
+    * `build` runs inside the map's per-key lock (compute), so
+    * concurrent callers of the same dir build once; builds must not
+    * re-enter the same memo (none do — they only read Spark data).
+    */
+  final class DataKeyedMemo[V] {
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, V)]()
+    def get(dir: String)(build: => V): V = {
+      val key = dataKey(dir)
+      m.compute(dir, (_, prev) =>
+        if (prev != null && prev._1 == key) prev else (key, build))._2
+    }
+    /** Composite form: one entry per (sub, dir) — e.g. a per-query
+      * oracle cache bounded by catalog size × directories.
+      */
+    def get(dir: String, sub: String)(build: => V): V = {
+      val key = dataKey(dir)
+      m.compute(s"$sub@$dir", (_, prev) =>
+        if (prev != null && prev._1 == key) prev else (key, build))._2
+    }
   }
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

@@ -286,8 +286,7 @@ object CurationQueries {
       explode(tokens(col("text"))).as("token"))
     .withColumn("bucket", pmod(md5Long(col("token")), lit(DsirBuckets)))
 
-  private val dsirLmCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Long, Double)]]()
+  private val dsirLmCache = new Tables.DataKeyedMemo[Seq[(Long, Double)]]()
 
   /** The two hashed-unigram LMs (target = English subset, raw = full
     * corpus) distilled to per-bucket log-weights, trained ONCE per
@@ -298,7 +297,7 @@ object CurationQueries {
     * driver-side and broadcast to scoring queries.
     */
   def dsirLm(spark: SparkSession, dir: String): Seq[(Long, Double)] =
-    dsirLmCache.computeIfAbsent(Tables.dataKey(dir), _ => buildDsirLm(spark, dir))
+    dsirLmCache.get(dir)(buildDsirLm(spark, dir))
 
   /** The uncached LM build — separate so CurationSpec can gate the
     * build's partitioning independence directly (the memoized form
@@ -394,8 +393,8 @@ object CurationQueries {
     * stats query and the streaming scoring path (the production shape:
     * train offline, score everywhere).
     */
-  private val clfModels = scala.collection.concurrent.TrieMap
-    .empty[String, graft.operators.LinearClassifier.Model]
+  private val clfModels =
+    new Tables.DataKeyedMemo[graft.operators.LinearClassifier.Model]()
 
   /** Trained once per (JVM, sfDir) on a BOUNDED deterministic
     * content-hash sample — the 100 TB shape (SCALE.md): a linear probe
@@ -408,7 +407,7 @@ object CurationQueries {
     */
   def classifierModel(spark: SparkSession,
       dir: String): graft.operators.LinearClassifier.Model =
-    clfModels.getOrElseUpdate(Tables.dataKey(dir), {
+    clfModels.get(dir) {
       val docs = Tables.documents(spark, dir)
       val cap = 2000.0
       val n = docs.count()
@@ -419,7 +418,7 @@ object CurationQueries {
       graft.operators.LinearClassifier.train(
         sampled.withColumn("is_target", (col("lang") === "en").cast("int")),
         "toks", labelCol = "is_target", dim = 1024, iters = 50)
-    })
+    }
 
   def qualityClassifierStats(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)

@@ -345,17 +345,15 @@ FROM ver"""
     * both. Parquet (not persist) so `clearCache()` between catalog
     * queries cannot evict it.
     */
-  private val signedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val signedCache = new Tables.DataKeyedMemo[String]()
 
   def signedDocsPath(spark: SparkSession, dir: String): String =
-    signedCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
-      val d = dir
+    signedCache.get(dir) {
       val path =
-        s"/tmp/graft_pairs/${graft.Tables.cacheDirName(d)}_signed"
-      md5SignedDocs(spark, d, Md5Hashes).write.mode("overwrite").parquet(path)
+        s"/tmp/graft_pairs/${graft.Tables.cacheDirName(dir)}_signed"
+      md5SignedDocs(spark, dir, Md5Hashes).write.mode("overwrite").parquet(path)
       path
-    })
+    }
 
   def minhashVerifiedPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(signedDocsPath(spark, dir))
@@ -373,18 +371,16 @@ FROM ver"""
     * signature pass. Parquet (not persist): `clearCache()` between
     * bench queries must not evict it.
     */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pairsCache = new Tables.DataKeyedMemo[String]()
 
   def verifiedPairsPath(spark: SparkSession, dir: String): String =
-    pairsCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
-      val d = dir
+    pairsCache.get(dir) {
       val path =
-        s"/tmp/graft_pairs/${graft.Tables.cacheDirName(d)}"
-      minhashVerifiedPairs(spark, d)
+        s"/tmp/graft_pairs/${graft.Tables.cacheDirName(dir)}"
+      minhashVerifiedPairs(spark, dir)
         .write.mode("overwrite").parquet(path)
       path
-    })
+    }
 
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     spark.read.parquet(verifiedPairsPath(spark, dir))

@@ -17,15 +17,14 @@ object IndexQueries {
   /** One build per (sfDir) per JVM; Verify/Bench run many queries over the
     * same index.
     */
-  private val cache = new java.util.concurrent.ConcurrentHashMap[String, Ivf.Index]()
+  private val cache = new Tables.DataKeyedMemo[Ivf.Index]()
 
   def index(spark: SparkSession, dir: String): Ivf.Index =
-    cache.computeIfAbsent(Tables.dataKey(dir), { _ =>
-      val d = dir
-      val emb = Tables.embeddings(spark, d)
-      val indexDir = s"/tmp/graft_index/${Tables.cacheDirName(d)}"
+    cache.get(dir) {
+      val emb = Tables.embeddings(spark, dir)
+      val indexDir = s"/tmp/graft_index/${Tables.cacheDirName(dir)}"
       Ivf.build(emb, "vec_id", "embedding", indexDir)
-    })
+    }
 
   private def queryVec(spark: SparkSession, dir: String, qid: Long): Array[Float] =
     Tables.embeddings(spark, dir)
@@ -564,50 +563,45 @@ object IndexQueries {
   }
 
   /** PQ-coded sibling of the IVF dataset, built once per (JVM, sfDir). */
-  private val pqCodesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val pqCodesCache = new Tables.DataKeyedMemo[String]()
 
   def pqCodesPath(spark: SparkSession, dir: String): String =
-    pqCodesCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
-      val d = dir
-      val idx = index(spark, d)
-      val model = VectorQueries.pqModel(spark, d)
+    pqCodesCache.get(dir) {
+      val idx = index(spark, dir)
+      val model = VectorQueries.pqModel(spark, dir)
       val path =
-        s"/tmp/graft_index/${Tables.cacheDirName(d)}/pq_codes"
+        s"/tmp/graft_index/${Tables.cacheDirName(dir)}/pq_codes"
       graft.operators.IvfPq.buildCodes(spark, idx, model, path)
       path
-    })
+    }
 
   /** Residual-PQ model + coded dataset, built once per (JVM, sfDir) —
     * the faiss-default IVF-PQ variant (codes are x − coarse_centroid).
     */
   private val residualCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (graft.operators.Pq.Model, String)]()
+    new Tables.DataKeyedMemo[(graft.operators.Pq.Model, String)]()
 
   def residualModelAndCodes(spark: SparkSession,
       dir: String): (graft.operators.Pq.Model, String) =
-    residualCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
-      val d = dir
-      val idx = index(spark, d)
+    residualCache.get(dir) {
+      val idx = index(spark, dir)
       val model = graft.operators.IvfPq.trainResidual(spark, idx)
       val path =
-        s"/tmp/graft_index/${Tables.cacheDirName(d)}/pq_residual_codes"
+        s"/tmp/graft_index/${Tables.cacheDirName(dir)}/pq_residual_codes"
       graft.operators.IvfPq.buildResidualCodes(spark, idx, model, path)
       (model, path)
-    })
+    }
 
   /** SQ8-coded sibling dataset, built once per (JVM, sfDir). */
-  private val sqCodesCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val sqCodesCache = new Tables.DataKeyedMemo[String]()
 
   def sqCodesPath(spark: SparkSession, dir: String): String =
-    sqCodesCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
-      val d = dir
-      val idx = index(spark, d)
-      val path = s"/tmp/graft_index/${Tables.cacheDirName(d)}/sq8_codes"
+    sqCodesCache.get(dir) {
+      val idx = index(spark, dir)
+      val path = s"/tmp/graft_index/${Tables.cacheDirName(dir)}/sq8_codes"
       graft.operators.IvfSq.buildCodes(spark, idx, path)
       path
-    })
+    }
 
   /** IVF-SQ8 ANN (faiss IndexIVFScalarQuantizer shape): probe-pruned
     * scan over the 4×-compressed int8 dataset. Deterministic but

@@ -29,8 +29,8 @@ import org.apache.spark.sql.SparkSession
 object OracleGen {
 
   @volatile private var ctx: Option[(SparkSession, String)] = None
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, Option[String]]()
+  // bounded at catalog size × directories (Tables.DataKeyedMemo)
+  private val cache = new graft.Tables.DataKeyedMemo[Option[String]]()
 
   /** Turn generation on for this (session, sfDir) — Verify only. */
   def enable(spark: SparkSession, dir: String): Unit =
@@ -43,7 +43,7 @@ object OracleGen {
     ctx match {
       case None => None
       case Some((spark, dir)) =>
-        cache.computeIfAbsent(s"$name@${graft.Tables.dataKey(dir)}", _ =>
+        cache.get(dir, name)(
           try Some(gen(spark, dir))
           catch {
             case e: Throwable =>

@@ -738,14 +738,14 @@ object TextQueries {
     * it, `bpe_token_stats` applies it.
     */
   private val bpeModels =
-    scala.collection.concurrent.TrieMap.empty[String, Seq[graft.operators.Bpe.Merge]]
+    new Tables.DataKeyedMemo[Seq[graft.operators.Bpe.Merge]]()
 
   def bpeModel(spark: SparkSession, dir: String): Seq[graft.operators.Bpe.Merge] =
-    bpeModels.getOrElseUpdate(Tables.dataKey(dir), {
+    bpeModels.get(dir) {
       val docs = Tables.documents(spark, dir)
         .withColumn("toks", tokens(col("text")))
       graft.operators.Bpe.train(docs, "toks", numMerges = 20)
-    })
+    }
 
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Bpe.mergesDf(spark, bpeModel(spark, dir))
@@ -916,17 +916,16 @@ object TextQueries {
     * serve from the posting table. Also replaces the tf persist: both
     * consumers (df aggregate, scoring join) read the parquet back.
     */
-  private val bm25Cache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val bm25Cache = new Tables.DataKeyedMemo[String]()
 
   def bm25Index(spark: SparkSession, dir: String): String =
-    bm25Cache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+    bm25Cache.get(dir) {
       graft.operators.Bm25.build(
         Tables.spread(Tables.documents(spark, dir)
             .where(col("doc_id") >= 8), col("doc_id"))
           .select(col("doc_id"), tokens(lower(col("text"))).as("terms")),
         s"/tmp/graft_index/${Tables.cacheDirName(dir)}").tfPath
-    })
+    }
 
   /** The query batch's DISTINCT (query_id, term) pairs, collected once
     * per (JVM, data version) — driver-sized by contract (query docs are
@@ -935,15 +934,15 @@ object TextQueries {
     * tokenize-and-collect driver job on every call.
     */
   private val bm25QueryCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, String)]]()
+    new Tables.DataKeyedMemo[Array[(Long, String)]]()
 
   private def bm25QueryPairs(spark: SparkSession, dir: String): Array[(Long, String)] =
-    bm25QueryCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+    bm25QueryCache.get(dir) {
       Tables.documents(spark, dir).where(col("doc_id") < 8)
         .select(col("doc_id").as("query_id"),
           explode(array_distinct(tokens(lower(col("text"))))).as("term"))
         .collect().map(r => (r.getLong(0), r.getString(1)))
-    })
+    }
 
   /** BM25 (query_id, doc_id, score) over the posting table — the shared
     * scoring stage behind [[bm25TopDocs]] and the lexical arm of
@@ -1144,23 +1143,21 @@ object TextQueries {
     * probed-bucket `isin` skips row groups. Returns (parquet path,
     * nBits) — the hyperplanes re-derive from (dim, nBits, seed).
     */
-  private val maxsimPoolCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (String, Int)]()
+  private val maxsimPoolCache = new Tables.DataKeyedMemo[(String, Int)]()
 
   def maxsimPool(spark: SparkSession, dir: String): (String, Int) =
-    maxsimPoolCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
-      val d = dir
-      val nDocs = Tables.documents(spark, d).where(col("doc_id") >= 8).count()
+    maxsimPoolCache.get(dir) {
+      val nDocs = Tables.documents(spark, dir).where(col("doc_id") >= 8).count()
       val nBits = graft.operators.LshAnn.suggestBits(nDocs)
       val planes = graft.operators.LshAnn.hyperplanes(MsDim, nBits, MsSeed)
       val pool = graft.operators.MaxSim.pooled(
-        maxsimChunks(spark, d).where(col("doc_id") >= 8), "doc_id", MsDim)
-      val path = s"/tmp/graft_index/${Tables.cacheDirName(d)}/maxsim_pool"
+        maxsimChunks(spark, dir).where(col("doc_id") >= 8), "doc_id", MsDim)
+      val path = s"/tmp/graft_index/${Tables.cacheDirName(dir)}/maxsim_pool"
       graft.operators.LshAnn.bucketed(pool, "doc_id", "pooled", planes)
         .sortWithinPartitions(col("bucket"))
         .write.mode("overwrite").parquet(path)
       (path, nBits)
-    })
+    }
 
   /** Approximate MaxSim (the scale path — VERDICT r5 next-round #2):
     * LSH over mean-pooled chunk embeddings generates top-20 candidate
@@ -1274,13 +1271,13 @@ object TextQueries {
     * (PlanSpec pins the served plan to a LocalTableScan with zero
     * FileScans).
     */
-  private val hybridFusedCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (org.apache.spark.sql.types.StructType,
+  private val hybridFusedCache = new Tables.DataKeyedMemo[
+    (org.apache.spark.sql.types.StructType,
       Array[org.apache.spark.sql.Row])]()
 
   private[graft] def hybridRrfServed(spark: SparkSession, dir: String): DataFrame = {
     val (schema, rows) =
-      hybridFusedCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+      hybridFusedCache.get(dir) {
         val df = hybridRrfFused(spark, dir)
         val collected = df.limit(MaxFusedRows + 1).collect()
         require(collected.length <= MaxFusedRows,
@@ -1288,7 +1285,7 @@ object TextQueries {
             "- an arm's per-query cut is no longer bounded; fix the arm " +
             "or raise MaxFusedRows deliberately")
         (df.schema, collected)
-      })
+      }
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
@@ -1408,11 +1405,10 @@ object TextQueries {
     * every rerank call re-ran both retrieval arms + fusion just to
     * rebuild a list the hybrid query had already computed.
     */
-  private val rerankPairCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[(Long, Long)]]()
+  private val rerankPairCache = new Tables.DataKeyedMemo[Array[(Long, Long)]]()
 
   private def hybridCandidatePairs(spark: SparkSession, dir: String): Array[(Long, Long)] =
-    rerankPairCache.computeIfAbsent(Tables.dataKey(dir), { _ =>
+    rerankPairCache.get(dir) {
       // cut from the served fused artifact (hybridRrfServed) so the
       // arms run at most once per (JVM, data version) across BOTH the
       // hybrid query and the re-ranker, whichever runs first
@@ -1421,7 +1417,7 @@ object TextQueries {
           asc = false)
         .select(col("query_id"), col("id").as("doc_id"))
         .collect().map(r => (r.getLong(0), r.getLong(1)))
-    })
+    }
 
   /** Re-rank oracle: the SAME generated fused-candidate chain as the
     * hybrid oracle (only the seeded LSH candidate SET inlined), then

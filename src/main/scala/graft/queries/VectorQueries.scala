@@ -239,20 +239,19 @@ object VectorQueries {
     * (codes + LUT inlined, DuckDB recomputes the fold and top-k); the
     * recall-vs-exact gate lives in PqSpec.
     */
-  private val pqModels =
-    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Pq.Model]
+  private val pqModels = new Tables.DataKeyedMemo[graft.operators.Pq.Model]()
 
   /** Codebooks trained once per (JVM, sfDir) — training is the build
     * step (like `ivf_build`, timed separately in Bench); the query
     * measures encode + ADC scan.
     */
   def pqModel(spark: SparkSession, dir: String): graft.operators.Pq.Model =
-    pqModels.getOrElseUpdate(Tables.dataKey(dir), {
+    pqModels.get(dir) {
       val emb = Tables.embeddings(spark, dir)
       val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
       graft.operators.Pq.train(emb, "embedding", dim, m = 8, ksub = 256,
         orderCol = Some("vec_id"))
-    })
+    }
 
   def pqTopK(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Pq
@@ -264,13 +263,13 @@ object VectorQueries {
       model, q, 10)
   }
 
-  private val opqModels = scala.collection.concurrent.TrieMap
-    .empty[String, (graft.operators.Opq.Rotation, graft.operators.Pq.Model)]
+  private val opqModels = new Tables.DataKeyedMemo[
+    (graft.operators.Opq.Rotation, graft.operators.Pq.Model)]()
 
   /** OPQ rotation + codebooks, trained once per (JVM, sfDir). */
   def opqModel(spark: SparkSession,
       dir: String): (graft.operators.Opq.Rotation, graft.operators.Pq.Model) =
-    opqModels.getOrElseUpdate(Tables.dataKey(dir), {
+    opqModels.get(dir) {
       val emb = Tables.embeddings(spark, dir)
       val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
       val rot = graft.operators.Opq.fit(emb, "embedding", m = 8)
@@ -278,7 +277,7 @@ object VectorQueries {
       val model = graft.operators.Pq.train(rotated, "opq_emb", dim,
         m = 8, ksub = 256, orderCol = Some("vec_id"))
       (rot, model)
-    })
+    }
 
   /** Top-10 ANN by OPQ-rotated PQ ADC (operators.Opq): the rotation is
     * orthonormal so ADC over rotated codes estimates TRUE distances; at
@@ -313,14 +312,13 @@ object VectorQueries {
     }.toDF("component", "eigenvalue", "explained_frac", "cum_frac")
   }
 
-  private val pcaModels =
-    scala.collection.concurrent.TrieMap.empty[String, graft.operators.Pca.Model]
+  private val pcaModels = new Tables.DataKeyedMemo[graft.operators.Pca.Model]()
 
   /** PCA(16) model trained once per (JVM, sfDir) — one treeAggregate
     * pass; reused by the stats query and the two-stage ANN.
     */
   def pcaModel(spark: SparkSession, dir: String): graft.operators.Pca.Model =
-    pcaModels.getOrElseUpdate(Tables.dataKey(dir),
+    pcaModels.get(dir)(
       graft.operators.Pca.fit(Tables.embeddings(spark, dir), "embedding", 16))
 
   /** Two-stage ANN: candidate top-50 in the PCA(16) space (4× fewer

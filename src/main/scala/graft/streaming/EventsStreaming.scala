@@ -17,13 +17,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object EventsStreaming {
 
-  // keyed by DIR with the dataKey inside the value, replaced on
-  // mismatch — keying by dataKey (mtime+size fingerprint) would retain
-  // one entry per regeneration of the same dir forever, the unbounded-
-  // growth class Bm25.vocabCache fixed in r15 (ADVICE r15). Bound:
-  // one entry per directory ever streamed.
-  private val eventsSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
-    String, (String, org.apache.spark.sql.types.StructType)]()
+  // dir-keyed, fingerprint-revalidated (ADVICE r15): bounded at one
+  // entry per directory ever streamed, rebuilt when the data changes
+  private val eventsSchemaMemo =
+    new graft.Tables.DataKeyedMemo[org.apache.spark.sql.types.StructType]()
 
   /** Streaming read of the events parquet (schema must be supplied for
     * file-source streams; ts arrives as nanos-long and is normalized
@@ -36,11 +33,8 @@ object EventsStreaming {
     // schema, same as the batch reader. Memoized per data version
     // (Tables.dataKey convention): every stream query paid a batch
     // footer probe per call, twice per intervalJoinQuery (r15 review)
-    val key = graft.Tables.dataKey(dir)
-    val schema = eventsSchemaMemo.compute(dir, (_, cached) =>
-      if (cached != null && cached._1 == key) cached
-      else (key, graft.Tables.tsAsLtz(
-        spark.read.parquet(s"$dir/events.parquet").schema)))._2
+    val schema = eventsSchemaMemo.get(dir)(graft.Tables.tsAsLtz(
+      spark.read.parquet(s"$dir/events.parquet").schema))
     // file-source streams take a directory; glob-filter to the one table
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")

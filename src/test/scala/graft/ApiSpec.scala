@@ -342,4 +342,78 @@ class ApiSpec extends SparkSpec {
   test("missing-index load fails") {
     intercept[Exception](VectorIndexer.load(spark, freshCfg()))
   }
+
+  test("facade-wide custom-id sweep: every entry point works on a " +
+      "doc_id-named index (VERDICT r15 #7)") {
+    // ivf_search_custom_id oracles build→deleteWhere→search→compact→
+    // clear at the operator layer; this walks the REMAINING facade
+    // entry points under a custom id column — the class the r15
+    // poller/sibling fixes belonged to. Any internal vec_id hardcode
+    // fails analysis (no such column) or returns the wrong rows.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val cfg = freshCfg()
+    val vi = VectorIndexer.create(spark, cfg)
+    val recs = ramp(260, 4)
+    val builtDf = recs.take(200)
+      .map { case (id, v, ts) => (id, v.toSeq, ts) }
+      .toDF("doc_id", "embedding", "ts")
+      .select(col("doc_id"),
+        col("embedding").cast("array<float>").as("embedding"), col("ts"))
+    vi.build(builtDf, "doc_id", "embedding")
+
+    // addRecords must append under the layout's own id column
+    vi.addRecords(recs.slice(200, 260))
+    val q230 = recs(230)._2
+    assert(vi.search(q230).head().getLong(0) == 230L,
+      "appended record not self-retrievable on a doc_id index")
+
+    // searchBatch: each query's rank-1 is itself
+    val qs = Array(230L -> recs(230)._2, 17L -> recs(17)._2)
+    val sb = vi.searchBatch(qs, k = 1, nProbe = 10000).collect()
+    assert(sb.map(r => r.getLong(0) -> r.getLong(2)).toMap ==
+      Map(230L -> 230L, 17L -> 17L))
+
+    // searchMatrix keeps the (D, I) padding contract
+    val (d, i) = vi.searchMatrix(Array(recs(5)._2), k = 3)
+    assert(i(0)(0) == 5L && d(0)(0) == 0.0)
+
+    // rangeSearch contains self at distance 0
+    val rr = vi.rangeSearch(recs(40)._2, radius = 0.5, nProbe = 10000)
+      .collect()
+    assert(rr.map(_.getLong(0)).contains(40L))
+
+    // distributed annJoin: top-1 of each query row is itself
+    val queries = recs.take(10)
+      .map { case (id, v, _) => (id, v.toSeq) }
+      .toDF("query_id", "qe")
+      .select(col("query_id"), col("qe").cast("array<float>").as("qe"))
+    val joined = vi.annJoin(queries, k = 1, nProbe = 10000).collect()
+    assert(joined.length == 10 &&
+      joined.forall(r => r.getLong(2) == r.getLong(0)))
+
+    // both delete forms address the custom column
+    vi.deleteIds(Seq(230L))
+    assert(!vi.search(q230, nProbe = 10000).collect()
+      .map(_.getLong(0)).contains(230L))
+    assert(vi.deleteWhere(col("doc_id") === 17L) == 1L)
+    assert(!vi.search(recs(17)._2, nProbe = 10000).collect()
+      .map(_.getLong(0)).contains(17L))
+
+    // maintenance trio: stats, maintain (materializes tombstones),
+    // verified clear — all reached through the facade handle
+    val preStats = vi.maintenanceStats
+    assert(preStats.tombstones == 2L,
+      s"expected 2 tombstones, got ${preStats.tombstones}")
+    vi.maintain(maxFilesPerShard = 1000000) // tombstone-debt compact
+    vi.clearTombstones()
+    assert(vi.maintenanceStats.tombstones == 0L)
+
+    // load roundtrip re-derives idCol from the sidecar; deletes hold
+    val vi2 = VectorIndexer.load(spark, cfg)
+    val ids2 = vi2.search(q230, k = 1000000, nProbe = 1000000)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids2.size == 258 && !ids2.contains(230L) && !ids2.contains(17L),
+      s"loaded doc_id index has ${ids2.size} live ids")
+  }
 }

@@ -106,4 +106,37 @@ class CacheHygieneSpec extends SparkSpec {
     assert((after -- before).isEmpty,
       "tfidfTopTerms registered a cached RDD")
   }
+
+  test("DataKeyedMemo: one live entry per dir, rebuilt exactly when the " +
+      "fingerprint changes (the r15/r16 memo-growth class, now ONE " +
+      "definition for every query-layer cache)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_memo_gate").toString
+    // dataKey fingerprints the standard table files; give it one
+    def write(content: String): Unit = {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, "documents.parquet"),
+        content.getBytes("UTF-8"))
+      // mtime resolution guard: ensure a distinct nanos timestamp
+      java.nio.file.Files.setLastModifiedTime(
+        java.nio.file.Paths.get(dir, "documents.parquet"),
+        java.nio.file.attribute.FileTime.from(
+          java.time.Instant.now().plusNanos(
+            scala.util.Random.nextInt(1000000))))
+    }
+    write("v1")
+    val memo = new Tables.DataKeyedMemo[String]()
+    var builds = 0
+    def get(): String = memo.get(dir) { builds += 1; s"build$builds" }
+    assert(get() == "build1" && get() == "build1" && builds == 1,
+      "same fingerprint must serve the memoized value")
+    write("v2-different-length") // new length + mtime → new dataKey
+    assert(get() == "build2" && builds == 2,
+      "a regenerated dir must rebuild")
+    assert(get() == "build2" && builds == 2)
+    // composite (sub, dir) entries are independent of the plain entry
+    assert(memo.get(dir, "a") { "subA" } == "subA")
+    assert(get() == "build2" && builds == 2,
+      "composite entries must not clobber the plain dir entry")
+  }
 }

@@ -30,6 +30,33 @@ object DebugRefScale {
     val idx = Ivf.build(emb, "vec_id", "embedding", s"$dataDir/index")
     val buildS = (System.nanoTime() - t0) / 1e9
 
+    // assignment parity vs brute force on a 2000-row sample: at
+    // k > HierarchicalThreshold the build assigns through the 2-level
+    // approximate path, so stored centroid_id may differ from the
+    // global argmin — measure how often (parity) and how much it costs
+    // (mean dist(assigned)/dist(best), 1.0 = always optimal)
+    val sample = spark.read.parquet(idx.vectorsPath)
+      .where(col("vec_id") < 2000)
+      .select("vec_id", "embedding", "centroid_id").collect()
+    var agree = 0
+    var ratioSum = 0.0
+    sample.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val assigned = r.getInt(2)
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < idx.centroids.length) {
+        val d = graft.operators.KMeans.sqDist(v, idx.centroids(c))
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      if (best == assigned) agree += 1
+      ratioSum += (if (bestD == 0.0) 1.0
+        else graft.operators.KMeans.sqDist(v, idx.centroids(assigned)) / bestD)
+    }
+    val assignParity = agree.toDouble / math.max(1, sample.length)
+    val assignDistRatio = ratioSum / math.max(1, sample.length)
+
     val queries = RecallEval.perturbedQueries(
       emb.where(col("vec_id") < nq).select("vec_id", "embedding").collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
@@ -40,7 +67,7 @@ object DebugRefScale {
     val js = settings.map { s =>
       f"""{"n_probe":${s.nProbe},"recall_1":${s.recalls(1)}%.4f,"recall_10":${s.recalls(10)}%.4f,"recall_100":${s.recalls(100)}%.4f,"ms_per_query":${s.msPerQuery}%.2f,"qps":${1000.0 / s.msPerQuery}%.1f}"""
     }.mkString("[", ",", "]")
-    println(s"""{"metric":"ref_scale","n":$n,"dim":$dim,"k_clusters":${idx.k},"num_shards":${idx.numShards},"build_s":$buildS,"nq":${queries.length},"settings":$js}""")
+    println(f"""{"metric":"ref_scale","n":$n,"dim":$dim,"k_clusters":${idx.k},"num_shards":${idx.numShards},"build_s":$buildS,"assign_parity":$assignParity%.4f,"assign_dist_ratio":$assignDistRatio%.4f,"nq":${queries.length},"settings":$js}""")
 
     // compression path at the same scale: PQ8 codebooks + coded sibling
     // dataset, batch ADC search, recall vs the float ground truth
