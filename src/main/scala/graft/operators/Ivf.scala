@@ -290,6 +290,7 @@ object Ivf {
     val fs = leasePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FsLease.withLease(fs, leasePath, s"append@${java.util.UUID.randomUUID()}",
       leaseStaleTtlMs, leaseTimeoutMs) {
+      purgeCommitterDebris(fs, index.vectorsPath)
       writeVectors(
         KMeans.withAssignment(checked, embCol, model, index.seed, "centroid_id")
           .withColumn("shard_id",
@@ -297,6 +298,32 @@ object Ivf {
               col("centroid_id") + 1)),
         idCol, index.numShards, index.vectorsPath, "append")
     }
+  }
+
+  /** Purge a crashed writer's committer debris — the `_temporary` tree
+    * a kill -9 mid-append leaves under an append-mode output dir. MUST
+    * be called while HOLDING the dir's writer lease: a live writer
+    * would hold the lease, so any `_temporary` present is from a dead
+    * JVM. Without the purge the damage is not hypothetical:
+    * FileOutputCommitter v1's job commit merges EVERY task_* dir under
+    * `_temporary/0`, so the NEXT append's commit would promote the
+    * dead job's task-committed files into the dataset — a silent
+    * partial batch (CrossJvmStressSpec's kill gate measured 173,987 of
+    * 400,000 rows resurrected before this fix). Failing to delete
+    * found debris fails the write loudly: proceeding would risk
+    * exactly that resurrection.
+    */
+  private def purgeCommitterDebris(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_temporary")
+    val present =
+      try fs.exists(tmp)
+      catch { case _: java.io.IOException => false } // dir may not exist yet
+    if (present && !fs.delete(tmp, true))
+      throw new IllegalStateException(
+        s"cannot purge crashed-writer debris at $tmp — appending over " +
+          "it would let the committer resurrect the dead job's partial " +
+          "batch; remove it and retry")
   }
 
   /** Lease fencing appends against [[maintain]]'s swap (sibling of the
@@ -379,6 +406,10 @@ object Ivf {
     FsLease.withLease(fs, leasePath,
       s"delete@${java.util.UUID.randomUUID()}", leaseStaleTtlMs,
       leaseTimeoutMs) {
+      // same resurrection hazard as append: a killed delete's
+      // task-committed tombstone files must not be promoted by the
+      // next delete batch's job commit
+      purgeCommitterDebris(fs, tombstonesPath(index))
       out.write.mode("append").parquet(tombstonesPath(index))
     }
     // memo update OUTSIDE the lease is deliberate (VERDICT r14 #3): the

@@ -85,7 +85,43 @@ object CrossJvmStress {
   *    delete (the documented ≤30 s staleness bound, Ivf.memoTtlNanos).
   */
 object CrossJvmStressRunner {
+
+  /** crash-append mode (spec kills this JVM mid-write): load the index,
+    * signal, then append a batch big enough that the parent can
+    * destroyForcibly() this process while the write job is in flight —
+    * leaving a heartbeat-less writer lease and `_temporary` committer
+    * debris for the parent's recovery assertions. Never exits normally.
+    */
+  private def crashAppendMain(indexDir: String, commDir: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-xjvm-crash")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val idx = Ivf.load(spark, indexDir)
+    // ids 1000000+ — disjoint from anything the parent owns, so ANY
+    // of them visible after the kill is a partial-write leak
+    val big = VectorFormats.generate(spark, 400000L, 8, 99L)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    CrossJvmStress.signal(commDir, "child_appending")
+    Ivf.append(idx, big, "vec_id", "embedding")
+    // unreachable when the spec kills us mid-write; if the append was
+    // too fast to catch, tell the spec so it can fail loudly instead
+    // of asserting against a COMMITTED append
+    CrossJvmStress.signal(commDir, "child_append_finished")
+    Thread.sleep(600000L)
+  }
+
   def main(args: Array[String]): Unit = {
+    if (args.headOption.contains("crash-append")) {
+      crashAppendMain(args(1), args(2))
+      return
+    }
     val Array(indexDir, probeDir, commDir, resultPath) = args.take(4)
     val unexpected = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     try {

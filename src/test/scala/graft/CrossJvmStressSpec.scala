@@ -168,4 +168,83 @@ class CrossJvmStressSpec extends SparkSpec {
       if (child.isAlive) child.destroyForcibly()
     }
   }
+
+  test("kill -9 mid-append: a writer JVM destroyed mid-write leaves no " +
+      "visible partial rows, its stale lease is broken, and the next " +
+      "append cannot resurrect the dead batch's committed task files") {
+    val dir = Files.createTempDirectory("graft_xjvm_crash").toString
+    val commDir = Files.createTempDirectory("graft_xjvm_crash_comm").toString
+    val all = VectorFormats.generate(spark, 600L, 8, 15L).cache()
+    val idx = Ivf.build(all.where(col("vec_id") < 500),
+      "vec_id", "embedding", dir)
+    val logPath = s"$commDir/crash_child.log"
+    val child = forkRunner(Seq("crash-append", dir, commDir), logPath)
+    import CrossJvmStress._
+    try {
+      assert(await(commDir, "child_appending", 120000L).isDefined,
+        "crash child never reached its append")
+      // kill in the DANGEROUS window: after at least one task has
+      // task-committed (a task_* dir exists under _temporary/0 — v1
+      // renames the attempt dir there, and a later job commit in the
+      // same output dir would merge it) but before the job commit.
+      // Killing earlier only exercises the trivial attempt-dir case.
+      val tmpDir = new java.io.File(s"$dir/vectors/_temporary")
+      def committedTaskDirs(): Array[java.io.File] =
+        Option(new java.io.File(tmpDir, "0").listFiles())
+          .getOrElse(Array.empty)
+          .filter(f => f.isDirectory && f.getName.startsWith("task_"))
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (committedTaskDirs().isEmpty &&
+          !Files.exists(java.nio.file.Paths.get(
+            commDir, "child_append_finished")) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(10)
+      val nCommitted = committedTaskDirs().length
+      child.destroyForcibly()
+      assert(nCommitted > 0,
+        "no task-committed dir ever appeared under _temporary/0 — " +
+          "the kill never reached the dangerous window")
+      assert(child.waitFor(30L, java.util.concurrent.TimeUnit.SECONDS))
+      assert(!Files.exists(java.nio.file.Paths.get(
+          commDir, "child_append_finished")),
+        "append committed before the kill — batch too small to test " +
+          "mid-write crash")
+
+      // 1. nothing of the dead batch is visible (committer v1 keeps
+      //    uncommitted AND task-committed files under _temporary)
+      val liveAfterKill = Ivf.liveVectors(spark, idx)
+        .select("vec_id").collect().map(_.getLong(0))
+      assert(liveAfterKill.length == 500 &&
+        !liveAfterKill.exists(_ >= 1000000L),
+        s"partial rows visible after kill: " +
+          s"${liveAfterKill.filter(_ >= 1000000L).take(5).toSeq}")
+
+      // 2. the dead JVM's heartbeat-less writer lease is broken after
+      //    the stale TTL and the next append succeeds...
+      Ivf.append(idx, all.where(col("vec_id") >= 500),
+        "vec_id", "embedding",
+        leaseStaleTtlMs = 2000L, leaseTimeoutMs = 120000L)
+
+      // 3. ...and that commit must NOT merge the dead job's leftover
+      //    task-committed dirs into the dataset (FileOutputCommitter v1
+      //    merges EVERY task_* under _temporary/0 at job commit — a
+      //    crashed writer's debris must be purged first, or a subset of
+      //    its batch reappears here)
+      val liveFinal = Ivf.liveVectors(spark, idx)
+        .select("vec_id").collect().map(_.getLong(0))
+      val resurrected = liveFinal.filter(_ >= 1000000L)
+      assert(resurrected.isEmpty,
+        s"next append resurrected ${resurrected.length} rows of the " +
+          s"killed batch (e.g. ${resurrected.take(5).toSeq})")
+      assert(liveFinal.toSet == (0L until 600L).toSet,
+        s"expected exactly 0..599 live, got ${liveFinal.length} rows")
+      // self-retrieval through the recovered index
+      val qv = all.where(col("vec_id") === 550L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val top = Ivf.search(spark, idx, qv, 3, 10000).head()
+      assert(top.getLong(0) == 550L && top.getDouble(1) == 0.0)
+    } finally {
+      if (child.isAlive) child.destroyForcibly()
+    }
+  }
 }
