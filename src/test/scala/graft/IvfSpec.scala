@@ -1520,4 +1520,42 @@ class IvfSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("shard_id"),
       s"plan missing partition pruning:\n$plan")
   }
+
+  test("planted committer debris cannot be resurrected: a dead delete's " +
+      "task-committed tombstones are purged by the next delete batch " +
+      "(the deterministic twin of CrossJvmStressSpec's kill gate)") {
+    // FileOutputCommitter v1's job commit merges EVERY task_* dir under
+    // _temporary/0 of its output dir — plant exactly the debris a
+    // kill -9'd delete leaves and assert the next delete purges it
+    // instead of promoting a tombstone for a row nobody deleted
+    import java.nio.file.{Files => JF, Paths => JP}
+    val dir = JF.createTempDirectory("graft_debris").toString
+    val df = graft.sources.VectorFormats.generate(spark, 100L, 4, 7L)
+    val idx = Ivf.build(df, "vec_id", "embedding", dir)
+    Ivf.delete(spark, idx, Seq(1L)) // sidecar now exists
+    // plant: a fully-formed task-committed parquet tombstoning id 55
+    val tombDir = s"$dir/tombstones"
+    val plantDir = s"$tombDir/_temporary/0/task_202608160000_0000_m_000000"
+    JF.createDirectories(JP.get(plantDir))
+    import spark.implicits._
+    val tmpOut = JF.createTempDirectory("graft_debris_src").toString
+    Seq(55L).toDF("__deleted_id").coalesce(1)
+      .write.mode("overwrite").parquet(tmpOut)
+    val part = new java.io.File(tmpOut).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    JF.copy(part.toPath, JP.get(plantDir, "part-00000-dead.snappy.parquet"))
+    // next delete batch must purge the debris, not merge it
+    Ivf.delete(spark, idx, Seq(2L))
+    val tombs = spark.read.schema("__deleted_id LONG").parquet(tombDir)
+      .collect().map(_.getLong(0)).toSet
+    assert(tombs == Set(1L, 2L),
+      s"tombstone set after planted debris: $tombs (55 present = the " +
+        "dead job's debris was resurrected; purge failed)")
+    assert(!JF.exists(JP.get(s"$tombDir/_temporary")),
+      "planted _temporary survived the purge")
+    // id 55 is still live and searchable
+    val q55 = df.where(col("vec_id") === 55L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    assert(Ivf.search(spark, idx, q55, 1, 10000).head().getLong(0) == 55L)
+  }
 }
