@@ -72,7 +72,35 @@ object Bench {
         java.nio.file.Paths.get("/proc/loadavg")).get(0)
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // all-cores calibration spin: fixed integer work on every core,
+    // wall-clock ms to finish. Unlike loadavg (blind to sibling-VM /
+    // hypervisor contention, which is exactly what hit four rounds of
+    // driver artifacts), this measures the machine the bench actually
+    // got: t2 × (calib_floor / calib_ms) normalizes any window's print
+    // to idle terms from the artifact alone. ~0.3 s per sample.
+    def calibMs(): Double = {
+      val nThreads = Runtime.getRuntime.availableProcessors()
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val ts = (0 until nThreads).map { _ =>
+        val t = new Thread(() => {
+          var s = 0L
+          var i = 0L
+          while (i < 100000000L) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            i += 1
+          }
+          sink.addAndGet(s) // defeat dead-code elimination
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
     val loadStart = loadAvg()
+    calibMs() // discarded: the first call pays JIT/OSR warm-up, which
+              // would read as phantom contention in the start sample
+    val calibStart = calibMs()
     // ONE cached corpus scan shared by the ten build stages (VERDICT
     // r15 #1b): each build re-reads documents/embeddings from parquet;
     // persisting both turns ~10 corpus scans into 1, shrinking the
@@ -228,6 +256,10 @@ object Bench {
     val total2 = secondPass.values.filter(_ >= 0).sum
     def ms(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // end-of-run calibration sample BEFORE any artifact writes, so the
+    // two samples bracket the timed work
+    val calibStartStr = f"$calibStart%.1f"
+    val calibEndStr = f"${calibMs()}%.1f"
     // full per-query detail goes to a file (best-effort — bench may run
     // with a read-only cwd); the stdout line must stay SHORT: the driver
     // keeps only the last ~2000 chars of output, and an 80-query map at
@@ -243,7 +275,7 @@ object Bench {
       { val d = java.nio.file.Paths.get("bench-series")
         java.nio.file.Files.createDirectories(d)
         d.resolve("bench_detail.json") },
-      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"value1":${ms(total1)},"value2":${ms(total2)},"load_start":$loadStart,"load_end":${loadAvg()},"hash_family":"$hashFamily","sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"value1":${ms(total1)},"value2":${ms(total2)},"load_start":$loadStart,"load_end":${loadAvg()},"calib_start_ms":$calibStartStr,"calib_end_ms":$calibEndStr,"hash_family":"$hashFamily","sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // compact line: failed queries always included, then most-expensive
@@ -275,6 +307,6 @@ object Bench {
     }
     val nFail = results.values.count(_ < 0)
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries2":${kept2.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t1":${ms(total1)},"t2":${ms(total2)},"load_start":$loadStart,"load_end":${loadAvg()},"hash_family":"$hashFamily","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries2":${kept2.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t1":${ms(total1)},"t2":${ms(total2)},"load_start":$loadStart,"load_end":${loadAvg()},"calib_start_ms":$calibStartStr,"calib_end_ms":$calibEndStr,"hash_family":"$hashFamily","sf":"$sfDir"}""")
   }
 }

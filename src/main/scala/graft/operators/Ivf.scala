@@ -312,6 +312,14 @@ object Ivf {
     * 400,000 rows resurrected before this fix). Failing to delete
     * found debris fails the write loudly: proceeding would risk
     * exactly that resurrection.
+    *
+    * Zombie interaction: a STALLED (not dead) writer whose lease was
+    * broken after the stale TTL may still hold task attempts under the
+    * `_temporary` this purge deletes — its write then FAILS (missing
+    * attempt dir) instead of committing a batch into a dataset another
+    * writer has since modified. Loud failure is the correct arm of
+    * that residual window (the same zombie class the heartbeat doc
+    * accepts); the zombie's caller retries against the new state.
     */
   private def purgeCommitterDebris(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Unit = {
@@ -394,8 +402,9 @@ object Ivf {
     * clear was verified against a listing that predates it) — with the
     * fence, a delete either lands before the clear's verification (and
     * fails it by fingerprint, refusing the clear) or after its release
-    * (recreating the sidecar fresh). Two metadata ops per delete batch,
-    * the same price append pays for the same guarantee.
+    * (recreating the sidecar fresh). Three metadata ops per delete
+    * batch (lease create/release + the debris-purge existence check),
+    * the same price append pays for the same guarantees.
     */
   private def writeTombstones(spark: SparkSession, index: Index,
       out: DataFrame,
