@@ -107,6 +107,24 @@ class CacheHygieneSpec extends SparkSpec {
       "tfidfTopTerms registered a cached RDD")
   }
 
+  test("the bench's shared corpus cache plan-matches: a persisted " +
+      "Tables scan substitutes into an INDEPENDENTLY constructed read " +
+      "of the same table (the mechanism graft.Bench's build-stage " +
+      "sharing rests on)") {
+    val docs = Tables.documents(spark, sf0001)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      docs.count()
+      // a FRESH load call — Spark's CacheManager must substitute the
+      // InMemoryRelation by plan equality, no shared reference
+      val fresh = Tables.documents(spark, sf0001)
+        .where(org.apache.spark.sql.functions.col("doc_id") < 5)
+      val plan = fresh.queryExecution.optimizedPlan.toString
+      assert(plan.contains("InMemoryRelation"),
+        s"independent read did not hit the cached corpus scan:\n$plan")
+    } finally docs.unpersist(blocking = true)
+  }
+
   test("DataKeyedMemo: one live entry per dir, rebuilt exactly when the " +
       "fingerprint changes (the r15/r16 memo-growth class, now ONE " +
       "definition for every query-layer cache)") {
