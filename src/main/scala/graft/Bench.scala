@@ -246,6 +246,11 @@ object Bench {
     // pass2 ≈ pass1 means the cost is the plan; pass2 ≪ pass1 means
     // pass1 absorbed one-time/contended cost (SCALE.md box-variance
     // rule, VERDICT r5 next-round #4).
+    // mid-run calibration sample: a contention burst strictly inside a
+    // pass evades the start/end point samples (observed live — both
+    // endpoints idle at 149/158 ms around a t2 of 78.6 s), so bracket
+    // t2 with its own leading sample
+    val calibMid = calibMs()
     val secondPass = timedPass("pass2")
     val total = results.values.filter(_ >= 0).sum
     // t1 = catalog-only pass-1 total (same query set as t2, so the two
@@ -259,6 +264,7 @@ object Bench {
     // end-of-run calibration sample BEFORE any artifact writes, so the
     // two samples bracket the timed work
     val calibStartStr = f"$calibStart%.1f"
+    val calibMidStr = f"$calibMid%.1f"
     val calibEndStr = f"${calibMs()}%.1f"
     // full per-query detail goes to a file (best-effort — bench may run
     // with a read-only cwd); the stdout line must stay SHORT: the driver
@@ -275,7 +281,7 @@ object Bench {
       { val d = java.nio.file.Paths.get("bench-series")
         java.nio.file.Files.createDirectories(d)
         d.resolve("bench_detail.json") },
-      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"value1":${ms(total1)},"value2":${ms(total2)},"load_start":$loadStart,"load_end":${loadAvg()},"calib_start_ms":$calibStartStr,"calib_end_ms":$calibEndStr,"hash_family":"$hashFamily","sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"value1":${ms(total1)},"value2":${ms(total2)},"load_start":$loadStart,"load_end":${loadAvg()},"calib_start_ms":$calibStartStr,"calib_mid_ms":$calibMidStr,"calib_end_ms":$calibEndStr,"hash_family":"$hashFamily","sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // compact line: failed queries always included, then most-expensive
@@ -307,6 +313,6 @@ object Bench {
     }
     val nFail = results.values.count(_ < 0)
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries2":${kept2.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t1":${ms(total1)},"t2":${ms(total2)},"load_start":$loadStart,"load_end":${loadAvg()},"calib_start_ms":$calibStartStr,"calib_end_ms":$calibEndStr,"hash_family":"$hashFamily","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries2":${kept2.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t1":${ms(total1)},"t2":${ms(total2)},"load_start":$loadStart,"load_end":${loadAvg()},"calib_start_ms":$calibStartStr,"calib_mid_ms":$calibMidStr,"calib_end_ms":$calibEndStr,"hash_family":"$hashFamily","sf":"$sfDir"}""")
   }
 }
