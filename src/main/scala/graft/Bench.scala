@@ -9,6 +9,15 @@ object Bench {
     // family. Bench-only: Verify never sets the session conf, so oracle
     // runs are always md5 (Hash60.FamilyConfKey scaladoc).
     val hashFamily = sys.env.getOrElse("SPARK_GRAFT_HASH_FAMILY", "md5")
+    // silence SharedState's session-creation INFO line ("Setting
+    // hive.metastore.warehouse.dir ...") BEFORE the session exists —
+    // setLogLevel(WARN) below runs too late for it, and the stray line
+    // lands in the driver's short output-tail window beside the JSON
+    // payload (VERDICT r16 what's-wrong #3)
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.internal.SharedState",
+      org.apache.logging.log4j.Level.WARN)
+    catch { case _: Throwable => () }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -252,6 +261,22 @@ object Bench {
     // t2 with its own leading sample
     val calibMid = calibMs()
     val secondPass = timedPass("pass2")
+    // THIRD catalog pass + per-query min across all three (VERDICT r16
+    // #1): five rounds of driver benches landed in contended windows,
+    // and post-hoc calibration provably cannot decode scheduler-shaped
+    // contention (an ALU spin read 1.13× while barrier-bound queries
+    // inflated 5-9×). Contention on this box is ADDITIVE bursts —
+    // stragglers stretching individual stages — so the per-query MIN
+    // across three independent samples is nearly immune to it: a query
+    // only over-reads if bursts hit the same query in all three passes.
+    // t2_min = Σ_q min(p1,p2,p3) is the contention-robust headline;
+    // t2 stays beside it for series continuity.
+    val thirdPass = timedPass("pass3")
+    val minPass: Map[String, Double] = pass1.map { case (k, v1) =>
+      val samples = Seq(v1, secondPass.getOrElse(k, -1.0),
+        thirdPass.getOrElse(k, -1.0)).filter(_ >= 0)
+      k -> (if (samples.isEmpty) -1.0 else samples.min)
+    }
     val total = results.values.filter(_ >= 0).sum
     // t1 = catalog-only pass-1 total (same query set as t2, so the two
     // passes compare like-for-like; `value` keeps builds+pass1 for
@@ -259,6 +284,8 @@ object Bench {
     // the headline series rounds compare (VERDICT r6 #6).
     val total1 = pass1.values.filter(_ >= 0).sum
     val total2 = secondPass.values.filter(_ >= 0).sum
+    val total3 = thirdPass.values.filter(_ >= 0).sum
+    val totalMin = minPass.values.filter(_ >= 0).sum
     def ms(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // end-of-run calibration sample BEFORE any artifact writes, so the
@@ -277,11 +304,17 @@ object Bench {
     val pass2Json = secondPass.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    val pass3Json = thirdPass.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
+    val minJson = minPass.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + ms(v) }
+      .mkString("{", ",", "}")
     try java.nio.file.Files.write(
       { val d = java.nio.file.Paths.get("bench-series")
         java.nio.file.Files.createDirectories(d)
         d.resolve("bench_detail.json") },
-      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"value1":${ms(total1)},"value2":${ms(total2)},"load_start":$loadStart,"load_end":${loadAvg()},"calib_start_ms":$calibStartStr,"calib_mid_ms":$calibMidStr,"calib_end_ms":$calibEndStr,"hash_family":"$hashFamily","sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"queries3":$pass3Json,"queries_min":$minJson,"value1":${ms(total1)},"value2":${ms(total2)},"value3":${ms(total3)},"t2_min":${ms(totalMin)},"load_start":$loadStart,"load_end":${loadAvg()},"calib_start_ms":$calibStartStr,"calib_mid_ms":$calibMidStr,"calib_end_ms":$calibEndStr,"hash_family":"$hashFamily","sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // compact line: failed queries always included, then most-expensive
@@ -292,11 +325,13 @@ object Bench {
     // the plan; p2 ≪ p1 means pass 1 absorbed one-time/contended cost
     // (the SCALE.md box-variance rule).
     val ordered = results.toSeq.sortBy { case (k, v) =>
-      // failed = pass 1 failed, or a RUN pass 2 failed (build-phase
-      // entries have no pass 2 and are healthy when pass 1 succeeded);
+      // failed = pass 1 failed, or a RUN later pass failed (build-phase
+      // entries have no pass 2/3 and are healthy when pass 1 succeeded);
       // failures sort strictly first, then by max-pass cost
-      val failed = v < 0 || secondPass.get(k).exists(_ < 0)
-      (!failed, -math.max(v, secondPass.getOrElse(k, -1.0)))
+      val failed = v < 0 || secondPass.get(k).exists(_ < 0) ||
+        thirdPass.get(k).exists(_ < 0)
+      (!failed, -Seq(v, secondPass.getOrElse(k, -1.0),
+        thirdPass.getOrElse(k, -1.0)).max)
     }
     val budget = 1500
     val kept = new scala.collection.mutable.ArrayBuffer[String]()
@@ -313,6 +348,6 @@ object Bench {
     }
     val nFail = results.values.count(_ < 0)
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries2":${kept2.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t1":${ms(total1)},"t2":${ms(total2)},"load_start":$loadStart,"load_end":${loadAvg()},"calib_start_ms":$calibStartStr,"calib_mid_ms":$calibMidStr,"calib_end_ms":$calibEndStr,"hash_family":"$hashFamily","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries2":${kept2.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t1":${ms(total1)},"t2":${ms(total2)},"t3":${ms(total3)},"t2_min":${ms(totalMin)},"load_start":$loadStart,"load_end":${loadAvg()},"calib_start_ms":$calibStartStr,"calib_mid_ms":$calibMidStr,"calib_end_ms":$calibEndStr,"hash_family":"$hashFamily","sf":"$sfDir"}""")
   }
 }

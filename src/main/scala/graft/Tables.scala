@@ -176,6 +176,12 @@ object Tables {
     * `build` runs inside the map's per-key lock (compute), so
     * concurrent callers of the same dir build once; builds must not
     * re-enter the same memo (none do — they only read Spark data).
+    * Known tradeoff of compute-under-lock (ADVICE r16 low): an
+    * UNRELATED entry hashing to the same ConcurrentHashMap bin blocks
+    * for the duration of a build. Accepted: builds are one-per-JVM
+    * Spark jobs (seconds), entry counts are catalog-bounded (≤ a few
+    * hundred), and the alternative (build outside the lock) re-admits
+    * the duplicate-build race the lock exists to close.
     */
   final class DataKeyedMemo[V] {
     private val m =
@@ -186,11 +192,14 @@ object Tables {
         if (prev != null && prev._1 == key) prev else (key, build))._2
     }
     /** Composite form: one entry per (sub, dir) — e.g. a per-query
-      * oracle cache bounded by catalog size × directories.
+      * oracle cache bounded by catalog size × directories. The map key
+      * length-prefixes `sub` so a '@' inside it can never alias a
+      * different (sub, dir) pair (ADVICE r16 low — latent with current
+      * query-name callers, fatal if one ever carried a path).
       */
     def get(dir: String, sub: String)(build: => V): V = {
       val key = dataKey(dir)
-      m.compute(s"$sub@$dir", (_, prev) =>
+      m.compute(s"${sub.length}:$sub@$dir", (_, prev) =>
         if (prev != null && prev._1 == key) prev else (key, build))._2
     }
   }

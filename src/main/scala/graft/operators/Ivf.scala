@@ -87,10 +87,10 @@ object Ivf {
     */
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Last degenerate-parallelism warning writeVectors emitted, exposed
-    * so SkewSpec can assert the warning actually fires in the config it
-    * guards against (a log line alone is untestable). Not reset on
-    * healthy writes — tests clear it before triggering.
+  /** Last auto-raise note writeVectors recorded, exposed so SkewSpec
+    * can assert the raise actually fires in the config it guards
+    * against (a log line alone is untestable). Not reset on healthy
+    * writes — tests clear it before triggering.
     */
   @volatile private[graft] var lastWriteParallelismWarning: Option[String] =
     None
@@ -99,29 +99,57 @@ object Ivf {
       numShards: Int, path: String, mode: String): Unit = {
     val spark = df.sparkSession
     val shuffleParts = spark.sessionState.conf.numShufflePartitions
-    val salts = math.max(1, math.ceil(shuffleParts.toDouble / numShards).toInt)
-    if (salts == 1) {
-      // SCALE.md §r11-skew mapper-granularity finding: with one salt,
-      // each shard partition is written by a single task as ONE file,
-      // so a hot centroid cell becomes a single scan split that AQE's
-      // OptimizeSkewedJoin cannot subdivide at annJoin time — the salted
-      // write is exactly what gives AQE mapper granularity to split.
-      val msg = s"writeVectors: write parallelism per shard is 1 " +
-        s"(spark.sql.shuffle.partitions=$shuffleParts <= numShards=" +
-        s"$numShards) — each shard lands as one file, leaving a hot " +
-        "centroid cell as a single unit AQE cannot split at read time " +
-        "(SCALE.md §r11-skew). Raise spark.sql.shuffle.partitions above " +
-        "the shard count to restore salt granularity."
+    // SCALE.md §r11-skew mapper-granularity finding: with one salt,
+    // each shard partition is written by a single task as ONE file, so
+    // a hot centroid cell becomes a single scan split that AQE's
+    // OptimizeSkewedJoin cannot subdivide at annJoin time — the salted
+    // write is exactly what gives AQE mapper granularity to split.
+    // VERDICT r16 #4 upgraded the old log-warning to an AUTO-RAISE:
+    // when the session's shuffle parallelism is at or below the shard
+    // count (guaranteed at the ≥1M tier, where numShards=⌈√k⌉ ≈ 64+
+    // exceeds a 32-core default), raise the write's partition count to
+    // numShards × 4 instead of degrading. salts=4 (not 2) because the
+    // hash of (shard, salt) into writeParts partitions can collide two
+    // salts of one shard into the same task — with 4 the chance a
+    // shard still lands as a single file is (1/writeParts)³ ≈ never.
+    val salts =
+      if (shuffleParts > numShards)
+        math.ceil(shuffleParts.toDouble / numShards).toInt
+      else 4
+    val writeParts = numShards * salts
+    if (shuffleParts <= numShards) {
+      val msg = s"writeVectors: spark.sql.shuffle.partitions=" +
+        s"$shuffleParts <= numShards=$numShards — auto-raised the " +
+        s"shard write to $writeParts partitions ($salts salts/shard) " +
+        "so hot centroid cells keep mapper granularity for AQE skew " +
+        "splitting (SCALE.md §r11-skew)"
       lastWriteParallelismWarning = Some(msg)
-      log.warn(msg)
+      log.info(msg)
     }
-    df.repartition(shuffleParts, col("shard_id"),
+    df.repartition(writeParts, col("shard_id"),
         pmod(xxhash64(col(idCol)), lit(salts)))
       .sortWithinPartitions(col("centroid_id"), col(idCol))
       .write.mode(mode)
+      // pin FileOutputCommitter v1 for THIS write (ADVICE r16 medium):
+      // purgeCommitterDebris's crash-recovery contract assumes a killed
+      // writer's task commits stay quarantined under `_temporary` until
+      // job commit. Under algorithm.version=2 (a common perf config on
+      // the caller's session) task commits land directly in the output
+      // dir and are immediately visible — the exact silent-partial-batch
+      // class the purge closes. DataFrameWriter options are merged into
+      // the job's hadoop conf (newHadoopConfWithOptions), so the pin is
+      // per-write and cannot leak into the caller's other writes.
+      .option(CommitterV1Key, "1")
       .partitionBy("shard_id")
       .parquet(path)
   }
+
+  /** Hadoop conf key pinned to v1 on every lease-protected append-mode
+    * write — see [[purgeCommitterDebris]] for why v2 would reopen the
+    * kill -9 partial-batch window.
+    */
+  private[graft] val CommitterV1Key =
+    "mapreduce.fileoutputcommitter.algorithm.version"
 
   /** Routing-table sidecar write (replaces bincode index.bin — S5/S6). */
   private def writeSidecar(spark: SparkSession,
@@ -269,7 +297,7 @@ object Ivf {
     // crash-recover / fail-fast BEFORE the write: parquet append would
     // happily recreate a missing vectors dir containing only this
     // batch — the silent near-empty-index failure shape
-    requireLiveLayout(spark, index, "append")
+    requireLiveLayout(spark, index, "append", leaseStaleTtlMs)
     val dim = index.centroids(0).length
     val model = KMeans.Model(index.centroids)
     // dimension mismatch is an ERROR (reference P1 semantics), enforced
@@ -320,14 +348,22 @@ object Ivf {
     * writer has since modified. Loud failure is the correct arm of
     * that residual window (the same zombie class the heartbeat doc
     * accepts); the zombie's caller retries against the new state.
+    *
+    * ASSUMES committer algorithm v1 (task commits quarantined under
+    * `_temporary` until job commit). Both callers pin it per-write via
+    * [[CommitterV1Key]] — under v2 a killed writer's task commits land
+    * directly in the output dir and there is nothing here to purge.
+    *
+    * fs.exists returns false for a missing parent dir without throwing;
+    * an IOException from it is a REAL filesystem fault, and proceeding
+    * past one would silently re-open the resurrection window — so it
+    * propagates and fails the write loudly, same policy as the
+    * failed-delete arm below (ADVICE r16 low).
     */
   private def purgeCommitterDebris(fs: org.apache.hadoop.fs.FileSystem,
       dir: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(dir, "_temporary")
-    val present =
-      try fs.exists(tmp)
-      catch { case _: java.io.IOException => false } // dir may not exist yet
-    if (present && !fs.delete(tmp, true))
+    if (fs.exists(tmp) && !fs.delete(tmp, true))
       throw new IllegalStateException(
         s"cannot purge crashed-writer debris at $tmp — appending over " +
           "it would let the committer resurrect the dead job's partial " +
@@ -419,7 +455,10 @@ object Ivf {
       // task-committed tombstone files must not be promoted by the
       // next delete batch's job commit
       purgeCommitterDebris(fs, tombstonesPath(index))
-      out.write.mode("append").parquet(tombstonesPath(index))
+      // same committer-v1 pin as writeVectors: the purge's quarantine
+      // assumption must hold for the tombstone sidecar too
+      out.write.mode("append").option(CommitterV1Key, "1")
+        .parquet(tombstonesPath(index))
     }
     // memo update OUTSIDE the lease is deliberate (VERDICT r14 #3): the
     // memo is a presence-only, TTL-bounded, same-JVM hint — a reader
@@ -698,7 +737,7 @@ object Ivf {
     * format's snapshot metadata would own this in production.
     */
   private final case class TombMemo(present: Boolean, expiresAtNanos: Long)
-  private val memoTtlNanos = 30L * 1000 * 1000 * 1000
+  private[graft] val memoTtlNanos = 30L * 1000 * 1000 * 1000
   private val tombstonePresence =
     new java.util.concurrent.ConcurrentHashMap[String, TombMemo]()
 
@@ -1022,19 +1061,28 @@ object Ivf {
     * would see a healthy tiny index, and searches would return
     * confidently wrong near-empty answers until the eventual compact
     * destroyed the real data). Returns true iff a restore happened.
+    *
+    * @param leaseStaleTtlMs how old the (dead) maintainer's lease mtime
+    *   must be before this caller treats the swap as crashed rather
+    *   than in-flight — the same crash-detection horizon every other
+    *   entry point takes. Callers that tuned their write TTLs down
+    *   (fast-recovery deployments, the cross-JVM gates) must pass the
+    *   same value here, or a swap-crash would block recovery for the
+    *   default 10 min even though their own leases break in seconds.
     */
-  def recoverFromCrashedCompact(spark: SparkSession, index: Index): Boolean =
-    recoverImpl(spark, index, ownLease = false)
+  def recoverFromCrashedCompact(spark: SparkSession, index: Index,
+      leaseStaleTtlMs: Long = FsLease.DefaultStaleTtlMs): Boolean =
+    recoverImpl(spark, index, ownLease = false, leaseStaleTtlMs)
 
   /** [[recoverFromCrashedCompact]] for callers already HOLDING the
     * maintainer lease ([[compactInPlace]], [[maintain]]): their own
     * fresh lease must not read as "another maintainer is mid-swap".
     */
   private def recoverOwningLease(spark: SparkSession, index: Index): Boolean =
-    recoverImpl(spark, index, ownLease = true)
+    recoverImpl(spark, index, ownLease = true, FsLease.DefaultStaleTtlMs)
 
   private def recoverImpl(spark: SparkSession, index: Index,
-      ownLease: Boolean): Boolean = {
+      ownLease: Boolean, leaseStaleTtlMs: Long): Boolean = {
     val base = index.vectorsPath.stripSuffix("/vectors")
     require(base != index.vectorsPath,
       s"recoverFromCrashedCompact: vectorsPath must end in /vectors " +
@@ -1055,11 +1103,11 @@ object Ivf {
       val mLease = maintainerLeasePath(index)
       var waitedMs = 0L
       while (!ownLease && waitedMs < 60000L && !fs.exists(live) &&
-          FsLease.isHeldFresh(fs, mLease)) {
+          FsLease.isHeldFresh(fs, mLease, leaseStaleTtlMs)) {
         Thread.sleep(50); waitedMs += 50
       }
       if (fs.exists(live)) false // the swap completed
-      else if (!ownLease && FsLease.isHeldFresh(fs, mLease))
+      else if (!ownLease && FsLease.isHeldFresh(fs, mLease, leaseStaleTtlMs))
         throw new IllegalStateException(
           s"recoverFromCrashedCompact: the vectors dir $live has been " +
             s"missing for ${waitedMs} ms while a fresh maintainer lease " +
@@ -1089,8 +1137,9 @@ object Ivf {
     * instead of an error.
     */
   private def requireLiveLayout(spark: SparkSession, index: Index,
-      op: String): Unit = {
-    recoverFromCrashedCompact(spark, index)
+      op: String,
+      leaseStaleTtlMs: Long = FsLease.DefaultStaleTtlMs): Unit = {
+    recoverFromCrashedCompact(spark, index, leaseStaleTtlMs)
     val live = new org.apache.hadoop.fs.Path(index.vectorsPath)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(live))

@@ -96,6 +96,15 @@ object CrossJvmStressRunner {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[2]")
       .appName("graft-xjvm-crash")
+      // the ADVERSARIAL committer config (ADVICE r16 medium): a session
+      // tuned with commit algorithm v2 publishes task commits directly
+      // into the output dir — the purge would have nothing to purge.
+      // Ivf pins v1 per-write (Ivf.CommitterV1Key); the spec's wait for
+      // a task_* dir under _temporary/0 only ever succeeds under v1, so
+      // the kill gate passing WITH this session config proves the pin
+      // overrides the session.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+        "2")
       .config("spark.sql.shuffle.partitions", "2")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
@@ -117,9 +126,54 @@ object CrossJvmStressRunner {
     Thread.sleep(600000L)
   }
 
+  /** crash-maintain mode (spec kills this JVM during `maintain`'s
+    * rewrite-and-swap): load the index, signal, then run a maintain
+    * that is guaranteed to compact. Two kill phases (VERDICT r16 #2):
+    *  - "rewrite": plain maintain — the spec polls for the
+    *    `__compact_scratch` rewrite dir and kills while the O(index)
+    *    rewrite (or the merge/swap that follows) is in flight;
+    *  - "swap": the `betweenRenames` seam signals and then sleeps, so
+    *    the spec's kill -9 lands EXACTLY between the two renames — the
+    *    worst instant: the live vectors dir is absent and the only
+    *    copy of the data sits at `__compact_trash`, with both the
+    *    maintainer and writer leases left behind heartbeat-less.
+    * Never exits normally in the swap phase.
+    */
+  private def crashMaintainMain(indexDir: String, commDir: String,
+      phase: String): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-xjvm-crash-maintain")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val idx = Ivf.load(spark, indexDir)
+    CrossJvmStress.signal(commDir, "child_maintaining")
+    val between: () => Unit =
+      if (phase == "swap") { () =>
+        CrossJvmStress.signal(commDir, "child_in_swap")
+        Thread.sleep(600000L)
+      } else () => ()
+    Ivf.maintain(spark, idx, maxFilesPerShard = 1,
+      leaseStaleTtlMs = 2000L, betweenRenames = between)
+    // reachable only in the rewrite phase when the kill came too late —
+    // tell the spec so it fails loudly instead of asserting against a
+    // COMPLETED maintain
+    CrossJvmStress.signal(commDir, "child_maintain_finished")
+    Thread.sleep(600000L)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("crash-append")) {
       crashAppendMain(args(1), args(2))
+      return
+    }
+    if (args.headOption.contains("crash-maintain")) {
+      crashMaintainMain(args(1), args(2), args(3))
       return
     }
     val Array(indexDir, probeDir, commDir, resultPath) = args.take(4)

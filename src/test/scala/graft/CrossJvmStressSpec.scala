@@ -149,11 +149,20 @@ class CrossJvmStressSpec extends SparkSpec {
       val stalenessMs = visibleAtMs - deletedAt
       assert(visibleAtMs > 0,
         s"foreign delete still invisible after 60 s; ${childLog()}")
-      // the design bound: memoTtlNanos (30 s) + poll/lease slack
-      assert(stalenessMs <= 40000L,
-        s"foreign delete hidden ${stalenessMs} ms > 40 s bound")
+      // gate = design bound + NAMED slack (VERDICT r16 #3): the memo
+      // may legitimately hide the delete for the full TTL (r16 measured
+      // 29.59 s — 98.6% of it), so the gate's headroom must come from
+      // an explicit slack term, not from hoping the TTL isn't reached.
+      // Slack covers one 500 ms poll period + scan/lease latency + GC
+      // on a loaded box; 10 s = 33% headroom over the TTL.
+      val pollAndScanSlackMs = 10000L
+      val gateMs = Ivf.memoTtlNanos / 1000000L + pollAndScanSlackMs
+      assert(stalenessMs <= gateMs,
+        s"foreign delete hidden ${stalenessMs} ms > " +
+          s"memoTtl + slack = $gateMs ms")
       info(s"foreign-delete staleness window: ${stalenessMs} ms " +
-        "(design bound: 30 s memo TTL)")
+        s"(gate: ${Ivf.memoTtlNanos / 1000000L} ms TTL + " +
+        s"$pollAndScanSlackMs ms named slack)")
 
       assert(child.waitFor(120L, java.util.concurrent.TimeUnit.SECONDS),
         s"child JVM did not exit; log: ${childLog()}")
@@ -245,6 +254,122 @@ class CrossJvmStressSpec extends SparkSpec {
       assert(top.getLong(0) == 550L && top.getDouble(1) == 0.0)
     } finally {
       if (child.isAlive) child.destroyForcibly()
+    }
+  }
+
+  /** Shared body of the two maintain-crash gates (VERDICT r16 #2): fork
+    * a maintainer JVM, kill it at `phase`, then from THIS process
+    * assert the recovery invariant — the index is either fully old or
+    * fully new, never absent — and that a subsequent maintain
+    * completes. `killAt` blocks until the right kill instant.
+    */
+  private def maintainKillGate(phase: String)(
+      killAt: (String, String) => Unit): Unit = {
+    val dir = Files.createTempDirectory(s"graft_xjvm_mcrash_$phase").toString
+    val commDir =
+      Files.createTempDirectory(s"graft_xjvm_mcrash_comm_$phase").toString
+    val all = VectorFormats.generate(spark, 600L, 8, 15L).cache()
+    val idx = Ivf.build(all.where(col("vec_id") < 500),
+      "vec_id", "embedding", dir)
+    // extra files per shard so compactRecommended(maxFilesPerShard=1)
+    // is guaranteed true in both the child and the recovery maintain
+    Ivf.append(idx, all.where(col("vec_id") >= 500), "vec_id", "embedding")
+    val logPath = s"$commDir/maintain_child.log"
+    def childLog(): String =
+      try new String(Files.readAllBytes(
+        java.nio.file.Paths.get(logPath)), "UTF-8").takeRight(1500)
+      catch { case _: Throwable => "<no child log>" }
+    val child = forkRunner(
+      Seq("crash-maintain", dir, commDir, phase), logPath)
+    try {
+      killAt(dir, commDir)
+      child.destroyForcibly()
+      assert(child.waitFor(30L, java.util.concurrent.TimeUnit.SECONDS))
+      assert(!Files.exists(java.nio.file.Paths.get(
+          commDir, "child_maintain_finished")),
+        s"maintain completed before the kill — the $phase window was " +
+          s"never exercised; ${childLog()}")
+      // recovery invariant: after (foreign) crash recovery the index is
+      // either fully old or fully new — NEVER absent. The dead child's
+      // maintainer lease is heartbeat-less; the 2 s stale TTL is the
+      // crash-detection horizon the recovery waits out.
+      Ivf.recoverFromCrashedCompact(spark, idx, leaseStaleTtlMs = 2000L)
+      assert(Files.exists(java.nio.file.Paths.get(s"$dir/vectors")),
+        s"vectors dir absent after recovery; ${childLog()}")
+      val ids = Ivf.liveVectors(spark, idx)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(ids == (0L until 600L).toSet,
+        s"id set corrupted after $phase kill + recovery: " +
+          s"${ids.size} ids; ${childLog()}")
+      // a subsequent maintain must complete, breaking the dead JVM's
+      // stale maintainer + writer leases by TTL. Until the 2 s TTL
+      // elapses the dead lease still reads fresh (maintain fails fast
+      // by design) — retry across that horizon, bounded.
+      def maintainRetrying(): Ivf.MaintainOutcome = {
+        val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+        while (true) {
+          try return Ivf.maintain(spark, idx, maxFilesPerShard = 1,
+            leaseStaleTtlMs = 2000L, fenceTimeoutMs = 120000L)
+          catch {
+            case _: graft.operators.FsLease.LeaseHeldException
+                if System.nanoTime() < deadline => Thread.sleep(500)
+          }
+        }
+        throw new IllegalStateException("unreachable")
+      }
+      val outcome = maintainRetrying()
+      assert(outcome.isInstanceOf[Ivf.MaintainCompacted],
+        s"post-recovery maintain did not compact: $outcome")
+      val idsAfter = Ivf.liveVectors(spark, idx)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(idsAfter == (0L until 600L).toSet)
+      // self-retrieval through the recovered + re-compacted index
+      val qv = all.where(col("vec_id") === 550L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val top = Ivf.search(spark, idx, qv, 3, 10000).head()
+      assert(top.getLong(0) == 550L && top.getDouble(1) == 0.0)
+    } finally {
+      if (child.isAlive) child.destroyForcibly()
+    }
+  }
+
+  test("kill -9 mid-swap (maintain): a maintainer JVM destroyed between " +
+      "the two swap renames leaves the data intact at __compact_trash; " +
+      "foreign-JVM recovery restores it and a subsequent maintain " +
+      "completes") {
+    maintainKillGate("swap") { (dir, commDir) =>
+      import CrossJvmStress._
+      // the betweenRenames seam signals from INSIDE the swap window —
+      // live vectors dir already renamed away, compacted dir not yet
+      // renamed in — then sleeps until the kill
+      assert(await(commDir, "child_in_swap", 180000L).isDefined,
+        "child never reached the swap window")
+      assert(!Files.exists(java.nio.file.Paths.get(s"$dir/vectors")) &&
+        Files.exists(java.nio.file.Paths.get(s"$dir/__compact_trash")),
+        "swap-window state not as expected: live dir present or trash " +
+          "missing")
+    }
+  }
+
+  test("kill -9 mid-rewrite (maintain): a maintainer JVM destroyed " +
+      "while the O(index) rewrite is in flight leaves the live layout " +
+      "untouched and a subsequent maintain completes") {
+    maintainKillGate("rewrite") { (dir, commDir) =>
+      import CrossJvmStress._
+      assert(await(commDir, "child_maintaining", 120000L).isDefined,
+        "child never started its maintain")
+      // kill once the scratch rewrite dir exists — the rewrite (or the
+      // merge/swap right after) is in flight
+      val scratch = java.nio.file.Paths.get(s"$dir/__compact_scratch")
+      val deadline = System.nanoTime() + 90L * 1000 * 1000 * 1000
+      while (!Files.exists(scratch) &&
+          !Files.exists(java.nio.file.Paths.get(
+            commDir, "child_maintain_finished")) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(5)
+      assert(Files.exists(scratch) || !Files.exists(java.nio.file.Paths
+          .get(commDir, "child_maintain_finished")),
+        "rewrite scratch dir never appeared")
     }
   }
 }

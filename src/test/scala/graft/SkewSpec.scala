@@ -180,27 +180,38 @@ class SkewSpec extends SparkSpec {
     }
   }
 
-  test("degenerate write parallelism (one salt per shard) fires the named " +
-      "mapper-granularity warning; healthy config stays silent " +
-      "(VERDICT r11 #7)") {
+  test("degenerate write parallelism (shuffle.partitions <= numShards) " +
+      "auto-raises to >=2 files per shard; healthy config untouched " +
+      "(VERDICT r11 #7, upgraded warn->fix per r16 #4)") {
     import spark.implicits._
     import graft.operators.Ivf
-    val df = (0L until 100L).map(i => (i, (i % 8).toInt, (i % 4).toInt))
+    // 4000 rows so every (shard, salt) bucket is populated — the gate
+    // below counts FILES per shard, and an empty salt bucket writes none
+    val df = (0L until 4000L).map(i => (i, (i % 8).toInt, (i % 4).toInt))
       .toDF("vec_id", "centroid_id", "shard_id")
     val out = java.nio.file.Files.createTempDirectory("graft_salt_warn")
       .toString
+    def filesPerShard(dir: String): Map[String, Int] = {
+      val root = new java.io.File(dir)
+      root.listFiles().filter(_.getName.startsWith("shard_id="))
+        .map(d => d.getName ->
+          d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    // shuffle.partitions (4) <= numShards (4) → salts = 1: every shard
-    // is one mapper output, the exact config SCALE.md §r11-skew showed
-    // leaves a hot cell as a single file AQE cannot split
+    // shuffle.partitions (4) <= numShards (4): pre-r17 this degraded to
+    // one salt → one file per shard, the exact config SCALE.md §r11-skew
+    // showed leaves a hot cell as a single unit AQE cannot split
     Ivf.lastWriteParallelismWarning = None
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try Ivf.writeVectors(df, "vec_id", 4, s"$out/v1", "overwrite")
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    val warn = Ivf.lastWriteParallelismWarning
-    assert(warn.exists(_.contains("SCALE.md")),
-      s"degenerate write parallelism must warn, got $warn")
-    assert(warn.exists(_.contains("numShards=4")))
+    val note = Ivf.lastWriteParallelismWarning
+    assert(note.exists(_.contains("auto-raised")),
+      s"degenerate write parallelism must record the auto-raise, got $note")
+    assert(note.exists(_.contains("numShards=4")))
+    val fps = filesPerShard(s"$out/v1")
+    assert(fps.size == 4 && fps.values.forall(_ >= 2),
+      s"auto-raise must leave every shard with >=2 files, got $fps")
     // healthy config: pin partitions explicitly (16 partitions, 4
     // shards → 4 salts) rather than relying on the suite default, so a
     // future SparkSpec partitions change cannot flip this branch
@@ -209,7 +220,7 @@ class SkewSpec extends SparkSpec {
     try Ivf.writeVectors(df, "vec_id", 4, s"$out/v2", "overwrite")
     finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert(Ivf.lastWriteParallelismWarning.isEmpty,
-      "healthy write parallelism must not warn")
+      "healthy write parallelism must not record an auto-raise")
   }
 
   test("two-phase count-distinct equals countDistinct") {
