@@ -426,10 +426,7 @@ object IndexQueries {
   private def searchBatchDefaultOracle(spark: SparkSession, dir: String): String = {
     val idx = index(spark, dir)
     val nProbe = math.min(20, idx.config.maxNProbe)
-    val qs = Tables.embeddings(spark, dir)
-      .where(col("vec_id") < 8).select("vec_id", "embedding")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qs = queryFixtures(spark, dir)
     val probePairs = qs.flatMap { case (qid, q) =>
       Ivf.probeSelection(idx, q, nProbe)._1.map(c => (qid, c))
     }.sorted
@@ -492,16 +489,33 @@ object IndexQueries {
       .orderBy("shard_id")
   }
 
+  /** The first-8-embeddings query fixture every batch entry point
+    * shares, memoized per data dir (fingerprint-revalidated like the
+    * index/model caches). The driver-side collect is one tiny Spark
+    * job, but the batch catalog entries re-paid it on EVERY evaluation
+    * — at bench time that job's scheduler barrier was a measurable
+    * slice of the most contention-sensitive entry
+    * (`ivf_search_batch_all`, VERDICT r16 #5: 8 jobs per eval, of
+    * which this was one plus its stage).
+    */
+  private val queryFixtureCache =
+    new Tables.DataKeyedMemo[Array[(Long, Array[Float])]]()
+  private def queryFixtures(spark: SparkSession,
+      dir: String): Array[(Long, Array[Float])] =
+    queryFixtureCache.get(dir) {
+      Tables.embeddings(spark, dir)
+        .where(col("vec_id") < 8).select("vec_id", "embedding")
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    }
+
   /** Batch ANN over the first 8 embeddings as queries, one pruned scan.
     * With full probing it is exact → oracle = brute-force batch kNN.
     */
   def searchBatchProbeAll(spark: SparkSession, dir: String): DataFrame = {
     val idx = index(spark, dir)
-    val qs = Tables.embeddings(spark, dir)
-      .where(col("vec_id") < 8).select("vec_id", "embedding")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    Ivf.searchBatch(spark, idx, qs, k0 = 10, nProbe0 = 10000)
+    Ivf.searchBatch(spark, idx, queryFixtures(spark, dir),
+      k0 = 10, nProbe0 = 10000)
   }
 
   private val searchBatchProbeAllSql =
@@ -523,11 +537,8 @@ object IndexQueries {
     */
   def searchBatchDefault(spark: SparkSession, dir: String): DataFrame = {
     val idx = index(spark, dir)
-    val qs = Tables.embeddings(spark, dir)
-      .where(col("vec_id") < 8).select("vec_id", "embedding")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-    Ivf.searchBatch(spark, idx, qs, k0 = 10, nProbe0 = 20)
+    Ivf.searchBatch(spark, idx, queryFixtures(spark, dir),
+      k0 = 10, nProbe0 = 20)
   }
 
   /** Recall sweep (reference bench protocol): deterministic recall
@@ -775,12 +786,9 @@ object IndexQueries {
   def ivfPqBatch(spark: SparkSession, dir: String): DataFrame = {
     val idx = index(spark, dir)
     val model = VectorQueries.pqModel(spark, dir)
-    val qs = Tables.embeddings(spark, dir)
-      .where(col("vec_id") < 8).select("vec_id", "embedding")
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
     graft.operators.IvfPq.searchBatch(spark, idx, model,
-      pqCodesPath(spark, dir), qs, k0 = 10, nProbe0 = 20)
+      pqCodesPath(spark, dir), queryFixtures(spark, dir),
+      k0 = 10, nProbe0 = 20)
   }
 
   /** IVF-PQ default-probe oracle: probed cells' codes + the query's ADC
@@ -873,9 +881,7 @@ object IndexQueries {
     val idx = index(spark, dir)
     val model = VectorQueries.pqModel(spark, dir)
     val nProbe = math.min(20, idx.config.maxNProbe)
-    val qs = Tables.embeddings(spark, dir)
-      .where(col("vec_id") < 8).select("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qs = queryFixtures(spark, dir)
     val probePairs = qs.flatMap { case (qid, q) =>
       Ivf.probeSelection(idx, q, nProbe)._1.map(c => (qid, c))
     }.sorted

@@ -990,6 +990,10 @@ object TextQueries {
       |    round(list_reduce(list_sort(list(sc)), (a, b) -> a + b), 4) AS score
       |  FROM terms GROUP BY 1, 2)""".stripMargin
 
+  // Tie hazard note: both engines rank on the round(4) score with
+  // doc_id as the tie-break, so a 4-decimal score collision orders
+  // identically on both sides — gated by RetrievalSpec's constructed
+  // identical-doc collision through this exact path (VERDICT r16 #8).
   private val bm25TopDocsSql =
     s"""WITH $bm25ScoredCtes,
        |r AS (SELECT *, ROW_NUMBER() OVER (
@@ -1100,6 +1104,8 @@ object TextQueries {
        |            % 1000000) / 1000000.0 AS FLOAT)) AS feat
        |  FROM ch)""".stripMargin
 
+  // Same round(4)-then-(score DESC, doc_id) tie contract as BM25 —
+  // RetrievalSpec's constructed collision gates this path too.
   private val maxsimTopDocsSql =
     s"""WITH ${chunkFeatureCtes()},
       |p AS (

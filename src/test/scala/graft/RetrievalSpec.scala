@@ -46,6 +46,40 @@ class RetrievalSpec extends SparkSpec {
       Row(0L, 2L, 9L, exp9)))
   }
 
+  test("bm25 + maxsim rank-tie: equal round(4) scores break by doc_id " +
+      "asc through the full catalog paths (VERDICT r16 #8)") {
+    // Both engines rank with (score DESC, doc_id) AFTER round(4) — a
+    // 4-decimal score collision is the one remaining cross-engine float
+    // hazard class. Construct the collision directly: docs 8 and 9 are
+    // IDENTICAL, so their BM25 scores (same tf/dl) and MaxSim scores
+    // (same chunk features) are bit-equal, forcing the tie-break.
+    val dir = java.nio.file.Files.createTempDirectory("graft_tie").toString
+    Seq(
+      (0L, "apple banana", "en", "s1", 12L),
+      (8L, "apple cherry", "en", "s1", 12L),
+      (9L, "apple cherry", "en", "s1", 12L),
+      (10L, "cherry date", "en", "s1", 11L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bm25 = TextQueries.bm25TopDocs(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val tied = bm25.filter(r => r._3 == 8L || r._3 == 9L)
+    assert(tied.size == 2 && tied(0)._4 == tied(1)._4,
+      s"docs 8/9 must both rank with equal scores, got $bm25")
+    assert(tied(0)._3 == 8L && tied(1)._3 == 9L &&
+      tied(0)._2 + 1 == tied(1)._2,
+      s"tie must break by doc_id asc into adjacent ranks, got $tied")
+    val ms = TextQueries.maxsimTopDocs(spark, dir).collect().toSeq
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val msTied = ms.filter(r => r._3 == 8L || r._3 == 9L)
+    assert(msTied.size == 2 && msTied(0)._4 == msTied(1)._4,
+      s"maxsim: docs 8/9 must tie exactly, got $ms")
+    assert(msTied(0)._3 == 8L && msTied(1)._3 == 9L &&
+      msTied(0)._2 + 1 == msTied(1)._2,
+      s"maxsim tie must break by doc_id asc into adjacent ranks, got $msTied")
+  }
+
   test("bm25 ranks are contiguous with non-increasing scores") {
     val rows = TextQueries.bm25TopDocs(spark, sf0001)
       .collect().toSeq.groupBy(_.getLong(0))
