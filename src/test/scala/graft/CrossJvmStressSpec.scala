@@ -333,6 +333,102 @@ class CrossJvmStressSpec extends SparkSpec {
     }
   }
 
+  test("cross-process streaming ingest: a child JVM's Structured " +
+      "Streaming appendVectorBatchMaintained sink races parent " +
+      "deleteWhere + maintain; the final id set is exact and streamed " +
+      "rows land exactly once despite restarts") {
+    val dir = Files.createTempDirectory("graft_xjvm_stream_idx").toString
+    val feedDir = Files.createTempDirectory("graft_xjvm_feed").toString
+    val commDir = Files.createTempDirectory("graft_xjvm_stream_comm").toString
+    val logPath = s"$commDir/stream_child.log"
+    val resultPath = s"$commDir/stream_child.result"
+    def childLog(): String =
+      try new String(Files.readAllBytes(
+        java.nio.file.Paths.get(logPath)), "UTF-8").takeRight(3000)
+      catch { case _: Throwable => "<no child log>" }
+    val all = VectorFormats.generate(spark, 1200L, 8, 15L).cache()
+    val idx = Ivf.build(all.where(col("vec_id") < 500),
+      "vec_id", "embedding", dir)
+    // six feed files → six micro-batches (maxFilesPerTrigger=1), ids
+    // 1000..1199 disjoint from the built block and the delete residues
+    (0 until 6).foreach { i =>
+      all.where(col("vec_id") >= 1000 + 34 * i &&
+          col("vec_id") < math.min(1200, 1034 + 34 * i))
+        .repartition(1).write.mode("append").parquet(feedDir)
+    }
+    val child = forkRunner(
+      Seq("stream-ingest", dir, feedDir, commDir, resultPath), logPath)
+    import CrossJvmStress._
+    try {
+      assert(await(commDir, "child_streaming", 120000L).isDefined,
+        s"child never started streaming; ${childLog()}")
+      // parent's concurrent op mix — delete residues strictly inside
+      // the BUILT block, so the expected final set is exact regardless
+      // of interleaving with the child's appends
+      val unexpected =
+        new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val threads = Seq(
+        worker("deleteWhere", 21L, iters = 6, pauseMax = 120, unexpected) {
+          i => Ivf.deleteWhere(spark, idx,
+            col("vec_id") < 500 && col("vec_id") % 31 === i)
+        },
+        worker("maintain", 22L, iters = 3, pauseMax = 300, unexpected) { _ =>
+          Ivf.maintain(spark, idx, maxFilesPerShard = 2)
+        })
+      threads.foreach(_.join(240000L))
+      assert(threads.forall(!_.isAlive), "a parent worker hung")
+      assert(unexpected.isEmpty,
+        s"unexpected parent failures: $unexpected\n${childLog()}")
+      assert(await(commDir, "child_stream_done", 300000L).isDefined,
+        s"child stream never finished; ${childLog()}")
+      val result =
+        try new String(Files.readAllBytes(
+          java.nio.file.Paths.get(resultPath)), "UTF-8")
+        catch { case _: Throwable => "<no result file>" }
+      assert(result.startsWith("OK"),
+        s"child stream result: $result\n${childLog()}")
+
+      // exact final set, staleness-tolerant (same poll-to-convergence
+      // protocol as the interleaving gate: the memo can hide the last
+      // foreign-visible state for up to ~30 s; the poll can only mask
+      // staleness, never a lost or duplicated row)
+      val deleted = (0L until 500L).filter(id => (id % 31) < 6).toSet
+      val expected =
+        ((0L until 500L).toSet -- deleted) ++ (1000L until 1200L).toSet
+      val deadline = System.nanoTime() + 45L * 1000 * 1000 * 1000
+      var live = Set.empty[Long]
+      var liveSeq = Seq.empty[Long]
+      var converged = false
+      while (!converged) {
+        liveSeq = Ivf.liveVectors(spark, idx)
+          .select("vec_id").collect().map(_.getLong(0)).toSeq
+        live = liveSeq.toSet
+        converged = live == expected || System.nanoTime() > deadline
+        if (!converged) Thread.sleep(1000)
+      }
+      // exactly-once effect: no duplicate rows even if the stream
+      // restarted and replayed a batch (marker-dir idempotence)
+      assert(liveSeq.length == liveSeq.distinct.length,
+        s"duplicate live rows after streaming ingest " +
+          s"(${liveSeq.length} vs ${liveSeq.distinct.length}); " +
+          s"result=$result\n${childLog()}")
+      assert(live == expected,
+        s"lost=${(expected -- live).take(10)} " +
+          s"resurrected=${(live -- expected).take(10)} result=$result\n" +
+          s"${childLog()}")
+      // self-retrieval of a STREAMED row from the parent JVM
+      val qv = all.where(col("vec_id") === 1050L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val top = Ivf.search(spark, idx, qv, 3, 10000).head()
+      assert(top.getLong(0) == 1050L && top.getDouble(1) == 0.0,
+        "streamed vector not retrievable from the parent JVM")
+      assert(child.waitFor(60L, java.util.concurrent.TimeUnit.SECONDS),
+        s"child JVM did not exit; ${childLog()}")
+    } finally {
+      if (child.isAlive) child.destroyForcibly()
+    }
+  }
+
   test("kill -9 mid-swap (maintain): a maintainer JVM destroyed between " +
       "the two swap renames leaves the data intact at __compact_trash; " +
       "foreign-JVM recovery restores it and a subsequent maintain " +
