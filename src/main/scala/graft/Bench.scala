@@ -213,6 +213,34 @@ object Bench {
         System.err.println(s"[bench] dsir_lm_build FAILED: ${e.getMessage}")
         -1.0
       }
+    // ... and the remaining three first-call memo builds the r17
+    // pass1/pass2 comparison surfaced (p1/p2 ratios 9.3/4.6/3.6): the
+    // hybrid fused artifact (both retrieval arms), the BPE merge
+    // training, and the quality-classifier training. Without their own
+    // entries, pass 1 of hybrid_rrf_top_docs / bpe_merges /
+    // quality_classifier_stats absorbs these one-per-JVM costs and the
+    // bench misattributes them to those queries' plans.
+    val fuseT0 = System.nanoTime()
+    val fuseTime =
+      try { graft.queries.TextQueries.hybridRrfServed(spark, sfDir).count(); (System.nanoTime() - fuseT0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] hybrid_fuse_build FAILED: ${e.getMessage}")
+        -1.0
+      }
+    val bpeT0 = System.nanoTime()
+    val bpeTime =
+      try { graft.queries.TextQueries.bpeModel(spark, sfDir); (System.nanoTime() - bpeT0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] bpe_train FAILED: ${e.getMessage}")
+        -1.0
+      }
+    val clsT0 = System.nanoTime()
+    val clsTime =
+      try { graft.queries.CurationQueries.classifierModel(spark, sfDir); (System.nanoTime() - clsT0) / 1e9 }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] classifier_train FAILED: ${e.getMessage}")
+        -1.0
+      }
     // ONE timing protocol for both passes: each pass rebuilds the query
     // DataFrame (fresh lineage — a second action on the same lineage
     // reuses shuffle files and reads artificially fast), captures
@@ -249,6 +277,9 @@ object Bench {
       "minhash_pairs_build" -> pairsTime,
       "maxsim_pool_build" -> poolTime,
       "bm25_index_build" -> bm25Time,
+      "hybrid_fuse_build" -> fuseTime,
+      "bpe_train" -> bpeTime,
+      "classifier_train" -> clsTime,
       "dsir_lm_build" -> dsirTime) ++ pass1
     // SECOND timed pass over the catalog queries (builds stay cached):
     // a driver-box outlier is decidable from this artifact alone —
