@@ -112,10 +112,7 @@ object Ivf {
     // hash of (shard, salt) into writeParts partitions can collide two
     // salts of one shard into the same task — with 4 the chance a
     // shard still lands as a single file is (1/writeParts)³ ≈ never.
-    val salts =
-      if (shuffleParts > numShards)
-        math.ceil(shuffleParts.toDouble / numShards).toInt
-      else 4
+    val salts = writeSalts(shuffleParts, numShards)
     val writeParts = numShards * salts
     if (shuffleParts <= numShards) {
       val msg = s"writeVectors: spark.sql.shuffle.partitions=" +
@@ -150,6 +147,18 @@ object Ivf {
     */
   private[graft] val CommitterV1Key =
     "mapreduce.fileoutputcommitter.algorithm.version"
+
+  /** Salts per shard for the sharded write (pure — property-gated in
+    * SkewSpec): ⌈shuffleParts / numShards⌉ in the healthy regime, 4 in
+    * the degenerate one (shuffleParts ≤ numShards), so numShards ×
+    * salts ≥ shuffleParts always (write parallelism never below the
+    * session's) and every shard keeps ≥2 expected files for AQE mapper
+    * granularity.
+    */
+  private[graft] def writeSalts(shuffleParts: Int, numShards: Int): Int =
+    if (shuffleParts > numShards)
+      math.ceil(shuffleParts.toDouble / numShards).toInt
+    else 4
 
   /** Routing-table sidecar write (replaces bincode index.bin — S5/S6). */
   private def writeSidecar(spark: SparkSession,

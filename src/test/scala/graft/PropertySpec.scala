@@ -252,6 +252,25 @@ class PropertySpec extends AnyFunSuite {
         s"lost count across merge: ${merged._2} vs ${sequential._2}")
     }
   }
+
+  test("writeSalts: write parallelism never drops below the session's, " +
+      "and every shard keeps >=2 salts in the degenerate regime") {
+    forAll2(Gen.choose(1, 5000), Gen.choose(1, 5000)) { (parts, shards) =>
+      val salts = graft.operators.Ivf.writeSalts(parts, shards)
+      val writeParts = shards * salts
+      assert(salts >= 1 && writeParts >= parts,
+        s"write parallelism degraded: parts=$parts shards=$shards " +
+          s"salts=$salts writeParts=$writeParts")
+      if (parts <= shards)
+        assert(salts >= 2,
+          s"degenerate regime must keep >=2 salts per shard: " +
+            s"parts=$parts shards=$shards salts=$salts")
+      // healthy regime stays exactly the historical layout (no
+      // gratuitous file-count change for existing deployments)
+      if (parts > shards)
+        assert(salts == math.ceil(parts.toDouble / shards).toInt)
+    }
+  }
 }
 
 /** One lazily-created shared session for property tests (matches the
