@@ -463,9 +463,12 @@ class CrossJvmStressSpec extends SparkSpec {
             commDir, "child_maintain_finished")) &&
           System.nanoTime() < deadline)
         Thread.sleep(5)
-      assert(Files.exists(scratch) || !Files.exists(java.nio.file.Paths
-          .get(commDir, "child_maintain_finished")),
-        "rewrite scratch dir never appeared")
+      // the scratch dir MUST have appeared — a deadline expiry or a
+      // too-fast maintain both mean the rewrite window was never
+      // exercised (the maintain-finished case is re-checked after the
+      // kill by the shared gate body, which needs the marker absent)
+      assert(Files.exists(scratch),
+        "rewrite scratch dir never appeared before the kill")
     }
   }
 }
