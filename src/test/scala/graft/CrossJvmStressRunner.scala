@@ -181,7 +181,8 @@ object CrossJvmStressRunner {
     * process boundary.
     */
   private def streamIngestMain(indexDir: String, feedDir: String,
-      commDir: String, resultPath: String): Unit = {
+      commDir: String, resultPath: String,
+      staleTtlMs: Long = graft.operators.FsLease.DefaultStaleTtlMs): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]")
       .appName("graft-xjvm-stream")
@@ -215,7 +216,7 @@ object CrossJvmStressRunner {
               (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
                 graft.streaming.VectorsStreaming.appendVectorBatchMaintained(
                   idx, batch, "vec_id", "embedding", batchId, markerDir,
-                  maxFilesPerShard = 2)
+                  maxFilesPerShard = 2, leaseStaleTtlMs = staleTtlMs)
                 ()
             }
             .option("checkpointLocation", ckpt)
@@ -249,7 +250,9 @@ object CrossJvmStressRunner {
       return
     }
     if (args.headOption.contains("stream-ingest")) {
-      streamIngestMain(args(1), args(2), args(3), args(4))
+      streamIngestMain(args(1), args(2), args(3), args(4),
+        if (args.length > 5) args(5).toLong
+        else graft.operators.FsLease.DefaultStaleTtlMs)
       return
     }
     if (args.headOption.contains("crash-maintain")) {

@@ -429,6 +429,100 @@ class CrossJvmStressSpec extends SparkSpec {
     }
   }
 
+  test("kill -9 mid-stream-ingest: a streaming driver destroyed with an " +
+      "append in flight resumes in a NEW JVM from the same checkpoint; " +
+      "markers + committer purge give the exact set with zero duplicates") {
+    val dir = Files.createTempDirectory("graft_xjvm_skill_idx").toString
+    val feedDir = Files.createTempDirectory("graft_xjvm_skill_feed").toString
+    val commDir = Files.createTempDirectory("graft_xjvm_skill_comm").toString
+    val logPath1 = s"$commDir/skill_child1.log"
+    val logPath2 = s"$commDir/skill_child2.log"
+    val resultPath = s"$commDir/skill_child.result"
+    def childLog(): String =
+      (try new String(Files.readAllBytes(
+        java.nio.file.Paths.get(logPath1)), "UTF-8").takeRight(1500)
+      catch { case _: Throwable => "<no child1 log>" }) + "\n---\n" +
+        (try new String(Files.readAllBytes(
+          java.nio.file.Paths.get(logPath2)), "UTF-8").takeRight(1500)
+        catch { case _: Throwable => "<no child2 log>" })
+    val all = VectorFormats.generate(spark, 1200L, 8, 15L).cache()
+    val idx = Ivf.build(all.where(col("vec_id") < 500),
+      "vec_id", "embedding", dir)
+    // twelve small feed files → twelve micro-batches, so an append is
+    // in flight often enough for the _temporary poll to catch one
+    (0 until 12).foreach { i =>
+      all.where(col("vec_id") >= 1000 + 17 * i &&
+          col("vec_id") < math.min(1200, 1017 + 17 * i))
+        .repartition(1).write.mode("append").parquet(feedDir)
+    }
+    val runnerArgs =
+      Seq("stream-ingest", dir, feedDir, commDir, resultPath, "2000")
+    val child1 = forkRunner(runnerArgs, logPath1)
+    import CrossJvmStress._
+    var child2: Process = null
+    try {
+      assert(await(commDir, "child_streaming", 120000L).isDefined,
+        s"child1 never started streaming; ${childLog()}")
+      // kill in the dangerous window: an append job mid-write (its
+      // committer scratch present under the vectors dir) — guaranteed
+      // BEFORE that batch's commit, so its marker was not written and
+      // the resumed JVM MUST re-run it without duplicating (the
+      // documented commit→marker gap is a different, accepted window;
+      // this kill deterministically avoids it)
+      val tmpDir = java.nio.file.Paths.get(s"$dir/vectors/_temporary")
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (!Files.exists(tmpDir) &&
+          !Files.exists(java.nio.file.Paths.get(
+            commDir, "child_stream_done")) &&
+          System.nanoTime() < deadline)
+        Thread.sleep(2)
+      assert(Files.exists(tmpDir),
+        s"no append was ever in flight (stream finished first?); " +
+          s"${childLog()}")
+      child1.destroyForcibly()
+      assert(child1.waitFor(30L, java.util.concurrent.TimeUnit.SECONDS))
+      assert(!Files.exists(java.nio.file.Paths.get(
+          commDir, "child_stream_done")),
+        "stream completed before the kill — window not exercised")
+
+      // resume in a NEW JVM from the same checkpoint + marker dir; the
+      // dead driver's writer lease breaks after the 2 s TTL and the
+      // committer purge removes its task-committed debris
+      Files.deleteIfExists(java.nio.file.Paths.get(
+        commDir, "child_streaming"))
+      child2 = forkRunner(runnerArgs, logPath2)
+      assert(await(commDir, "child_stream_done", 300000L).isDefined,
+        s"resumed stream never finished; ${childLog()}")
+      val result =
+        try new String(Files.readAllBytes(
+          java.nio.file.Paths.get(resultPath)), "UTF-8")
+        catch { case _: Throwable => "<no result file>" }
+      assert(result.startsWith("OK"),
+        s"resumed stream result: $result\n${childLog()}")
+
+      val expected = (0L until 500L).toSet ++ (1000L until 1200L).toSet
+      val liveSeq = Ivf.liveVectors(spark, idx)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      assert(liveSeq.length == liveSeq.distinct.length,
+        s"kill-resume duplicated rows (${liveSeq.length} vs " +
+          s"${liveSeq.distinct.length}); ${childLog()}")
+      val live = liveSeq.toSet
+      assert(live == expected,
+        s"lost=${(expected -- live).take(10)} " +
+          s"resurrected/dup=${(live -- expected).take(10)}\n${childLog()}")
+      val qv = all.where(col("vec_id") === 1100L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      val top = Ivf.search(spark, idx, qv, 3, 10000).head()
+      assert(top.getLong(0) == 1100L && top.getDouble(1) == 0.0,
+        "streamed vector not retrievable after kill-resume")
+      assert(child2.waitFor(60L, java.util.concurrent.TimeUnit.SECONDS),
+        s"child2 did not exit; ${childLog()}")
+    } finally {
+      if (child1.isAlive) child1.destroyForcibly()
+      if (child2 != null && child2.isAlive) child2.destroyForcibly()
+    }
+  }
+
   test("kill -9 mid-swap (maintain): a maintainer JVM destroyed between " +
       "the two swap renames leaves the data intact at __compact_trash; " +
       "foreign-JVM recovery restores it and a subsequent maintain " +
