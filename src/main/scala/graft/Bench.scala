@@ -9,15 +9,95 @@ object Bench {
     // family. Bench-only: Verify never sets the session conf, so oracle
     // runs are always md5 (Hash60.FamilyConfKey scaladoc).
     val hashFamily = sys.env.getOrElse("SPARK_GRAFT_HASH_FAMILY", "md5")
-    // silence SharedState's session-creation INFO line ("Setting
-    // hive.metastore.warehouse.dir ...") BEFORE the session exists —
-    // setLogLevel(WARN) below runs too late for it, and the stray line
-    // lands in the driver's short output-tail window beside the JSON
-    // payload (VERDICT r16 what's-wrong #3)
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.internal.SharedState",
-      org.apache.logging.log4j.Level.WARN)
-    catch { case _: Throwable => () }
+    // NOTE on logging: the artifact-tail hygiene (no stray INFO lines in
+    // the driver's ~2000-char output window) is owned by the classpath
+    // log4j2.properties in src/main/resources — a programmatic
+    // Configurator call here is discarded when Spark loads its own
+    // log4j2 configuration during SparkContext startup, which is why the
+    // r16 pre-session fix demonstrably did not take (VERDICT r17 #3).
+    // 1-minute load average from /proc/loadavg — sampled at start and
+    // end so the artifact itself records whether the run landed in a
+    // contended window (VERDICT r15 #1: four rounds of contended
+    // driver artifacts needed external adjudication; a reader of this
+    // JSON alone can now see load 14.0 and discount t2 accordingly)
+    def loadAvg(): Double =
+      try java.nio.file.Files.readAllLines(
+        java.nio.file.Paths.get("/proc/loadavg")).get(0)
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    // all-cores calibration spin: fixed integer work on every core,
+    // wall-clock ms to finish. Unlike loadavg (blind to sibling-VM /
+    // hypervisor contention, which is exactly what hit four rounds of
+    // driver artifacts), this measures the machine the bench actually
+    // got: t2 × (calib_floor / calib_ms) normalizes any window's print
+    // to idle terms from the artifact alone. ~0.3 s per sample.
+    def calibMs(): Double = {
+      val nThreads = Runtime.getRuntime.availableProcessors()
+      val sink = new java.util.concurrent.atomic.AtomicLong()
+      val t0 = System.nanoTime()
+      val ts = (0 until nThreads).map { _ =>
+        val t = new Thread(() => {
+          var s = 0L
+          var i = 0L
+          while (i < 100000000L) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            i += 1
+          }
+          sink.addAndGet(s) // defeat dead-code elimination
+        })
+        t.start(); t
+      }
+      ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e6
+    }
+    // WINDOW-QUALIFICATION GATE (VERDICT r17 #1): six consecutive rounds
+    // of official artifacts landed in contended windows, and r17 proved
+    // no per-query statistic survives SUSTAINED capacity loss (t2_min
+    // held 1.12× floor under an 8-core bursty spin but 1.16× under a
+    // 6-core steady spin — the official window was the steady shape).
+    // So qualification moves into the run protocol itself: before any
+    // timed work, sample the all-cores spin until it reads idle
+    // (< 175 ms — the same gate the r17 A/B loop used; idle constant is
+    // ~147 ms on this box) or the wait budget expires. Every sample is
+    // recorded in the artifact (`calib_gate`), so a reader can see
+    // whether the run started qualified or proceeded on timeout.
+    val GateThresholdMs = 175.0
+    val GateWaitBudgetMs = 600000L // 10 min, then proceed regardless
+    calibMs() // discarded: first call pays JIT/OSR warm-up, which would
+              // read as phantom contention in the gate samples
+    val gateSamples = scala.collection.mutable.ArrayBuffer[Double]()
+    val gateT0 = System.nanoTime()
+    // TWO consecutive idle samples required: the very first gated
+    // attempt passed on a single 151 ms sample and then read 209/185 ms
+    // at the next two boundaries — one sample is too noisy against this
+    // box's fast-flapping contention to certify a window
+    var consecutiveIdle = 0
+    while (consecutiveIdle < 2 &&
+        (System.nanoTime() - gateT0) / 1e6 < GateWaitBudgetMs) {
+      val s = calibMs()
+      gateSamples += s
+      if (s < GateThresholdMs) consecutiveIdle += 1
+      else { consecutiveIdle = 0; Thread.sleep(30000L) }
+    }
+    val gateWaitS = (System.nanoTime() - gateT0) / 1e9
+    // boundary re-qualification (used right before each timed pass): a
+    // window that qualified at JVM start can be gone by the time the
+    // ~2-min build phase ends. Waiting at a pass boundary costs nothing
+    // in measurement validity — every query is timed independently and
+    // the builds' memo caches don't decay — and it is the only way the
+    // official artifact can satisfy "all calib fields < 175 ms" rather
+    // than merely "started idle". Bounded: 2 min per boundary, then
+    // proceed with the contaminated sample recorded (t2_min and
+    // t2_min_calib_norm still decode the residue).
+    def qualifyBoundary(): Double = {
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      var s = calibMs()
+      while (s >= GateThresholdMs && System.nanoTime() < deadline) {
+        Thread.sleep(15000L)
+        s = calibMs()
+      }
+      s
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,12 +107,36 @@ object Bench {
       .config("spark.sql.parquet.pushdown.inFilterThreshold", "10000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // root WARN as early as user code can set it — belt to the
+    // log4j2.properties braces (covers a run whose classpath resolution
+    // somehow prefers Spark's bundled defaults)
+    spark.sparkContext.setLogLevel("WARN")
     spark.conf.set(graft.functions.Hash60.FamilyConfKey, hashFamily)
+    // SPARK_GRAFT_SPILL_LOG=1: per-query spill attribution for the
+    // memory-pressure scale cell (VERDICT r17 #4) — a task-end listener
+    // accumulates memory+disk spill bytes, and each timed query snapshots
+    // the counter around its action. Off by default: the official
+    // protocol is unchanged. Attribution is approximate at the tail (the
+    // listener bus is async, so a straggler task's spill can land on the
+    // next query) — fine for "which queries spilled", not for accounting.
+    val spillLog = sys.env.get("SPARK_GRAFT_SPILL_LOG").contains("1")
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong()
+    val spillByQuery = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    if (spillLog)
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null)
+              spillBytes.addAndGet(m.diskBytesSpilled + m.memoryBytesSpilled)
+          }
+        })
     // fail fast on a typo'd family — otherwise every sketch query would
     // quietly record -1 via timedPass's catch and the multi-minute run
     // would produce a corrupt artifact
     graft.functions.Hash60.catalog(spark)
-    spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen/committer warm-up BEFORE any timed entry: ivf_build
     // runs first and would otherwise absorb ~5 s of one-time costs that
     // no other (warm-JVM) entry pays
@@ -71,45 +175,10 @@ object Bench {
             t => graft.queries.DedupQueries.md5Long(t)),
           lit(0.0), (a, x) => a + x.cast("double"))).count()
     } catch { case _: Throwable => () }
-    // 1-minute load average from /proc/loadavg — sampled at start and
-    // end so the artifact itself records whether the run landed in a
-    // contended window (VERDICT r15 #1: four rounds of contended
-    // driver artifacts needed external adjudication; a reader of this
-    // JSON alone can now see load 14.0 and discount t2 accordingly)
-    def loadAvg(): Double =
-      try java.nio.file.Files.readAllLines(
-        java.nio.file.Paths.get("/proc/loadavg")).get(0)
-        .split(" ")(0).toDouble
-      catch { case _: Throwable => -1.0 }
-    // all-cores calibration spin: fixed integer work on every core,
-    // wall-clock ms to finish. Unlike loadavg (blind to sibling-VM /
-    // hypervisor contention, which is exactly what hit four rounds of
-    // driver artifacts), this measures the machine the bench actually
-    // got: t2 × (calib_floor / calib_ms) normalizes any window's print
-    // to idle terms from the artifact alone. ~0.3 s per sample.
-    def calibMs(): Double = {
-      val nThreads = Runtime.getRuntime.availableProcessors()
-      val sink = new java.util.concurrent.atomic.AtomicLong()
-      val t0 = System.nanoTime()
-      val ts = (0 until nThreads).map { _ =>
-        val t = new Thread(() => {
-          var s = 0L
-          var i = 0L
-          while (i < 100000000L) {
-            s = s * 6364136223846793005L + 1442695040888963407L
-            i += 1
-          }
-          sink.addAndGet(s) // defeat dead-code elimination
-        })
-        t.start(); t
-      }
-      ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e6
-    }
     val loadStart = loadAvg()
-    calibMs() // discarded: the first call pays JIT/OSR warm-up, which
-              // would read as phantom contention in the start sample
-    val calibStart = calibMs()
+    // the ~30 s of session + warm-up work separates the gate from the
+    // timed build phase — re-qualify so the builds also start idle
+    val calibStart = qualifyBoundary()
     // ONE cached corpus scan shared by the ten build stages (VERDICT
     // r15 #1b): each build re-reads documents/embeddings from parquet;
     // persisting both turns ~10 corpus scans into 1, shrinking the
@@ -120,6 +189,7 @@ object Bench {
     // (corpus_cache) so `value` stays an honest end-to-end total, and
     // both tables are unpersisted before pass 1 so the timed catalog
     // passes measure the real uncached plans.
+    val spillBuilds0 = spillBytes.get()
     val cacheT0 = System.nanoTime()
     val docsCached = graft.Tables.documents(spark, sfDir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -251,6 +321,7 @@ object Bench {
       graft.queries.Catalog.all
         .filter { case (_, d) => d.bench }
         .map { case (name, d) =>
+          val s0 = spillBytes.get()
           val t0 = System.nanoTime()
           val ok =
             try { d.build(spark, sfDir).count(); true }
@@ -260,15 +331,26 @@ object Bench {
             }
           val elapsed = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache() // builders' persist()s don't accumulate
+          if (spillLog) spillByQuery(name) += spillBytes.get() - s0
           name -> (if (ok) elapsed else -1.0)
         }
+    if (spillLog)
+      spillByQuery("builds_phase") = spillBytes.get() - spillBuilds0
     // drop the shared corpus cache BEFORE the timed catalog passes —
     // pass 1 must measure the uncached plans (blocking so the freed
     // memory is really back before timing starts)
     docsCached.unpersist(blocking = true)
     embsCached.unpersist(blocking = true)
+    // per-pass boundary calibration (VERDICT r17 #7): a qualified-start
+    // window can degrade mid-run (r17 attempt13's end sample read 393 ms
+    // after an idle start), so each timed pass is bracketed by its own
+    // spin samples — pass1 by (p1, mid), pass2 by (mid, p23), pass3 by
+    // (p23, end) — and the artifact derives t2_min_calib_norm below so a
+    // contaminated print self-reports its idle-terms correction instead
+    // of needing bench-series archaeology.
+    val calibP1 = qualifyBoundary()
     val pass1 = timedPass("pass1")
-    val results = Map("ivf_build" -> buildTime, "pq_train" -> pqTrainTime,
+    val builds = Map("ivf_build" -> buildTime, "pq_train" -> pqTrainTime,
       "corpus_cache" -> corpusCacheTime,
       "opq_train" -> opqTrainTime,
       "ivfpq_encode" -> pqEncodeTime,
@@ -280,18 +362,26 @@ object Bench {
       "hybrid_fuse_build" -> fuseTime,
       "bpe_train" -> bpeTime,
       "classifier_train" -> clsTime,
-      "dsir_lm_build" -> dsirTime) ++ pass1
+      "dsir_lm_build" -> dsirTime)
+    val results = builds ++ pass1
+    // build-phase subtotal, emitted separately (ADVICE r17: r17 moved
+    // three first-call builds out of pass-1 query timings into their own
+    // entries, so the top-level `value` series broke at r17 — a reader
+    // comparing `value` across rounds needs value_builds to reconcile)
+    val valueBuilds = builds.values.filter(_ >= 0).sum
     // SECOND timed pass over the catalog queries (builds stay cached):
     // a driver-box outlier is decidable from this artifact alone —
     // pass2 ≈ pass1 means the cost is the plan; pass2 ≪ pass1 means
     // pass1 absorbed one-time/contended cost (SCALE.md box-variance
     // rule, VERDICT r5 next-round #4).
-    // mid-run calibration sample: a contention burst strictly inside a
-    // pass evades the start/end point samples (observed live — both
-    // endpoints idle at 149/158 ms around a t2 of 78.6 s), so bracket
-    // t2 with its own leading sample
-    val calibMid = calibMs()
+    // each pass is bracketed by its own (open, close) samples: the close
+    // is taken IMMEDIATELY after the pass (before any boundary wait) so
+    // a pass that ran contended is decoded by its own bracket even when
+    // the next pass re-qualifies to an idle window
+    val calibP1End = calibMs()
+    val calibMid = qualifyBoundary()
     val secondPass = timedPass("pass2")
+    val calibP2End = calibMs()
     // THIRD catalog pass + per-query min across all three (VERDICT r16
     // #1): five rounds of driver benches landed in contended windows,
     // and post-hoc calibration provably cannot decode scheduler-shaped
@@ -302,12 +392,33 @@ object Bench {
     // only over-reads if bursts hit the same query in all three passes.
     // t2_min = Σ_q min(p1,p2,p3) is the contention-robust headline;
     // t2 stays beside it for series continuity.
+    val calibP23 = qualifyBoundary()
     val thirdPass = timedPass("pass3")
+    val calibEnd = calibMs()
     val minPass: Map[String, Double] = pass1.map { case (k, v1) =>
       val samples = Seq(v1, secondPass.getOrElse(k, -1.0),
         thirdPass.getOrElse(k, -1.0)).filter(_ >= 0)
       k -> (if (samples.isEmpty) -1.0 else samples.min)
     }
+    // t2_min_calib_norm: per-query min over the three passes AFTER
+    // scaling each pass's timing to idle terms by its bracketing spin
+    // samples. factor_p = min(1, IDLE / mean(bracket)) — clamped at 1 so
+    // the statistic only ever corrects a contaminated print DOWNWARD
+    // toward the idle constant (~147 ms on this box), never flatters an
+    // idle one. This is the decode rule SCALE.md applied by hand to the
+    // r17 loaded runs, moved into the artifact itself (VERDICT r17 #7).
+    val CalibIdleMs = 147.0
+    def passFactor(a: Double, b: Double): Double =
+      math.min(1.0, CalibIdleMs / ((a + b) / 2.0))
+    val f1 = passFactor(calibP1, calibP1End)
+    val f2 = passFactor(calibMid, calibP2End)
+    val f3 = passFactor(calibP23, calibEnd)
+    val normMinTotal = pass1.map { case (k, v1) =>
+      val samples = Seq(v1 * f1,
+        secondPass.getOrElse(k, -1.0) * f2,
+        thirdPass.getOrElse(k, -1.0) * f3).filter(_ >= 0)
+      if (samples.isEmpty) 0.0 else samples.min
+    }.sum
     val total = results.values.filter(_ >= 0).sum
     // t1 = catalog-only pass-1 total (same query set as t2, so the two
     // passes compare like-for-like; `value` keeps builds+pass1 for
@@ -319,11 +430,18 @@ object Bench {
     val totalMin = minPass.values.filter(_ >= 0).sum
     def ms(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    // end-of-run calibration sample BEFORE any artifact writes, so the
-    // two samples bracket the timed work
-    val calibStartStr = f"$calibStart%.1f"
-    val calibMidStr = f"$calibMid%.1f"
-    val calibEndStr = f"${calibMs()}%.1f"
+    val gateJson = gateSamples.map(s => f"$s%.1f").mkString("[", ",", "]")
+    val passesJson = Seq((calibP1, calibP1End), (calibMid, calibP2End),
+      (calibP23, calibEnd))
+      .map { case (o, c) => f"[$o%.1f,$c%.1f]" }.mkString("[", ",", "]")
+    // every calib/gate/norm field appears in BOTH artifacts so the
+    // stdout line alone qualifies the run: calib_gate are the
+    // pre-session qualification samples (two consecutive < 175 means
+    // the run started qualified), calib_passes are the [open, close]
+    // brackets of the three timed passes, t2_min_calib_norm is the
+    // idle-terms correction derived from them.
+    val calibFields =
+      s""""calib_gate":$gateJson,"calib_gate_wait_s":${f"$gateWaitS%.1f"},"calib_start_ms":${f"$calibStart%.1f"},"calib_passes":$passesJson,"calib_end_ms":${f"$calibEnd%.1f"},"calib_idle_ms":$CalibIdleMs,"t2_min_calib_norm":${ms(normMinTotal)},"value_builds":${ms(valueBuilds)}"""
     // full per-query detail goes to a file (best-effort — bench may run
     // with a read-only cwd); the stdout line must stay SHORT: the driver
     // keeps only the last ~2000 chars of output, and an 80-query map at
@@ -341,11 +459,19 @@ object Bench {
     val minJson = minPass.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
+    // per-query spill map goes to the DETAIL artifact only (the stdout
+    // line has a hard length budget); zero-spill queries are omitted
+    val spillJson =
+      if (!spillLog) ""
+      else s""","spill_mb":${
+        spillByQuery.toSeq.filter(_._2 > 0).sortBy(-_._2)
+          .map { case (k, v) => "\"" + k + "\":" + f"${v / 1e6}%.1f" }
+          .mkString("{", ",", "}")}"""
     try java.nio.file.Files.write(
       { val d = java.nio.file.Paths.get("bench-series")
         java.nio.file.Files.createDirectories(d)
         d.resolve("bench_detail.json") },
-      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"queries3":$pass3Json,"queries_min":$minJson,"value1":${ms(total1)},"value2":${ms(total2)},"value3":${ms(total3)},"t2_min":${ms(totalMin)},"load_start":$loadStart,"load_end":${loadAvg()},"calib_start_ms":$calibStartStr,"calib_mid_ms":$calibMidStr,"calib_end_ms":$calibEndStr,"hash_family":"$hashFamily","sf":"$sfDir"}""" + "\n")
+      (s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$fullJson,"queries2":$pass2Json,"queries3":$pass3Json,"queries_min":$minJson,"value1":${ms(total1)},"value2":${ms(total2)},"value3":${ms(total3)},"t2_min":${ms(totalMin)},"load_start":$loadStart,"load_end":${loadAvg()},$calibFields$spillJson,"hash_family":"$hashFamily","sf":"$sfDir"}""" + "\n")
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
     // compact line: failed queries always included, then most-expensive
@@ -364,7 +490,10 @@ object Bench {
       (!failed, -Seq(v, secondPass.getOrElse(k, -1.0),
         thirdPass.getOrElse(k, -1.0)).max)
     }
-    val budget = 1500
+    // budget shrunk 1500 → 1150 at r18: the gate/per-pass calib fields
+    // added ~350 chars of fixed payload, and the whole line must stay
+    // inside the driver's ~2000-char tail window
+    val budget = 1150
     val kept = new scala.collection.mutable.ArrayBuffer[String]()
     val kept2 = new scala.collection.mutable.ArrayBuffer[String]()
     var used = 0
@@ -379,6 +508,6 @@ object Bench {
     }
     val nFail = results.values.count(_ < 0)
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries2":${kept2.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t1":${ms(total1)},"t2":${ms(total2)},"t3":${ms(total3)},"t2_min":${ms(totalMin)},"load_start":$loadStart,"load_end":${loadAvg()},"calib_start_ms":$calibStartStr,"calib_mid_ms":$calibMidStr,"calib_end_ms":$calibEndStr,"hash_family":"$hashFamily","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":${kept.mkString("{", ",", "}")},"queries2":${kept2.mkString("{", ",", "}")},"nq":${results.size},"nfail":$nFail,"t1":${ms(total1)},"t2":${ms(total2)},"t3":${ms(total3)},"t2_min":${ms(totalMin)},"load_start":$loadStart,"load_end":${loadAvg()},$calibFields,"hash_family":"$hashFamily","sf":"$sfDir"}""")
   }
 }
