@@ -113,7 +113,7 @@ object Ivf {
     // salts of one shard into the same task — with 4 the chance a
     // shard still lands as a single file is (1/writeParts)³ ≈ never.
     val salts = writeSalts(shuffleParts, numShards)
-    val writeParts = numShards * salts
+    val writeParts = writePartitions(shuffleParts, numShards)
     if (shuffleParts <= numShards) {
       val msg = s"writeVectors: spark.sql.shuffle.partitions=" +
         s"$shuffleParts <= numShards=$numShards — auto-raised the " +
@@ -121,7 +121,12 @@ object Ivf {
         "so hot centroid cells keep mapper granularity for AQE skew " +
         "splitting (SCALE.md §r11-skew)"
       lastWriteParallelismWarning = Some(msg)
-      log.info(msg)
+      // WARN, not INFO (ADVICE r17): the session is still misconfigured
+      // even though the write now self-heals, and operators running at
+      // WARN (including this repo's own harnesses via setLogLevel(WARN))
+      // must see both the misconfiguration and its numShards×4 partition
+      // cost.
+      log.warn(msg)
     }
     df.repartition(writeParts, col("shard_id"),
         pmod(xxhash64(col(idCol)), lit(salts)))
@@ -159,6 +164,19 @@ object Ivf {
     if (shuffleParts > numShards)
       math.ceil(shuffleParts.toDouble / numShards).toInt
     else 4
+
+  /** Partition count for the sharded write (pure — property-gated in
+    * SkewSpec/PropertySpec beside [[writeSalts]]). Healthy regime
+    * (shuffleParts > numShards): exactly the session's shuffleParts —
+    * the historical layout, bit-identical file counts for existing
+    * deployments even when shuffleParts is not a multiple of numShards
+    * (ADVICE r17: the r17 auto-raise had silently changed 33 parts /
+    * 8 shards from 33 to 40 write partitions). Degenerate regime: the
+    * auto-raise, numShards × salts.
+    */
+  private[graft] def writePartitions(shuffleParts: Int, numShards: Int): Int =
+    if (shuffleParts > numShards) shuffleParts
+    else numShards * writeSalts(shuffleParts, numShards)
 
   /** Routing-table sidecar write (replaces bincode index.bin — S5/S6). */
   private def writeSidecar(spark: SparkSession,

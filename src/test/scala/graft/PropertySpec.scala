@@ -257,7 +257,11 @@ class PropertySpec extends AnyFunSuite {
       "and every shard keeps >=2 salts in the degenerate regime") {
     forAll2(Gen.choose(1, 5000), Gen.choose(1, 5000)) { (parts, shards) =>
       val salts = graft.operators.Ivf.writeSalts(parts, shards)
-      val writeParts = shards * salts
+      // gate the ACTUAL count writeVectors repartitions to, not a local
+      // reconstruction of it (ADVICE r17: the r17 auto-raise silently
+      // changed the healthy-regime count to shards×⌈parts/shards⌉ while
+      // this property only asserted the salt formula)
+      val writeParts = graft.operators.Ivf.writePartitions(parts, shards)
       assert(salts >= 1 && writeParts >= parts,
         s"write parallelism degraded: parts=$parts shards=$shards " +
           s"salts=$salts writeParts=$writeParts")
@@ -265,10 +269,15 @@ class PropertySpec extends AnyFunSuite {
         assert(salts >= 2,
           s"degenerate regime must keep >=2 salts per shard: " +
             s"parts=$parts shards=$shards salts=$salts")
-      // healthy regime stays exactly the historical layout (no
-      // gratuitous file-count change for existing deployments)
-      if (parts > shards)
+      // healthy regime stays exactly the historical layout — partition
+      // count AND salt formula — so existing deployments see zero
+      // file-count change even when parts is not a multiple of shards
+      if (parts > shards) {
+        assert(writeParts == parts,
+          s"healthy regime changed partition count: parts=$parts " +
+            s"shards=$shards writeParts=$writeParts")
         assert(salts == math.ceil(parts.toDouble / shards).toInt)
+      }
     }
   }
 }
