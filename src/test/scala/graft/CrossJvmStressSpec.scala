@@ -289,6 +289,22 @@ class CrossJvmStressSpec extends SparkSpec {
           commDir, "child_maintain_finished")),
         s"maintain completed before the kill — the $phase window was " +
           s"never exercised; ${childLog()}")
+      // ADVICE r17: the marker above is written only AFTER maintain
+      // returns, so a kill landing in the gap (maintain done, signal
+      // line not yet run) would pass the absence check while the gate
+      // then asserts against a fully completed maintain — false
+      // coverage. The filesystem is race-free evidence: an incomplete
+      // maintain always leaves __compact_scratch or __compact_trash
+      // behind (or the live dir renamed away); completion deletes both
+      // and restores vectors/. Checked after child death, so nothing
+      // can clean up underneath the assertion.
+      assert(Files.exists(java.nio.file.Paths.get(
+          s"$dir/__compact_scratch")) ||
+          Files.exists(java.nio.file.Paths.get(s"$dir/__compact_trash")) ||
+          !Files.exists(java.nio.file.Paths.get(s"$dir/vectors")),
+        s"maintain had already completed at kill time (scratch and " +
+          s"trash gone, vectors present) — the $phase window was never " +
+          s"exercised; ${childLog()}")
       // recovery invariant: after (foreign) crash recovery the index is
       // either fully old or fully new — NEVER absent. The dead child's
       // maintainer lease is heartbeat-less; the 2 s stale TTL is the
@@ -438,13 +454,22 @@ class CrossJvmStressSpec extends SparkSpec {
     val logPath1 = s"$commDir/skill_child1.log"
     val logPath2 = s"$commDir/skill_child2.log"
     val resultPath = s"$commDir/skill_child.result"
-    def childLog(): String =
-      (try new String(Files.readAllBytes(
-        java.nio.file.Paths.get(logPath1)), "UTF-8").takeRight(1500)
-      catch { case _: Throwable => "<no child1 log>" }) + "\n---\n" +
-        (try new String(Files.readAllBytes(
+    // NOTE: deliberately assigned to locals before concatenation — a
+    // try-expression used directly as a string-concat operand makes
+    // scalac 2.13.17 emit a classfile with inconsistent stackmap frames
+    // here (VerifyError at class load, observed r18: the whole suite
+    // failed before running a single test)
+    def childLog(): String = {
+      val a =
+        try new String(Files.readAllBytes(
+          java.nio.file.Paths.get(logPath1)), "UTF-8").takeRight(1500)
+        catch { case _: Throwable => "<no child1 log>" }
+      val b =
+        try new String(Files.readAllBytes(
           java.nio.file.Paths.get(logPath2)), "UTF-8").takeRight(1500)
-        catch { case _: Throwable => "<no child2 log>" })
+        catch { case _: Throwable => "<no child2 log>" }
+      a + "\n---\n" + b
+    }
     val all = VectorFormats.generate(spark, 1200L, 8, 15L).cache()
     val idx = Ivf.build(all.where(col("vec_id") < 500),
       "vec_id", "embedding", dir)
