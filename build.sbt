@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // scale-cell escape hatch: extra forked-JVM flags (e.g. the D=768
+  // cell needs -Dspark.driver.maxResultSize=8g for its wider training
+  // pool) without touching the official bench protocol — unset in
+  // normal runs, so driver-side invocations are unaffected
+  sys.env.get("SPARK_GRAFT_JAVA_OPTS").toSeq.flatMap(_.split("\\s+"))
