@@ -26,17 +26,25 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     // all-cores calibration spin: fixed integer work on every core,
-    // wall-clock ms to finish. Unlike loadavg (blind to sibling-VM /
-    // hypervisor contention, which is exactly what hit four rounds of
-    // driver artifacts), this measures the machine the bench actually
-    // got: t2 × (calib_floor / calib_ms) normalizes any window's print
-    // to idle terms from the artifact alone. ~0.3 s per sample.
+    // PER-THREAD MEDIAN of the per-core wall times. Unlike loadavg
+    // (blind to sibling-VM / hypervisor contention, which is exactly
+    // what hit four rounds of driver artifacts), this measures the
+    // machine the bench actually got. Median, not join-on-all wall
+    // clock (changed r18): the max statistic reads WORST-core latency,
+    // so a single displaced thread doubles the print — r18 attempt 3
+    // recorded boundary samples of 487/502 ms while loadavg sat at ~1
+    // and the passes themselves ran near-floor, and the derived norm
+    // then over-corrected t2_min to a nonsense 32 s. The median is flat
+    // against 1–3 stolen cores (k external busy cores ≈ 147·(1+k/32))
+    // while still reading the sustained 6-core shape at ~175 ms.
+    // ~0.3 s per sample.
     def calibMs(): Double = {
       val nThreads = Runtime.getRuntime.availableProcessors()
       val sink = new java.util.concurrent.atomic.AtomicLong()
-      val t0 = System.nanoTime()
-      val ts = (0 until nThreads).map { _ =>
+      val perThread = new java.util.concurrent.atomic.AtomicLongArray(nThreads)
+      val ts = (0 until nThreads).map { ti =>
         val t = new Thread(() => {
+          val t0 = System.nanoTime()
           var s = 0L
           var i = 0L
           while (i < 100000000L) {
@@ -44,11 +52,13 @@ object Bench {
             i += 1
           }
           sink.addAndGet(s) // defeat dead-code elimination
+          perThread.set(ti, System.nanoTime() - t0)
         })
         t.start(); t
       }
       ts.foreach(_.join())
-      (System.nanoTime() - t0) / 1e6
+      val sorted = (0 until nThreads).map(perThread.get).sorted
+      sorted(nThreads / 2) / 1e6
     }
     // WINDOW-QUALIFICATION GATE (VERDICT r17 #1): six consecutive rounds
     // of official artifacts landed in contended windows, and r17 proved
@@ -56,12 +66,16 @@ object Bench {
     // held 1.12× floor under an 8-core bursty spin but 1.16× under a
     // 6-core steady spin — the official window was the steady shape).
     // So qualification moves into the run protocol itself: before any
-    // timed work, sample the all-cores spin until it reads idle
-    // (< 175 ms — the same gate the r17 A/B loop used; idle constant is
-    // ~147 ms on this box) or the wait budget expires. Every sample is
-    // recorded in the artifact (`calib_gate`), so a reader can see
-    // whether the run started qualified or proceeded on timeout.
-    val GateThresholdMs = 175.0
+    // timed work, sample the all-cores spin until it reads idle or the
+    // wait budget expires. Every sample is recorded in the artifact
+    // (`calib_gate`), so a reader can see whether the run started
+    // qualified or proceeded on timeout. Threshold 165 ms on the MEDIAN
+    // statistic (idle constant ~147 ms): k stolen cores read
+    // ≈ 147·(1+k/32), so 165 tolerates ≤3 (≤1.1× on t2, inside the
+    // 65-vs-55.3 acceptance headroom) and blocks ≥4 — the r17 A/B
+    // loop's 175 gate was calibrated to the old worst-core statistic,
+    // on which the sustained 6-core shape read 211+.
+    val GateThresholdMs = 165.0
     val GateWaitBudgetMs = 600000L // 10 min, then proceed regardless
     calibMs() // discarded: first call pays JIT/OSR warm-up, which would
               // read as phantom contention in the gate samples
@@ -85,8 +99,8 @@ object Bench {
     // ~2-min build phase ends. Waiting at a pass boundary costs nothing
     // in measurement validity — every query is timed independently and
     // the builds' memo caches don't decay — and it is the only way the
-    // official artifact can satisfy "all calib fields < 175 ms" rather
-    // than merely "started idle". Bounded: 2 min per boundary, then
+    // official artifact can satisfy "all calib fields under the gate"
+    // rather than merely "started idle". Bounded: 2 min per boundary, then
     // proceed with the contaminated sample recorded (t2_min and
     // t2_min_calib_norm still decode the residue).
     def qualifyBoundary(): Double = {
