@@ -128,22 +128,23 @@ object Ivf {
       // cost.
       log.warn(msg)
     }
-    df.repartition(writeParts, col("shard_id"),
+    val prepared = df.repartition(writeParts, col("shard_id"),
         pmod(xxhash64(col(idCol)), lit(salts)))
       .sortWithinPartitions(col("centroid_id"), col(idCol))
-      .write.mode(mode)
-      // pin FileOutputCommitter v1 for THIS write (ADVICE r16 medium):
-      // purgeCommitterDebris's crash-recovery contract assumes a killed
-      // writer's task commits stay quarantined under `_temporary` until
-      // job commit. Under algorithm.version=2 (a common perf config on
-      // the caller's session) task commits land directly in the output
-      // dir and are immediately visible — the exact silent-partial-batch
-      // class the purge closes. DataFrameWriter options are merged into
-      // the job's hadoop conf (newHadoopConfWithOptions), so the pin is
-      // per-write and cannot leak into the caller's other writes.
-      .option(CommitterV1Key, "1")
-      .partitionBy("shard_id")
-      .parquet(path)
+    if (mode == "append")
+      // the crash-guarded commit path: purge + v1 pin in one body, so
+      // an append-mode clustered write can never take one half of the
+      // contract without the other (VERDICT r17 #8)
+      appendWithCrashGuard(prepared, path)(_.partitionBy("shard_id"))
+    else
+      prepared.write.mode(mode)
+        // v1 pinned on overwrite too: not for crash recovery (overwrite
+        // replaces the dir wholesale) but so build/compact and append
+        // produce files under one committer algorithm — mixed-algorithm
+        // dirs complicate any future debris forensics for zero benefit
+        .option(CommitterV1Key, "1")
+        .partitionBy("shard_id")
+        .parquet(path)
   }
 
   /** Hadoop conf key pinned to v1 on every lease-protected append-mode
@@ -345,7 +346,9 @@ object Ivf {
     val fs = leasePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     FsLease.withLease(fs, leasePath, s"append@${java.util.UUID.randomUUID()}",
       leaseStaleTtlMs, leaseTimeoutMs) {
-      purgeCommitterDebris(fs, index.vectorsPath)
+      // debris purge + committer pin live inside writeVectors'
+      // append-mode branch (appendWithCrashGuard) — this body only
+      // holds the lease and shapes the batch
       writeVectors(
         KMeans.withAssignment(checked, embCol, model, index.seed, "centroid_id")
           .withColumn("shard_id",
@@ -377,8 +380,9 @@ object Ivf {
     * accepts); the zombie's caller retries against the new state.
     *
     * ASSUMES committer algorithm v1 (task commits quarantined under
-    * `_temporary` until job commit). Both callers pin it per-write via
-    * [[CommitterV1Key]] — under v2 a killed writer's task commits land
+    * `_temporary` until job commit). [[appendWithCrashGuard]] — the one
+    * caller — pins it per-write via [[CommitterV1Key]] in the same body
+    * as this purge — under v2 a killed writer's task commits land
     * directly in the output dir and there is nothing here to purge.
     *
     * fs.exists returns false for a missing parent dir without throwing;
@@ -395,6 +399,39 @@ object Ivf {
         s"cannot purge crashed-writer debris at $tmp — appending over " +
           "it would let the committer resurrect the dead job's partial " +
           "batch; remove it and retry")
+  }
+
+  /** The ONE append-mode parquet commit path (VERDICT r17 #8): every
+    * append into a live dataset dir MUST (a) purge a dead writer's
+    * committer debris first and (b) pin FileOutputCommitter v1 for the
+    * write — taking either half without the other reopens the kill -9
+    * partial-batch window ([[purgeCommitterDebris]] for (a); for (b),
+    * under algorithm.version=2 — a common perf config on the caller's
+    * session — task commits land directly in the output dir and are
+    * immediately visible, the exact silent-partial-batch class the
+    * purge closes; the v2-configured-child kill gate in
+    * CrossJvmStressSpec proves the per-write pin wins). The
+    * DataFrameWriter option is merged into the job's hadoop conf
+    * (newHadoopConfWithOptions), so the pin cannot leak into the
+    * caller's other writes.
+    *
+    * MUST be called while HOLDING the target dir's writer lease (same
+    * precondition as the purge: only a dead JVM's `_temporary` may
+    * exist under the lease). `configure` customizes the writer
+    * (e.g. partitionBy) without being able to unset mode or the pin —
+    * options set after it would merge, and mode("append") re-asserted
+    * here is the final word only because configure runs FIRST.
+    */
+  private def appendWithCrashGuard(df: DataFrame, path: String)(
+      configure: org.apache.spark.sql.DataFrameWriter[
+        org.apache.spark.sql.Row] => org.apache.spark.sql.DataFrameWriter[
+        org.apache.spark.sql.Row]): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    purgeCommitterDebris(fs, path)
+    configure(df.write)
+      .mode("append").option(CommitterV1Key, "1")
+      .parquet(path)
   }
 
   /** Lease fencing appends against [[maintain]]'s swap (sibling of the
@@ -480,12 +517,9 @@ object Ivf {
       leaseTimeoutMs) {
       // same resurrection hazard as append: a killed delete's
       // task-committed tombstone files must not be promoted by the
-      // next delete batch's job commit
-      purgeCommitterDebris(fs, tombstonesPath(index))
-      // same committer-v1 pin as writeVectors: the purge's quarantine
-      // assumption must hold for the tombstone sidecar too
-      out.write.mode("append").option(CommitterV1Key, "1")
-        .parquet(tombstonesPath(index))
+      // next delete batch's job commit — purge + v1 pin via the one
+      // guarded commit path
+      appendWithCrashGuard(out, tombstonesPath(index))(identity)
     }
     // memo update OUTSIDE the lease is deliberate (VERDICT r14 #3): the
     // memo is a presence-only, TTL-bounded, same-JVM hint — a reader
