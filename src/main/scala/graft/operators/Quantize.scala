@@ -10,9 +10,13 @@ import org.apache.spark.sql.functions._
   *
   * Symmetric per-vector scheme (the common faiss/GGML-style SQ8 shape):
   * scale = max|x| / 127, q_i = round(x_i / scale) ∈ [-127, 127],
-  * dequantized x̂_i = q_i · scale. All map-side column expressions inside
-  * whole-stage codegen — no UDF, no shuffle; quantized vectors feed the
-  * same distance/top-k operators after `dequantize`.
+  * dequantized x̂_i = q_i · scale. All map-side column expressions — no
+  * UDF, no shuffle; quantized vectors feed the same distance/top-k
+  * operators after `dequantize`. NOTE: the higher-order-function forms
+  * here are CodegenFallback (Spark interprets the per-element lambda),
+  * which is invisible on pruned candidate sets but dominates full
+  * scans at wide dims — full-scan hot paths should use the fused
+  * [[roundTripL2]] (codegen, bitwise-identical).
   */
 object Quantize {
 
@@ -40,4 +44,16 @@ object Quantize {
       scaleCol: String = "q_scale", qCol: String = "q_emb"): DataFrame =
     df.withColumn(scaleCol, int8Scale(col(embCol)))
       .withColumn(qCol, int8(col(embCol), col(scaleCol)))
+
+  /** Fused quantize→dequantize→squared-L2: bitwise equal to
+    * `Vec.squaredL2(dequantize(int8(emb, int8Scale(emb)), int8Scale(
+    * emb)), ref)` but one compiled pass instead of three interpreted
+    * HOF passes — see [[graft.functions.SqRoundTripL2]] for why the
+    * HOF chain became the top catalog entry at the D=768 cell.
+    */
+  def roundTripL2(emb: Column, ref: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SqRoundTripL2(
+        org.apache.spark.sql.GraftSqlBridge.expression(emb),
+        org.apache.spark.sql.GraftSqlBridge.expression(ref)))
 }

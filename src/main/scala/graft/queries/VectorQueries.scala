@@ -202,11 +202,18 @@ object VectorQueries {
     */
   def quantizedTopK(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Quantize
-    val emb = Quantize.withInt8(Tables.embeddings(spark, dir), "embedding")
+    val emb = Tables.embeddings(spark, dir)
+    // query side: the one-row HOF chain (it defines the semantics the
+    // fused expression must match, and one row costs nothing)
+    val q = Quantize.withInt8(emb.where(col("vec_id") === 0L), "embedding")
       .withColumn("deq", Quantize.dequantize(col("q_emb"), col("q_scale")))
-    val q = emb.where(col("vec_id") === 0L).select(col("deq").as("qe"))
+      .select(col("deq").as("qe"))
+    // corpus side: fused roundTripL2 — one compiled pass per row
+    // instead of three interpreted HOF passes (scale aggregate +
+    // quantize/dequantize transforms); bitwise-identical by the
+    // QuantizeSpec parity gate, so the DuckDB oracle is unchanged
     emb.crossJoin(broadcast(q))
-      .withColumn("distance", Vec.squaredL2(col("deq"), col("qe")))
+      .withColumn("distance", Quantize.roundTripL2(col("embedding"), col("qe")))
       .orderBy(col("distance"), col("vec_id"))
       .limit(10)
       .select(col("vec_id"), col("distance"))

@@ -71,6 +71,67 @@ class QuantizeSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF-SQ8 recall@10 = $recall")
   }
 
+  test("fused roundTripL2 is bitwise equal to the HOF chain " +
+      "(random dims, ties, zeros, nulls, length mismatch)") {
+    import spark.implicits._
+    // random vectors at three widths + adversarial rows: an all-zero
+    // vector (MinPositiveValue scale guard), constructed exact-tie
+    // quantization points (x/s lands on k.5 — the HALF_UP boundary the
+    // fast floor(|v|+0.5) path must hand to BigDecimal), and huge/tiny
+    // magnitudes. The reference q vector is the HOF-dequantized row 0.
+    val rnd = new scala.util.Random(42)
+    def vec(d: Int): Seq[Float] = Seq.fill(d)((rnd.nextFloat() - 0.5f) * 4f)
+    // scale of a vector whose max|x| is 127.0f is exactly 1.0, so
+    // elements k + 0.5 quantize on the exact tie for every integer k
+    val tie = Seq(127.0f, 2.5f, -2.5f, 0.5f, -0.5f, 63.5f, -63.5f, 1.5f)
+    val rows: Seq[(Long, Seq[Float])] =
+      (0L until 200L).map(i => i -> vec(7)) ++
+        (200L until 400L).map(i => i -> vec(64)) ++
+        (400L until 500L).map(i => i -> vec(768)) ++
+        Seq(9000L -> Seq.fill(7)(0f), 9001L -> tie.take(7),
+          9002L -> vec(7).map(_ * 1e20f), 9003L -> vec(7).map(_ * 1e-20f))
+    def cmp(df: org.apache.spark.sql.DataFrame, refSeq: Seq[Float]): Unit = {
+      val ref = refSeq.toArray
+      val hof = Quantize.withInt8(df, "embedding")
+        .withColumn("d", graft.functions.Vec.squaredL2(
+          Quantize.dequantize(col("q_emb"), col("q_scale")), lit(ref)))
+        .select("vec_id", "d").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      val fused = df
+        .withColumn("d", Quantize.roundTripL2(col("embedding"), lit(ref)))
+        .select("vec_id", "d").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(hof.keySet == fused.keySet)
+      hof.foreach { case (id, v) =>
+        // bitwise: compare raw long bits, not ==, so -0.0/0.0 and any
+        // ulp drift fail loudly
+        assert(v.map(java.lang.Double.doubleToRawLongBits) ==
+          fused(id).map(java.lang.Double.doubleToRawLongBits),
+          s"vec_id=$id hof=$v fused=${fused(id)}")
+      }
+    }
+    for (d <- Seq(7, 64, 768)) {
+      val sub = rows.filter(_._2.length == d)
+      val df = sub.toDF("vec_id", "embedding")
+        .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      cmp(df, sub.head._2.map(x => x)) // vs an arbitrary same-width ref
+      cmp(df, Array.fill(d)(0f).toSeq)         // vs the zero ref
+    }
+    // length mismatch and null element → null from both forms
+    val odd = Seq((1L, Seq(1f, 2f, 3f)), (2L, Seq(1f, 2f)))
+      .toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val mm = odd.withColumn("d",
+        Quantize.roundTripL2(col("embedding"), lit(Array(1f, 2f, 3f))))
+      .orderBy("vec_id").select("d").collect()
+    assert(!mm(0).isNullAt(0) && mm(1).isNullAt(0))
+    val withNullElem = spark.sql(
+      "SELECT 1L AS vec_id, array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)) AS embedding")
+    assert(withNullElem.withColumn("d",
+        Quantize.roundTripL2(col("embedding"),
+          lit(Array(1f, 2f)))).select("d").head().isNullAt(0))
+  }
+
   test("quantization is deterministic across partitionings") {
     val a = Quantize.withInt8(emb, "embedding")
       .select("vec_id", "q_emb").collect()
