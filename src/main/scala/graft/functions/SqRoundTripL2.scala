@@ -77,6 +77,79 @@ case class SqRoundTripL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native asymmetric SQ8 distance over STORED codes: squared-L2
+  * between the dequantized `(codes, scale)` row and the float
+  * reference `ref` — `Vec.squaredL2(Quantize.dequantize(codes, scale),
+  * ref)` fused into one compiled pass. Same motivation as
+  * [[SqRoundTripL2]] (Spark HOF `transform` is CodegenFallback), for
+  * the pruned-scan path that reads int8 codes off disk (IvfSq): the
+  * per-candidate dequantize was the interpreted step behind
+  * ann_ivfsq_topk's 5.9× growth at the D=768 cell.
+  *
+  * Bit-parity contract (QuantizeSpec): dequantize is
+  * `(c_i.toDouble * scale).toFloat`, distance is the left-to-right
+  * double fold of [[SquaredL2]]. Null semantics mirror the chain:
+  * null input → null, length mismatch → null, null element → null.
+  */
+case class SqCodesL2(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = (first.dataType, second.dataType, third.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.ByteType, _), DoubleType,
+          ArrayType(FloatType, _)) => true
+      case _ => false
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sq_codes_l2 expects (array<tinyint>, double, array<float>), got " +
+        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, " +
+        s"${third.dataType.simpleString})")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override protected def nullSafeEval(c: Any, s: Any, r: Any): Any =
+    SqCodesL2.dist(c.asInstanceOf[ArrayData], s.asInstanceOf[Double],
+      r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (c, s, r) => {
+      val d = ctx.freshName("adcDist")
+      s"""
+         |java.lang.Double $d = graft.functions.SqCodesL2.dist($c, $s, $r);
+         |if ($d == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $d.doubleValue(); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): SqCodesL2 =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+object SqCodesL2 {
+  /** Null (boxed) on length mismatch or null element. */
+  def dist(codes: ArrayData, scale: Double,
+      ref: ArrayData): java.lang.Double = {
+    val n = codes.numElements()
+    if (n != ref.numElements()) return null
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      if (codes.isNullAt(i) || ref.isNullAt(i)) return null
+      val deq = (codes.getByte(i).toDouble * scale).toFloat
+      val d = deq.toDouble - ref.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    java.lang.Double.valueOf(s)
+  }
+}
+
 object SqRoundTripL2 {
 
   /** Spark `round(_, 0)` on DoubleType rounds the value's SHORTEST

@@ -56,4 +56,16 @@ object Quantize {
       graft.functions.SqRoundTripL2(
         org.apache.spark.sql.GraftSqlBridge.expression(emb),
         org.apache.spark.sql.GraftSqlBridge.expression(ref)))
+
+  /** Fused dequantize→squared-L2 over STORED codes (the IvfSq pruned
+    * scan's hot step): bitwise equal to
+    * `Vec.squaredL2(dequantize(codes, scale), ref)` in one compiled
+    * pass — see [[graft.functions.SqCodesL2]].
+    */
+  def codesL2(codes: Column, scale: Column, ref: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.SqCodesL2(
+        org.apache.spark.sql.GraftSqlBridge.expression(codes),
+        org.apache.spark.sql.GraftSqlBridge.expression(scale),
+        org.apache.spark.sql.GraftSqlBridge.expression(ref)))
 }

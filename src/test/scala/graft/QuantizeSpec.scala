@@ -132,6 +132,33 @@ class QuantizeSpec extends SparkSpec {
           lit(Array(1f, 2f)))).select("d").head().isNullAt(0))
   }
 
+  test("fused codesL2 is bitwise equal to dequantize+squaredL2 " +
+      "over stored codes") {
+    import spark.implicits._
+    val ref = emb.where(col("vec_id") === 3L)
+      .select("embedding").head().getSeq[Float](0).toArray
+    val coded = Quantize.withInt8(emb, "embedding")
+    val hof = coded.withColumn("d", graft.functions.Vec.squaredL2(
+        Quantize.dequantize(col("q_emb"), col("q_scale")), lit(ref)))
+      .select("vec_id", "d").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val fused = coded.withColumn("d",
+        Quantize.codesL2(col("q_emb"), col("q_scale"), lit(ref)))
+      .select("vec_id", "d").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(hof.keySet == fused.keySet && hof.nonEmpty)
+    hof.foreach { case (id, v) =>
+      assert(java.lang.Double.doubleToRawLongBits(v) ==
+        java.lang.Double.doubleToRawLongBits(fused(id)),
+        s"vec_id=$id hof=$v fused=${fused(id)}")
+    }
+    // mismatched width → null (the zip_with-padding semantics)
+    val mm = coded.limit(1).withColumn("d",
+      Quantize.codesL2(col("q_emb"), col("q_scale"), lit(ref ++ ref)))
+      .select("d").head()
+    assert(mm.isNullAt(0))
+  }
+
   test("quantization is deterministic across partitionings") {
     val a = Quantize.withInt8(emb, "embedding")
       .select("vec_id", "q_emb").collect()
