@@ -69,13 +69,17 @@ object Bench {
     // timed work, sample the all-cores spin until it reads idle or the
     // wait budget expires. Every sample is recorded in the artifact
     // (`calib_gate`), so a reader can see whether the run started
-    // qualified or proceeded on timeout. Threshold 165 ms on the MEDIAN
-    // statistic (idle constant ~147 ms): k stolen cores read
-    // ≈ 147·(1+k/32), so 165 tolerates ≤3 (≤1.1× on t2, inside the
-    // 65-vs-55.3 acceptance headroom) and blocks ≥4 — the r17 A/B
-    // loop's 175 gate was calibrated to the old worst-core statistic,
-    // on which the sustained 6-core shape read 211+.
-    val GateThresholdMs = 165.0
+    // qualified or proceeded on timeout. Threshold on the MEDIAN
+    // statistic: its true idle constant is ~130 ms (observed
+    // 126.7–135.7 across every idle gate/bracket sample of r18
+    // attempts 4–7 — the old ~147 was the WORST-core statistic's idle,
+    // which carries the join-on-slowest skew). k stolen cores read
+    // ≈ 130·(1+k/32), so 145 tolerates ≤3 (≤1.1× on t2, inside the
+    // 65-vs-55.3 acceptance headroom) and blocks ≥4; the first median
+    // pin of 165 was derived from the 147 idle and actually tolerated
+    // ~8 stolen cores (attempt 4 slid under it at loadavg ~3 and
+    // printed 74.8).
+    val GateThresholdMs = 145.0
     val GateWaitBudgetMs = 600000L // 10 min, then proceed regardless
     calibMs() // discarded: first call pays JIT/OSR warm-up, which would
               // read as phantom contention in the gate samples
@@ -421,7 +425,10 @@ object Bench {
     // toward the idle constant (~147 ms on this box), never flatters an
     // idle one. This is the decode rule SCALE.md applied by hand to the
     // r17 loaded runs, moved into the artifact itself (VERDICT r17 #7).
-    val CalibIdleMs = 147.0
+    // 130, not the old 147: see GateThresholdMs — the idle constant is
+    // statistic-specific, and using the worst-core idle with median
+    // brackets over-corrects contaminated passes by ~13%
+    val CalibIdleMs = 130.0
     def passFactor(a: Double, b: Double): Double =
       math.min(1.0, CalibIdleMs / ((a + b) / 2.0))
     val f1 = passFactor(calibP1, calibP1End)
