@@ -159,7 +159,19 @@ object Tables {
       if (files.isEmpty) probe // non-file plan: decide per call
       else spreadMemo.computeIfAbsent(
         files.sorted.mkString(","), _ => probe)
-    if (need) df.repartition(key) else df
+    // explicit partition count (= cluster parallelism, never a local
+    // constant): a bare repartition(key) is REPARTITION_BY_COL, which
+    // AQE's partition coalescing is allowed to shrink by BYTES — and the
+    // whole point of spread is CPU-heavy map work over few bytes, so on
+    // the small-scan regime AQE folded the exchange back to one task
+    // (r18 measurement: maxsim_top_docs ran its chunk+md5-feature stage
+    // and cross join on a single core, 2.2 s of a 2.4 s query). An
+    // explicit count is user-specified partitioning AQE must respect;
+    // it derives from defaultParallelism, so the lower-core bench
+    // sessions and a real cluster each get their own scale.
+    if (need)
+      df.repartition(df.sparkSession.sparkContext.defaultParallelism, key)
+    else df
   }
 
   /** Directory-keyed, fingerprint-revalidated memo — THE pattern for

@@ -183,8 +183,14 @@ object Bm25 {
     // posting and df scans — semantically redundant with the join, but
     // it is what pushes into the scans (row-group skip); the join
     // itself is against the broadcast driver-sized pair table
+    // the per-(term, doc) score is query-independent — computed BEFORE
+    // the qterms join, so each matched posting evaluates the log/idf
+    // arithmetic once instead of once per query containing the term
+    // (a dense batch joins every posting against up to |queries| rows;
+    // r18 measurement: the post-join form re-ran the scoring math on
+    // the multiplied rows). Join order change only — the same rows
+    // reach the aggregate with bitwise-identical s.
     prunedScan(index.tfPath)
-      .join(broadcast(qterms), "term")
       .join(broadcast(prunedScan(index.dfPath)), "term")
       .crossJoin(broadcast(stats))
       .withColumn("s",
@@ -193,6 +199,8 @@ object Bm25 {
           * (col("tf") * lit(k1 + 1.0))
           / (col("tf") + lit(k1)
             * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .select(col("term"), col("doc_id"), col("s"))
+      .join(broadcast(qterms), "term")
       .groupBy(col("query_id"), col("doc_id"))
       .agg(round(aggregate(sort_array(collect_list(col("s"))), lit(0.0),
         (a, x) => a + x), 4).as("score"))

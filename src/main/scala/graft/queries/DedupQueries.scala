@@ -135,16 +135,19 @@ object DedupQueries {
     * non-empty at sf0.1.
     */
   def exactPairs(spark: SparkSession, dir: String): DataFrame = {
-    // persist: fp feeds both the canonical-group aggregate and the
-    // detail join — without it the md5 pass runs twice
-    val fp = Tables.documents(spark, dir)
+    // one window over the fp partition replaces the r17
+    // persist + groupBy + self-join shape: min(doc_id) and count(*)
+    // over each fingerprint group ARE the canonical id and copy count,
+    // so the md5 pass runs once, nothing is cached, and the plan is a
+    // single exchange on fp instead of aggregate-then-join (same rows
+    // — integer/string math only)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+    Tables.documents(spark, dir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .persist()
-    val canon = fp.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("canonical_id"), count(lit(1)).as("n_copies"))
-      .where(col("n_copies") > 1)
-    fp.join(canon, "fp")
-      .where(col("doc_id") =!= col("canonical_id"))
+      .withColumn("canonical_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .where(col("n_copies") > 1 && col("doc_id") =!= col("canonical_id"))
       .select(col("canonical_id"), col("doc_id").as("dup_id"))
       .orderBy(col("canonical_id"), col("dup_id"))
   }
@@ -550,7 +553,6 @@ FROM pc"""
     * docs, novel new docs.
     */
   def incrementalNeardupStats(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
     val nHashes = Md5Hashes
     val docs = spark.read.parquet(signedDocsPath(spark, dir))
     val isNew = pmod(col("doc_id"), lit(10)) >= 8
@@ -566,15 +568,19 @@ FROM pc"""
       .withColumn("jaccard",
         size(array_intersect(col("n_sh"), col("c_sh"))).cast("double") /
           size(array_union(col("n_sh"), col("c_sh"))))
-    val nNew = docs.where(isNew).count()
-    // a stats query's output is one row — computed eagerly (the inputs
-    // are parquet-backed, nothing to keep cached)
-    val row = verified.agg(
-      count(lit(1)).as("n_candidate_pairs"),
-      countDistinct(when(col("jaccard") >= 0.7, col("new_id")))
-        .as("n_dup_new")).head()
-    Seq((nNew, row.getLong(0), row.getLong(1), nNew - row.getLong(1)))
-      .toDF("n_new", "n_candidate_pairs", "n_dup_new", "n_novel")
+    // one LAZY plan for the whole stats row (r18): the r17 form ran two
+    // separate driver actions (count + head) inside the builder and
+    // re-emitted their values through a local DF; nothing here persists,
+    // so folding the batch count in as a 1-row broadcast cross join
+    // returns the same row with two fewer blocking job round-trips —
+    // the caller's single action computes everything
+    verified.agg(
+        count(lit(1)).as("n_candidate_pairs"),
+        countDistinct(when(col("jaccard") >= 0.7, col("new_id")))
+          .as("n_dup_new"))
+      .crossJoin(broadcast(docs.where(isNew).agg(count(lit(1)).as("n_new"))))
+      .select(col("n_new"), col("n_candidate_pairs"), col("n_dup_new"),
+        (col("n_new") - col("n_dup_new")).as("n_novel"))
   }
 
   private val incrementalNeardupStatsSql =

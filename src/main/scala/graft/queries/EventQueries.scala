@@ -302,7 +302,13 @@ object EventQueries {
     */
   def hllUserOverlap(spark: SparkSession, dir: String): DataFrame =
     graft.operators.Hll.pairwiseOverlap(
-        Tables.events(spark, dir).select(col("event_type"), col("user_id")),
+        // spread: the md5 register hashing is the CPU-heavy map stage
+        // and events arrives locally as one scan split (identity at
+        // cluster scale — Tables.spread); r18 measurement: the whole
+        // 0.9 s sketch pass ran on one core without it
+        Tables.spread(
+          Tables.events(spark, dir).select(col("event_type"), col("user_id")),
+          col("user_id")),
         "event_type", col("user_id"),
         hashFn = graft.functions.Hash60.catalog(spark))
       .select(col("key_a").as("type_a"), col("key_b").as("type_b"),

@@ -289,8 +289,11 @@ object QualityQueries {
   def corpusFinalStats(spark: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to")
     val testSources = Seq("src18", "src19")
-    // one tokenize pass feeds scoring, the test gram set, and dedup
-    val toks = Tables.documents(spark, dir)
+    // one tokenize pass feeds scoring, the test gram set, and dedup;
+    // spread first — tokenize + bag-fingerprint md5 is the heavy map
+    // stage and the corpus arrives locally as one scan split (identity
+    // at cluster scale — Tables.spread)
+    val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .withColumn("toks", tokens(col("text"))).persist()
     val scored = toks.select(col("doc_id"), col("lang"), col("source"),
       col("toks"), size(col("toks")).as("n_tokens"),
@@ -599,17 +602,23 @@ object QualityQueries {
     * tokens) — the shape is unchanged.
     */
   def sourceTokenDivergence(spark: SparkSession, dir: String): DataFrame = {
-    // persist: the exploded token stream feeds the corpus and
-    // per-source aggregations — one tokenization pass
-    val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+    // ONE corpus-sized aggregation: tokenize + groupBy(source, token)
+    // with map-side partials, persisted at VOCAB×SOURCES size (≪ the
+    // raw token stream the r17 form cached). The corpus-wide counts
+    // and per-source totals are exact integer re-aggregations of that
+    // table — sum over sources of cs ≡ count over the raw stream — so
+    // the former second corpus pass (groupBy(token) over the exploded
+    // stream) collapses to a vocab-sized shuffle (guide §2.3:
+    // aggregate before you shuffle).
+    val bySrc = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("source"), explode(tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("cs"))
       .persist()
-    val corpus = toks.groupBy(col("token")).agg(count(lit(1)).as("cc"))
+    val corpus = bySrc.groupBy(col("token")).agg(sum(col("cs")).as("cc"))
     // grand total stays lazy (1-row broadcast), like trainingShardStats —
     // building the DataFrame must not run a Spark job
     val ctot = corpus.agg(sum(col("cc")).as("ct"))
-    val bySrc = toks.groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("cs"))
     val srcTotals = bySrc.groupBy(col("source")).agg(sum(col("cs")).as("st"))
     bySrc
       .join(broadcast(corpus), "token")

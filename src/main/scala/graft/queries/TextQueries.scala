@@ -125,7 +125,9 @@ object TextQueries {
       s"$dir#${graft.functions.Hash60.family(spark)}", { (_, prev) =>
         if (prev != null && prev._1 == dataKey) prev
         else (dataKey, graft.operators.CountMin.collectSketch(
-          Tables.documents(spark, dir)
+          // spread: tokenize + 4 md5 digests per token is the heavy map
+          // stage over a one-split local scan (identity at cluster scale)
+          Tables.spread(Tables.documents(spark, dir), col("doc_id"))
             .select(explode(tokens(col("text"))).as("token")),
           "token", CmsDepth, CmsWidth,
           hashFn = graft.functions.Hash60.catalogSalted(spark)))
@@ -136,7 +138,7 @@ object TextQueries {
     import graft.operators.CountMin
     import spark.implicits._
     val sketch = corpusTokenSketch(spark, dir).cells.toDF("fn", "cell", "c")
-    val top = Tables.documents(spark, dir)
+    val top = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(explode(tokens(col("text"))).as("token"))
       .groupBy(col("token"))
       .agg(count(lit(1)).as("exact_c"))
@@ -190,7 +192,7 @@ object TextQueries {
     * no-cache-residue contract).
     */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(explode(tokens(col("text"))).as("token"))
     graft.operators.Eager.localize(
       graft.operators.CountMin
@@ -261,10 +263,17 @@ object TextQueries {
       .agg(sum(col("tf") * col("tf")).as("n2"))
     // df ceiling on the index side: the keep-set join shuffles on the
     // SAME token key as the pair join below, so it co-partitions with
-    // the work it is protecting
-    val keep = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select(col("token"))
-    val idx = tf.join(keep, Seq("token"))
+    // the work it is protecting. Long.MaxValue — the uncapped
+    // spelling — skips the df aggregate + join entirely (no df can
+    // reach it), removing two plan stages a caller who has already
+    // proven the cap vacuous would otherwise pay per query.
+    val idx =
+      if (maxDf == Long.MaxValue) tf
+      else {
+        val keep = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+          .where(col("df") <= maxDf).select(col("token"))
+        tf.join(keep, Seq("token"))
+      }
     val a = idx.select(col("token"), col("doc_id").as("a_id"),
       col("tf").as("a_tf"))
     val b = idx.select(col("token"), col("doc_id").as("b_id"),
@@ -287,15 +296,19 @@ object TextQueries {
       .limit(topK)
   }
 
-  /** Catalog form: doc_id < 100 slice, maxDf = 100 (= the slice size,
-    * which no df can exceed — the cap is provably a no-op here, and the
-    * oracle carries the same ceiling).
+  /** Catalog form: doc_id < 100 slice, uncapped. df over a ≤100-doc
+    * slice can never exceed 100, so the r17 form's maxDf = 100 ceiling
+    * was provably a no-op (the committed no-op gate in RetrievalSpec
+    * compares capped-at-100 vs uncapped on this very slice); passing
+    * the uncapped spelling drops the vacuous df aggregate + keep join
+    * from every serving plan while the oracle keeps its explicit
+    * `HAVING count(*) <= 100` ceiling — same rows, hash-identical.
     */
   def sparseCosinePairs(spark: SparkSession, dir: String): DataFrame =
     sparseCosineTopPairs(
       Tables.documents(spark, dir).where(col("doc_id") < 100)
         .select(col("doc_id"), tokens(col("text")).as("terms")),
-      maxDf = 100, topK = 20)
+      maxDf = Long.MaxValue, topK = 20)
 
   private val sparseCosinePairsSql =
     """WITH tf AS (
@@ -369,7 +382,7 @@ object TextQueries {
     * scale) → broadcast; the corpus side is scanned once map-side.
     */
   def logprobScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
+    val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
       .persist()
     val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
@@ -1058,14 +1071,25 @@ object TextQueries {
   }
 
   def maxsimTopDocs(spark: SparkSession, dir: String): DataFrame = {
+    // norms are per-CHUNK values — computed once on each side BELOW the
+    // cross join instead of inside the per-pair cosine, so each of the
+    // |corpus chunks| × |query chunks| pairs evaluates ONE dot product
+    // rather than three (Vec.cosine recomputes both norms per pair).
+    // sqrt(norm2Sq(x)) here is the exact expression Vec.cosine folds —
+    // same fold order, same double — so the per-pair quotient is
+    // bitwise the r17 value (the round(4) ranking cannot move).
     val chunks = maxsimChunks(spark, dir)
     val q = chunks.where(col("doc_id") < 8)
       .select(col("doc_id").as("query_id"), col("cidx").as("qidx"),
-        col("feat").as("q_feat"))
+        col("feat").as("q_feat"),
+        sqrt(graft.functions.Vec.norm2Sq(col("feat"))).as("nq"))
     val mx = chunks.where(col("doc_id") >= 8)
+      .withColumn("nd", sqrt(graft.functions.Vec.norm2Sq(col("feat"))))
       .crossJoin(broadcast(q))
       .groupBy(col("query_id"), col("qidx"), col("doc_id"))
-      .agg(max(graft.functions.Vec.cosine(col("q_feat"), col("feat"))).as("m"))
+      .agg(max(when(col("nq") === 0.0 || col("nd") === 0.0, lit(0.0))
+        .otherwise(graft.functions.Vec.dot(col("q_feat"), col("feat"))
+          / (col("nq") * col("nd")))).as("m"))
     val scored = mx.groupBy(col("query_id"), col("doc_id"))
       .agg(round(aggregate(sort_array(collect_list(col("m"))), lit(0.0),
         (a, x) => a + x), 4).as("score"))
