@@ -306,29 +306,34 @@ object CurationQueries {
   private[graft] def buildDsirLm(spark: SparkSession,
       d: String): Seq[(Long, Double)] = {
       val buckets = DsirBuckets
-      // spread before the explode+md5 map stage — the corpus arrives as
-      // one scan split locally and the per-token bucket hashing is the
-      // expensive part of this build; identity when already partitioned
-      val toks = dsirTokStream(Tables.spread(Tables.documents(spark, d),
-        col("doc_id"))).persist()
-      val raw = toks.groupBy(col("bucket")).agg(count(lit(1)).as("cr"))
-      val tgt = toks.where(col("lang") === "en")
-        .groupBy(col("bucket")).agg(count(lit(1)).as("ct"))
-      val totals = raw.agg(sum(col("cr"))).head().getLong(0)
-      val totalT = tgt.agg(sum(col("ct"))).head().getLong(0)
-      // the LM is 1024 rows — materialize it driver-side while the
-      // token cache is alive, then RELEASE the cache so nothing stays
-      // persisted after the build
-      val lm = raw.join(tgt, Seq("bucket"), "left")
-        .select(col("bucket"),
-          (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
-            (totalT + buckets).toDouble) -
-            log((col("cr") + 1).cast("double") /
-              (totals + buckets).toDouble)).as("lw"))
-        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-        .sortBy(_._1) // collect order is partition-dependent; canonicalize
-      toks.unpersist()
-      lm
+      // ONE corpus pass, ONE Spark job (r18): the raw and target LMs
+      // are both exact integer re-aggregations of the (bucket, is-en)
+      // count table — ≤ 2·DsirBuckets rows, collected driver-side —
+      // so the r17 shape (persist the exploded token stream, run four
+      // separate driver-blocking actions over it: two groupBys, two
+      // grand totals) collapses to a single groupBy + collect. The
+      // log-weight arithmetic below evaluates the SAME doubles the DF
+      // expressions did ((c+1)/ (total+buckets) division then
+      // Math.log), so the LM is bitwise unchanged; spread before the
+      // explode+md5 stage as before (identity at cluster scale).
+      val bl = dsirTokStream(Tables.spread(Tables.documents(spark, d),
+          col("doc_id")))
+        // coalesce: a null lang must count in raw and not in target —
+        // exactly the old where(lang === "en") null semantics — and
+        // must not surface as a null group key
+        .groupBy(col("bucket"),
+          coalesce(col("lang") === "en", lit(false)).as("en"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getLong(2)))
+      val cr = bl.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val ct = bl.filter(_._2).map(t => t._1 -> t._3).toMap
+      val totals = cr.values.sum
+      val totalT = ct.values.sum
+      cr.toSeq.map { case (bucket, crv) =>
+        val ctv = ct.getOrElse(bucket, 0L)
+        bucket -> (math.log((ctv + 1).toDouble / (totalT + buckets).toDouble) -
+          math.log((crv + 1).toDouble / (totals + buckets).toDouble))
+      }.sortBy(_._1)
   }
 
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {

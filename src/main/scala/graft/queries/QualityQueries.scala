@@ -100,20 +100,32 @@ object QualityQueries {
     */
   def decontamOverlap(spark: SparkSession, dir: String,
       testSources: Seq[String] = Seq("src18", "src19")): DataFrame = {
-    // persist: the gram table feeds the test-side distinct, the per-doc
-    // totals, and the hit join — one tokenize+shingle pass, not three
-    val grams = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+    // ONE pass over the train side (r18): gram totals and contamination
+    // hits come from a single left join against the broadcast test-gram
+    // set + one aggregation — the r17 form cached the full corpus gram
+    // stream and scanned it three times (test distinct, totals, hit
+    // join), then inner-joined totals×hits. count(*) / count(hit) over
+    // the left join are exactly those two counts, and keeping rows with
+    // ≥1 hit reproduces the inner join's doc set. The test-side gram
+    // set re-derives from a source-PRUNED scan (benchmarks are a tiny
+    // source slice by construction — the broadcast-side reasoning in
+    // the scaladoc above), so nothing is persisted at corpus size.
+    val testG = Tables.documents(spark, dir)
+      .where(col("source").isin(testSources: _*))
       .withColumn("toks", tokens(col("text")))
-      .select(col("doc_id"), col("source"),
+      .select(explode(array_distinct(wordNgrams(col("toks"), 5))).as("g"))
+      .distinct()
+    val train = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .where(!col("source").isin(testSources: _*))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"),
         explode(array_distinct(wordNgrams(col("toks"), 5))).as("g"))
-      .persist()
-    val testG = grams.where(col("source").isin(testSources: _*))
-      .select(col("g")).distinct()
-    val train = grams.where(!col("source").isin(testSources: _*))
-    val totals = train.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    val hits = train.join(broadcast(testG), "g")
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_contaminated"))
-    totals.join(hits, "doc_id")
+    train
+      .join(broadcast(testG.withColumn("__hit", lit(1L))), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("__hit")).as("n_contaminated"))
+      .where(col("n_contaminated") >= 1)
       .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
         round(col("n_contaminated").cast("double") / col("n_grams"), 4)
           .as("contaminated_frac"))
@@ -289,24 +301,37 @@ object QualityQueries {
   def corpusFinalStats(spark: SparkSession, dir: String): DataFrame = {
     val stop = Seq("the", "a", "of", "and", "to")
     val testSources = Seq("src18", "src19")
-    // one tokenize pass feeds scoring, the test gram set, and dedup;
     // spread first — tokenize + bag-fingerprint md5 is the heavy map
     // stage and the corpus arrives locally as one scan split (identity
-    // at cluster scale — Tables.spread)
-    val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
-      .withColumn("toks", tokens(col("text"))).persist()
-    val scored = toks.select(col("doc_id"), col("lang"), col("source"),
-      col("toks"), size(col("toks")).as("n_tokens"),
-      (size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*)))
-        .cast("double") / greatest(size(col("toks")), lit(1))).as("stop_ratio"),
-      md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("fp"))
+    // at cluster scale — Tables.spread). The quality filter is folded
+    // into the same projection, so the corpus pass is cached NOWHERE:
+    // its one downstream consumer is the dedup window. The r17 form
+    // cached the full corpus WITH the raw text column twice over (toks
+    // persist + deduped persist); the only other consumer of the
+    // corpus pass was the test-source gram set, which re-derives from
+    // a source-PRUNED scan instead (test sources are 2 of 20 — a
+    // benchmark-sized slice, the same reasoning as decontamOverlap's
+    // broadcast side).
+    val scored = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .withColumn("toks", tokens(col("text")))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("toks"), size(col("toks")).as("n_tokens"),
+        (size(filter(col("toks"), t => t.isin(stop.map(lit(_)): _*)))
+          .cast("double") / greatest(size(col("toks")), lit(1))).as("stop_ratio"),
+        md5(array_join(array_sort(array_distinct(col("toks"))), " ")).as("fp"))
     val quality = scored.where(!col("source").isin(testSources: _*) &&
       col("n_tokens") >= 20 && col("stop_ratio") <= 0.25)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fp")).orderBy(col("doc_id"))
+    // persist NARROW: only the columns the two downstream consumers
+    // read (gram explode + final rollup) — not text/fp/stop_ratio/rn
     val deduped = quality.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1).persist()
-    val testG = toks.where(col("source").isin(testSources: _*))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("toks"))
+      .persist()
+    val testG = Tables.documents(spark, dir)
+      .where(col("source").isin(testSources: _*))
+      .withColumn("toks", tokens(col("text")))
       .select(explode(array_distinct(wordNgrams(col("toks"), 5))).as("g"))
       .distinct()
     val contaminated = deduped

@@ -382,14 +382,22 @@ object TextQueries {
     * scale) → broadcast; the corpus side is scanned once map-side.
     */
   def logprobScore(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+    // one LAZY plan (r18): the r17 form cached the full exploded token
+    // stream and ran a blocking head() for the grand total inside the
+    // builder. The LM side (freq) makes exactly one corpus pass either
+    // way; the scored side is a ≤100-doc slice whose doc_id predicate
+    // now pushes into its own pruned scan instead of reading the
+    // corpus-wide cache; and the total rides along as a 1-row
+    // broadcast cross join, so ln(c/total) is unchanged arithmetic.
+    val freq = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val total = freq.agg(sum(col("c")).as("t"))
+    Tables.documents(spark, dir).where(col("doc_id") < 100)
       .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
-      .persist()
-    val freq = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
-    val total = freq.agg(sum(col("c"))).head().getLong(0)
-    toks.where(col("doc_id") < 100)
       .join(broadcast(freq), "token")
-      .withColumn("lp", log(col("c").cast("double") / total.toDouble))
+      .crossJoin(broadcast(total))
+      .withColumn("lp", log(col("c").cast("double") / col("t").cast("double")))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         round(
