@@ -80,9 +80,24 @@ object MaxSim {
     */
   def candidatesFromBuckets(qChunks: DataFrame, buckets: DataFrame,
       planes: Array[Array[Float]], dim: Int, perQuery: Int,
-      nProbeBits: Int): DataFrame =
+      nProbeBits: Int,
+      qPooled: Option[Array[(Long, Array[Float])]] = None): DataFrame =
     rankedCandidatesFromBuckets(qChunks, buckets, planes, dim, perQuery,
-      nProbeBits).select(col("query_id"), col("doc_id"))
+      nProbeBits, qPooled).select(col("query_id"), col("doc_id"))
+
+  /** The query batch's pooled vectors, collected driver-side — the
+    * eager first stage of every bucket-candidate call. Exposed so a
+    * caller serving MANY calls over the same (JVM, data version) query
+    * batch can compute it once and pass it back through `qPooled`
+    * (the bm25QueryPairs amortization pattern), instead of re-running
+    * the pool+collect job per call.
+    */
+  def pooledQueryBatch(qChunks: DataFrame, dim: Int): Array[(Long, Array[Float])] =
+    pooled(
+      qChunks.select(col("query_id").as("doc_id"),
+        col("qidx").as("cidx"), col("q_feat").as("feat")),
+      "doc_id", dim)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
 
   /** [[candidatesFromBuckets]] keeping the pooled-cosine rank
     * (query_id, doc_id, rk) — the first-stage retrieval list a rank
@@ -95,15 +110,12 @@ object MaxSim {
     */
   def rankedCandidatesFromBuckets(qChunks: DataFrame, buckets: DataFrame,
       planes: Array[Array[Float]], dim: Int, perQuery: Int,
-      nProbeBits: Int): DataFrame = {
+      nProbeBits: Int,
+      qPooledPre: Option[Array[(Long, Array[Float])]] = None): DataFrame = {
     val spark = buckets.sparkSession
     import spark.implicits._
     val nBits = planes.length
-    val qPooled = pooled(
-      qChunks.select(col("query_id").as("doc_id"),
-        col("qidx").as("cidx"), col("q_feat").as("feat")),
-      "doc_id", dim)
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val qPooled = qPooledPre.getOrElse(pooledQueryBatch(qChunks, dim))
     val probePairs = qPooled.flatMap { case (qid, v) =>
       LshAnn.queryProbes(planes, v, nProbeBits).map(b => (qid, b))
     }
@@ -147,10 +159,11 @@ object MaxSim {
     */
   def annTopDocsFromBuckets(qChunks: DataFrame, corpusChunks: DataFrame,
       buckets: DataFrame, planes: Array[Array[Float]], dim: Int, k: Int,
-      perQuery: Int, nProbeBits: Int): DataFrame =
+      perQuery: Int, nProbeBits: Int,
+      qPooled: Option[Array[(Long, Array[Float])]] = None): DataFrame =
     rerank(qChunks, corpusChunks,
       candidatesFromBuckets(qChunks, buckets, planes, dim, perQuery,
-          nProbeBits)
+          nProbeBits, qPooled)
         .collect().map(r => (r.getLong(0), r.getLong(1))), k)
 
   /** Exact chunk-level MaxSim restricted to candidate (query, doc)
@@ -169,12 +182,21 @@ object MaxSim {
     val candDf = candPairs.toSeq.toDF("query_id", "doc_id")
     // candidate docs are batch-scaled (nq × perQuery) — chunked
     // ([[Pushdown]]) so the pushed filter tree stays shallow
+    // per-side norms below the join (r18): each (query chunk, doc
+    // chunk) pair evaluates ONE dot instead of dot+2 norms —
+    // sqrt(norm2Sq(x)) is the exact expression Vec.cosine folds, so
+    // every quotient is bitwise unchanged (same device as the exact
+    // maxsim catalog query)
     val mx = Pushdown.inChunks(spark, candDocs)(cs =>
         corpusChunks.where(col("doc_id").isin(cs: _*)))
+      .withColumn("nd", sqrt(Vec.norm2Sq(col("feat"))))
       .join(broadcast(candDf), Seq("doc_id"))
-      .join(broadcast(qChunks), Seq("query_id"))
+      .join(broadcast(qChunks
+        .withColumn("nq", sqrt(Vec.norm2Sq(col("q_feat"))))), Seq("query_id"))
       .groupBy(col("query_id"), col("qidx"), col("doc_id"))
-      .agg(max(Vec.cosine(col("q_feat"), col("feat"))).as("m"))
+      .agg(max(when(col("nq") === 0.0 || col("nd") === 0.0, lit(0.0))
+        .otherwise(Vec.dot(col("q_feat"), col("feat"))
+          / (col("nq") * col("nd")))).as("m"))
     val scored = mx.groupBy(col("query_id"), col("doc_id"))
       .agg(round(aggregate(sort_array(collect_list(col("m"))), lit(0.0),
         (a, x) => a + x), 4).as("score"))

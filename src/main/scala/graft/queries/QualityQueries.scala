@@ -635,11 +635,15 @@ object QualityQueries {
     // the former second corpus pass (groupBy(token) over the exploded
     // stream) collapses to a vocab-sized shuffle (guide §2.3:
     // aggregate before you shuffle).
+    // no persist: the three consumers below share the (source, token)
+    // aggregation's EXCHANGE — physical exchange reuse computes the
+    // corpus pass once and replays only the cheap post-shuffle
+    // aggregates, where a persist would pay a full cache
+    // materialization of the vocab×sources table first (r18 A/B)
     val bySrc = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .select(col("source"), explode(tokens(col("text"))).as("token"))
       .groupBy(col("source"), col("token"))
       .agg(count(lit(1)).as("cs"))
-      .persist()
     val corpus = bySrc.groupBy(col("token")).agg(sum(col("cs")).as("cc"))
     // grand total stays lazy (1-row broadcast), like trainingShardStats —
     // building the DataFrame must not run a Spark job

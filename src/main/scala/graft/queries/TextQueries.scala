@@ -607,7 +607,10 @@ object TextQueries {
     */
   def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).where(col("doc_id") < 100)
-    val nDocs = docs.count()
+    // N rides along as a lazy 1-row broadcast instead of a blocking
+    // count() in the builder (r18): same double (long count cast to
+    // double) reaching the same log/division
+    val nDocs = docs.agg(count(lit(1)).as("nd"))
     val tf = docs
       .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
       .groupBy(col("doc_id"), col("term"))
@@ -617,8 +620,9 @@ object TextQueries {
       .partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
     tf.join(broadcast(dfreq), "term") // vocabulary-sized — never shuffle tf for it
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
-        round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 4))
+        round(col("tf") * log(col("nd").cast("double") / col("df")), 4))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= 5)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"),
@@ -712,11 +716,14 @@ object TextQueries {
   def bigramLmTop(spark: SparkSession, dir: String): DataFrame = {
     // spread: the bigram explode is the CPU-heavy map stage and the
     // corpus arrives as one scan split locally (Tables.spread)
+    // no persist: both consumers (predecessor totals + the join) share
+    // the bigram aggregation's exchange via physical exchange reuse —
+    // one explode+count pass, no cache materialization of the
+    // ~corpus-bigram-sized table (r18 A/B vs the persisted form)
     val bi = Tables.spread(Tables.documents(spark, dir), col("doc_id"))
       .withColumn("toks", tokens(col("text")))
       .select(explode(QualityQueries.wordNgrams(col("toks"), 2)).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("n_bigram"))
-      .persist() // feeds both the predecessor totals and the join
     val c1 = bi.groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum(col("n_bigram")).cast("long").as("n_w1"))
     bi.withColumn("w1", substring_index(col("bigram"), " ", 1))
@@ -1172,6 +1179,22 @@ object TextQueries {
       .select(col("doc_id").as("query_id"), col("cidx").as("qidx"),
         col("feat").as("q_feat"))
 
+  /** The query batch's pooled vectors — driver-sized by contract (8
+    * fixture docs) and memoized per (JVM, data version) like
+    * [[bm25QueryPairs]]: four consumers (approximate MaxSim, the
+    * hybrid vector arm, and their two oracle generators) each ran the
+    * pool+collect driver job per call without it.
+    */
+  private val msQueryPooledCache =
+    new Tables.DataKeyedMemo[Array[(Long, Array[Float])]]()
+
+  private def maxsimQueryPooled(spark: SparkSession,
+      dir: String): Array[(Long, Array[Float])] =
+    msQueryPooledCache.get(dir) {
+      graft.operators.MaxSim.pooledQueryBatch(
+        maxsimQueryChunks(spark, dir), MsDim)
+    }
+
   /** Bucketed pooled chunk table, built ONCE per (JVM, sfDir) and
     * persisted to the per-pid cache dir — the same build-once
     * treatment as the IVF index and the MinHash verified pairs: the
@@ -1211,7 +1234,8 @@ object TextQueries {
       maxsimChunks(spark, dir).where(col("doc_id") >= 8),
       spark.read.parquet(path),
       graft.operators.LshAnn.hyperplanes(MsDim, nBits, MsSeed),
-      dim = MsDim, k = 5, perQuery = MsPerQuery, nProbeBits = MsProbeBits)
+      dim = MsDim, k = 5, perQuery = MsPerQuery, nProbeBits = MsProbeBits,
+      qPooled = Some(maxsimQueryPooled(spark, dir)))
   }
 
   /** Approximate-MaxSim oracle: the engine's candidate pairs are
@@ -1226,7 +1250,8 @@ object TextQueries {
         maxsimQueryChunks(spark, dir),
         spark.read.parquet(path),
         graft.operators.LshAnn.hyperplanes(MsDim, nBits, MsSeed),
-        dim = MsDim, perQuery = MsPerQuery, nProbeBits = MsProbeBits)
+        dim = MsDim, perQuery = MsPerQuery, nProbeBits = MsProbeBits,
+        qPooled = Some(maxsimQueryPooled(spark, dir)))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     val vals = OracleGen.lits(pairs.toSeq.map { case (q, d) => s"($q,$d)" })
     s"""WITH cand(query_id, doc_id) AS (VALUES $vals),
@@ -1285,7 +1310,8 @@ object TextQueries {
     val vecTop = graft.operators.MaxSim.rankedCandidatesFromBuckets(
       maxsimQueryChunks(spark, dir), spark.read.parquet(path),
       graft.operators.LshAnn.hyperplanes(MsDim, nBits, MsSeed),
-      dim = MsDim, perQuery = MsPerQuery, nProbeBits = MsProbeBits)
+      dim = MsDim, perQuery = MsPerQuery, nProbeBits = MsProbeBits,
+      qPooledPre = Some(maxsimQueryPooled(spark, dir)))
     graft.operators.Rrf.fuse(Seq(bmTop, vecTop))
   }
 
@@ -1348,7 +1374,8 @@ object TextQueries {
     val pairs = graft.operators.MaxSim.candidatesFromBuckets(
         maxsimQueryChunks(spark, dir), spark.read.parquet(path),
         graft.operators.LshAnn.hyperplanes(MsDim, nBits, MsSeed),
-        dim = MsDim, perQuery = MsPerQuery, nProbeBits = MsProbeBits)
+        dim = MsDim, perQuery = MsPerQuery, nProbeBits = MsProbeBits,
+        qPooled = Some(maxsimQueryPooled(spark, dir)))
       .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
     val vals = OracleGen.lits(pairs.toSeq.map { case (q, d) => s"($q,$d)" })
     s"""cand(query_id, doc_id) AS (VALUES $vals),
