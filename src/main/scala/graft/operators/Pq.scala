@@ -121,10 +121,16 @@ object Pq {
     }.toSeq
   }
 
-  /** [[lutSeq]] embedded as a literal array<array<double>> column. */
+  /** [[lutSeq]] embedded as a literal array<array<double>> column —
+    * ONE Literal node holding the nested array value (typedlit), not
+    * an `array(array(lit...))` tree of m×256 Literal children: the
+    * value reaching zip_with/element_at is identical, but Catalyst
+    * walks the expression tree many times per analysis/optimization
+    * pass and the 2k-node spelling cost ~0.2 s of planning per query
+    * per pass (r18 measurement across the ann_* family).
+    */
   def lutFor(query: Array[Float], model: Model): Column =
-    array(lutSeq(query, model).map(sub =>
-      array(sub.map(lit): _*)): _*)
+    typedlit(lutSeq(query, model))
 
   /** ADC distance of a code column against a per-query LUT literal —
     * a zip_with + fold, fully codegen'd.

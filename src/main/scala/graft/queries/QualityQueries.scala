@@ -334,9 +334,11 @@ object QualityQueries {
       .withColumn("toks", tokens(col("text")))
       .select(explode(array_distinct(wordNgrams(col("toks"), 5))).as("g"))
       .distinct()
+    // no distinct: LEFT ANTI ignores right-side multiplicity, so the
+    // doc_id dedup exchange bought nothing (r18)
     val contaminated = deduped
       .select(col("doc_id"), explode(array_distinct(wordNgrams(col("toks"), 5))).as("g"))
-      .join(broadcast(testG), "g").select(col("doc_id")).distinct()
+      .join(broadcast(testG), "g").select(col("doc_id"))
     deduped.join(contaminated, Seq("doc_id"), "left_anti")
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),

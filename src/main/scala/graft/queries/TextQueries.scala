@@ -252,13 +252,15 @@ object TextQueries {
     */
   def sparseCosineTopPairs(docs: DataFrame, maxDf: Long,
       topK: Int): DataFrame = {
-    // persist: tf feeds the norms aggregate, the df filter, and both
-    // inverted-index join sides — one tokenization+count
+    // no persist: every consumer (norms aggregate, the df filter when
+    // capped, both inverted-index join sides) shares the (doc_id,
+    // token) aggregation's exchange via physical exchange reuse — one
+    // tokenization+count pass without materializing a cache (r18 A/B,
+    // same device as bigram_lm_top)
     val tf = docs
       .select(col("doc_id"), explode(col("terms")).as("token"))
       .groupBy(col("doc_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-      .persist()
     val norms = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf") * col("tf")).as("n2"))
     // df ceiling on the index side: the keep-set join shuffles on the
