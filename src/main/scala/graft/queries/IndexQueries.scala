@@ -544,13 +544,24 @@ object IndexQueries {
   /** Recall sweep (reference bench protocol): deterministic recall
     * columns per n_probe; timings live in graft.RecallBench.
     */
+  /** The sweep's 50-vector perturbed query batch — a FIXTURE
+    * (deterministic per-id jitter over the vec_id < 50 slice),
+    * memoized per (JVM, data version) like [[queryFixtures]]: without
+    * the memo every sweep call re-ran the slice collect driver job
+    * before the actual evaluation scan (r18).
+    */
+  private val sweepQueryCache =
+    new Tables.DataKeyedMemo[Array[(Long, Array[Float])]]()
+
   def recallSweep(spark: SparkSession, dir: String): DataFrame = {
     val idx = index(spark, dir)
-    val qs = graft.operators.RecallEval.perturbedQueries(
-      Tables.embeddings(spark, dir)
-        .where(col("vec_id") < 50).select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
-      scale = 0.5f)
+    val qs = sweepQueryCache.get(dir) {
+      graft.operators.RecallEval.perturbedQueries(
+        Tables.embeddings(spark, dir)
+          .where(col("vec_id") < 50).select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)),
+        scale = 0.5f)
+    }
     graft.operators.RecallEval.sweepDf(spark, idx, qs, k = 100,
       nProbes = Seq(1, 4, 16, 64), ranks = Seq(1, 10, 100))
   }
